@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's signature operator family (SURVEY §2.8): MERGE
+  * upsert (11 occurrences, e.g. `dags/logistics-airbyte-sql.py:25-49`,
+  * `dags/2_logistics-shipment-dag.py:95-205`), dedupe-before-merge
+  * (`dags/2_logistics-shipment-dag.py:149-160`) and the SCD2 snapshot
+  * (`dbt/dbt-project/snapshots/customers/scd_customers.sql:1-27`) —
+  * re-expressed as pure DataFrame transforms.
+  *
+  * Scale notes: `upsert` is three equi-joins on the same key set; with
+  * AQE on, Catalyst plans shuffled hash joins keyed identically, and
+  * the exchanges of target/source are reused across the branches. At
+  * 100 TB the right physical layout is both tables bucketed by the
+  * merge keys so all three joins are shuffle-free; the kernel itself
+  * is layout-agnostic.
+  */
+object Upsert {
+
+  /** W1: keep the latest row per key — row_number over (partition by
+    * keys order by orderCols desc) = 1. Callers pass tie-breaking
+    * order columns to make the survivor deterministic. */
+  def dedupLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MERGE semantics: MATCHED -> UPDATE SET updateCols from source
+    * (default: every non-key column), NOT MATCHED -> INSERT full row.
+    * Requires source keys unique (pre-dedup with [[dedupLatest]], as
+    * the reference does before every MERGE).
+    *
+    * Column set of the result == column set of `target`; `source` must
+    * contain at least target's columns (extras dropped), mirroring the
+    * reference's explicit MERGE column lists.
+    */
+  def upsert(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      updateCols: Option[Seq[String]] = None): DataFrame = {
+    val cols = target.columns.toSeq
+    val ucols = updateCols.getOrElse(cols.filterNot(keys.contains))
+    val srcProj = source.select(cols.map(col): _*)
+    val t = target.alias("t")
+    val s = srcProj.alias("s")
+    val onKeys = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+
+    val untouched = t.join(s, onKeys, "left_anti").select(cols.map(col): _*)
+    val updated = t.join(s, onKeys, "inner").select(
+      cols.map(c => (if (ucols.contains(c)) col(s"s.$c") else col(s"t.$c")).as(c)): _*)
+    val inserted = s.join(t, onKeys, "left_anti").select(cols.map(col): _*)
+
+    untouched.unionByName(updated).unionByName(inserted)
+  }
+
+  /** SCD Type-2 history from a changelog (the dbt snapshot, timestamp
+    * strategy): one output row per (key, consecutive run of identical
+    * tracked values), with valid_from = first ts of the run,
+    * valid_to = next run's valid_from (null while current).
+    *
+    * @param order  deterministic ordering inside a key (ts + tie-break)
+    * @param tracked columns whose changes open a new version
+    */
+  def scd2FromChangelog(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      tracked: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.asc): _*)
+    val changed = tracked
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val versioned = df
+      .withColumn("__new_version", when(changed, 1).otherwise(0))
+      .withColumn("__version", sum(col("__new_version")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val firstTs = order.head
+    versioned
+      .groupBy((keys :+ "__version").map(col): _*)
+      .agg(
+        min(firstTs).as("valid_from"),
+        (tracked.map(c => first(col(c)).as(c))): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("__version"))))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__version")
+  }
+
+  /** Atomic overwrite of a parquet table directory: write to a staging
+    * dir, then swap via FileSystem rename — the crash-safe half of
+    * MERGE-without-Delta (SURVEY §7 risk list). */
+  def overwriteAtomic(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "__old")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"atomic swap failed for $path")
+    fs.delete(bak, true)
+  }
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Quality, Upsert}
+
+/** The MERGE/validation operator family (SURVEY §2.8, P4/P5, dbt data
+  * tests) exercised through the real `graft.ops` kernels, with SQL
+  * oracles expressing the same semantics relationally.
+  */
+object OpsQueries extends QueryPack {
+
+  /** §2.8 MERGE: target = pre-1999 orders, source = those same orders
+    * for customers with custkey % 10 == 0 but with doubled totalprice
+    * (MATCHED -> UPDATE), plus all post-1999 orders (NOT MATCHED ->
+    * INSERT). Oracle mirrors the anti-join ∪ update ∪ insert algebra. */
+  val q13 = Q(
+    "q13_merge_upsert",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      val cut = lit("1999-01-01").cast("timestamp")
+      val target = Tables(s, dir, "orders")
+        .filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      val source = Tables(s, dir, "orders")
+        .filter(($"o_orderdate" < cut && $"o_custkey" % 10 === 0) ||
+                $"o_orderdate" >= cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          when($"o_orderdate" < cut, $"o_totalprice" * 2)
+            .otherwise($"o_totalprice").as("o_totalprice"))
+      Upsert.upsert(target, source, Seq("o_orderkey"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      source AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE (o_orderdate < TIMESTAMP '1999-01-01 00:00:00' AND o_custkey % 10 = 0)
+           OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice
+      FROM target t WHERE NOT EXISTS
+        (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+      UNION ALL
+      SELECT t.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
+      FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+      UNION ALL
+      SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
+      FROM source s WHERE NOT EXISTS
+        (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+      ORDER BY o_orderkey"""),
+    covers = Seq("M1-merge", "J10"))
+
+  /** dbt SCD2 snapshot semantics over the events changelog: per user,
+    * one row per consecutive run of the same event_type with
+    * valid_from / valid_to / is_current. ts is compared at µs
+    * precision on both sides (events nanos are floored by Tables). */
+  val q14 = Q(
+    "q14_scd2_history",
+    (s, dir) => {
+      import s.implicits._
+      Upsert.scd2FromChangelog(
+          Tables(s, dir, "events").filter($"user_id" < 20),
+          keys = Seq("user_id"),
+          order = Seq($"ts", $"event_id"),
+          tracked = Seq("event_type"))
+        .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+          $"is_current")
+        .orderBy($"user_id", $"valid_from")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN event_type IS DISTINCT FROM
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 THEN 1 ELSE 0 END AS chg
+        FROM events WHERE user_id < 20),
+      v AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        FROM e),
+      g AS (
+        SELECT user_id, version, min(ts) AS valid_from,
+               min(event_type) AS event_type
+        FROM v GROUP BY user_id, version)
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+      FROM g ORDER BY user_id, valid_from"""),
+    covers = Seq("M2-scd2", "W1"))
+
+  /** P5: first-failing-rule error split over lineitem, both branches in
+    * one output (error_reason null = valid row), reason order exactly
+    * the rule order. */
+  val q15 = Q(
+    "q15_error_split",
+    (s, dir) => {
+      import s.implicits._
+      val rules = Seq(
+        Quality.Rule("invalid_quantity", $"l_quantity" > 5 && $"l_quantity" <= 45),
+        Quality.Rule("invalid_discount", $"l_discount" >= 0.0 && $"l_discount" <= 0.08),
+        Quality.Rule("invalid_price", $"l_extendedprice" > 1000.0))
+      Quality.withErrorReason(Tables(s, dir, "lineitem"), rules)
+        .groupBy(coalesce($"error_reason", lit("ok")).as("reason"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum($"l_quantity".cast("decimal(18,6)")).cast("double").as("sum_qty"))
+        .orderBy($"reason")
+    },
+    Some("""
+      SELECT COALESCE(CASE
+               WHEN NOT COALESCE(l_quantity > 5 AND l_quantity <= 45, FALSE)
+                 THEN 'invalid_quantity'
+               WHEN NOT COALESCE(l_discount >= 0.0 AND l_discount <= 0.08, FALSE)
+                 THEN 'invalid_discount'
+               WHEN NOT COALESCE(l_extendedprice > 1000.0, FALSE)
+                 THEN 'invalid_price' END, 'ok') AS reason,
+             count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1 ORDER BY reason"""),
+    covers = Seq("P4", "P5"))
+
+  /** The dbt data-test suite shape (24 declarative checks) as a single
+    * result table: not_null / unique / relationships / range, one scan
+    * per source table. */
+  val q16 = Q(
+    "q16_dq_checks",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      val lineitem = Tables(s, dir, "lineitem")
+      val perTable = Quality.runChecks(orders, Seq(
+          Quality.notNull("o_orderkey"),
+          Quality.notNull("o_custkey"),
+          Quality.unique(Seq("o_orderkey"))))
+        .unionByName(Quality.runChecks(customer, Seq(
+          Quality.notNull("c_custkey"),
+          Quality.unique(Seq("c_custkey")),
+          Quality.between("c_acctbal", -1000.0, 10000.0))))
+        .unionByName(Quality.runChecks(lineitem, Seq(
+          Quality.unique(Seq("l_orderkey", "l_linenumber")),
+          Quality.between("l_quantity", 0.0, 50.0))))
+      val rel = Quality.relationshipViolations(
+          orders, "o_custkey", customer, "c_custkey")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("o_custkey_relationship_c_custkey").as("check_name"),
+          $"n_violations", ($"n_violations" === 0).as("passed"))
+      perTable.unionByName(rel).orderBy($"check_name")
+    },
+    Some("""
+      WITH checks(check_name, n_violations) AS (
+        SELECT 'o_orderkey_not_null' AS check_name,
+               CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey_not_null',
+               CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey_unique',
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'c_custkey_not_null',
+               CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'c_custkey_unique',
+               CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        UNION ALL
+        SELECT 'c_acctbal_between',
+               CAST(count(CASE WHEN c_acctbal IS NULL OR c_acctbal <= -1000.0
+                               OR c_acctbal > 10000.0 THEN 1 END) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'l_orderkey_l_linenumber_unique',
+               CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity_between',
+               CAST(count(CASE WHEN l_quantity IS NULL OR l_quantity <= 0.0
+                               OR l_quantity > 50.0 THEN 1 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'o_custkey_relationship_c_custkey',
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      )
+      SELECT check_name, n_violations, n_violations = 0 AS passed
+      FROM checks ORDER BY check_name"""),
+    covers = Seq("T1-dq"))
+
+  /** W3: dropDuplicates(subset) — arbitrary-survivor dedupe made
+    * deterministic for the oracle by keying on min(event_id). */
+  val q17 = Q(
+    "q17_drop_duplicates",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id", $"event_type")
+        .agg(min($"event_id").as("event_id"))
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""
+      SELECT user_id, event_type, min(event_id) AS event_id
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type"""),
+    covers = Seq("W3"))
+
+  override def queries: Seq[Q] = Seq(q13, q14, q15, q16, q17)
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    ("k1", "old1", 1), ("k2", "old2", 2), ("k3", "old3", 3)
+  ).toDF("k", "v", "n")
+
+  test("upsert: matched rows updated, unmatched kept, new rows inserted") {
+    val source = Seq(("k2", "new2", 20), ("k4", "new4", 40)).toDF("k", "v", "n")
+    val out = Upsert.upsert(target, source, Seq("k"))
+      .orderBy("k").as[(String, String, Int)].collect()
+    assert(out.toSeq == Seq(
+      ("k1", "old1", 1), ("k2", "new2", 20), ("k3", "old3", 3), ("k4", "new4", 40)))
+  }
+
+  test("upsert: updateCols subset leaves other columns untouched") {
+    val source = Seq(("k2", "new2", 20)).toDF("k", "v", "n")
+    val out = Upsert.upsert(target, source, Seq("k"), Some(Seq("v")))
+      .filter($"k" === "k2").as[(String, String, Int)].collect()
+    assert(out.toSeq == Seq(("k2", "new2", 2))) // n keeps target value
+  }
+
+  test("upsert is idempotent: applying the same source twice is a no-op") {
+    val source = Seq(("k2", "new2", 20), ("k4", "new4", 40)).toDF("k", "v", "n")
+    val once = Upsert.upsert(target, source, Seq("k"))
+    val twice = Upsert.upsert(once, source, Seq("k"))
+    assert(twice.orderBy("k").collect().toSeq == once.orderBy("k").collect().toSeq)
+  }
+
+  test("upsert preserves key uniqueness") {
+    val source = Seq(("k1", "a", 9), ("k9", "b", 9)).toDF("k", "v", "n")
+    val out = Upsert.upsert(target, source, Seq("k"))
+    assert(out.count() == out.select("k").distinct().count())
+  }
+
+  test("dedupLatest keeps the last writer per key") {
+    val df = Seq(
+      ("k1", 1L, "first"), ("k1", 3L, "last"), ("k1", 2L, "mid"),
+      ("k2", 5L, "only")
+    ).toDF("k", "ts", "v")
+    val out = Upsert.dedupLatest(df, Seq("k"), Seq($"ts"))
+      .orderBy("k").as[(String, Long, String)].collect()
+    assert(out.toSeq == Seq(("k1", 3L, "last"), ("k2", 5L, "only")))
+  }
+
+  test("scd2FromChangelog builds contiguous versions with one current row per key") {
+    val df = Seq(
+      ("u1", 1L, "A"), ("u1", 2L, "A"), ("u1", 3L, "B"), ("u1", 4L, "A"),
+      ("u2", 1L, "X")
+    ).toDF("k", "ts", "status")
+    val hist = Upsert.scd2FromChangelog(df, Seq("k"), Seq($"ts"), Seq("status"))
+    val rows = hist.orderBy($"k", $"valid_from")
+      .select($"k", $"status", $"valid_from", $"valid_to", $"is_current")
+      .as[(String, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(rows == Seq(
+      ("u1", "A", 1L, Some(3L), false),
+      ("u1", "B", 3L, Some(4L), false),
+      ("u1", "A", 4L, None, true),
+      ("u2", "X", 1L, None, true)))
+    // exactly one current row per key
+    val cur = hist.filter($"is_current").groupBy($"k").count()
+      .filter($"count" =!= 1).count()
+    assert(cur == 0)
+  }
+
+  test("overwriteAtomic swaps without losing previous data on success") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-atomic").toString + "/t"
+    Upsert.overwriteAtomic(Seq((1, "a")).toDF("id", "v"), dir)
+    assert(spark.read.parquet(dir).count() == 1)
+    Upsert.overwriteAtomic(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+}
