@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, fingerprinting, language-ID heuristics and
+  * quality metrics. All are built from codegen'd Catalyst functions
+  * (no UDFs) so they stay inside whole-stage codegen, and all are
+  * reproducible in ANSI SQL for the DuckDB oracle (md5-based hashing,
+  * exact integer arithmetic).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. The corpus guarantees single-space
+    * separation (verified: no double spaces/tabs in testdata), so a
+    * plain split matches `string_split(text,' ')` in the oracle. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Canonical form for fingerprinting: lower, collapse whitespace. */
+  def normText(c: Column): Column =
+    trim(lower(regexp_replace(c, "\\s+", " ")))
+
+  /** Deterministic document fingerprint (md5 of normalized text) —
+    * the exact-dedup key. */
+  def fingerprint(c: Column): Column = md5(normText(c).cast("binary"))
+
+  /** Seeded 60-bit hash: first 15 hex chars of md5("<seed>|<input>")
+    * as a non-negative long. Chosen over xxhash64 because DuckDB can
+    * reproduce it bit-for-bit (`CAST('0x'||substr(md5(..),1,15) AS
+    * BIGINT)`), making MinHash/SimHash oracle-checkable. */
+  def hash60(c: Column, seed: Int): Column =
+    conv(substring(md5(concat_ws("|", lit(seed.toString), c).cast("binary")),
+      1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles from a token array; empty array when the
+    * document is shorter than n. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword
+    * language-ID heuristic. Deterministic and oracle-reproducible;
+    * a production lexicon would be larger but identical in shape. */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "en" -> Seq("the", "and", "is", "of", "to", "a", "in"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "不"))
+
+  /** Count of tokens present in a lexicon (with multiplicity). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Language-ID: argmax of per-language stopword hits, alphabetical
+    * tie-break, 'und' (undetermined) when no lexicon matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = lexicons.map { case (lang, ws) => lang -> stopwordHits(toks, ws) }
+    val m = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), tail) =>
+      when(s === m && m > 0, lit(lang)).otherwise(tail)
+    }
+  }
+}

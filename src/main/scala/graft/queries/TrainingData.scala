@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.ops.Dedup
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables: dedup (exact / n-gram Jaccard / MinHash+LSH /
+  * SimHash / embedding-cosine), ANN similarity search, text analysis
+  * (language-ID, quality metrics, token counting, fingerprinting) and
+  * multimodal binary-column plumbing.
+  *
+  * Every hash here is md5-derived (see TextFunctions.hash60) so DuckDB
+  * reproduces signatures bit-for-bit — even MinHash/LSH/SimHash are
+  * oracle-checked, not just rows-only.
+  */
+object TrainingData extends QueryPack {
+
+  private val K = 16      // minhash signature width
+  private val BAND_ROWS = 4 // -> 4 LSH bands
+
+  // ---- generated oracle fragments (kept in lockstep with the Scala ops) ----
+
+  /** DuckDB 60-bit seeded hash of an expression — mirror of hash60. */
+  private def dkHash(seed: Int, e: String) =
+    s"CAST(('0x'||substr(md5('$seed|'||$e),1,15)) AS BIGINT)"
+
+  private val dkShingles = """
+      toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, sh FROM
+        (SELECT doc_id, unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                                for i in generate_series(1, len(ws)-2)]) AS sh
+         FROM toks WHERE len(ws) >= 3))"""
+
+  private val dkSig = {
+    val mins = (0 until K)
+      .map(i => s"min(${dkHash(i, "sh")}) AS mh$i").mkString(",\n               ")
+    s"""sig AS (SELECT doc_id, $mins
+        FROM sh GROUP BY doc_id)"""
+  }
+
+  private val dkSimhash = s"""
+      t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      h AS (SELECT doc_id, ${dkHash(0, "tok")} AS hv FROM t),
+      bits AS (SELECT doc_id, b,
+                 sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM h, range(0,60) r(b) GROUP BY doc_id, b),
+      sim AS (SELECT doc_id,
+                CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                         ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id)"""
+
+  private val dkQuantized = """
+      q AS (SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                            for x in embedding] AS qv FROM embeddings),
+      n AS (SELECT vec_id, qv,
+              list_aggregate([qv[i]*qv[i] for i in generate_series(1,64)],'sum') AS nsq
+            FROM q)"""
+
+  private def dkDot(a: String, b: String) =
+    s"list_aggregate([$a.qv[i]*$b.qv[i] for i in generate_series(1,64)],'sum')"
+
+  // ---- queries ----
+
+  /** Exact dedup: hash-groupBy on the normalized-text fingerprint. */
+  val q18 = Q(
+    "q18_exact_dedup",
+    (s, dir) => {
+      Dedup.exactDupGroups(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fp"))
+    },
+    Some("""
+      SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+             min(doc_id) AS keeper, count(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY fp"""),
+    covers = Seq("TD-dedup-exact"))
+
+  /** Token counting + quality metrics (length/word-shape ratios). */
+  val q19 = Q(
+    "q19_text_quality",
+    (s, dir) => {
+      import s.implicits._
+      val toks = T.tokens($"text")
+      Tables(s, dir, "documents")
+        .select(
+          $"doc_id",
+          length($"text").cast("long").as("n_chars"),
+          T.tokenCount($"text").cast("long").as("n_tokens"),
+          ((length($"text") - T.tokenCount($"text") + 1).cast("double") /
+            T.tokenCount($"text").cast("double")).as("avg_token_len"),
+          (T.stopwordHits(toks, T.lexicons.toMap.apply("en")).cast("double") /
+            T.tokenCount($"text").cast("double")).as("en_stopword_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+               / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len,
+             CAST(len([t for t in string_split(text,' ')
+                       if t IN ('the','and','is','of','to','a','in')]) AS DOUBLE)
+               / CAST(len(string_split(text,' ')) AS DOUBLE) AS en_stopword_ratio
+      FROM documents ORDER BY doc_id"""),
+    covers = Seq("TD-text-quality", "TD-token-count"))
+
+  /** Stopword-lexicon language ID with deterministic argmax. */
+  val q20 = Q(
+    "q20_langid",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", T.langId($"text").as("lang_pred"))
+        .withColumn("agrees", $"lang" === $"lang_pred")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val hits = T.lexicons.map { case (lang, ws) =>
+        s"len([t for t in string_split(text,' ') if t IN (${ws.map(w => s"'$w'").mkString(",")})]) AS h_$lang"
+      }.mkString(",\n               ")
+      val langs = T.lexicons.map(_._1)
+      val m = s"greatest(${langs.map("h_" + _).mkString(",")})"
+      val cases = langs.map(l => s"WHEN h_$l = $m AND $m > 0 THEN '$l'")
+        .mkString(" ")
+      s"""
+      WITH scored AS (SELECT doc_id, lang, $hits FROM documents)
+      SELECT doc_id, lang,
+             CASE $cases ELSE 'und' END AS lang_pred,
+             lang = (CASE $cases ELSE 'und' END) AS agrees
+      FROM scored ORDER BY doc_id"""
+    },
+    covers = Seq("TD-langid"))
+
+  /** All-pairs 3-gram Jaccard near-dup detection (threshold 0.2;
+    * the corpus plants ~25 such pairs). */
+  val q21 = Q(
+    "q21_jaccard_pairs",
+    (s, dir) => {
+      Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJ = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH $dkShingles,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b USING(sh)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT id_a, id_b, n_inter,
+             CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                 JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.2
+      ORDER BY id_a, id_b"""),
+    covers = Seq("TD-dedup-ngram"))
+
+  /** MinHash signatures (k=16, md5-seeded) — bit-for-bit oracle. */
+  val q22 = Q(
+    "q22_minhash_signatures",
+    (s, dir) => {
+      Dedup.minhashSignatures(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = K)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $dkShingles,
+      $dkSig
+      SELECT * FROM sig ORDER BY doc_id"""),
+    covers = Seq("TD-dedup-minhash"))
+
+  /** LSH candidate pairs: 4 bands x 4 rows over the k=16 signature. */
+  val q23 = Q(
+    "q23_lsh_candidates",
+    (s, dir) => {
+      val sig = Dedup.minhashSignatures(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = K)
+      Dedup.lshCandidatePairs(sig, "doc_id", k = K, rows = BAND_ROWS)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val bandRows = (0 until K / BAND_ROWS).map { b =>
+        val key = (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $dkShingles,
+      $dkSig,
+      bands AS (
+        $bandRows)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING(band, band_key)
+      WHERE a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""
+    },
+    covers = Seq("TD-dedup-lsh"))
+
+  /** 60-bit SimHash per document (one aggregation pass in Spark). */
+  val q24 = Q(
+    "q24_simhash",
+    (s, dir) => {
+      Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $dkSimhash
+      SELECT doc_id, simhash FROM sim ORDER BY doc_id"""),
+    covers = Seq("TD-dedup-simhash"))
+
+  /** SimHash near-dup pairs: hamming(xor) <= 10. */
+  val q25 = Q(
+    "q25_simhash_pairs",
+    (s, dir) => {
+      val sh = Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashNearPairs(sh, "doc_id", maxDist = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH $dkSimhash
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+      ORDER BY id_a, id_b"""),
+    covers = Seq("TD-dedup-simhash"))
+
+  /** Embedding-cosine near-dup pairs over quantized vectors. */
+  val q26 = Q(
+    "q26_embedding_dups",
+    (s, dir) => {
+      Dedup.embeddingDupPairs(Tables(s, dir, "embeddings"), "vec_id",
+          "embedding", minCos = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH $dkQuantized
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${dkDot("a", "b")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE ${dkDot("a", "b")} / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.4
+      ORDER BY id_a, id_b"""),
+    covers = Seq("TD-dedup-cosine"))
+
+  /** Brute-force ANN: top-5 cosine neighbors for query vectors
+    * (vec_id < 10), query side broadcast. */
+  val q27 = Q(
+    "q27_ann_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Dedup.annTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+          k = 5)
+        .orderBy(col("id_q"), col("rank"))
+    },
+    Some(s"""
+      WITH $dkQuantized,
+      scored AS (
+        SELECT qs.vec_id AS id_q, cs.vec_id AS id_c,
+               ${dkDot("qs", "cs")} / (sqrt(qs.nsq) * sqrt(cs.nsq)) AS cosine
+        FROM n qs JOIN n cs ON qs.vec_id < 10 AND qs.vec_id <> cs.vec_id)
+      SELECT id_q, rank, id_c, cosine FROM (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY id_q ORDER BY cosine DESC, id_c ASC) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY id_q, rank"""),
+    covers = Seq("TD-ann"))
+
+  /** Multimodal plumbing: treat text as an opaque binary payload with
+    * typed metadata; "decode" is a deterministic md5-derived stub (the
+    * container has no image/audio codecs — SURVEY brief), but the
+    * schema/partitioning/batch path is the real one. */
+  val q28 = Q(
+    "q28_multimodal_features",
+    (s, dir) => {
+      import s.implicits._
+      val payload = $"text".cast("binary")
+      Tables(s, dir, "documents")
+        .select(
+          $"doc_id",
+          length(payload).cast("long").as("payload_bytes"),
+          md5(payload).as("content_hash"),
+          conv(substring(md5(payload), 1, 2), 16, 10).cast("int").as("f0"),
+          conv(substring(md5(payload), 3, 2), 16, 10).cast("int").as("f1"),
+          conv(substring(md5(payload), 5, 2), 16, 10).cast("int").as("f2"),
+          conv(substring(md5(payload), 7, 2), 16, 10).cast("int").as("f3"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS payload_bytes,
+             md5(text) AS content_hash,
+             CAST(('0x'||substr(md5(text),1,2)) AS INT) AS f0,
+             CAST(('0x'||substr(md5(text),3,2)) AS INT) AS f1,
+             CAST(('0x'||substr(md5(text),5,2)) AS INT) AS f2,
+             CAST(('0x'||substr(md5(text),7,2)) AS INT) AS f3
+      FROM documents ORDER BY doc_id"""),
+    covers = Seq("TD-multimodal"))
+
+  override def queries: Seq[Q] =
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+}
