@@ -35,6 +35,23 @@ object TextFunctions {
     conv(substring(md5(concat_ws("|", lit(seed.toString), c).cast("binary")),
       1, 15), 16, 10).cast("long")
 
+  /** MinHash permutation family: one md5 base hash per shingle, then k
+    * cheap LCG permutations mh_i = (a_i·h + b_i) mod P over the 31-bit
+    * reduction h = base mod P (P = 2³¹−1, Mersenne). a_i·h < 2⁶² so the
+    * arithmetic is exact in int64 on both Spark and the DuckDB oracle.
+    * Versus seeding md5 k times this cuts md5 calls k-fold — md5 is the
+    * dominant cost of signature building at scale. */
+  val MINHASH_P: Long = 2147483647L
+  def minhashA(i: Int): Long = ((2654435761L * (i + 1)) % (MINHASH_P - 1)) + 1
+  def minhashB(i: Int): Long = (40503L * (i + 7919)) % MINHASH_P
+
+  /** h31: 31-bit base hash of a shingle (one md5). */
+  def hash31(c: Column): Column = hash60(c, 0) % MINHASH_P
+
+  /** i-th permuted minhash value from the h31 base column. */
+  def minhashPerm(h31: Column, i: Int): Column =
+    (h31 * minhashA(i) + minhashB(i)) % MINHASH_P
+
   /** Word n-gram shingles from a token array; empty array when the
     * document is shorter than n. */
   def shingles(toks: Column, n: Int): Column =

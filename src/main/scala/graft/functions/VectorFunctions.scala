@@ -2,6 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import graft.expressions.LongArrayDot
 
 /** Vector primitives over `array<float>` embedding columns, built on
   * codegen'd higher-order functions (`transform`/`zip_with`/
@@ -22,9 +24,12 @@ object VectorFunctions {
   def quantize(v: Column, scale: Int = 1000): Column =
     transform(v, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd Catalyst expression (see [[graft.expressions.LongArrayDot]]);
+    * the `zip_with`+`aggregate` HOF equivalent is interpreted per pair
+    * and ~15× slower on all-pairs joins. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    Bridge.column(LongArrayDot(Bridge.expression(a), Bridge.expression(b)))
 
   /** Squared L2 norm (exact integer). */
   def normSqQ(a: Column): Column = dotQ(a, a)

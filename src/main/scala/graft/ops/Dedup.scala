@@ -38,9 +38,12 @@ object Dedup {
     * |A ∩ B| from the shingle self-join, |A ∪ B| = |A|+|B|-|A∩B|. */
   def jaccardPairs(df: DataFrame, id: String, text: String,
       n: Int, minJ: Double): DataFrame = {
+    // The index feeds three subtrees (both join sides + sizes); persist
+    // it so tokenize+shingle runs once, not three times. MEMORY_AND_DISK:
+    // at cluster scale the index can exceed executor memory and spills.
     val idx = shingleIndex(df, id, text, n)
-    val sizes = df.select(col(id),
-      size(array_distinct(T.shingles(T.tokens(col(text)), n))).as("n_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = idx.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val a = idx.select(col(id).as("id_a"), col("sh"))
     val b = idx.select(col(id).as("id_b"), col("sh"))
     val inter = a.join(b, Seq("sh"))
@@ -63,7 +66,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, id: String, text: String,
       n: Int, k: Int): DataFrame = {
     val idx = shingleIndex(df, id, text, n)
-    val mins = (0 until k).map(i => min(T.hash60(col("sh"), i)).as(s"mh$i"))
+      .withColumn("h31", T.hash31(col("sh")))
+    val mins = (0 until k).map(i => min(T.minhashPerm(col("h31"), i)).as(s"mh$i"))
     idx.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 

@@ -46,17 +46,25 @@ object Upsert {
       updateCols: Option[Seq[String]] = None): DataFrame = {
     val cols = target.columns.toSeq
     val ucols = updateCols.getOrElse(cols.filterNot(keys.contains))
-    val srcProj = source.select(cols.map(col): _*)
-    val t = target.alias("t")
-    val s = srcProj.alias("s")
+    // Single full-outer join: its three match cases ARE the three MERGE
+    // branches (t-only = untouched, both = update, s-only = insert).
+    // One shuffle of each side, vs three joins (anti/inner/anti) that
+    // scan and shuffle both inputs multiple times.
+    val t = target.withColumn("__t_present", lit(true)).alias("t")
+    val s = source.select(cols.map(col): _*)
+      .withColumn("__s_present", lit(true)).alias("s")
     val onKeys = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-
-    val untouched = t.join(s, onKeys, "left_anti").select(cols.map(col): _*)
-    val updated = t.join(s, onKeys, "inner").select(
-      cols.map(c => (if (ucols.contains(c)) col(s"s.$c") else col(s"t.$c")).as(c)): _*)
-    val inserted = s.join(t, onKeys, "left_anti").select(cols.map(col): _*)
-
-    untouched.unionByName(updated).unionByName(inserted)
+    t.join(s, onKeys, "full_outer").select(cols.map { c =>
+      val out =
+        if (keys.contains(c)) coalesce(col(s"t.$c"), col(s"s.$c"))
+        else if (ucols.contains(c))
+          when(col("s.__s_present").isNotNull, col(s"s.$c"))
+            .otherwise(col(s"t.$c"))
+        else
+          when(col("t.__t_present").isNotNull, col(s"t.$c"))
+            .otherwise(col(s"s.$c"))
+      out.as(c)
+    }: _*)
   }
 
   /** SCD Type-2 history from a changelog (the dbt snapshot, timestamp

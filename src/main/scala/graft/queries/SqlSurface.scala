@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Remaining SQL-surface operators of SURVEY §2: the scalar function
+  * inventory (§2.10), key-value pivot (A10,
+  * `dbt/dbt-project/macros/control_table_filters.sql:2-10`), comma-list
+  * explode + exclusion filter (P13/P14,
+  * `dbt/.../customer_experience_summary.sql:13-33`) and JSON path
+  * extraction / LATERAL FLATTEN (P11/S3,
+  * `dags/2_logistics-shipment-dag.py:100-146`).
+  *
+  * All of these stay inside whole-stage codegen: built-in functions
+  * only, no UDFs (builder brief "Functions, not UDFs").
+  */
+object SqlSurface extends QueryPack {
+
+  private val D = "decimal(18,6)"
+
+  /** §2.10 scalar inventory in one pass over orders: DATEDIFF, DATEADD,
+    * YEAR/MONTH/DAY, TO_CHAR, REPLACE, SUBSTRING, TRIM, ILIKE, ROUND,
+    * COALESCE, NULLIF, CASE WHEN — each mapped to the codegen'd Spark
+    * builtin (`dags/snowflake-EDW-ETL-dag.py:325-329,354-367`). */
+  val q29 = Q(
+    "q29_scalar_functions",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 20 === 0)
+        .select(
+          $"o_orderkey",
+          datediff(lit("1998-12-31").cast("date"), $"o_orderdate")
+            .as("days_to_eoy"),
+          date_add($"o_orderdate".cast("date"), 30).as("due_date"),
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          dayofmonth($"o_orderdate").as("d"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"),
+          regexp_replace($"o_orderpriority", "-", "_").as("prio_norm"),
+          substring($"o_orderpriority", 1, 1).as("prio_rank"),
+          trim(lower($"o_orderstatus")).as("status_lc"),
+          $"o_orderpriority".ilike("%URGENT%").as("is_urgent"),
+          round($"o_totalprice".cast(D), 1).cast("double").as("price_r1"),
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("open"))
+            .as("status_or_open"),
+          when($"o_totalprice" > 250000.0, "high")
+            .when($"o_totalprice" > 100000.0, "mid")
+            .otherwise("low").as("price_band"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+             CAST(o_orderdate AS DATE) + 30 AS due_date,
+             CAST(year(o_orderdate) AS INT) AS y,
+             CAST(month(o_orderdate) AS INT) AS m,
+             CAST(day(o_orderdate) AS INT) AS d,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+             replace(o_orderpriority, '-', '_') AS prio_norm,
+             substring(o_orderpriority, 1, 1) AS prio_rank,
+             trim(lower(o_orderstatus)) AS status_lc,
+             o_orderpriority ILIKE '%URGENT%' AS is_urgent,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 1) AS DOUBLE) AS price_r1,
+             COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+             CASE WHEN o_totalprice > 250000.0 THEN 'high'
+                  WHEN o_totalprice > 100000.0 THEN 'mid'
+                  ELSE 'low' END AS price_band
+      FROM orders WHERE o_orderkey % 20 = 0
+      ORDER BY o_orderkey"""),
+    covers = Seq("F-scalar", "P8"))
+
+  /** A10 key-value pivot: events pivoted to one row per user with one
+    * column per event_type — the control-table `MAX(CASE WHEN key=...)`
+    * manual pivot, via Spark's native `pivot` (explicit value list so
+    * no extra distinct pass runs at scale). */
+  val q30 = Q(
+    "q30_pivot_events",
+    (s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables(s, dir, "events")
+        .filter($"user_id" < 100)
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p)((df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L)).cast("long")))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events WHERE user_id < 100
+      GROUP BY user_id ORDER BY user_id"""),
+    covers = Seq("A10"))
+
+  /** P13/P14 config-driven exclusion: a comma-packed config string is
+    * split + exploded (SPLIT_TO_TABLE) and the fact is anti-joined
+    * against it; the numeric threshold comes from the same config row
+    * (`dbt/.../customer_experience_summary.sql:13-33`). */
+  val q31 = Q(
+    "q31_config_exclusion",
+    (s, dir) => {
+      import s.implicits._
+      // one-row config table, as the dbt seed control_table pivots to
+      val config = s.range(1).select(
+        lit("click,error").as("excluded_event_types"),
+        lit("0.5").as("min_value"))
+      val excluded = config.select(
+        explode(split(trim($"excluded_event_types"), ",")).as("event_type"))
+      val minValue = lit(0.5) // P14: threshold injected as a literal
+      Tables(s, dir, "events")
+        .filter($"value" >= minValue)
+        .join(excluded, Seq("event_type"), "left_anti")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum($"value".cast(D)).cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE value >= 0.5
+        AND event_type NOT IN
+          (SELECT trim(x) FROM unnest(string_split('click,error', ',')) t(x))
+      GROUP BY event_type ORDER BY event_type"""),
+    covers = Seq("P13", "P14", "S10"))
+
+  /** P11 + S3: VARIANT-style JSON path access. Orders are serialized to
+    * a JSON string (the bronze shape), then read back both ways the
+    * reference uses: `get_json_object` path access with `::` casts, and
+    * typed `from_json` + dotted field access. Extracted values must
+    * round-trip exactly — the oracle is the plain projection. */
+  val q32 = Q(
+    "q32_json_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("order", StructType(Seq(
+          StructField("id", LongType),
+          StructField("status", StringType),
+          StructField("price", DoubleType))))))
+      Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 50 === 0)
+        .select($"o_orderkey", to_json(struct(struct(
+          $"o_orderkey".as("id"), $"o_orderstatus".as("status"),
+          $"o_totalprice".as("price")).as("order"))).as("j"))
+        .select(
+          $"o_orderkey",
+          get_json_object($"j", "$.order.id").cast("long").as("id_by_path"),
+          from_json($"j", schema).getField("order").getField("status")
+            .as("status_typed"),
+          get_json_object($"j", "$.order.price").cast("double")
+            .as("price_by_path"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             o_orderkey AS id_by_path,
+             o_orderstatus AS status_typed,
+             o_totalprice AS price_by_path
+      FROM orders WHERE o_orderkey % 50 = 0
+      ORDER BY o_orderkey"""),
+    covers = Seq("P11", "S3"))
+
+  /** LATERAL FLATTEN over an array-of-structs
+    * (`dags/2_logistics-shipment-dag.py:110-121` status_tracking): each
+    * order emits a packed array of (attr, value) structs which is
+    * exploded back to rows — the exact explode path a 100 TB run takes
+    * (generator inside whole-stage codegen, no shuffle). */
+  val q33 = Q(
+    "q33_flatten_array",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 100 === 0)
+        .select($"o_orderkey", explode(array(
+          struct(lit("status").as("attr"), $"o_orderstatus".as("value")),
+          struct(lit("priority").as("attr"), $"o_orderpriority".as("value"))))
+          .as("kv"))
+        .select($"o_orderkey", $"kv.attr".as("attr"), $"kv.value".as("value"))
+        .orderBy($"o_orderkey", $"attr")
+    },
+    Some("""
+      SELECT o_orderkey, 'status' AS attr, o_orderstatus AS value
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey, 'priority', o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0
+      ORDER BY o_orderkey, attr"""),
+    covers = Seq("P11", "S3", "W-flatten"))
+
+  override def queries: Seq[Q] = Seq(q29, q30, q31, q32, q33)
+}

@@ -34,10 +34,15 @@ object TrainingData extends QueryPack {
          FROM toks WHERE len(ws) >= 3))"""
 
   private val dkSig = {
+    // mirrors TextFunctions.hash31/minhashPerm: one md5 base hash per
+    // shingle reduced mod P, then k LCG permutations (exact in int64)
+    val P = T.MINHASH_P
     val mins = (0 until K)
-      .map(i => s"min(${dkHash(i, "sh")}) AS mh$i").mkString(",\n               ")
-    s"""sig AS (SELECT doc_id, $mins
-        FROM sh GROUP BY doc_id)"""
+      .map(i => s"min((h31 * ${T.minhashA(i)} + ${T.minhashB(i)}) % $P) AS mh$i")
+      .mkString(",\n               ")
+    s"""hb AS (SELECT doc_id, ${dkHash(0, "sh")} % $P AS h31 FROM sh),
+      sig AS (SELECT doc_id, $mins
+        FROM hb GROUP BY doc_id)"""
   }
 
   private val dkSimhash = s"""
