@@ -7,7 +7,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All query packs; each pack maps a slice of SURVEY §2. */
-  def packs: Seq[QueryPack] = Seq(Relational, OpsQueries, TrainingData, SqlSurface)
+  def packs: Seq[QueryPack] =
+    Seq(Relational, OpsQueries, TrainingData, SqlSurface, GoldQueries)
 
   def allQueries: Seq[Q] = packs.flatMap(_.queries)
 
