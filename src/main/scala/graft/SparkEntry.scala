@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** All query packs; each pack maps a slice of SURVEY §2. */
   def packs: Seq[QueryPack] =
-    Seq(Relational, OpsQueries, TrainingData, SqlSurface, GoldQueries)
+    Seq(Relational, OpsQueries, TrainingData, SqlSurface, GoldQueries,
+      EdwQueries)
 
   def allQueries: Seq[Q] = packs.flatMap(_.queries)
 

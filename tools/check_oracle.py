@@ -42,8 +42,9 @@ def main(outdir, sfdir):
         # driver sorts columns by name before hashing values
         gidx = sorted(range(len(gcols)), key=lambda i: gcols[i].lower())
         eidx = sorted(range(len(ecols)), key=lambda i: ecols[i].lower())
-        g = sorted(tuple(norm(r[i]) for i in gidx) for r in got)
-        e = sorted(tuple(norm(r[i]) for i in eidx) for r in exp)
+        key = lambda row: tuple(repr(v) for v in row)  # total order w/ NULLs
+        g = sorted((tuple(norm(r[i]) for i in gidx) for r in got), key=key)
+        e = sorted((tuple(norm(r[i]) for i in eidx) for r in exp), key=key)
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_bad += 1; continue
         bad = [(a, b) for a, b in zip(g, e) if a != b]
