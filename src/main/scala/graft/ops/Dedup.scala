@@ -135,6 +135,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Random-hyperplane LSH bucket id for a quantized vector: bit j =
+    * [dot(q, w_j) >= 0] with deterministic integer hyperplanes
+    * w_j[i] = ((a_j·(i+1) + b_j) mod 1009) − 504 (reusing the minhash
+    * LCG coefficient family). Exact integer math → identical buckets
+    * on any engine, so even the approximate ANN path is
+    * oracle-checkable. */
+  def lshBucket(vecQ: Column, bits: Int): Column = {
+    import graft.functions.{TextFunctions => TF}
+    (0 until bits).map { j =>
+      val w = array((0 until 64).map(i =>
+        lit((TF.minhashA(j) * (i + 1) + TF.minhashB(j)) % 1009 - 504)): _*)
+      when(V.dotQ(vecQ, w) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN — the 100 TB scale path for [[annTopK]]: corpus
+    * and queries are bucketed by [[lshBucket]] and only same-bucket
+    * pairs are scored (join on bucket id instead of all-pairs /
+    * broadcast nested loop). Approximate by design (recall < 1); the
+    * approximation is deterministic, so results still match the
+    * oracle computing the same buckets. */
+  def annTopKLsh(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, bits: Int = 8): DataFrame = {
+    val prep = (d: DataFrame, suffix: String) =>
+      d.select(col(id).as(s"id_$suffix"), V.quantize(col(vec)).as(s"q_$suffix"))
+        .withColumn(s"n_$suffix", V.normSqQ(col(s"q_$suffix")))
+        .withColumn("bucket", lshBucket(col(s"q_$suffix"), bits))
+    val c = prep(corpus, "c")
+    val q = prep(queries, "q")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("id_q") =!= col("id_c"))
+      .withColumn("cosine", V.cosineFrom(
+        V.dotQ(col("q_q"), col("q_c")), col("n_q"), col("n_c")))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cosine").desc, col("id_c").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_q"), col("rank"), col("id_c"), col("cosine"))
+  }
+
   /** Brute-force top-k cosine neighbors for a query subset. The query
     * side is small by construction — broadcast it so the corpus scan
     * is embarrassingly parallel with no shuffle of the big side. */

@@ -302,6 +302,65 @@ object TrainingData extends QueryPack {
       FROM documents ORDER BY doc_id"""),
     covers = Seq("TD-multimodal"))
 
+  /** LSH-bucketed ANN (the at-scale variant of q27): only same-bucket
+    * pairs are scored. The deterministic integer hyperplanes make the
+    * approximation itself oracle-checkable. */
+  val q52 = Q(
+    "q52_ann_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Dedup.annTopKLsh(emb, emb.filter($"vec_id" < 10), "vec_id",
+          "embedding", k = 5, bits = 8)
+        .orderBy(col("id_q"), col("rank"))
+    },
+    Some {
+      val dotW = (alias: String) => (0 until 8).map { j =>
+        val a = T.minhashA(j); val b = T.minhashB(j)
+        s"""CASE WHEN list_aggregate([$alias.qv[ij] * ((($a*ij + $b) % 1009) - 504)
+             for ij in generate_series(1,64)], 'sum') >= 0
+           THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""
+      WITH $dkQuantized,
+      b AS (SELECT vec_id, qv, nsq, ${dotW("n")} AS bucket FROM n),
+      scored AS (
+        SELECT qs.vec_id AS id_q, cs.vec_id AS id_c,
+               ${dkDot("qs", "cs")} / (sqrt(qs.nsq) * sqrt(cs.nsq)) AS cosine
+        FROM b qs JOIN b cs ON qs.bucket = cs.bucket
+        WHERE qs.vec_id < 10 AND qs.vec_id <> cs.vec_id)
+      SELECT id_q, rank, id_c, cosine FROM (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY id_q ORDER BY cosine DESC, id_c ASC) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY id_q, rank"""
+    },
+    covers = Seq("TD-ann-lsh"))
+
+  /** Tumbling-window aggregation over the event stream (Spark
+    * `window()` — the Structured Streaming windowed-agg shape, run
+    * batch here): per hour × event_type counts and exact value sums. */
+  val q53 = Q(
+    "q53_event_windows",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select($"window.start".as("window_start"), $"event_type",
+          $"n_events", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+    covers = Seq("ST-window-agg"))
+
   override def queries: Seq[Q] =
-    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53)
 }
