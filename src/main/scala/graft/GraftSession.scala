@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession factory encoding the engine's scale
+  * posture (builder brief + SURVEY §4):
+  *  - AQE on (runtime coalesce, skew-join split, broadcast demotion);
+  *  - shuffle partitions sized for the local harness via env, with
+  *    `spark.sql.adaptive.coalescePartitions` making the exact number
+  *    non-critical — on a 1000-executor cluster, set it ≈ 2–3× total
+  *    cores and let AQE coalesce;
+  *  - UTC session TZ (the reference pins NTZ semantics, SURVEY §1.2);
+  *  - parquet pushdown/pruning on (defaults, pinned explicitly so a
+  *    misconfigured base conf can't silently disable them).
+  */
+object GraftSession {
+  def builder(appName: String = "graft",
+      master: Option[String] = None): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.ui.explainMode", "formatted")
+    master.orElse(sys.env.get("SPARK_GRAFT_MASTER").orElse(
+      Some(s"local[$cpus]"))).foreach(b.master)
+    b
+  }
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketing for co-located joins (builder brief: "repartition()/
+  * bucketing for co-located joins").
+  *
+  * A fact table bucketed+sorted by its join key joins another table
+  * bucketed the same way with NO shuffle exchange on either side —
+  * the physical layout satisfies the join's distribution requirement.
+  * At 100 TB this is the difference between an all-to-all network
+  * shuffle of the fact table per query and zero; the MERGE kernel's
+  * full-outer join gets the same benefit when target and source are
+  * bucketed by the merge keys (Upsert scaladoc).
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed, per-bucket-sorted parquet table in
+    * the session catalog. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** True iff the physical plan of `df` contains a shuffle exchange —
+    * the assertion helper for "this join is co-located". Unwraps the
+    * AQE root (its inner plan is not a child node). */
+  def hasShuffle(df: DataFrame): Boolean = {
+    val root = df.queryExecution.executedPlan
+    val plan = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

@@ -11,12 +11,15 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_spark_")
+    System.setProperty("derby.system.home", scratch.toString)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

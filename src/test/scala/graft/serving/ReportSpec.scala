@@ -1,0 +1,19 @@
+package graft.serving
+
+import graft.SparkSpec
+
+class ReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topN + htmlTable render the email-report shape (S18)") {
+    val df = Seq(("Delhi", 30, 12.5), ("Mumbai", 55, 9.1), ("Pune", 12, 3.3))
+      .toDF("city", "n_tickets", "avg_days")
+    val top = Report.topN(df, "n_tickets", 2)
+    assert(top.select("city").as[String].collect().toSeq == Seq("Mumbai", "Delhi"))
+    val html = Report.htmlTable(top, caption = "Top cities <script>")
+    assert(html.contains("<th>city</th>"))
+    assert(html.contains("<td>Mumbai</td>"))
+    assert(html.contains("Top cities &lt;script&gt;")) // escaped
+    assert(!html.contains("<script>"))
+  }
+}
