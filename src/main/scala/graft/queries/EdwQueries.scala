@@ -83,7 +83,7 @@ object EdwQueries extends QueryPack {
                   WHEN NOT COALESCE(tax > 0, FALSE) THEN 'Invalid TAX'
                   ELSE 'ok' END AS error_reason,
              count(*) AS n_rows,
-             CAST(sum(CAST(quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+             CAST(CAST(sum(CAST(quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
       FROM casted GROUP BY 1, 2 ORDER BY is_valid, error_reason"""),
     covers = Seq("P3", "P4", "P5", "S6"))
 
@@ -197,8 +197,8 @@ object EdwQueries extends QueryPack {
              NULLIF(dp.item_id, -1) AS item_id,
              NULLIF(dd.order_date_id, -1) AS order_date_id,
              fs.quantity, fs.unitprice, fs.tax,
-             CAST(CAST(fs.quantity AS DECIMAL(28,6)) * CAST(fs.unitprice AS DECIMAL(28,6))
-                  + CAST(fs.tax AS DECIMAL(28,6)) AS DOUBLE) AS total_sales_amount
+             CAST(CAST(CAST(fs.quantity AS DECIMAL(28,6)) * CAST(fs.unitprice AS DECIMAL(28,6))
+                  + CAST(fs.tax AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS total_sales_amount
       FROM processed fs
       LEFT JOIN dim_customer dc ON dc.email = fs.email
       LEFT JOIN dim_date dd ON fs.order_date = dd.d

@@ -43,7 +43,7 @@ object GoldQueries extends QueryPack {
              CAST(sum(CASE WHEN f.rto_flag THEN 1 ELSE 0 END) AS BIGINT) AS rto_orders,
              floor((CAST(sum(CASE WHEN f.rto_flag THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
                    / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS rto_pct,
-             floor((CAST(sum(CAST(f.shipping_cost AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total_shipping_cost
+             floor((CAST(CAST(sum(CAST(f.shipping_cost AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total_shipping_cost
       FROM fact_shipments f JOIN dim_sellers s ON f.seller_id = s.seller_id
       GROUP BY 1, 2 ORDER BY f.seller_id"""),
     covers = Seq("G-seller_performance", "J1"))
@@ -95,13 +95,13 @@ object GoldQueries extends QueryPack {
       .orderBy(col("carrier_name")),
     Some(s"""$W
       SELECT carrier_name,
-             floor((CAST(sum(CAST(shipping_cost AS DECIMAL(18,6))) AS DOUBLE)
+             floor((CAST(CAST(sum(CAST(shipping_cost AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS avg_shipping_cost,
-             floor((CAST(sum(CAST(fuel_surcharge AS DECIMAL(18,6))) AS DOUBLE)
+             floor((CAST(CAST(sum(CAST(fuel_surcharge AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS avg_fuel_surcharge,
-             floor((CAST(sum(CAST(insurance AS DECIMAL(18,6))) AS DOUBLE)
+             floor((CAST(CAST(sum(CAST(insurance AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS avg_insurance,
-             floor((CAST(sum(CAST(cod_fee AS DECIMAL(18,6))) AS DOUBLE)
+             floor((CAST(CAST(sum(CAST(cod_fee AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS avg_cod_fee
       FROM fact_shipments GROUP BY 1 ORDER BY carrier_name"""),
     covers = Seq("G-shipment_cost_summary", "A4"))
@@ -230,11 +230,11 @@ object GoldQueries extends QueryPack {
       SELECT seller_name, category, product_name,
              region_name AS delivery_region,
              count(DISTINCT order_id) AS total_orders,
-             floor((CAST(sum(CAST(total_amount AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue,
+             floor((CAST(CAST(sum(CAST(total_amount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue,
              floor((CAST(sum(logistics_cost) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS logistics_expense,
-             floor((CAST(sum(CAST(total_amount AS DECIMAL(18,6)) - logistics_cost) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS gross_profit,
-             floor((CAST(sum(CAST(total_amount AS DECIMAL(18,6)) - logistics_cost) AS DOUBLE)
-                   / nullif(CAST(sum(CAST(total_amount AS DECIMAL(18,6))) AS DOUBLE), 0.0)) * 10000.0 + 0.5) / 10000.0
+             floor((CAST(CAST(sum(CAST(total_amount AS DECIMAL(18,6)) - logistics_cost) AS VARCHAR) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS gross_profit,
+             floor((CAST(CAST(sum(CAST(total_amount AS DECIMAL(18,6)) - logistics_cost) AS VARCHAR) AS DOUBLE)
+                   / nullif(CAST(CAST(sum(CAST(total_amount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE), 0.0)) * 10000.0 + 0.5) / 10000.0
                * 100 AS gross_margin_pct
       FROM order_data
       GROUP BY 1, 2, 3, 4

@@ -122,7 +122,7 @@ object OpsQueries extends QueryPack {
                WHEN NOT COALESCE(l_extendedprice > 1000.0, FALSE)
                  THEN 'invalid_price' END, 'ok') AS reason,
              count(*) AS n_rows,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY 1 ORDER BY reason"""),
     covers = Seq("P4", "P5"))
 

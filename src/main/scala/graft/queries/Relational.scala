@@ -49,12 +49,12 @@ object Relational extends QueryPack {
     Some("""
       SELECT l_returnflag, l_linestatus,
              count(*) AS n_rows,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
              CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
              CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
                / CAST(count(*) AS DOUBLE) AS pct_big
       FROM lineitem
@@ -116,8 +116,8 @@ object Relational extends QueryPack {
       SELECT c_mktsegment,
              count(*) AS n_orders,
              count(DISTINCT o_custkey) AS n_customers,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS avg_order_value
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
@@ -149,7 +149,7 @@ object Relational extends QueryPack {
     Some("""
       SELECT r_name,
              count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
              count(DISTINCT c_custkey) AS n_customers
       FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -184,8 +184,8 @@ object Relational extends QueryPack {
       SELECT p_brand,
              count(l_orderkey) AS n_recent_lines,
              count(*) AS n_rows,
-             CAST(sum(COALESCE(CAST(l_quantity AS DECIMAL(18,6)),
-                               CAST(0 AS DECIMAL(18,6)))) AS DOUBLE) AS recent_qty
+             CAST(CAST(sum(COALESCE(CAST(l_quantity AS DECIMAL(18,6)),
+                               CAST(0 AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE) AS recent_qty
       FROM part LEFT JOIN lineitem
         ON p_partkey = l_partkey
        AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
@@ -319,10 +319,10 @@ object Relational extends QueryPack {
     Some("""
       SELECT o_custkey,
              count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_spend,
              CAST(max(o_orderdate) AS DATE) AS last_order_date,
              CASE WHEN count(*) >= 20 THEN 'wholesale'
-                  WHEN CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) > 400000.0 THEN 'vip'
+                  WHEN CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) > 400000.0 THEN 'vip'
                   WHEN count(*) >= 10 THEN 'returning'
                   WHEN count(*) >= 1 THEN 'active'
                   ELSE 'dormant' END AS segment

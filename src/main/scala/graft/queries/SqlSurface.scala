@@ -62,7 +62,7 @@ object SqlSurface extends QueryPack {
              substring(o_orderpriority, 1, 1) AS prio_rank,
              trim(lower(o_orderstatus)) AS status_lc,
              o_orderpriority ILIKE '%URGENT%' AS is_urgent,
-             CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 1) AS DOUBLE) AS price_r1,
+             CAST(CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 1) AS VARCHAR) AS DOUBLE) AS price_r1,
              COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
              CASE WHEN o_totalprice > 250000.0 THEN 'high'
                   WHEN o_totalprice > 100000.0 THEN 'mid'
@@ -127,7 +127,7 @@ object SqlSurface extends QueryPack {
     Some("""
       SELECT event_type,
              count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events
       WHERE value >= 0.5
         AND event_type NOT IN

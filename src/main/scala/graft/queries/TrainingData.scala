@@ -356,7 +356,7 @@ object TrainingData extends QueryPack {
     Some("""
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
              event_type, count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2 ORDER BY window_start, event_type"""),
     covers = Seq("ST-window-agg"))
