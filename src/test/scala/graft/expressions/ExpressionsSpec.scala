@@ -1,0 +1,53 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** Native-expression behavior: eval + codegen parity, SQL registration
+  * via SparkSessionExtensions. Uses its own session (withExtensions
+  * must be set at build time). */
+class ExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // getOrCreate may have reused a pre-existing session (shared test
+    // JVM) whose construction never saw the extensions — retrofit then
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("graft_dotq callable from SQL text (EP1) via extensions") {
+    val row = spark.sql(
+      "SELECT graft_dotq(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect().head
+    assert(row.getLong(0) == 32L)
+  }
+
+  test("LongArrayDot matches the HOF formulation on real vectors") {
+    import spark.implicits._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+    val viaExpr = emb.select(col("vec_id"),
+      VectorFunctions.dotQ(col("q"), col("q")).as("d"))
+    val viaHof = emb.select(col("vec_id"),
+      aggregate(zip_with(col("q"), col("q"), _ * _), lit(0L), _ + _).as("d"))
+    assert(viaExpr.orderBy("vec_id").as[(Long, Long)].collect().toSeq ==
+      viaHof.orderBy("vec_id").as[(Long, Long)].collect().toSeq)
+  }
+
+  test("null-safety: null array input yields null") {
+    val r = spark.sql(
+      "SELECT graft_dotq(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d")
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+}
