@@ -135,6 +135,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS: iterative min-label
+    * propagation (each node adopts the smallest id reachable over the
+    * pair edges) until fixpoint. Returns (id, cluster) where cluster =
+    * min id of the component — the canonical "keeper".
+    *
+    * Scale notes: each iteration is one join + one aggregation on the
+    * edge list; iterations ≈ graph diameter (near-dup clusters are
+    * shallow — typically 2-4 rounds). The label frontier is
+    * checkpointed per round to cut the growing lineage. This is the
+    * standard large-scale CC shape (cf. the alternating-star algorithm
+    * for adversarially deep graphs). */
+  def duplicateClusters(ids: DataFrame, id: String, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val spark = ids.sparkSession
+    // undirected edge list, both directions
+    val e1 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(id).as("node"), col(id).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // each node adopts min(own, neighbours') label
+      val viaEdges = edges
+        .join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("cluster"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("node")).agg(min(col("cluster")).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as(id), col("cluster"))
+  }
+
+  /** One-keeper-per-cluster dedup decision: keep = (id == cluster min). */
+  def dedupDecision(ids: DataFrame, id: String, pairs: DataFrame): DataFrame =
+    duplicateClusters(ids, id, pairs)
+      .withColumn("keep", col(id) === col("cluster"))
+
   /** Random-hyperplane LSH bucket id for a quantized vector: bit j =
     * [dot(q, w_j) >= 0] with deterministic integer hyperplanes
     * w_j[i] = ((a_j·(i+1) + b_j) mod 1009) − 504 (reusing the minhash

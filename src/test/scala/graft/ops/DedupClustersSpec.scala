@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicateClusters: min-label propagation resolves components") {
+    // components: {1,2,3,4} (chain), {5,6} (pair), {7} (singleton), {8,9,10} (star on 9)
+    val ids = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (9L, 8L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(ids, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
+  }
+
+  test("dedupDecision keeps exactly one doc per cluster") {
+    val ids = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val d = Dedup.dedupDecision(ids, "doc_id", pairs).cache()
+    assert(d.filter(col("keep")).select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 4L, 6L))
+    // every cluster has exactly one keeper
+    val perCluster = d.groupBy("cluster")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"))
+    assert(perCluster.filter(col("n_keep") =!= 1).count() == 0)
+  }
+
+  test("end-to-end: jaccard pairs -> clusters on real documents") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.2)
+    val decision = Dedup.dedupDecision(docs.select("doc_id"), "doc_id", pairs)
+    val kept = decision.filter(col("keep")).count()
+    val total = docs.count()
+    val dupPairs = pairs.count()
+    // the corpus plants near-dup pairs; keepers < total, and every
+    // non-keeper is in some cluster with a smaller keeper
+    assert(dupPairs > 0)
+    assert(kept < total)
+    assert(kept >= total - dupPairs)
+  }
+}
