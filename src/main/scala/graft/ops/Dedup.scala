@@ -41,7 +41,12 @@ object Dedup {
     // The index feeds three subtrees (both join sides + sizes); persist
     // it so tokenize+shingle runs once, not three times. MEMORY_AND_DISK:
     // at cluster scale the index can exceed executor memory and spills.
+    // Join on a 64-bit shingle hash, not the string: ~3× smaller
+    // shuffle and cheaper probes; a count-altering collision needs two
+    // distinct shingles of the SAME document pair to collide (~2⁻⁶⁴
+    // per pair) and the oracle gate would surface it.
     val idx = shingleIndex(df, id, text, n)
+      .select(col(id), xxhash64(col("sh")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val a = idx.select(col(id).as("id_a"), col("sh"))
