@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops.AsofJoin
+
+/** Temporal operators beyond the reference's surface: as-of
+  * (point-in-time) join and session windows — the two time-series
+  * primitives a logistics/training-data platform reaches for next.
+  * Both oracle-checked (DuckDB has native ASOF JOIN; sessions via
+  * gaps-and-islands SQL). */
+object TemporalQueries extends QueryPack {
+
+  /** As-of join: for sampled probe times (event ts + 30 min), the most
+    * recent event at-or-before the probe per user. Events pre-deduped
+    * to one row per (user, ts) so the as-of match is unique — the
+    * contract a production PIT-join enforces upstream. */
+  val q54 = Q(
+    "q54_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"ts")
+        .orderBy($"event_id".desc)
+      val events = Tables(s, dir, "events")
+        .withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1).drop("__rn")
+        .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      val probes = events
+        .filter($"event_id" % 37 === 0)
+        .select($"user_id", $"event_id".as("probe_id"),
+          ($"ts" + expr("INTERVAL 30 MINUTES")).as("probe_ts"))
+      AsofJoin.asofJoin(probes, events,
+          keys = Seq("user_id"), probeTs = "probe_ts", eventTs = "ts",
+          eventValueCols = Seq("event_id", "event_type"))
+        .select($"user_id", $"probe_id", $"probe_ts",
+          $"evt_event_id".as("matched_event_id"),
+          $"evt_event_type".as("matched_event_type"))
+        .orderBy($"user_id", $"probe_id")
+    },
+    Some("""
+      WITH dedup AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1),
+      probes AS (
+        SELECT user_id, event_id AS probe_id,
+               ts + INTERVAL 30 MINUTE AS probe_ts
+        FROM dedup WHERE event_id % 37 = 0)
+      SELECT p.user_id, p.probe_id, p.probe_ts,
+             e.event_id AS matched_event_id,
+             e.event_type AS matched_event_type
+      FROM probes p ASOF LEFT JOIN dedup e
+        ON p.user_id = e.user_id AND e.ts <= p.probe_ts
+      ORDER BY p.user_id, p.probe_id"""),
+    covers = Seq("T-asof-join"))
+
+  /** Session windows (30-minute inactivity gap) via Spark's native
+    * `session_window`; oracle = gaps-and-islands. Session end is
+    * last-event + gap, per Spark's definition. */
+  val q55 = Q(
+    "q55_session_windows",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select($"user_id", $"sw.start".as("session_start"),
+          $"sw.end".as("session_end"), $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                      OVER (PARTITION BY user_id ORDER BY ts)
+                    <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events),
+      v AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM e)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM v GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""),
+    covers = Seq("ST-session-window"))
+
+  override def queries: Seq[Q] = Seq(q54, q55)
+}
