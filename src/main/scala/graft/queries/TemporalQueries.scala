@@ -94,3 +94,49 @@ object TemporalQueries extends QueryPack {
 
   override def queries: Seq[Q] = Seq(q54, q55)
 }
+
+/** Text quality-scoring completions (builder brief: "token counting
+  * (whitespace + a BPE-ish regex)", "quality scoring
+  * (length/punct/stopword ratios)"). */
+object TextScoring extends QueryPack {
+
+  /** BPE-ish subword pieces: letter runs, digit runs, and single
+    * non-alphanumeric marks — the pre-tokenization regex family GPT-2
+    * style BPE applies before merges. Same pattern semantics in Java
+    * regex (Spark) and RE2-ish (DuckDB) for this character class set. */
+  private val piece = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  val q56 = Q(
+    "q56_token_stats",
+    (s, dir) => {
+      import s.implicits._
+      val nChars = length($"text").cast("double")
+      Tables(s, dir, "documents")
+        .select(
+          $"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tokens_ws"),
+          size(expr(s"regexp_extract_all(text, '$piece', 0)")).cast("long")
+            .as("n_tokens_bpe"),
+          (length(regexp_replace($"text", "[^.,;:!?'\"-]", "")).cast("double")
+            / nChars).as("punct_ratio"),
+          (length(regexp_replace($"text", "[^A-Z]", "")).cast("double")
+            / nChars).as("upper_ratio"),
+          (length(regexp_replace($"text", "[^0-9]", "")).cast("double")
+            / nChars).as("digit_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+             CAST(len(regexp_extract_all(text, '$piece')) AS BIGINT) AS n_tokens_bpe,
+             CAST(length(regexp_replace(text, '[^.,;:!?''"-]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS upper_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS digit_ratio
+      FROM documents ORDER BY doc_id"""),
+    covers = Seq("TD-token-count", "TD-text-quality"))
+
+  override def queries: Seq[Q] = Seq(q56)
+}
