@@ -17,6 +17,24 @@ object Report {
   def topN(df: DataFrame, metric: String, n: Int): DataFrame =
     df.orderBy(col(metric).desc).limit(n)
 
+  /** S14: the pandas round-trip, Spark-side. The reference pulls a
+    * whole table to the client, enriches it in-process, and writes it
+    * back (`dags/4_logistics_ticket_classifier_full_dag.py:65-78`).
+    * The faithful (anti-)pattern: collect → driver-side transform →
+    * createDataFrame. Kept ONLY for small summary tables; the engine's
+    * real enrichment path is distributed (`TicketClassifier.classify`). */
+  def driverRoundTrip(df: DataFrame)(
+      f: Seq[org.apache.spark.sql.Row] => Seq[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    spark.createDataFrame(f(df.collect().toSeq).asJava, df.schema)
+  }
+
+  /** S15: fetch-to-CSV export (`...:88-103`): one header'd CSV file. */
+  def exportCsv(df: DataFrame, path: String, limit: Int = 1000): Unit =
+    df.limit(limit).coalesce(1)
+      .write.mode("overwrite").option("header", true).csv(path)
+
   /** Render a (small) DataFrame as an HTML table. Only `limit` rows
     * cross the driver boundary. */
   def htmlTable(df: DataFrame, limit: Int = 100, caption: String = ""): String = {

@@ -16,4 +16,18 @@ class ReportSpec extends SparkSpec {
     assert(html.contains("Top cities &lt;script&gt;")) // escaped
     assert(!html.contains("<script>"))
   }
+
+  test("driverRoundTrip and exportCsv (S14/S15)") {
+    import org.apache.spark.sql.Row
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "n")
+    val enriched = Report.driverRoundTrip(df)(rows =>
+      rows.map(r => Row(r.getString(0).toUpperCase, r.getInt(1) * 10)))
+    assert(enriched.orderBy("k").as[(String, Int)].collect().toSeq ==
+      Seq(("A", 10), ("B", 20)))
+
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_").toString + "/x"
+    Report.exportCsv(df, out)
+    val back = spark.read.option("header", true).csv(out)
+    assert(back.count() == 2 && back.columns.toSeq == Seq("k", "n"))
+  }
 }
