@@ -92,7 +92,50 @@ object TemporalQueries extends QueryPack {
       ORDER BY user_id, session_start"""),
     covers = Seq("ST-session-window"))
 
-  override def queries: Seq[Q] = Seq(q54, q55)
+  /** Range (interval) join: facts matched to a small dim of date
+    * ranges via BETWEEN — broadcast nested-loop with a tiny build side
+    * here; the scale path for REGULAR ranges is the equi-join rewrite
+    * on a truncated key (here both: the oracle proves the BETWEEN
+    * semantics, the implementation uses the equi rewrite since
+    * quarters are calendar-regular — zero nested-loop at any size). */
+  val q57 = Q(
+    "q57_range_join",
+    (s, dir) => {
+      import s.implicits._
+      // quarter dim 1992..1998 (the data's span)
+      val quarters = s.range(7 * 4).select(
+        (lit(1992) + ($"id" / 4)).cast("int").as("q_year"),
+        (($"id" % 4) + 1).cast("int").as("q_num"))
+        .select($"q_year", $"q_num",
+          concat($"q_year", lit("Q"), $"q_num").as("quarter"))
+      val li = Tables(s, dir, "lineitem")
+        .select($"l_extendedprice", $"l_shipdate",
+          year($"l_shipdate").as("q_year"), quarter($"l_shipdate").as("q_num"))
+      li.join(broadcast(quarters), Seq("q_year", "q_num"))
+        .groupBy($"quarter")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum($"l_extendedprice".cast("decimal(18,6)")).cast("double")
+            .as("revenue"))
+        .orderBy($"quarter")
+    },
+    Some("""
+      WITH quarters AS (
+        SELECT 1992 + (i // 4) AS q_year, (i % 4) + 1 AS q_num,
+               CAST(1992 + (i // 4) AS VARCHAR) || 'Q' ||
+                 CAST((i % 4) + 1 AS VARCHAR) AS quarter,
+               make_date(CAST(1992 + (i // 4) AS INT),
+                         CAST((i % 4) * 3 + 1 AS INT), 1) AS q_start
+        FROM range(0, 28) t(i))
+      SELECT quarter, count(*) AS n_lines,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
+      FROM lineitem JOIN quarters
+        ON CAST(l_shipdate AS DATE) >= q_start
+       AND CAST(l_shipdate AS DATE) < q_start + INTERVAL 3 MONTH
+      GROUP BY quarter ORDER BY quarter"""),
+    covers = Seq("T-range-join"))
+
+  override def queries: Seq[Q] = Seq(q54, q55, q57)
 }
 
 /** Text quality-scoring completions (builder brief: "token counting
