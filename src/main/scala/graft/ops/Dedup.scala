@@ -82,11 +82,16 @@ object Dedup {
   def lshCandidatePairs(sig: DataFrame, id: String, k: Int, rows: Int): DataFrame = {
     require(k % rows == 0, "k must be divisible by band rows")
     val nBands = k / rows
-    val bands = (0 until nBands).map { b =>
-      val key = concat_ws("_",
+    // one pass over the signatures: all band keys as an array, then
+    // posexplode — a per-band union would recompute the signature
+    // subtree nBands× (and 2× more across the self-join sides), so the
+    // exploded band table is also persisted (it is tiny: docs × bands)
+    val bandKeys = array((0 until nBands).map { b =>
+      concat_ws("_",
         (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*)
-      sig.select(col(id), lit(b).as("band"), key.as("band_key"))
-    }.reduce(_.unionByName(_))
+    }: _*)
+    val bands = sig.select(col(id), posexplode(bandKeys).as(Seq("band", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.select(col(id).as("id_a"), col("band"), col("band_key"))
     val r = bands.select(col(id).as("id_b"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))
