@@ -135,7 +135,35 @@ object TemporalQueries extends QueryPack {
       GROUP BY quarter ORDER BY quarter"""),
     covers = Seq("T-range-join"))
 
-  override def queries: Seq[Q] = Seq(q54, q55, q57)
+  /** P11 over STORED semi-structured data (events.props is a real JSON
+    * column in the source, unlike q32's self-built strings): path
+    * extraction + cast + aggregation — the exact `col:path::type` +
+    * GROUP BY shape of the shipment silver queries. */
+  val q58 = Q(
+    "q58_json_props",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("int").as("k"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count($"k").as("n_with_k"),
+          sum($"k".cast("long")).as("sum_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+             count(*) AS n_events,
+             count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+      FROM events GROUP BY 1 ORDER BY event_type"""),
+    covers = Seq("P11", "S3"))
+
+  override def queries: Seq[Q] = Seq(q54, q55, q57, q58)
 }
 
 /** Text quality-scoring completions (builder brief: "token counting
