@@ -75,61 +75,108 @@ object ModelRegistry {
     visited.toSeq.map(byName)
   }
 
-  /** Run the registry: resolves deps (registry outputs or warehouse
-    * sources), applies materializations, appends one audit row per
-    * model (job_name, run_id, status, start/end, rows_processed —
-    * the `ETL_AUDIT_LOG` shape). Returns materialized DataFrames. */
+  /** Materialize one model given resolved dep DataFrames; appends the
+    * audit row (synchronized: parquet append from concurrent driver
+    * threads must not interleave commits on one path). */
+  private def materialize(
+      spark: SparkSession,
+      wh: Warehouse,
+      m: Model,
+      deps: Map[String, DataFrame],
+      runId: String,
+      auditTable: Option[String]): DataFrame = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val built = m.build(spark, deps)
+    val out = m.materialization match {
+      case View =>
+        built.createOrReplaceTempView(m.name)
+        built
+      case Table =>
+        wh.overwrite(m.name, built)
+        wh.read(m.name)
+      case IncrementalMerge(keys, wmCol) =>
+        if (!wh.exists(m.name)) {
+          wh.overwrite(m.name, built)
+        } else {
+          val target = wh.read(m.name)
+          // snapshot the watermark BEFORE writing anything
+          val wm = target.agg(max(col(wmCol))).first().get(0)
+          val wmLit = if (wm == null) lit(EPOCH).cast("timestamp")
+            else lit(wm)
+          val fresh = built.filter(col(wmCol) > wmLit)
+          val deduped = Upsert.dedupLatest(fresh, keys, Seq(col(wmCol)))
+          val merged = Upsert.upsert(target, deduped, keys)
+          wh.overwrite(m.name, merged)
+        }
+        wh.read(m.name)
+    }
+    auditTable.foreach { at =>
+      val n = out.count()
+      val audit = Seq((m.name, runId, "SUCCESS",
+          new java.sql.Timestamp(t0),
+          new java.sql.Timestamp(System.currentTimeMillis()), n))
+        .toDF("job_name", "run_id", "status", "start_time", "end_time",
+          "rows_processed")
+      wh.synchronized { wh.append(at, audit) }
+    }
+    out
+  }
+
+  /** Run the registry sequentially: resolves deps (registry outputs or
+    * warehouse sources), applies materializations, appends one audit
+    * row per model (job_name, run_id, status, start/end,
+    * rows_processed — the `ETL_AUDIT_LOG` shape). */
   def run(
       spark: SparkSession,
       wh: Warehouse,
       models: Seq[Model],
       runId: String,
       auditTable: Option[String] = Some("etl_audit_log")): Map[String, DataFrame] = {
-    import spark.implicits._
     var results = Map.empty[String, DataFrame]
-    def resolve(n: String): DataFrame =
-      results.getOrElse(n, wh.read(n))
-
+    def resolve(n: String): DataFrame = results.getOrElse(n, wh.read(n))
     topoOrder(models).foreach { m =>
-      val t0 = System.currentTimeMillis()
       val deps = m.deps.map(d => d -> resolve(d)).toMap
-      val built = m.build(spark, deps)
-
-      val out = m.materialization match {
-        case View =>
-          built.createOrReplaceTempView(m.name)
-          built
-        case Table =>
-          wh.overwrite(m.name, built)
-          wh.read(m.name)
-        case IncrementalMerge(keys, wmCol) =>
-          if (!wh.exists(m.name)) {
-            wh.overwrite(m.name, built)
-          } else {
-            val target = wh.read(m.name)
-            // snapshot the watermark BEFORE writing anything
-            val wm = target.agg(max(col(wmCol))).first().get(0)
-            val wmLit = if (wm == null) lit(EPOCH).cast("timestamp")
-              else lit(wm)
-            val fresh = built.filter(col(wmCol) > wmLit)
-            val deduped = Upsert.dedupLatest(fresh, keys, Seq(col(wmCol)))
-            val merged = Upsert.upsert(target, deduped, keys)
-            wh.overwrite(m.name, merged)
-          }
-          wh.read(m.name)
-      }
-      results += m.name -> out
-
-      auditTable.foreach { at =>
-        val n = out.count()
-        val audit = Seq((m.name, runId, "SUCCESS",
-            new java.sql.Timestamp(t0),
-            new java.sql.Timestamp(System.currentTimeMillis()), n))
-          .toDF("job_name", "run_id", "status", "start_time", "end_time",
-            "rows_processed")
-        wh.append(at, audit)
-      }
+      results += m.name -> materialize(spark, wh, m, deps, runId, auditTable)
     }
     results
+  }
+
+  /** Run the registry with level-parallelism — the dbt `threads: 3`
+    * analog (`.dbt/profiles.yml`, SURVEY §4 "DAG-level parallelism"):
+    * models are grouped into topological waves (all deps in earlier
+    * waves) and each wave's models run concurrently from the driver;
+    * Spark schedules their jobs in parallel. Same results as [[run]]. */
+  def runParallel(
+      spark: SparkSession,
+      wh: Warehouse,
+      models: Seq[Model],
+      runId: String,
+      auditTable: Option[String] = Some("etl_audit_log"),
+      threads: Int = 3): Map[String, DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val registered = models.map(_.name).toSet
+    // wave index = longest registry-dep chain below the model
+    val level = scala.collection.mutable.Map[String, Int]()
+    topoOrder(models).foreach { m =>
+      level(m.name) = m.deps.filter(registered).map(d => level(d) + 1)
+        .foldLeft(0)(math.max)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      var results = Map.empty[String, DataFrame]
+      def resolve(n: String): DataFrame = results.getOrElse(n, wh.read(n))
+      models.groupBy(m => level(m.name)).toSeq.sortBy(_._1).foreach {
+        case (_, wave) =>
+          val done = Future.sequence(wave.map { m =>
+            val deps = m.deps.map(d => d -> resolve(d)).toMap
+            Future(m.name -> materialize(spark, wh, m, deps, runId, auditTable))
+          })
+          results ++= Await.result(done, Duration.Inf).toMap
+      }
+      results
+    } finally pool.shutdown()
   }
 }

@@ -73,6 +73,23 @@ class RunnerSpec extends SparkSpec {
     assert(audit.select("status").distinct().as[String].collect().toSeq == Seq("SUCCESS"))
   }
 
+  test("runParallel matches sequential results (dbt threads analog)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_whp_").toString
+    val wh = new Warehouse(root, spark)
+    wh.append("raw_orders", Seq(
+      (Some("O1"), Some("C1"), 100.0, ts("2024-01-01 10:00:00")),
+      (Some("O2"), Some("C2"), 200.0, ts("2024-01-01 11:00:00")),
+      (None: Option[String], Some("C3"), 300.0, ts("2024-01-01 12:00:00"))
+    ).toDF("order_id", "customer_id", "amount", "extracted_at"))
+
+    val r = ModelRegistry.runParallel(spark, wh, models, "prun_1", threads = 3)
+    assert(r("fact_orders").count() == 2)
+    assert(r("silver_error_orders").count() == 1)
+    assert(spark.table("orders_by_customer").count() == 2)
+    val audit = wh.read("etl_audit_log").filter(col("run_id") === "prun_1")
+    assert(audit.count() == 3)
+  }
+
   test("registry: topological order and cycle detection") {
     val a = Model("a", Seq("b"), View, (_, d) => d("b"))
     val b = Model("b", Nil, View, (s, _) => { import s.implicits._; Seq(1).toDF("x") })
