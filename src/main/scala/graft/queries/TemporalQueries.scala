@@ -163,7 +163,36 @@ object TemporalQueries extends QueryPack {
       FROM events GROUP BY 1 ORDER BY event_type"""),
     covers = Seq("P11", "S3"))
 
-  override def queries: Seq[Q] = Seq(q54, q55, q57, q58)
+  /** §2.7 set operations — absent from the reference (SURVEY notes
+    * Spark's built-ins cover them for free); exercised here so the
+    * claim is verified, not asserted: customers present in '97 vs '98
+    * order years via UNION / INTERSECT / EXCEPT. */
+  val q59 = Q(
+    "q59_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      def buyers(yr: Int) = Tables(s, dir, "orders")
+        .filter(year($"o_orderdate") === yr)
+        .select($"o_custkey")
+      val a = buyers(1997)
+      val b = buyers(1998)
+      a.union(b).distinct().select(lit("union").as("op"), $"o_custkey")
+        .unionByName(a.intersect(b).select(lit("intersect").as("op"), $"o_custkey"))
+        .unionByName(a.distinct().except(b).select(lit("except").as("op"), $"o_custkey"))
+        .orderBy($"op", $"o_custkey")
+    },
+    Some("""
+      WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+           b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+      SELECT 'union' AS op, o_custkey FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+      UNION ALL
+      SELECT 'intersect', o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      UNION ALL
+      SELECT 'except', o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      ORDER BY op, o_custkey"""),
+    covers = Seq("SET-union", "SET-intersect", "SET-except"))
+
+  override def queries: Seq[Q] = Seq(q54, q55, q57, q58, q59)
 }
 
 /** Text quality-scoring completions (builder brief: "token counting
