@@ -49,7 +49,10 @@ class LogisticsProjectSpec extends SparkSpec {
       lit(10.0).as("total_amount"), lit("COD").as("payment_method"))
       .withColumn("_airbyte_extracted_at", t1))
 
-    val r2 = ModelRegistry.run(spark, wh, LogisticsProject.models, "run_2")
+    // second run exercises the level-parallel path (dbt threads analog)
+    // over the real 19-model DAG — results must be identical to run()
+    val r2 = ModelRegistry.runParallel(spark, wh, LogisticsProject.models,
+      "run_2", threads = 3)
     // merged update, no row-count change
     assert(r2("dim_customers").count() == sv.customers.count())
     assert(r2("dim_customers").filter($"customer_id" === 1)
