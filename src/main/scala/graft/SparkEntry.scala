@@ -9,7 +9,7 @@ object SparkEntry {
   /** All query packs; each pack maps a slice of SURVEY §2. */
   def packs: Seq[QueryPack] =
     Seq(Relational, OpsQueries, TrainingData, SqlSurface, GoldQueries,
-      EdwQueries, TemporalQueries, TextScoring)
+      EdwQueries, TemporalQueries, TextScoring, AnalyticExtras)
 
   def allQueries: Seq[Q] = packs.flatMap(_.queries)
 

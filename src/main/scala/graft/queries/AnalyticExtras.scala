@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Analytic-surface completions beyond the reference (SURVEY §2.4
+  * "no grouping sets / cube / rollup", §2.5 "no lead/lag, no frame
+  * specs"): verified affirmatively so a reference user gains them on
+  * switch, not just the parity set. */
+object AnalyticExtras extends QueryPack {
+
+  private val D = "decimal(18,6)"
+
+  /** ROLLUP with grouping indicators: revenue by (segment, status),
+    * per-segment subtotals, grand total. */
+  val q60 = Q(
+    "q60_rollup",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .rollup($"c_mktsegment", $"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast(D)).cast("double").as("revenue"),
+          (grouping($"o_orderstatus") === 1).as("is_segment_total"),
+          (grouping($"c_mktsegment") === 1).as("is_grand_total"))
+        .orderBy($"c_mktsegment".asc_nulls_last, $"o_orderstatus".asc_nulls_last)
+    },
+    Some("""
+      SELECT c_mktsegment, o_orderstatus,
+             count(*) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+             grouping(o_orderstatus) = 1 AS is_segment_total,
+             grouping(c_mktsegment) = 1 AS is_grand_total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+      ORDER BY c_mktsegment ASC NULLS LAST, o_orderstatus ASC NULLS LAST"""),
+    covers = Seq("A-rollup", "A-grouping-sets"))
+
+  /** Window frames: running revenue (rowsBetween unbounded..current),
+    * previous-order gap via lag, next order date via lead — per
+    * customer over order time. */
+  val q61 = Q(
+    "q61_window_frames",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .filter($"o_custkey" % 10 === 0)
+        .select(
+          $"o_custkey", $"o_orderkey", $"o_orderdate",
+          sum($"o_totalprice".cast(D)).over(frame).cast("double")
+            .as("running_revenue"),
+          datediff($"o_orderdate",
+            lag($"o_orderdate", 1).over(w)).as("days_since_prev"),
+          lead($"o_orderdate", 1).over(w).as("next_order_date"),
+          row_number().over(w).as("order_seq"))
+        .orderBy($"o_custkey", $"order_seq")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+               AS running_revenue,
+             datediff('day',
+               CAST(lag(o_orderdate, 1) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+               CAST(o_orderdate AS DATE)) AS days_since_prev,
+             lead(o_orderdate, 1) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS next_order_date,
+             CAST(row_number() OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT)
+               AS order_seq
+      FROM orders WHERE o_custkey % 10 = 0
+      ORDER BY o_custkey, order_seq"""),
+    covers = Seq("W-lead-lag", "W-frames", "W-running-total"))
+
+  override def queries: Seq[Q] = Seq(q60, q61)
+}
