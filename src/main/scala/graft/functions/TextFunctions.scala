@@ -31,9 +31,14 @@ object TextFunctions {
     * as a non-negative long. Chosen over xxhash64 because DuckDB can
     * reproduce it bit-for-bit (`CAST('0x'||substr(md5(..),1,15) AS
     * BIGINT)`), making MinHash/SimHash oracle-checkable. */
-  def hash60(c: Column, seed: Int): Column =
-    conv(substring(md5(concat_ws("|", lit(seed.toString), c).cast("binary")),
-      1, 15), 16, 10).cast("long")
+  def hash60(c: Column, seed: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    // native fused md5-prefix expression (graft.expressions.Md5Prefix60):
+    // bit-identical to conv(substring(md5(...),1,15),16,10) but with no
+    // hex-string allocation / base-16 parse per value
+    Bridge.column(graft.expressions.Md5Prefix60(
+      Bridge.expression(concat_ws("|", lit(seed.toString), c))))
+  }
 
   /** MinHash permutation family: one md5 base hash per shingle, then k
     * cheap LCG permutations mh_i = (a_i·h + b_i) mod P over the 31-bit
