@@ -17,24 +17,30 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_dotq"),
-      new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dotq"),
-      GraftExtensions.dotqBuilder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    }
 }
 
 object GraftExtensions {
-  private val dotqBuilder: Seq[Expression] => Expression = { args =>
-    require(args.length == 2, "graft_dotq(arrayA, arrayB)")
-    LongArrayDot(args.head, args(1))
-  }
+  private val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dotq", classOf[LongArrayDot], { args =>
+      require(args.length == 2, "graft_dotq(arrayA, arrayB)")
+      LongArrayDot(args.head, args(1))
+    }),
+    ("graft_md5prefix60", classOf[Md5Prefix60], { args =>
+      require(args.length == 1, "graft_md5prefix60(str)")
+      Md5Prefix60(args.head)
+    }))
 
   /** Retrofit registration for an ALREADY-RUNNING session (builder
     * extensions only apply at session construction; getOrCreate on an
     * existing session silently skips them). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_dotq", dotqBuilder, "built-in")
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

@@ -44,6 +44,14 @@ class ExpressionsSpec extends AnyFunSuite {
       viaHof.orderBy("vec_id").as[(Long, Long)].collect().toSeq)
   }
 
+  test("graft_md5prefix60 matches the builtin chain") {
+    val row = spark.sql(
+      """SELECT graft_md5prefix60('hello') AS a,
+                CAST(conv(substring(md5(CAST('hello' AS BINARY)), 1, 15), 16, 10) AS BIGINT) AS b
+      """).collect().head
+    assert(row.getLong(0) == row.getLong(1))
+  }
+
   test("null-safety: null array input yields null") {
     val r = spark.sql(
       "SELECT graft_dotq(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d")
