@@ -110,6 +110,7 @@ object Upsert {
     val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
     val dst = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + "__old")
+    recoverAtomic(fs, dst, bak)
     df.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(dst)) fs.rename(dst, bak)
@@ -117,4 +118,18 @@ object Upsert {
       throw new java.io.IOException(s"atomic swap failed for $path")
     fs.delete(bak, true)
   }
+
+  /** Crash recovery for the swap protocol: a crash between
+    * `dst → bak` and `tmp → dst` leaves no live table but an intact
+    * backup — roll the backup forward so readers (and the next write,
+    * whose MERGE reads the target) see the pre-crash state. Called at
+    * the start of every [[overwriteAtomic]]; also safe to call from
+    * readers. */
+  def recoverAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(dst) && fs.exists(bak)) {
+      if (!fs.rename(bak, dst))
+        throw new java.io.IOException(s"backup restore failed for $dst")
+    }
 }

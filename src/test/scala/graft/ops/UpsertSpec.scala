@@ -75,4 +75,28 @@ class UpsertSpec extends SparkSpec {
     Upsert.overwriteAtomic(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
     assert(spark.read.parquet(dir).count() == 2)
   }
+
+  test("overwriteAtomic recovers from a crash between the two renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-atomic").toString + "/t"
+    Upsert.overwriteAtomic(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    // simulate the crash window: dst renamed away to __old, new data
+    // never promoted (staging may or may not survive — worst case kept)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    // next writer rolls the backup forward, then applies its own batch
+    Upsert.overwriteAtomic(Seq((3, "c")).toDF("id", "v"), dir)
+    assert(spark.read.parquet(dir).as[(Int, String)].collect().toSeq ==
+      Seq((3, "c")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")))
+    // and a pure reader-side recovery restores the pre-crash table
+    Upsert.overwriteAtomic(Seq((4, "d")).toDF("id", "v"), dir)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    Upsert.recoverAtomic(fs, new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old"))
+    assert(spark.read.parquet(dir).as[(Int, String)].collect().toSeq ==
+      Seq((4, "d")))
+  }
 }
