@@ -30,6 +30,58 @@ object IncrementalStream {
     r.json(dir)
   }
 
+  /** foreachBatch MERGE sink against a DATE-PARTITIONED target — the
+    * 100 TB shape: the batch's touched partitions are computed first,
+    * ONLY those partitions of the target are read (partition-pruned
+    * scan), merged, and dynamically overwritten. A day's late data
+    * rewrites that day, never the table. `partition` derives the
+    * partition value from batch rows (e.g. `to_date($"created_at")`).
+    *
+    * CONTRACT: the partition value must be STABLE per key (an
+    * immutable event date, as in the reference's created_at). If a
+    * key could move between partitions, its old-partition row would
+    * escape the pruned slice — use the whole-table [[runUpsertSink]]
+    * or key-range bucketing instead.
+    */
+  def runPartitionedUpsertSink(
+      stream: DataFrame,
+      targetPath: String,
+      checkpointPath: String,
+      keys: Seq[String],
+      order: Seq[Column],
+      partitionCol: String,
+      partition: Column): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val spark = batch.sparkSession
+        val withPart = batch.withColumn(partitionCol, partition)
+        val deduped = Upsert.dedupLatest(withPart, keys, order)
+        val touched = deduped.select(partitionCol).distinct()
+          .collect().map(_.get(0)).toSeq
+        if (touched.nonEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(targetPath).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(targetPath))) {
+            graft.ops.Partitioned.writePartitioned(
+              deduped, targetPath, Seq(partitionCol))
+          } else {
+            // partition-pruned slice of the target: only touched dates
+            val slice = spark.read.parquet(targetPath)
+              .filter(col(partitionCol).isin(touched: _*))
+            val merged = Upsert.upsert(slice, deduped, keys)
+            graft.ops.Partitioned.overwriteDynamic(
+              merged, targetPath, Seq(partitionCol))
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** foreachBatch MERGE sink: per micro-batch, dedupe the batch to the
     * latest row per key (W1) and upsert into the parquet target
     * (last-writer-wins by `order`, like
