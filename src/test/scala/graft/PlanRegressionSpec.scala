@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape regression guards: the perf-critical physical-plan
+  * properties (pushdown, pruning, broadcast dims, single-join MERGE)
+  * must not silently regress when queries are edited. String-level
+  * checks over the formatted plan at sf0.001. */
+class PlanRegressionSpec extends SparkSpec {
+
+  private def plan(q: String): String = {
+    val df: DataFrame = SparkEntry.queries(q)(spark, sf("sf0.001"))
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+  private def formatted(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02: all filters pushed to the parquet scan, schema pruned") {
+    val f = formatted("q02_filter_project")
+    assert(f.contains("PushedFilters: [IsNotNull(l_shipdate)"), f.take(500))
+    assert(f.contains("GreaterThan(l_quantity,10.0)"))
+    // pruned read schema: no unused columns
+    assert(!f.contains("l_tax"), "read schema must prune unused columns")
+  }
+
+  test("q04: small dims join via broadcast, no sort-merge for dims") {
+    val p = plan("q04_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("q13: MERGE kernel is a single full-outer join") {
+    val p = plan("q13_merge_upsert")
+    assert(p.linesIterator.count(_.contains("FullOuter")) == 1, p.take(600))
+    assert(!p.contains("LeftAnti"), "full-outer rewrite must not regress to anti joins")
+  }
+
+  test("q27: ANN broadcasts the query side") {
+    val p = plan("q27_ann_topk")
+    assert(p.contains("Broadcast"), p.take(400))
+  }
+
+  test("q01: aggregation uses partial (map-side) hash aggregation") {
+    val p = plan("q01_pricing_summary")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(600))
+  }
+}
