@@ -238,5 +238,25 @@ object TextScoring extends QueryPack {
       FROM documents ORDER BY doc_id"""),
     covers = Seq("TD-token-count", "TD-text-quality"))
 
-  override def queries: Seq[Q] = Seq(q56)
+  /** §2.11 ticket classifier through the driver contract: train on the
+    * reference's 10 labeled examples, score the documents corpus
+    * distributed, return per-category counts. Deterministic (fixed
+    * corpus, deterministic LBFGS fit + hashing features) but not
+    * SQL-expressible — no oracle; the driver records the rows-only
+    * check. */
+  val q62 = Q(
+    "q62_ticket_classifier",
+    (s, dir) => {
+      import s.implicits._
+      val model = graft.ml.TicketClassifier.train(s)
+      val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
+      model.classify(docs, "text")
+        .groupBy($"ticket_category")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"ticket_category")
+    },
+    None,
+    covers = Seq("ML-classifier"))
+
+  override def queries: Seq[Q] = Seq(q56, q62)
 }
