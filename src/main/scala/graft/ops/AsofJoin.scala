@@ -19,7 +19,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * Ties: events sort before probes at equal ts (inclusive <=); among
   * events with identical (key, ts) the LAST under `eventOrder` wins —
-  * pass a tie-break column to make the survivor deterministic.
+  * pass tie-break column name(s) (must be in `eventValueCols`) to make
+  * the survivor deterministic. With `eventOrder` empty the winner among
+  * equal-ts events is whichever the sort happens to place last —
+  * nondeterministic if the data has such ties.
   */
 object AsofJoin {
 
@@ -29,7 +32,11 @@ object AsofJoin {
       keys: Seq[String],
       probeTs: String,
       eventTs: String,
-      eventValueCols: Seq[String]): DataFrame = {
+      eventValueCols: Seq[String],
+      eventOrder: Seq[String] = Nil): DataFrame = {
+    require(eventOrder.forall(eventValueCols.contains),
+      s"eventOrder columns must be carried in eventValueCols " +
+        s"(missing: ${eventOrder.filterNot(eventValueCols.contains).mkString(",")})")
     val probeCols = probes.columns.toSeq
     val p = probes
       .withColumn("__ts", col(probeTs))
@@ -45,8 +52,14 @@ object AsofJoin {
         probeCols.filterNot(keys.contains).map(c =>
           lit(null).cast(probes.schema(c).dataType).as(c)) ++
         eventValueCols.map(c => col(c).as(s"__evt_$c"))): _*)
+    // eventOrder tie-breaks AFTER (__ts, __is_probe): probes still sort
+    // after events at equal ts (probe rows carry null __evt_* values —
+    // harmless here, the probe/event split is already decided); among
+    // equal-ts events the greatest tie-break value sorts last, so
+    // last(ignoreNulls) picks it — "LAST under eventOrder wins".
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__is_probe").asc)
+      .orderBy((Seq(col("__ts").asc, col("__is_probe").asc) ++
+        eventOrder.map(c => col(s"__evt_$c").asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = eventValueCols.foldLeft(p.unionByName(e)) { (df, c) =>
       df.withColumn(s"__evt_$c", last(col(s"__evt_$c"), ignoreNulls = true).over(w))

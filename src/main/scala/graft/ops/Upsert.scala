@@ -132,4 +132,20 @@ object Upsert {
       if (!fs.rename(bak, dst))
         throw new java.io.IOException(s"backup restore failed for $dst")
     }
+
+  /** Crash-recovering read of a swap-managed table: roll any
+    * interrupted swap forward FIRST, then read; None if the table was
+    * never written. Every reader of an [[overwriteAtomic]] target MUST
+    * come through here (not a bare `fs.exists` + `spark.read`): during
+    * the crash window the live dir is absent and only the backup
+    * exists, so an unrecovered existence check misreads the table as
+    * empty — and a MERGE built on that emptiness permanently drops
+    * every row not present in the replayed batch. */
+  def readRecovered(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAtomic(fs, dst, new org.apache.hadoop.fs.Path(path + "__old"))
+    if (fs.exists(dst)) Some(spark.read.parquet(path)) else None
+  }
 }

@@ -42,11 +42,23 @@ object ModelRegistry {
     * object storage). */
   final class Warehouse(val root: String, spark: SparkSession) {
     private def path(name: String) = s"$root/$name"
-    def exists(name: String): Boolean =
-      new org.apache.hadoop.fs.Path(path(name)).getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(
-        new org.apache.hadoop.fs.Path(path(name)))
-    def read(name: String): DataFrame = spark.read.parquet(path(name))
+    /** Roll an interrupted atomic swap forward, then report liveness.
+      * Both `exists` and `read` MUST recover first: during the swap's
+      * crash window only the `__old` backup exists, and an unrecovered
+      * exists() would make IncrementalMerge treat the table as new and
+      * overwrite it with just the current batch. */
+    private def recoveredExists(name: String): Boolean = {
+      val dst = new org.apache.hadoop.fs.Path(path(name))
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Upsert.recoverAtomic(fs, dst,
+        new org.apache.hadoop.fs.Path(path(name) + "__old"))
+      fs.exists(dst)
+    }
+    def exists(name: String): Boolean = recoveredExists(name)
+    def read(name: String): DataFrame = {
+      recoveredExists(name)
+      spark.read.parquet(path(name))
+    }
     def overwrite(name: String, df: DataFrame): Unit =
       Upsert.overwriteAtomic(df, path(name))
     def append(name: String, df: DataFrame): Unit =

@@ -69,12 +69,10 @@ object ShipmentPipeline {
     val deduped = Upsert.dedupLatest(flat,
       keys = Seq("order_id", "carrier_id", "seller_id"),
       order = Seq(col("created_at"), col("shipment_id")))
-    val fs = new org.apache.hadoop.fs.Path(targetPath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val target =
-      if (fs.exists(new org.apache.hadoop.fs.Path(targetPath)))
-        spark.read.parquet(targetPath)
-      else deduped.limit(0)
+    // crash-recovering read: rolls an interrupted atomic swap forward
+    // before deciding the target is empty (see Upsert.readRecovered)
+    val target = Upsert.readRecovered(spark, targetPath)
+      .getOrElse(deduped.limit(0))
     val merged = Upsert.upsert(target, deduped,
       keys = Seq("order_id", "carrier_id", "seller_id"))
     Upsert.overwriteAtomic(merged, targetPath)

@@ -38,10 +38,22 @@ object IncrementalStream {
     * partition value from batch rows (e.g. `to_date($"created_at")`).
     *
     * CONTRACT: the partition value must be STABLE per key (an
-    * immutable event date, as in the reference's created_at). If a
-    * key could move between partitions, its old-partition row would
-    * escape the pruned slice — use the whole-table [[runUpsertSink]]
-    * or key-range bucketing instead.
+    * immutable event date, as in the reference's created_at) and
+    * NON-NULL — a batch row whose derived partition value is null is
+    * rejected (isin-based slice pruning can never match NULL, so null
+    * partitions would silently escape the merge and duplicate keys).
+    * If a key could move between partitions, its old-partition row
+    * would escape the pruned slice — use the whole-table
+    * [[runUpsertSink]] or key-range bucketing instead.
+    *
+    * Crash safety: the merged slice is fully materialized to a staging
+    * dir under the table root BEFORE any live partition is touched,
+    * then promoted one partition at a time by rename
+    * ([[graft.ops.Partitioned.swapStagedPartitions]]); every batch
+    * first heals interrupted swaps
+    * ([[graft.ops.Partitioned.recoverPartitionSwaps]]). A crash at any
+    * point leaves each touched partition either pre-batch or
+    * post-batch, and the checkpoint replay re-merges idempotently.
     */
   def runPartitionedUpsertSink(
       stream: DataFrame,
@@ -61,7 +73,12 @@ object IncrementalStream {
         val deduped = Upsert.dedupLatest(withPart, keys, order)
         val touched = deduped.select(partitionCol).distinct()
           .collect().map(_.get(0)).toSeq
+        require(!touched.contains(null),
+          s"runPartitionedUpsertSink: derived $partitionCol is NULL for " +
+            "some batch rows — the partition value must be non-null " +
+            "(NULL escapes isin slice pruning and would duplicate keys)")
         if (touched.nonEmpty) {
+          graft.ops.Partitioned.recoverPartitionSwaps(spark, targetPath)
           val fs = new org.apache.hadoop.fs.Path(targetPath).getFileSystem(
             spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(new org.apache.hadoop.fs.Path(targetPath))) {
@@ -72,8 +89,13 @@ object IncrementalStream {
             val slice = spark.read.parquet(targetPath)
               .filter(col(partitionCol).isin(touched: _*))
             val merged = Upsert.upsert(slice, deduped, keys)
-            graft.ops.Partitioned.overwriteDynamic(
-              merged, targetPath, Seq(partitionCol))
+            // materialize the slice off-table first, then promote by
+            // per-partition rename — never read-and-overwrite the same
+            // live files in one job
+            merged.write.mode("overwrite").partitionBy(partitionCol)
+              .parquet(graft.ops.Partitioned.stagingPath(targetPath))
+            graft.ops.Partitioned.swapStagedPartitions(
+              spark, targetPath, partitionCol)
           }
         }
         ()
@@ -99,12 +121,12 @@ object IncrementalStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val deduped = Upsert.dedupLatest(batch, keys, order)
-        val fs = new org.apache.hadoop.fs.Path(targetPath).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val target =
-          if (fs.exists(new org.apache.hadoop.fs.Path(targetPath)))
-            spark.read.parquet(targetPath)
-          else deduped.limit(0)
+        // readRecovered (NOT a bare exists+read): after a crash inside
+        // the previous batch's swap the live dir is absent and only the
+        // backup exists — an unrecovered check would merge into nothing
+        // and lose every row not in the replayed batch.
+        val target = Upsert.readRecovered(spark, targetPath)
+          .getOrElse(deduped.limit(0))
         val merged = Upsert.upsert(target, deduped, keys)
         Upsert.overwriteAtomic(merged, targetPath)
         ()
