@@ -117,32 +117,106 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance (popcount of xor) <=
-    * maxDist. Pair generation uses prefix buckets (top `prefixBits`
-    * bits must match) to avoid all-pairs at scale; with maxDist small
-    * and hashes uniform this keeps recall high while bounding the join. */
+    * maxDist, computed EXACTLY via the pigeonhole chunk join: split the
+    * 60-bit hash into `maxDist+1` disjoint chunks — any pair within
+    * hamming distance maxDist differs in at most maxDist bit positions,
+    * so at least one chunk matches exactly. Candidates come from an
+    * equi-join on (chunk_idx, chunk_value) (a hash shuffle join — no
+    * all-pairs / nested-loop), then the full distance is verified.
+    * Same result set as a cartesian compare, at bucket-join cost.
+    *
+    * Scale note: per-chunk fan-out is bounded by (chunk_idx, value)
+    * bucket sizes — 60/(maxDist+1) bits per chunk. Large maxDist means
+    * coarse chunks and fatter buckets; at extreme corpus sizes pick a
+    * tighter maxDist or recurse the construction (split each chunk
+    * collision group again). AQE skew-join splits oversized buckets. */
   def simhashNearPairs(sh: DataFrame, id: String, maxDist: Int): DataFrame = {
-    val a = sh.select(col(id).as("id_a"), col("simhash").as("sh_a"))
-    val b = sh.select(col(id).as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    val nChunks = maxDist + 1
+    require(nChunks <= 60, "maxDist must be < 60")
+    val base = 60 / nChunks
+    val extra = 60 % nChunks
+    val widths = (0 until nChunks).map(c => base + (if (c < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def chunkOf(h: Column, c: Int): Column =
+      shiftright(h, offsets(c)).bitwiseAND(lit((1L << widths(c)) - 1))
+    val chunks = array((0 until nChunks).map(c => chunkOf(col("simhash"), c)): _*)
+    val idx = sh.select(col(id), col("simhash"),
+      posexplode(chunks).as(Seq("chunk", "cv")))
+    val a = idx.select(col(id).as("id_a"), col("simhash").as("sh_a"),
+      col("chunk"), col("cv"))
+    val b = idx.select(col(id).as("id_b"), col("simhash").as("sh_b"),
+      col("chunk"), col("cv"))
+    // canonical-chunk dedup, all inside the codegen'd join stage: a
+    // pair is emitted ONLY from its first matching chunk (all earlier
+    // chunks must differ — cheap bit math on the carried hashes), and
+    // the full distance is verified in the same stage. Exactly-once
+    // emission means no distinct and no second shuffle at all.
+    val firstMatchingChunk = (0 until nChunks).map { c =>
+      (col("chunk") <= lit(c)) ||
+        (chunkOf(col("sh_a"), c) =!= chunkOf(col("sh_b"), c))
+    }.reduce(_ && _)
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(firstMatchingChunk)
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Embedding near-dup pairs: quantized cosine >= minCos. All-pairs
-    * at test scale; the documented scale path is LSH bucketing (random
-    * hyperplane signs = SimHash over the embedding) before the join. */
+  /** Embedding near-dup pairs: quantized cosine >= minCos over
+    * candidates from banded random-hyperplane LSH (the default, scale
+    * path): each vector gets `bands` bucket ids of `bitsPerBand`
+    * hyperplane sign bits ([[lshBucket]] with per-band plane offsets);
+    * vectors colliding in ANY band are scored exactly (the standard
+    * LSH OR-construction — more bands = higher recall, fatter
+    * candidate set). The equi-join on (band, bucket) replaces the
+    * all-pairs theta join; approximate by design (a qualifying pair
+    * colliding in no band is missed), but deterministic — the oracle
+    * computes identical integer buckets.
+    *
+    * `allPairs = true` keeps the exact cartesian baseline for
+    * test-scale ground truth. */
   def embeddingDupPairs(df: DataFrame, id: String, vec: String,
-      minCos: Double): DataFrame = {
+      minCos: Double, allPairs: Boolean = false,
+      bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
     val q = df.select(col(id), V.quantize(col(vec)).as("q"))
       .withColumn("nsq", V.normSqQ(col("q")))
-    val a = q.select(col(id).as("id_a"), col("q").as("q_a"), col("nsq").as("n_a"))
-    val b = q.select(col(id).as("id_b"), col("q").as("q_b"), col("nsq").as("n_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    def scored(candidates: DataFrame): DataFrame = candidates
       .withColumn("cosine", V.cosineFrom(
         V.dotQ(col("q_a"), col("q_b")), col("n_a"), col("n_b")))
       .filter(col("cosine") >= minCos)
       .select(col("id_a"), col("id_b"), col("cosine"))
+    if (allPairs) {
+      val a = q.select(col(id).as("id_a"), col("q").as("q_a"),
+        col("nsq").as("n_a"))
+      val b = q.select(col(id).as("id_b"), col("q").as("q_b"),
+        col("nsq").as("n_b"))
+      scored(a.join(b, col("id_a") < col("id_b")))
+    } else {
+      val bucketCols = array((0 until bands).map(t =>
+        lshBucket(col("q"), bitsPerBand, planeOffset = t * bitsPerBand)): _*)
+      val bk = q.select(col(id), col("q"), col("nsq"),
+          bucketCols.as("bks"),
+          posexplode(bucketCols).as(Seq("band", "bucket")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l = bk.select(col(id).as("id_a"), col("q").as("q_a"),
+        col("nsq").as("n_a"), col("bks").as("bks_a"),
+        col("band"), col("bucket"))
+      val r = bk.select(col(id).as("id_b"), col("q").as("q_b"),
+        col("nsq").as("n_b"), col("bks").as("bks_b"),
+        col("band"), col("bucket"))
+      // canonical-band dedup: emit a pair only from its FIRST matching
+      // band (earlier bands must differ — array compares on the carried
+      // bucket vectors), then verify the exact cosine in the same
+      // codegen'd stage. Exactly-once emission, no distinct shuffle.
+      val firstMatchingBand = (0 until bands).map { c =>
+        (col("band") <= lit(c)) ||
+          (element_at(col("bks_a"), c + 1) =!= element_at(col("bks_b"), c + 1))
+      }.reduce(_ && _)
+      scored(l.join(r, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(firstMatchingBand))
+    }
   }
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: iterative min-label
@@ -200,11 +274,12 @@ object Dedup {
     * LCG coefficient family). Exact integer math → identical buckets
     * on any engine, so even the approximate ANN path is
     * oracle-checkable. */
-  def lshBucket(vecQ: Column, bits: Int): Column = {
+  def lshBucket(vecQ: Column, bits: Int, planeOffset: Int = 0): Column = {
     import graft.functions.{TextFunctions => TF}
     (0 until bits).map { j =>
+      val p = planeOffset + j
       val w = array((0 until 64).map(i =>
-        lit((TF.minhashA(j) * (i + 1) + TF.minhashB(j)) % 1009 - 504)): _*)
+        lit((TF.minhashA(p) * (i + 1) + TF.minhashB(p)) % 1009 - 504)): _*)
       when(V.dotQ(vecQ, w) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -1,18 +1,175 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** The EDW sales-star pipeline (`dags/snowflake-EDW-ETL-dag.py`):
   * TRY_CAST positional validation (P3/P4/P5), DIM_DATE derivation with
-  * QUALIFY-dedup (W2 + §2.10 date/string functions), and the
-  * surrogate-key FACT_SALES build (J11, NULLIF, line-total
-  * arithmetic). Stage strings are simulated by stringifying testdata
-  * columns (with deterministically injected junk) so the TRY_CAST path
-  * is genuinely exercised.
+  * QUALIFY-dedup (W2 + §2.10 date/string functions), the surrogate-key
+  * FACT_SALES build (J11, NULLIF, line-total arithmetic), and the three
+  * SALES_GOLD serving aggregates (`:479-533`). Stage strings are
+  * simulated by stringifying testdata columns (with deterministically
+  * injected junk) so the TRY_CAST path is genuinely exercised.
   */
 object EdwQueries extends QueryPack {
+
+  // ---- shared star-schema builders (DIM_CUSTOMER / DIM_PRODUCT /
+  // DIM_DATE / FACT_SALES), reused by q51 and the gold aggregates ----
+
+  /** DIM_CUSTOMER (`snowflake-EDW-ETL-dag.py:358-377`): ONE ROW PER
+    * EMAIL, like the reference's `GROUP BY FS.EMAIL` + MAX(name) MERGE
+    * source — the natural key MUST be unique or every fact join fans
+    * out (at sf0.1 duplicate c_names blew the fact to ~10× lineitem).
+    * Surrogate id stood in deterministically by min c_custkey. */
+  private def dimCustomer(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        concat(col("c_name"), lit("@example.com")).as("email"))
+      .groupBy(col("email"))
+      .agg(min(col("c_custkey")).as("customer_id"),
+        max(col("c_name")).as("customer_name"))
+      .select(col("customer_id"), col("customer_name"), col("email"))
+
+  /** The DIM_PRODUCT ILIKE categorization chain
+    * (`snowflake-EDW-ETL-dag.py:385-399`), branch order preserved. */
+  private def categoryOf(item: Column): Column =
+    when(item.ilike("%Laptop%") || item.ilike("%MacBook%"), "Electronics")
+      .when(item.ilike("%Phone%") || item.ilike("%iPhone%") ||
+        item.ilike("%Samsung%"), "Mobile Devices")
+      .when(item.ilike("%Shoes%") || item.ilike("%Sneakers%"), "Footwear")
+      .when(item.ilike("%T-shirt%") || item.ilike("%Jacket%") ||
+        item.ilike("%Jeans%"), "Clothing")
+      .when(item.ilike("%Refrigerator%") || item.ilike("%Microwave%"),
+        "Home Appliances")
+      .when(item.ilike("%Table%") || item.ilike("%Chair%"), "Furniture")
+      .when(item.ilike("%TV%") || item.ilike("%Television%"), "Entertainment")
+      .when(item.ilike("%Headphones%") || item.ilike("%Earbuds%"),
+        "Accessories")
+      .otherwise("Others")
+
+  /** DIM_PRODUCT (`snowflake-EDW-ETL-dag.py:383-400`): `SELECT
+    * DISTINCT ITEM` in the reference — one row per item_name (same
+    * uniqueness argument as dimCustomer); min p_partkey as surrogate. */
+  private def dimProduct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("item_id"))
+      .select(col("item_id"), col("p_name").as("item_name"),
+        categoryOf(col("p_name")).as("category"))
+
+  /** DIM_DATE (`snowflake-EDW-ETL-dag.py:321-339`) as a reusable
+    * builder: one row per distinct order date with the yyyymmdd id. */
+  private def dimDate(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(col("o_orderdate").cast("date").as("order_date"))
+      .distinct()
+      .select(
+        regexp_replace(date_format(col("order_date"), "yyyy-MM-dd"), "-", "")
+          .cast("int").as("order_date_id"),
+        col("order_date"),
+        year(col("order_date")).as("year"),
+        month(col("order_date")).as("month"),
+        substring(regexp_replace(
+          date_format(col("order_date"), "yyyy-MM-dd"), "-", ""), 1, 6)
+          .as("yyyymm"))
+
+  /** FACT_SALES (`snowflake-EDW-ETL-dag.py:425-471`), unsorted: the
+    * processed stage rows left-join the three dims on their natural
+    * keys, NULLIF(-1) surrogate guards, exact decimal line total.
+    * No broadcast hints on customer/product: those "dims" are derived
+    * from full base tables and grow with the data (multi-GB at 100×) —
+    * AQE broadcasts them only while genuinely small. dim_date is
+    * calendar-bounded (~2.4k rows) and stays explicitly broadcast. */
+  private[graft] def factSales(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val part = Tables(s, dir, "part")
+    val orders = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    val processed = li
+      .join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(cust, orders("o_custkey") === cust("c_custkey"))
+      .join(part, li("l_partkey") === part("p_partkey"))
+      .select(
+        col("l_orderkey").as("sales_order_number"),
+        col("l_linenumber").as("linenumber"),
+        concat(col("c_name"), lit("@example.com")).as("email"),
+        col("p_name").as("item"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("unitprice"),
+        col("l_tax").as("tax"))
+    processed.as("fs")
+      .join(dimCustomer(s, dir).as("dc"),
+        col("dc.email") === col("fs.email"), "left")
+      .join(broadcast(dimDate(s, dir).select(
+          col("order_date_id"), col("order_date").as("dd_date"))).as("dd"),
+        col("fs.order_date") === col("dd.dd_date"), "left")
+      .join(dimProduct(s, dir).as("dp"),
+        col("dp.item_name") === col("fs.item"), "left")
+      .select(
+        col("fs.sales_order_number"),
+        col("fs.linenumber"),
+        nullif(col("dc.customer_id"), lit(-1L)).as("customer_id"),
+        nullif(col("dp.item_id"), lit(-1L)).as("item_id"),
+        nullif(col("dd.order_date_id"), lit(-1)).as("order_date_id"),
+        col("fs.quantity"),
+        col("fs.unitprice"),
+        col("fs.tax"),
+        (col("fs.quantity").cast("decimal(18,6)") *
+          col("fs.unitprice").cast("decimal(18,6)") +
+          col("fs.tax").cast("decimal(18,6)")).cast("double")
+          .as("total_sales_amount"))
+  }
+
+  /** Shared oracle CTE block: dims + processed + fact, the DuckDB twin
+    * of the builders above. */
+  private val oracleStar = """
+      dim_customer AS (
+        SELECT MIN(c_custkey) AS customer_id, MAX(c_name) AS customer_name,
+               c_name || '@example.com' AS email
+        FROM customer GROUP BY c_name || '@example.com'),
+      dim_product AS (
+        SELECT MIN(p_partkey) AS item_id, p_name AS item_name,
+          CASE WHEN p_name ILIKE '%Laptop%' OR p_name ILIKE '%MacBook%' THEN 'Electronics'
+               WHEN p_name ILIKE '%Phone%' OR p_name ILIKE '%iPhone%' OR p_name ILIKE '%Samsung%' THEN 'Mobile Devices'
+               WHEN p_name ILIKE '%Shoes%' OR p_name ILIKE '%Sneakers%' THEN 'Footwear'
+               WHEN p_name ILIKE '%T-shirt%' OR p_name ILIKE '%Jacket%' OR p_name ILIKE '%Jeans%' THEN 'Clothing'
+               WHEN p_name ILIKE '%Refrigerator%' OR p_name ILIKE '%Microwave%' THEN 'Home Appliances'
+               WHEN p_name ILIKE '%Table%' OR p_name ILIKE '%Chair%' THEN 'Furniture'
+               WHEN p_name ILIKE '%TV%' OR p_name ILIKE '%Television%' THEN 'Entertainment'
+               WHEN p_name ILIKE '%Headphones%' OR p_name ILIKE '%Earbuds%' THEN 'Accessories'
+               ELSE 'Others' END AS category
+        FROM part GROUP BY p_name),
+      dim_date AS (
+        SELECT CAST(replace(strftime(d, '%Y-%m-%d'), '-', '') AS INT) AS order_date_id,
+               d AS order_date,
+               CAST(year(d) AS INT) AS year,
+               CAST(month(d) AS INT) AS month,
+               substring(replace(strftime(d, '%Y-%m-%d'), '-', ''), 1, 6) AS yyyymm
+        FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)),
+      processed AS (
+        SELECT l_orderkey AS sales_order_number, l_linenumber AS linenumber,
+               c_name || '@example.com' AS email, p_name AS item,
+               CAST(o_orderdate AS DATE) AS order_date,
+               l_quantity AS quantity, l_extendedprice AS unitprice, l_tax AS tax
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN part ON l_partkey = p_partkey),
+      fact AS (
+        SELECT fs.sales_order_number, fs.linenumber,
+               NULLIF(dc.customer_id, -1) AS customer_id,
+               NULLIF(dp.item_id, -1) AS item_id,
+               NULLIF(dd.order_date_id, -1) AS order_date_id,
+               fs.quantity, fs.unitprice, fs.tax,
+               CAST(CAST(CAST(fs.quantity AS DECIMAL(28,6)) * CAST(fs.unitprice AS DECIMAL(28,6))
+                    + CAST(fs.tax AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS total_sales_amount
+        FROM processed fs
+        LEFT JOIN dim_customer dc ON dc.email = fs.email
+        LEFT JOIN dim_date dd ON fs.order_date = dd.order_date
+        LEFT JOIN dim_product dp ON dp.item_name = fs.item)"""
 
   /** P3: TRY_CAST validation of string-typed stage columns with the
     * EDW view's predicate shape (`snowflake-EDW-ETL-dag.py:74-96`);
@@ -128,83 +285,104 @@ object EdwQueries extends QueryPack {
     * = qty*price+tax (exact decimal channel). */
   val q51 = Q(
     "q51_edw_fact_sales",
-    (s, dir) => {
-      import s.implicits._
-      val cust = Tables(s, dir, "customer")
-      val part = Tables(s, dir, "part")
-      val orders = Tables(s, dir, "orders")
-      val li = Tables(s, dir, "lineitem")
-      val dimCustomer = cust.select($"c_custkey".as("customer_id"),
-        concat($"c_name", lit("@example.com")).as("email"))
-      val dimProduct = part.select($"p_partkey".as("item_id"),
-        $"p_name".as("item_name"))
-      val dimDate = orders.select($"o_orderdate".cast("date").as("dd_date"))
-        .distinct()
-        .select(regexp_replace(date_format($"dd_date", "yyyy-MM-dd"), "-", "")
-          .cast("int").as("order_date_id"), $"dd_date")
-      val processed = li
-        .join(orders, li("l_orderkey") === orders("o_orderkey"))
-        .join(cust, orders("o_custkey") === cust("c_custkey"))
-        .join(part, li("l_partkey") === part("p_partkey"))
-        .select(
-          $"l_orderkey".as("sales_order_number"),
-          $"l_linenumber".as("linenumber"),
-          concat($"c_name", lit("@example.com")).as("email"),
-          $"p_name".as("item"),
-          $"o_orderdate".cast("date").as("order_date"),
-          $"l_quantity".as("quantity"),
-          $"l_extendedprice".as("unitprice"),
-          $"l_tax".as("tax"))
-      processed.as("fs")
-        .join(broadcast(dimCustomer).as("dc"), $"dc.email" === $"fs.email", "left")
-        .join(broadcast(dimDate).as("dd"), $"fs.order_date" === $"dd.dd_date", "left")
-        .join(broadcast(dimProduct).as("dp"), $"dp.item_name" === $"fs.item", "left")
-        .select(
-          $"fs.sales_order_number",
-          $"fs.linenumber",
-          nullif($"dc.customer_id", lit(-1L)).as("customer_id"),
-          nullif($"dp.item_id", lit(-1L)).as("item_id"),
-          nullif($"dd.order_date_id", lit(-1)).as("order_date_id"),
-          $"fs.quantity",
-          $"fs.unitprice",
-          $"fs.tax",
-          ($"fs.quantity".cast("decimal(18,6)") *
-            $"fs.unitprice".cast("decimal(18,6)") +
-            $"fs.tax".cast("decimal(18,6)")).cast("double")
-            .as("total_sales_amount"))
-        .orderBy($"sales_order_number", $"linenumber")
-    },
-    Some("""
-      WITH dim_customer AS (
-        SELECT c_custkey AS customer_id, c_name || '@example.com' AS email
-        FROM customer),
-      dim_product AS (
-        SELECT p_partkey AS item_id, p_name AS item_name FROM part),
-      dim_date AS (
-        SELECT CAST(replace(strftime(d, '%Y-%m-%d'), '-', '') AS INT) AS order_date_id, d
-        FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)),
-      processed AS (
-        SELECT l_orderkey AS sales_order_number, l_linenumber AS linenumber,
-               c_name || '@example.com' AS email, p_name AS item,
-               CAST(o_orderdate AS DATE) AS order_date,
-               l_quantity AS quantity, l_extendedprice AS unitprice, l_tax AS tax
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN part ON l_partkey = p_partkey)
-      SELECT fs.sales_order_number, fs.linenumber,
-             NULLIF(dc.customer_id, -1) AS customer_id,
-             NULLIF(dp.item_id, -1) AS item_id,
-             NULLIF(dd.order_date_id, -1) AS order_date_id,
-             fs.quantity, fs.unitprice, fs.tax,
-             CAST(CAST(CAST(fs.quantity AS DECIMAL(28,6)) * CAST(fs.unitprice AS DECIMAL(28,6))
-                  + CAST(fs.tax AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS total_sales_amount
-      FROM processed fs
-      LEFT JOIN dim_customer dc ON dc.email = fs.email
-      LEFT JOIN dim_date dd ON fs.order_date = dd.d
-      LEFT JOIN dim_product dp ON dp.item_name = fs.item
-      ORDER BY fs.sales_order_number, fs.linenumber"""),
+    (s, dir) => factSales(s, dir)
+      .orderBy(col("sales_order_number"), col("linenumber")),
+    Some(s"""
+      WITH $oracleStar
+      SELECT * FROM fact
+      ORDER BY sales_order_number, linenumber"""),
     covers = Seq("J11", "J10", "F-scalar", "A4"))
 
-  override def queries: Seq[Q] = Seq(q49, q50, q51)
+  /** FACT_CUSTOMER_SALES_AGG (`snowflake-EDW-ETL-dag.py:482-495`):
+    * fact ⋈ dim_customer ⋈ dim_date, grouped to customer × month.
+    * Exact decimal channel for the double sums (driver hash gate). */
+  val q63 = Q(
+    "q63_edw_customer_sales_agg",
+    (s, dir) => {
+      factSales(s, dir).as("f")
+        .join(dimCustomer(s, dir).as("c"),
+          col("f.customer_id") === col("c.customer_id"))
+        .join(broadcast(dimDate(s, dir)).as("d"),
+          col("f.order_date_id") === col("d.order_date_id"))
+        .groupBy(col("c.customer_id"), col("c.customer_name"),
+          col("d.year"), col("d.month"), col("d.yyyymm"))
+        .agg(
+          sum(col("f.quantity").cast("decimal(18,6)")).cast("double")
+            .as("total_quantity"),
+          sum(col("f.total_sales_amount").cast("decimal(28,6)")).cast("double")
+            .as("total_revenue"),
+          countDistinct(col("d.order_date")).as("active_days"))
+        .orderBy(col("customer_id"), col("yyyymm"))
+    },
+    Some(s"""
+      WITH $oracleStar
+      SELECT c.customer_id, c.customer_name, d.year, d.month, d.yyyymm,
+             CAST(CAST(SUM(CAST(f.quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_quantity,
+             CAST(CAST(SUM(CAST(f.total_sales_amount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_revenue,
+             COUNT(DISTINCT d.order_date) AS active_days
+      FROM fact f
+      JOIN dim_customer c ON f.customer_id = c.customer_id
+      JOIN dim_date d ON f.order_date_id = d.order_date_id
+      GROUP BY c.customer_id, c.customer_name, d.year, d.month, d.yyyymm
+      ORDER BY c.customer_id, d.yyyymm"""),
+    covers = Seq("J14", "A1", "A3", "A4"))
+
+  /** sales_summary_by_day (`snowflake-EDW-ETL-dag.py:503-511`). */
+  val q64 = Q(
+    "q64_edw_sales_by_day",
+    (s, dir) => {
+      factSales(s, dir).as("fs")
+        .join(broadcast(dimDate(s, dir)).as("d"),
+          col("fs.order_date_id") === col("d.order_date_id"))
+        .groupBy(col("d.order_date"))
+        .agg(
+          sum(col("fs.total_sales_amount").cast("decimal(28,6)")).cast("double")
+            .as("total_sales"),
+          sum(col("fs.quantity").cast("decimal(18,6)")).cast("double")
+            .as("total_units_sold"),
+          countDistinct(col("fs.sales_order_number")).as("total_orders"))
+        .orderBy(col("order_date"))
+    },
+    Some(s"""
+      WITH $oracleStar
+      SELECT d.order_date,
+             CAST(CAST(SUM(CAST(fs.total_sales_amount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_sales,
+             CAST(CAST(SUM(CAST(fs.quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_units_sold,
+             COUNT(DISTINCT fs.sales_order_number) AS total_orders
+      FROM fact fs
+      JOIN dim_date d ON fs.order_date_id = d.order_date_id
+      GROUP BY d.order_date
+      ORDER BY d.order_date"""),
+    covers = Seq("J14", "A1", "A3", "A4"))
+
+  /** product_sales_summary (`snowflake-EDW-ETL-dag.py:520-530`):
+    * per-product rollup incl. the ILIKE category chain. */
+  val q65 = Q(
+    "q65_edw_product_sales",
+    (s, dir) => {
+      factSales(s, dir).as("fs")
+        .join(dimProduct(s, dir).as("p"),
+          col("fs.item_id") === col("p.item_id"))
+        .groupBy(col("p.item_id"), col("p.item_name"), col("p.category"))
+        .agg(
+          sum(col("fs.quantity").cast("decimal(18,6)")).cast("double")
+            .as("units_sold"),
+          sum(col("fs.total_sales_amount").cast("decimal(28,6)")).cast("double")
+            .as("revenue"),
+          countDistinct(col("fs.sales_order_number")).as("order_count"))
+        .orderBy(col("item_id"))
+    },
+    Some(s"""
+      WITH $oracleStar
+      SELECT p.item_id, p.item_name, p.category,
+             CAST(CAST(SUM(CAST(fs.quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS units_sold,
+             CAST(CAST(SUM(CAST(fs.total_sales_amount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+             COUNT(DISTINCT fs.sales_order_number) AS order_count
+      FROM fact fs
+      JOIN dim_product p ON fs.item_id = p.item_id
+      GROUP BY p.item_id, p.item_name, p.category
+      ORDER BY p.item_id"""),
+    covers = Seq("J14", "A1", "A3", "A4"))
+
+  override def queries: Seq[Q] = Seq(q49, q50, q51, q63, q64, q65)
 }

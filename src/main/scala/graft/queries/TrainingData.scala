@@ -230,12 +230,49 @@ object TrainingData extends QueryPack {
       ORDER BY id_a, id_b"""),
     covers = Seq("TD-dedup-simhash"))
 
-  /** Embedding-cosine near-dup pairs over quantized vectors. */
+  /** DuckDB banded hyperplane bucket: band t, bit j uses plane index
+    * t*bitsPerBand+j — exact mirror of Dedup.lshBucket(planeOffset). */
+  private def dkBand(alias: String, t: Int, bitsPerBand: Int): String =
+    (0 until bitsPerBand).map { j =>
+      val p = t * bitsPerBand + j
+      val a = T.minhashA(p); val b = T.minhashB(p)
+      s"""CASE WHEN list_aggregate([$alias.qv[ij] * ((($a*ij + $b) % 1009) - 504)
+           for ij in generate_series(1,64)], 'sum') >= 0
+         THEN ${1L << j} ELSE 0 END"""
+    }.mkString(" + ")
+
+  /** Embedding-cosine near-dup pairs — the banded-LSH scale path:
+    * candidates collide in ≥1 of 4 hyperplane bands, then the exact
+    * quantized cosine is verified. Deterministic integer buckets keep
+    * even the approximate generator oracle-checkable. */
   val q26 = Q(
     "q26_embedding_dups",
     (s, dir) => {
       Dedup.embeddingDupPairs(Tables(s, dir, "embeddings"), "vec_id",
           "embedding", minCos = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH $dkQuantized,
+      bkt AS (SELECT vec_id, qv, nsq,
+                ${(0 until 4).map(t => s"(${dkBand("n", t, 4)}) AS band$t").mkString(",\n                ")}
+              FROM n)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${dkDot("a", "b")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+      FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id
+       AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+            a.band2 = b.band2 OR a.band3 = b.band3)
+      WHERE ${dkDot("a", "b")} / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.4
+      ORDER BY id_a, id_b"""),
+    covers = Seq("TD-dedup-cosine"))
+
+  /** All-pairs exact baseline of q26 (ground truth for recall at test
+    * scale; NOT the production path — O(n²)). */
+  val q66 = Q(
+    "q66_embedding_dups_exact",
+    (s, dir) => {
+      Dedup.embeddingDupPairs(Tables(s, dir, "embeddings"), "vec_id",
+          "embedding", minCos = 0.4, allPairs = true)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(s"""
@@ -362,5 +399,5 @@ object TrainingData extends QueryPack {
     covers = Seq("ST-window-agg"))
 
   override def queries: Seq[Q] =
-    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53)
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53, q66)
 }

@@ -1,0 +1,30 @@
+// Ad-hoc timing probe: time named queries (or expressions) one by one.
+// Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.tools.Probe q63 q64"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime; val n = f
+      println(f"PROBE $name%-32s ${(System.nanoTime - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    // one warm-up pass over the fact build so page cache/codegen are hot
+    time("warmup_fact")(graft.queries.EdwQueries.factSales(spark, dir).count())
+    args.foreach { a =>
+      graft.SparkEntry.queries.filter(_._1.startsWith(a)).toSeq.sortBy(_._1)
+        .foreach { case (name, fn) => time(name)(fn(spark, dir).count()) }
+    }
+    spark.stop()
+  }
+}

@@ -50,4 +50,41 @@ class PlanRegressionSpec extends SparkSpec {
     val p = plan("q01_pricing_summary")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(600))
   }
+
+  test("q25: simhash pair generation is a chunk equi-join, no nested-loop") {
+    val p = plan("q25_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pigeonhole chunk join must not regress to all-pairs:\n" + p.take(800))
+  }
+
+  test("q26: embedding near-dup candidates come from the (band, bucket) equi-join") {
+    val p = plan("q26_embedding_dups")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "banded-LSH generator must not regress to all-pairs:\n" + p.take(800))
+    assert(p.contains("band"), "expected the band/bucket join keys in the plan")
+  }
+
+  /** Blanket sweep: no quadratic join shape anywhere in the contract
+    * surface, except the DECLARED all-pairs baselines and the 1-row
+    * control-table crossJoin (GoldModels — broadcast of one literal
+    * config row, constant cost). */
+  test("no CartesianProduct/BroadcastNestedLoopJoin outside declared baselines") {
+    val declared = Set(
+      "q21_jaccard_pairs",          // all-pairs OUTPUT by definition (inverted-index join); plan may nest small side
+      "q27_ann_topk",               // brute-force ANN baseline: broadcast NL by design (scale path = q52)
+      "q66_embedding_dups_exact",   // all-pairs ground-truth baseline (scale path = q26)
+      "q31_config_exclusion",       // 1-row control-table crossJoin
+      "q48_gold_customer_experience_controlled") // same control-table shape
+    val offenders = SparkEntry.allQueries
+      .filterNot(q => declared.contains(q.name))
+      .flatMap { q =>
+        val p = try plan(q.name) catch { case e: Throwable =>
+          fail(s"${q.name} failed to plan: ${e.getMessage}") }
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(q.name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"quadratic join shapes in: ${offenders.mkString(", ")}")
+  }
 }

@@ -30,7 +30,8 @@ def main(outdir, sfdir):
         if not pq:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
-            got = con.execute(f"SELECT * FROM '{pq[0]}'").fetchall()
+            files = ", ".join(f"'{p}'" for p in sorted(pq))
+            got = con.execute(f"SELECT * FROM read_parquet([{files}])").fetchall()
             gcols = [d[0] for d in con.description]
             exp = con.execute(sql).fetchall()
             ecols = [d[0] for d in con.description]
