@@ -21,7 +21,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // per-round ledger: the driver's BENCH_r{N}.json can truncate in
+    // logs — persist the full per-query JSON so round-over-round
+    // regressions stay machine-diffable (bench_history/ is committed).
+    try {
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench_history"))
+      java.nio.file.Files.createDirectories(dir)
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      java.nio.file.Files.writeString(dir.resolve(s"bench_$stamp.json"), line)
+      java.nio.file.Files.writeString(dir.resolve("bench_latest.json"), line)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ledger write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -69,8 +69,12 @@ object Upsert {
 
   /** SCD Type-2 history from a changelog (the dbt snapshot, timestamp
     * strategy): one output row per (key, consecutive run of identical
-    * tracked values), with valid_from = first ts of the run,
-    * valid_to = next run's valid_from (null while current).
+    * tracked values), with dbt_valid_from = first ts of the run,
+    * dbt_valid_to = next run's dbt_valid_from (null while current) —
+    * the dbt snapshot's column names
+    * (`dbt/dbt-project/snapshots/customers/scd_customers.sql:1-27`),
+    * so a dbt user's downstream models drop in unchanged; is_current
+    * (= dbt_valid_to IS NULL) kept as a convenience.
     *
     * @param order  deterministic ordering inside a key (ts + tie-break)
     * @param tracked columns whose changes open a new version
@@ -92,11 +96,11 @@ object Upsert {
     versioned
       .groupBy((keys :+ "__version").map(col): _*)
       .agg(
-        min(firstTs).as("valid_from"),
+        min(firstTs).as("dbt_valid_from"),
         (tracked.map(c => first(col(c)).as(c))): _*)
-      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+      .withColumn("dbt_valid_to", lead(col("dbt_valid_from"), 1).over(
         Window.partitionBy(keys.map(col): _*).orderBy(col("__version"))))
-      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("is_current", col("dbt_valid_to").isNull)
       .drop("__version")
   }
 

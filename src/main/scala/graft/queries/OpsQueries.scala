@@ -58,9 +58,10 @@ object OpsQueries extends QueryPack {
     covers = Seq("M1-merge", "J10"))
 
   /** dbt SCD2 snapshot semantics over the events changelog: per user,
-    * one row per consecutive run of the same event_type with
-    * valid_from / valid_to / is_current. ts is compared at µs
-    * precision on both sides (events nanos are floored by Tables). */
+    * one row per consecutive run of the same event_type with the dbt
+    * snapshot's column names dbt_valid_from / dbt_valid_to (+
+    * is_current convenience). ts is compared at µs precision on both
+    * sides (events nanos are floored by Tables). */
   val q14 = Q(
     "q14_scd2_history",
     (s, dir) => {
@@ -70,9 +71,9 @@ object OpsQueries extends QueryPack {
           keys = Seq("user_id"),
           order = Seq($"ts", $"event_id"),
           tracked = Seq("event_type"))
-        .select($"user_id", $"event_type", $"valid_from", $"valid_to",
-          $"is_current")
-        .orderBy($"user_id", $"valid_from")
+        .select($"user_id", $"event_type", $"dbt_valid_from",
+          $"dbt_valid_to", $"is_current")
+        .orderBy($"user_id", $"dbt_valid_from")
     },
     Some("""
       WITH e AS (
@@ -86,13 +87,13 @@ object OpsQueries extends QueryPack {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
         FROM e),
       g AS (
-        SELECT user_id, version, min(ts) AS valid_from,
+        SELECT user_id, version, min(ts) AS dbt_valid_from,
                min(event_type) AS event_type
         FROM v GROUP BY user_id, version)
-      SELECT user_id, event_type, valid_from,
-             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
-             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
-      FROM g ORDER BY user_id, valid_from"""),
+      SELECT user_id, event_type, dbt_valid_from,
+             lead(dbt_valid_from) OVER (PARTITION BY user_id ORDER BY version) AS dbt_valid_to,
+             lead(dbt_valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+      FROM g ORDER BY user_id, dbt_valid_from"""),
     covers = Seq("M2-scd2", "W1"))
 
   /** P5: first-failing-rule error split over lineitem, both branches in

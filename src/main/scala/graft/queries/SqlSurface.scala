@@ -199,5 +199,63 @@ object SqlSurface extends QueryPack {
       ORDER BY o_orderkey, attr"""),
     covers = Seq("P11", "S3", "W-flatten"))
 
-  override def queries: Seq[Q] = Seq(q29, q30, q31, q32, q33)
+  /** S2/S5 weather pipeline end-to-end (`dags/weather_util.py:8-87`,
+    * `dags/weather_api_dag.py:59-68`): a deterministic "API extract"
+    * derived from events is landed as `weather_*.csv` files (plus a
+    * decoy the COPY PATTERN must ignore), bulk-read through
+    * WeatherPipeline.bronze, typed by silver, and aggregated per city.
+    * Numeric fields travel as DECIMAL(18,6) strings so the CSV
+    * round-trip is bit-exact; the oracle recomputes from events. */
+  val q67 = Q(
+    "q67_weather_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val extract = Tables(s, dir, "events").filter($"user_id" < 200)
+        .select(
+          concat(lit("city_"), ($"user_id" % 7).cast("string")).as("city"),
+          unix_timestamp($"ts").as("timestamp"),
+          $"event_type".as("weather_main"),
+          concat($"event_type", lit(" sky")).as("weather_description"),
+          $"value".cast(D).cast("string").as("temp"),
+          ($"value".cast(D) + lit(1).cast(D)).cast("string").as("feels_like"),
+          ($"user_id" % 100).cast("long").as("humidity"),
+          ($"value".cast(D) * lit(2).cast(D)).cast("string").as("wind_speed"),
+          ($"user_id" % 101).cast("long").as("clouds"))
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft_weather_").toString
+      extract.coalesce(4).write.option("header", true)
+        .mode("overwrite").csv(landing)
+      val fs = new org.apache.hadoop.fs.Path(landing)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(landing))
+        .filter(f => f.getPath.getName.startsWith("part-") &&
+          f.getPath.getName.endsWith(".csv"))
+        .zipWithIndex.foreach { case (f, i) =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(landing,
+            f"weather_20240101000$i%03d.csv"))
+        }
+      // decoy: present in the landing dir, excluded by the PATTERN
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(landing, "other_data.csv"), "city,x\nzz,1\n")
+      graft.silver.WeatherPipeline
+        .silver(graft.silver.WeatherPipeline.bronze(s, landing))
+        .groupBy($"city")
+        .agg(
+          count(lit(1)).as("n_obs"),
+          sum($"temp".cast(D)).cast("double").as("sum_temp"),
+          max($"humidity").as("max_humidity"),
+          countDistinct($"weather_main").as("n_conditions"))
+        .orderBy($"city")
+    },
+    Some("""
+      SELECT 'city_' || CAST(user_id % 7 AS VARCHAR) AS city,
+             count(*) AS n_obs,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_temp,
+             MAX(CAST(user_id % 100 AS BIGINT)) AS max_humidity,
+             COUNT(DISTINCT event_type) AS n_conditions
+      FROM events WHERE user_id < 200
+      GROUP BY 1 ORDER BY city"""),
+    covers = Seq("S2", "S5", "S7"))
+
+  override def queries: Seq[Q] = Seq(q29, q30, q31, q32, q33, q67)
 }

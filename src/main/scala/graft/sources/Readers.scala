@@ -69,7 +69,10 @@ object Readers {
     * (as c1..cn) plus the metadata virtual columns of
     * `dags/snowflake-EDW-ETL-dag.py:74-96`:
     * metadata$FILENAME → file_name, metadata$FILE_LAST_MODIFIED →
-    * file_last_modified, metadata$FILE_ROW_NUMBER → file_row_number.
+    * file_last_modified, metadata$FILE_ROW_NUMBER → file_row_number,
+    * metadata$FILE_CONTENT_KEY → file_content_key (a stable per-file
+    * content fingerprint: md5 over path + size — computed from scan
+    * metadata, no second read of the file bytes).
     *
     * file_row_number: 1-based position within the source file, from a
     * window over (file, monotonically_increasing_id). Row order within
@@ -85,7 +88,9 @@ object Readers {
       .csv(path)
       .select((0 until nCols).map(i => col(s"_c$i").as(s"c${i + 1}")) ++ Seq(
         col("_metadata.file_path").as("file_name"),
-        col("_metadata.file_modification_time").as("file_last_modified")): _*)
+        col("_metadata.file_modification_time").as("file_last_modified"),
+        md5(concat_ws(":", col("_metadata.file_path"),
+          col("_metadata.file_size").cast("string"))).as("file_content_key")): _*)
     raw.withColumn("file_row_number",
       row_number().over(Window.partitionBy(col("file_name"))
         .orderBy(monotonically_increasing_id())))

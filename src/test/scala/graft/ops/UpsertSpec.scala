@@ -54,8 +54,8 @@ class UpsertSpec extends SparkSpec {
       ("u2", 1L, "X")
     ).toDF("k", "ts", "status")
     val hist = Upsert.scd2FromChangelog(df, Seq("k"), Seq($"ts"), Seq("status"))
-    val rows = hist.orderBy($"k", $"valid_from")
-      .select($"k", $"status", $"valid_from", $"valid_to", $"is_current")
+    val rows = hist.orderBy($"k", $"dbt_valid_from")
+      .select($"k", $"status", $"dbt_valid_from", $"dbt_valid_to", $"is_current")
       .as[(String, String, Long, Option[Long], Boolean)].collect().toSeq
     assert(rows == Seq(
       ("u1", "A", 1L, Some(3L), false),

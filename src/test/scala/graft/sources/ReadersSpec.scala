@@ -61,12 +61,17 @@ class ReadersSpec extends SparkSpec {
     write(d, "sales_2.csv", "3,c,30")
     val df = Readers.stageSelect(spark, s"$d/sales_*.csv", nCols = 3)
     assert(df.columns.toSeq == Seq("c1", "c2", "c3", "file_name",
-      "file_last_modified", "file_row_number"))
+      "file_last_modified", "file_content_key", "file_row_number"))
     val rows = df.select($"c1", $"file_name", $"file_row_number")
       .as[(String, String, Int)].collect().sortBy(_._1)
     assert(rows.map(r => r._1 -> r._3).toSeq ==
       Seq("1" -> 1, "2" -> 2, "3" -> 1))
     assert(rows.forall(_._2.contains("sales_")))
+    // content key: stable per file, distinct across files, md5-shaped
+    val keys = df.select($"file_name", $"file_content_key")
+      .distinct().as[(String, String)].collect().toMap
+    assert(keys.size == 2 && keys.values.toSet.size == 2)
+    assert(keys.values.forall(_.matches("[0-9a-f]{32}")))
   }
 
   test("stageHasFiles + archiveFiles (S16/S17)") {
