@@ -60,8 +60,13 @@ object TicketClassifier {
     val tf = new HashingTF()
       .setInputCol("__tokens").setOutputCol("__tf").setNumFeatures(1 << 12)
     val idf = new IDF().setInputCol("__tf").setOutputCol("__features")
+    // sklearn's LogisticRegression defaults (the reference's model):
+    // max_iter=100, tol=1e-4. Every LBFGS iteration is a Spark job, so
+    // the looser-but-reference-faithful tolerance also halves the
+    // fixed fit overhead on the 10-row corpus.
     val lr = new LogisticRegression()
-      .setFeaturesCol("__features").setLabelCol("label").setMaxIter(200)
+      .setFeaturesCol("__features").setLabelCol("label")
+      .setMaxIter(100).setTol(1e-4)
     val indexerModel = indexer.fit(train)
     val decode = new IndexToString()
       .setInputCol("prediction").setOutputCol("__predicted_label")
