@@ -309,6 +309,41 @@ object Dedup {
       .select(col("id_q"), col("rank"), col("id_c"), col("cosine"))
   }
 
+  /** Multi-probe LSH ANN: like [[annTopKLsh]], but each query also
+    * probes every bucket at hamming distance 1 from its own (flip each
+    * of the `bits` sign bits) — the standard multi-probe trick
+    * (Lv et al., VLDB'07): ~(bits+1)× the candidates for one extra
+    * explode of the SMALL query side, recall substantially up, and the
+    * corpus layout/scan untouched (still one equi-join on bucket id,
+    * corpus never shuffled — the exploded query side stays broadcast).
+    * Deterministic probes keep it oracle-checkable: candidates are
+    * exactly the corpus rows with hamming(bucket_q, bucket_c) <= 1. */
+  def annTopKMultiProbe(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, bits: Int = 8): DataFrame = {
+    val prep = (d: DataFrame, suffix: String) =>
+      d.select(col(id).as(s"id_$suffix"), V.quantize(col(vec)).as(s"q_$suffix"))
+        .withColumn(s"n_$suffix", V.normSqQ(col(s"q_$suffix")))
+        .withColumn("bucket", lshBucket(col(s"q_$suffix"), bits))
+    val c = prep(corpus, "c")
+    // probe set = own bucket + each single-bit flip; all distinct, so a
+    // corpus row can match a query through at most one probe (no dup
+    // candidates, no distinct needed)
+    val qp = prep(queries, "q")
+      .withColumn("probe", explode(array(
+        (col("bucket") +: (0 until bits).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j)))): _*)))
+      .drop("bucket")
+    val scored = c.join(broadcast(qp), col("bucket") === col("probe"))
+      .filter(col("id_q") =!= col("id_c"))
+      .withColumn("cosine", V.cosineFrom(
+        V.dotQ(col("q_q"), col("q_c")), col("n_q"), col("n_c")))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cosine").desc, col("id_c").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_q"), col("rank"), col("id_c"), col("cosine"))
+  }
+
   /** Brute-force top-k cosine neighbors for a query subset. The query
     * side is small by construction — broadcast it so the corpus scan
     * is embarrassingly parallel with no shuffle of the big side. */

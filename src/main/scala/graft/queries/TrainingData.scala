@@ -374,6 +374,43 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-ann-lsh"))
 
+  /** Multi-probe LSH ANN (recall knob between q52's exact-bucket LSH
+    * and q27's brute force): queries additionally probe all buckets at
+    * hamming distance 1 — candidates are exactly the corpus rows with
+    * bit_count(xor(buckets)) <= 1, still fully deterministic. */
+  val q68 = Q(
+    "q68_ann_multiprobe",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Dedup.annTopKMultiProbe(emb, emb.filter($"vec_id" < 10), "vec_id",
+          "embedding", k = 5, bits = 8)
+        .orderBy(col("id_q"), col("rank"))
+    },
+    Some {
+      val dotW = (alias: String) => (0 until 8).map { j =>
+        val a = T.minhashA(j); val b = T.minhashB(j)
+        s"""CASE WHEN list_aggregate([$alias.qv[ij] * ((($a*ij + $b) % 1009) - 504)
+             for ij in generate_series(1,64)], 'sum') >= 0
+           THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""
+      WITH $dkQuantized,
+      b AS (SELECT vec_id, qv, nsq, ${dotW("n")} AS bucket FROM n),
+      scored AS (
+        SELECT qs.vec_id AS id_q, cs.vec_id AS id_c,
+               ${dkDot("qs", "cs")} / (sqrt(qs.nsq) * sqrt(cs.nsq)) AS cosine
+        FROM b qs JOIN b cs
+          ON bit_count(xor(qs.bucket, cs.bucket)) <= 1
+        WHERE qs.vec_id < 10 AND qs.vec_id <> cs.vec_id)
+      SELECT id_q, rank, id_c, cosine FROM (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY id_q ORDER BY cosine DESC, id_c ASC) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY id_q, rank"""
+    },
+    covers = Seq("TD-ann-lsh"))
+
   /** Tumbling-window aggregation over the event stream (Spark
     * `window()` — the Structured Streaming windowed-agg shape, run
     * batch here): per hour × event_type counts and exact value sums. */
@@ -399,5 +436,6 @@ object TrainingData extends QueryPack {
     covers = Seq("ST-window-agg"))
 
   override def queries: Seq[Q] =
-    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53, q66)
+    Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
+      q66, q68)
 }

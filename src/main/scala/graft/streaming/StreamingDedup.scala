@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming exact dedup for a continuously-ingested corpus: emit each
+  * document the FIRST time its content fingerprint is seen, suppress
+  * every later arrival — the streaming-native form of `Dedup
+  * .exactDupGroups` for a training-data pipeline that ingests forever
+  * (the batch operator dedupes a snapshot; this dedupes an unbounded
+  * stream with exactly-once state).
+  *
+  * State is one (first-seen timestamp) entry per fingerprint, shuffled
+  * by fingerprint — the layout that scales horizontally with corpus
+  * cardinality. Event-time timeout expires fingerprints `retention`
+  * past the watermark, bounding the store for time-windowed dedup;
+  * pass an effectively-infinite retention for global dedup (state then
+  * grows with DISTINCT fingerprints only, the same footprint the batch
+  * groupBy would shuffle).
+  */
+object StreamingDedup {
+
+  final case class Doc(doc_id: Long, fp: String, ts: java.sql.Timestamp)
+
+  val docSchema: StructType =
+    StructType.fromDDL("doc_id BIGINT, fp STRING, ts TIMESTAMP")
+
+  /** First-seen filter per fingerprint group. Within one micro-batch,
+    * the earliest (ts, doc_id) row wins — deterministic under replay,
+    * so the sink stays exactly-once end-to-end. */
+  def firstSeen(
+      retentionMs: Long)(
+      fp: String,
+      docs: Iterator[Doc],
+      state: GroupState[Long]): Iterator[Doc] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else if (state.exists) {
+      // already emitted for this fingerprint: keep the state alive past
+      // the newest arrival, emit nothing
+      val _ = docs.size
+      state.setTimeoutTimestamp(state.get + retentionMs)
+      Iterator.empty
+    } else {
+      val first = docs.toSeq.minBy(d => (d.ts.getTime, d.doc_id))
+      state.update(first.ts.getTime)
+      state.setTimeoutTimestamp(first.ts.getTime + retentionMs)
+      Iterator.single(first)
+    }
+  }
+
+  /** Wire the first-seen dedup over a streaming doc source. */
+  def dedupStream(
+      spark: SparkSession,
+      docs: Dataset[Doc],
+      retentionMs: Long = 365L * 24 * 3600 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[Doc] = {
+    import spark.implicits._
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        firstSeen(retentionMs))
+  }
+}
