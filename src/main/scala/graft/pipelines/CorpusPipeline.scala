@@ -1,0 +1,94 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.ops.Dedup
+
+/** The end-to-end training-corpus pipeline — the composition a
+  * 100 TB data-curation run actually executes, built from the
+  * individually oracle-checked operators: quality scoring → language
+  * filter → exact dedup → near-dup dedup (MinHash+LSH → clusters) →
+  * corpus stats. Registered as ModelRegistry models so it runs with
+  * the same materialization/audit machinery as the EDW/logistics DAGs.
+  *
+  * Every stage is one scan + at most one shuffle; nothing is
+  * collected to the driver. Filters run before the expensive dedup
+  * stages so shingling/minhashing only sees surviving docs.
+  */
+object CorpusPipeline {
+
+  /** Quality metrics (the q19 formulas) appended as columns. */
+  def withQuality(docs: DataFrame, text: String = "text"): DataFrame =
+    docs
+      .withColumn("n_tokens", T.tokenCount(col(text)).cast("long"))
+      .withColumn("avg_token_len",
+        (length(col(text)) - col("n_tokens") + 1).cast("double") /
+          col("n_tokens").cast("double"))
+
+  /** Keep docs inside the quality envelope (token count + word shape). */
+  def qualityFilter(docs: DataFrame, minTokens: Long = 5,
+      maxTokens: Long = 10000, maxAvgTokenLen: Double = 15.0): DataFrame =
+    withQuality(docs)
+      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+        col("avg_token_len") <= maxAvgTokenLen)
+
+  /** Keep docs whose predicted language matches. */
+  def languageFilter(docs: DataFrame, lang: String = "en",
+      text: String = "text"): DataFrame =
+    docs.withColumn("lang_pred", T.langId(col(text)))
+      .filter(col("lang_pred") === lang)
+
+  /** Exact dedup: survivor = min doc id per content fingerprint (one
+    * hash aggregation + one semi-join shaped join back). */
+  def dedupExact(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val keep = docs
+      .select(col(id), T.fingerprint(col(text)).as("__fp"))
+      .groupBy(col("__fp")).agg(min(col(id)).as(id))
+      .select(col(id))
+    docs.join(keep, Seq(id))
+  }
+
+  /** Near-dup dedup: MinHash signatures → LSH band candidates →
+    * connected components → keep each cluster's min id. Docs that pair
+    * with nothing survive untouched (clusters only contain paired
+    * docs, so an anti-join on losers is the cheap formulation). */
+  def dedupNear(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 3, k: Int = 16,
+      bandRows: Int = 4): DataFrame = {
+    val sig = Dedup.minhashSignatures(docs, id, text, n, k)
+    val pairs = Dedup.lshCandidatePairs(sig, id, k, bandRows)
+    val losers = Dedup.duplicateClusters(
+        pairs.select(col("id_a").as(id))
+          .unionByName(pairs.select(col("id_b").as(id))).distinct(),
+        id, pairs)
+      .filter(col(id) =!= col("cluster"))
+      .select(col(id))
+    docs.join(losers, Seq(id), "left_anti")
+  }
+
+  /** Corpus-level stats of a (possibly filtered) doc set. */
+  def stats(docs: DataFrame): DataFrame =
+    withQuality(docs).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      min(col("n_tokens")).as("min_tokens"),
+      max(col("n_tokens")).as("max_tokens"))
+
+  /** The full pipeline as registry models over a `documents` source. */
+  def models(): Seq[graft.runner.ModelRegistry.Model] = {
+    import graft.runner.ModelRegistry._
+    Seq(
+      Model("corpus_quality", Seq("documents"), Table,
+        (_, d) => qualityFilter(d("documents"))),
+      Model("corpus_en", Seq("corpus_quality"), Table,
+        (_, d) => languageFilter(d("corpus_quality"))),
+      Model("corpus_unique", Seq("corpus_en"), Table,
+        (_, d) => dedupExact(d("corpus_en"))),
+      Model("corpus_canonical", Seq("corpus_unique"), Table,
+        (_, d) => dedupNear(d("corpus_unique"))),
+      Model("corpus_stats", Seq("corpus_canonical"), Table,
+        (_, d) => stats(d("corpus_canonical"))))
+  }
+}

@@ -411,6 +411,50 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-ann-lsh"))
 
+  /** The corpus-curation pipeline end-to-end (CorpusPipeline): quality
+    * envelope → language filter ('en') → exact dedup, emitting the
+    * surviving docs — the composed form of q18/q19/q20, oracle-checked
+    * as one chain (near-dup stage is registry/spec-covered; its CC
+    * iteration isn't single-query SQL). */
+  val q69 = Q(
+    "q69_corpus_pipeline",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.dedupExact(
+          CorpusPipeline.languageFilter(
+            CorpusPipeline.qualityFilter(Tables(s, dir, "documents"))))
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val hits = T.lexicons.map { case (lang, ws) =>
+        s"len([t for t in string_split(text,' ') if t IN (${ws.map(w => s"'$w'").mkString(",")})]) AS h_$lang"
+      }.mkString(",\n               ")
+      val langs = T.lexicons.map(_._1)
+      val m = s"greatest(${langs.map("h_" + _).mkString(",")})"
+      val cases = langs.map(l => s"WHEN h_$l = $m AND $m > 0 THEN '$l'")
+        .mkString(" ")
+      s"""
+      WITH q AS (
+        SELECT doc_id, text,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                 / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len
+        FROM documents),
+      f AS (SELECT * FROM q
+            WHERE n_tokens BETWEEN 5 AND 10000 AND avg_token_len <= 15.0),
+      scored AS (SELECT *, $hits FROM f),
+      langed AS (SELECT doc_id, text, n_tokens FROM scored
+                 WHERE (CASE $cases ELSE 'und' END) = 'en'),
+      fpd AS (SELECT *, md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              FROM langed),
+      keep AS (SELECT fp, min(doc_id) AS keeper FROM fpd GROUP BY fp)
+      SELECT d.doc_id, d.n_tokens
+      FROM fpd d JOIN keep k ON d.fp = k.fp AND d.doc_id = k.keeper
+      ORDER BY d.doc_id"""
+    },
+    covers = Seq("TD-text-quality", "TD-langid", "TD-dedup-exact"))
+
   /** Tumbling-window aggregation over the event stream (Spark
     * `window()` — the Structured Streaming windowed-agg shape, run
     * batch here): per hour × event_type counts and exact value sums. */
@@ -437,5 +481,5 @@ object TrainingData extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
-      q66, q68)
+      q66, q68, q69)
 }
