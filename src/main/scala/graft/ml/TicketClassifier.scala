@@ -46,11 +46,23 @@ object TicketClassifier {
     }
   }
 
+  /** The model over the hard-coded reference corpus is a CONSTANT of
+    * the library (same 10 rows, deterministic fit) — train it once per
+    * JVM and reuse, exactly as the reference's DAG trains once per run
+    * and scores the whole table. Thread-safe lazy init; keyed by
+    * session so a fresh session (new executors) retrains. */
+  private val defaultModels =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Model]()
+  def defaultModel(spark: SparkSession): Model =
+    defaultModels.computeIfAbsent(spark, s => train(s))
+
   /** Train on the reference corpus (or any (text, label) set). */
   def train(spark: SparkSession,
       data: Seq[(String, String)] = trainingData): Model = {
     import spark.implicits._
-    val train = data.toDF("__text", "__label")
+    // one partition: the corpus is tiny, and every LBFGS iteration runs
+    // a job over it — 16 mostly-empty tasks per iteration otherwise
+    val train = data.toDF("__text", "__label").coalesce(1).cache()
     val indexer = new StringIndexer()
       .setInputCol("__label").setOutputCol("label")
       .setStringOrderType("alphabetAsc") // deterministic label ids

@@ -64,6 +64,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard >= minJ via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): under any global total order on shingles (ascending
+    * 64-bit hash here), two sets with J >= t must share an element in
+    * their PREFIXES of length |X| - ceil(t*|X|) + 1 — so candidates
+    * come from an equi-join on prefix shingles only, plus the length
+    * filter t*|A| <= |B| <= |A|/t, and the exact Jaccard is verified on
+    * the carried sorted hash arrays (array_intersect, no second join).
+    * Canonical emission (only at the smallest shared prefix hash) makes
+    * pairs exactly-once with no distinct.
+    *
+    * Same result set as [[jaccardPairs]] at a fraction of the candidate
+    * count — this is the exact-Jaccard scale path; [[jaccardPairs]]
+    * stays as the inverted-index baseline and MinHash+LSH
+    * ([[lshCandidatePairs]]) as the approximate one. */
+  def jaccardPairsPrefix(df: DataFrame, id: String, text: String,
+      n: Int, minJ: Double): DataFrame = {
+    // global order = ascending (document frequency, hash): prefixes then
+    // hold each doc's RAREST shingles, so prefix buckets are tiny — the
+    // property that makes AllPairs prune (a hash-only order would put
+    // stopword shingles in prefixes and recreate the hot buckets the
+    // construction exists to avoid)
+    val idx = shingleIndex(df, id, text, n)
+      .select(col(id), xxhash64(col("sh")).as("h"))
+    val dfreq = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val arrs = idx.join(dfreq, Seq("h"))
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col(id), col("ord.h").as("shs"))
+      .withColumn("sz", size(col("shs")))
+      .withColumn("npfx",
+        (col("sz") - ceil(col("sz") * lit(minJ)) + 1).cast("int"))
+      .withColumn("pfx", slice(col("shs"), lit(1), col("npfx")))
+    val e = arrs.select(col(id), col("shs"), col("sz"), col("pfx"),
+      explode(col("pfx")).as("p"))
+    val a = e.select(col(id).as("id_a"), col("shs").as("sh_a"),
+      col("sz").as("n_a"), col("pfx").as("pfx_a"), col("p"))
+    val b = e.select(col(id).as("id_b"), col("shs").as("sh_b"),
+      col("sz").as("n_b"), col("pfx").as("pfx_b"), col("p"))
+    a.join(b, Seq("p"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+      .filter(col("n_b") >= ceil(col("n_a") * lit(minJ)) &&
+        col("n_a") >= ceil(col("n_b") * lit(minJ)))
+      // canonical prefix element: emit each pair exactly once
+      .filter(col("p") ===
+        array_min(array_intersect(col("pfx_a"), col("pfx_b"))))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+  }
+
   /** MinHash signatures: k independent seeded 60-bit hashes, min over
     * the doc's distinct shingles — one explode + one aggregation with
     * k min() columns (map-side combine keeps the shuffle tiny). Docs

@@ -248,7 +248,7 @@ object TextScoring extends QueryPack {
     "q62_ticket_classifier",
     (s, dir) => {
       import s.implicits._
-      val model = graft.ml.TicketClassifier.train(s)
+      val model = graft.ml.TicketClassifier.defaultModel(s)
       val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
       model.classify(docs, "text")
         .groupBy($"ticket_category")

@@ -160,6 +160,24 @@ object TrainingData extends QueryPack {
       ORDER BY id_a, id_b"""),
     covers = Seq("TD-dedup-ngram"))
 
+  /** Prefix-filtered EXACT Jaccard (PPJoin family) at the realistic
+    * near-dup threshold 0.7 — prefix filtering prunes by (1-t), so the
+    * high thresholds real dedup uses are exactly where it collapses the
+    * candidate set (at t=0.7 each doc exposes only ~30% of its
+    * shingles). The corpus's 25 planted near-dup pairs are all
+    * J >= 0.7, so the result matches q21's pair set. This is the
+    * exact-Jaccard scale path; q21 keeps the low-threshold
+    * inverted-index baseline. */
+  val q70 = Q(
+    "q70_jaccard_prefix",
+    (s, dir) => {
+      Dedup.jaccardPairsPrefix(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJ = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    q21.oracle.map(_.replace("0.2", "0.7")),
+    covers = Seq("TD-dedup-ngram"))
+
   /** MinHash signatures (k=16, md5-seeded) — bit-for-bit oracle. */
   val q22 = Q(
     "q22_minhash_signatures",
@@ -481,5 +499,5 @@ object TrainingData extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
-      q66, q68, q69)
+      q66, q68, q69, q70)
 }

@@ -46,6 +46,25 @@ class DedupPropertySpec extends SparkSpec {
     })
   }
 
+  test("jaccardPairsPrefix == inverted-index jaccardPairs (exactness)") {
+    val word = Gen.oneOf("the", "cat", "sat", "on", "mat", "dog", "ran",
+      "far", "big", "red")
+    val docGen = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(15, docGen)
+    val jGen = Gen.oneOf(0.1, 0.2, 0.4, 0.7)
+    check("prefix-filter", Prop.forAll(corpusGen, jGen) { (docs, minJ) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val key = (r: (Long, Long, Long, Double)) => (r._1, r._2, r._3)
+      val base = Dedup.jaccardPairs(df, "doc_id", "text", 3, minJ)
+        .as[(Long, Long, Long, Double)].collect().map(key).toSet
+      val pfx = Dedup.jaccardPairsPrefix(df, "doc_id", "text", 3, minJ)
+        .as[(Long, Long, Long, Double)].collect().map(key).toSet
+      base == pfx
+    })
+  }
+
   test("embeddingDupPairs(banded) == all-pairs restricted to band collisions") {
     val vecGen = Gen.listOfN(64, Gen.choose(-1.0f, 1.0f))
     val setGen = Gen.listOfN(25, vecGen)
