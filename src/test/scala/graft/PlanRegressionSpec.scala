@@ -64,6 +64,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("band"), "expected the band/bucket join keys in the plan")
   }
 
+  test("q63: gold aggregate streams lineitem once, dims broadcast, partial agg") {
+    val p = plan("q63_edw_customer_sales_agg")
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast at test scale:\n" + p.take(600))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "distinct agg must keep map-side partials")
+  }
+
+  test("q70: prefix-filtered jaccard is an equi-join on prefix shingles") {
+    val p = plan("q70_jaccard_prefix")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "prefix filter must not regress to all-pairs:\n" + p.take(800))
+  }
+
   /** Blanket sweep: no quadratic join shape anywhere in the contract
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
