@@ -82,5 +82,35 @@ object AnalyticExtras extends QueryPack {
       ORDER BY o_custkey, order_seq"""),
     covers = Seq("W-lead-lag", "W-frames", "W-running-total"))
 
-  override def queries: Seq[Q] = Seq(q60, q61)
+  /** Exact discrete percentiles (percentile_disc WITHIN GROUP — the
+    * ordered-set aggregate surface): returns ACTUAL data values
+    * (smallest value with cume_dist >= p), so results are
+    * engine-exact with no float-interpolation channel needed. */
+  val q71 = Q(
+    "q71_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      graft.Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p75"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             count(*) AS n_rows,
+             quantile_disc(l_extendedprice, 0.25) AS p25,
+             quantile_disc(l_extendedprice, 0.5) AS p50,
+             quantile_disc(l_extendedprice, 0.75) AS p75
+      FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    covers = Seq("A-percentile"))
+
+  override def queries: Seq[Q] = Seq(q60, q61, q71)
 }

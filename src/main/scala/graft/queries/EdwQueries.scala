@@ -23,14 +23,17 @@ object EdwQueries extends QueryPack {
     * source — the natural key MUST be unique or every fact join fans
     * out (at sf0.1 duplicate c_names blew the fact to ~10× lineitem).
     * Surrogate id stood in deterministically by min c_custkey. */
-  private def dimCustomer(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "customer")
+  private[graft] def dimCustomerFrom(customer: DataFrame): DataFrame =
+    customer
       .select(col("c_custkey"), col("c_name"),
         concat(col("c_name"), lit("@example.com")).as("email"))
       .groupBy(col("email"))
       .agg(min(col("c_custkey")).as("customer_id"),
         max(col("c_name")).as("customer_name"))
       .select(col("customer_id"), col("customer_name"), col("email"))
+
+  private def dimCustomer(s: SparkSession, dir: String): DataFrame =
+    dimCustomerFrom(Tables(s, dir, "customer"))
 
   /** The DIM_PRODUCT ILIKE categorization chain
     * (`snowflake-EDW-ETL-dag.py:385-399`), branch order preserved. */
@@ -52,17 +55,20 @@ object EdwQueries extends QueryPack {
   /** DIM_PRODUCT (`snowflake-EDW-ETL-dag.py:383-400`): `SELECT
     * DISTINCT ITEM` in the reference — one row per item_name (same
     * uniqueness argument as dimCustomer); min p_partkey as surrogate. */
-  private def dimProduct(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "part")
+  private[graft] def dimProductFrom(part: DataFrame): DataFrame =
+    part
       .groupBy(col("p_name"))
       .agg(min(col("p_partkey")).as("item_id"))
       .select(col("item_id"), col("p_name").as("item_name"),
         categoryOf(col("p_name")).as("category"))
 
+  private def dimProduct(s: SparkSession, dir: String): DataFrame =
+    dimProductFrom(Tables(s, dir, "part"))
+
   /** DIM_DATE (`snowflake-EDW-ETL-dag.py:321-339`) as a reusable
     * builder: one row per distinct order date with the yyyymmdd id. */
-  private def dimDate(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "orders")
+  private[graft] def dimDateFrom(orders: DataFrame): DataFrame =
+    orders
       .select(col("o_orderdate").cast("date").as("order_date"))
       .distinct()
       .select(
@@ -75,6 +81,9 @@ object EdwQueries extends QueryPack {
           date_format(col("order_date"), "yyyy-MM-dd"), "-", ""), 1, 6)
           .as("yyyymm"))
 
+  private def dimDate(s: SparkSession, dir: String): DataFrame =
+    dimDateFrom(Tables(s, dir, "orders"))
+
   /** FACT_SALES (`snowflake-EDW-ETL-dag.py:425-471`), unsorted: the
     * processed stage rows left-join the three dims on their natural
     * keys, NULLIF(-1) surrogate guards, exact decimal line total.
@@ -82,11 +91,8 @@ object EdwQueries extends QueryPack {
     * from full base tables and grow with the data (multi-GB at 100×) —
     * AQE broadcasts them only while genuinely small. dim_date is
     * calendar-bounded (~2.4k rows) and stays explicitly broadcast. */
-  private[graft] def factSales(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables(s, dir, "customer")
-    val part = Tables(s, dir, "part")
-    val orders = Tables(s, dir, "orders")
-    val li = Tables(s, dir, "lineitem")
+  private[graft] def factSalesFrom(li: DataFrame, orders: DataFrame,
+      cust: DataFrame, part: DataFrame): DataFrame = {
     val processed = li
       .join(orders, li("l_orderkey") === orders("o_orderkey"))
       .join(cust, orders("o_custkey") === cust("c_custkey"))
@@ -101,12 +107,12 @@ object EdwQueries extends QueryPack {
         col("l_extendedprice").as("unitprice"),
         col("l_tax").as("tax"))
     processed.as("fs")
-      .join(dimCustomer(s, dir).as("dc"),
+      .join(dimCustomerFrom(cust).as("dc"),
         col("dc.email") === col("fs.email"), "left")
-      .join(broadcast(dimDate(s, dir).select(
+      .join(broadcast(dimDateFrom(orders).select(
           col("order_date_id"), col("order_date").as("dd_date"))).as("dd"),
         col("fs.order_date") === col("dd.dd_date"), "left")
-      .join(dimProduct(s, dir).as("dp"),
+      .join(dimProductFrom(part).as("dp"),
         col("dp.item_name") === col("fs.item"), "left")
       .select(
         col("fs.sales_order_number"),
@@ -122,6 +128,51 @@ object EdwQueries extends QueryPack {
           col("fs.tax").cast("decimal(18,6)")).cast("double")
           .as("total_sales_amount"))
   }
+
+  private[graft] def factSales(s: SparkSession, dir: String): DataFrame =
+    factSalesFrom(Tables(s, dir, "lineitem"), Tables(s, dir, "orders"),
+      Tables(s, dir, "customer"), Tables(s, dir, "part"))
+
+  // ---- gold serving aggregates as DataFrame->DataFrame builders,
+  // shared by the q63-q65 contract queries and the EdwProject DAG ----
+
+  private[graft] def customerSalesAggFrom(fact: DataFrame, dimC: DataFrame,
+      dimD: DataFrame): DataFrame =
+    fact.as("f")
+      .join(dimC.as("c"), col("f.customer_id") === col("c.customer_id"))
+      .join(broadcast(dimD).as("d"),
+        col("f.order_date_id") === col("d.order_date_id"))
+      .groupBy(col("c.customer_id"), col("c.customer_name"),
+        col("d.year"), col("d.month"), col("d.yyyymm"))
+      .agg(
+        sum(col("f.quantity").cast("decimal(18,6)")).cast("double")
+          .as("total_quantity"),
+        sum(col("f.total_sales_amount").cast("decimal(28,6)")).cast("double")
+          .as("total_revenue"),
+        countDistinct(col("d.order_date")).as("active_days"))
+
+  private[graft] def salesByDayFrom(fact: DataFrame, dimD: DataFrame): DataFrame =
+    fact.as("fs")
+      .join(broadcast(dimD).as("d"),
+        col("fs.order_date_id") === col("d.order_date_id"))
+      .groupBy(col("d.order_date"))
+      .agg(
+        sum(col("fs.total_sales_amount").cast("decimal(28,6)")).cast("double")
+          .as("total_sales"),
+        sum(col("fs.quantity").cast("decimal(18,6)")).cast("double")
+          .as("total_units_sold"),
+        countDistinct(col("fs.sales_order_number")).as("total_orders"))
+
+  private[graft] def productSalesFrom(fact: DataFrame, dimP: DataFrame): DataFrame =
+    fact.as("fs")
+      .join(dimP.as("p"), col("fs.item_id") === col("p.item_id"))
+      .groupBy(col("p.item_id"), col("p.item_name"), col("p.category"))
+      .agg(
+        sum(col("fs.quantity").cast("decimal(18,6)")).cast("double")
+          .as("units_sold"),
+        sum(col("fs.total_sales_amount").cast("decimal(28,6)")).cast("double")
+          .as("revenue"),
+        countDistinct(col("fs.sales_order_number")).as("order_count"))
 
   /** Shared oracle CTE block: dims + processed + fact, the DuckDB twin
     * of the builders above. */
@@ -298,22 +349,9 @@ object EdwQueries extends QueryPack {
     * Exact decimal channel for the double sums (driver hash gate). */
   val q63 = Q(
     "q63_edw_customer_sales_agg",
-    (s, dir) => {
-      factSales(s, dir).as("f")
-        .join(dimCustomer(s, dir).as("c"),
-          col("f.customer_id") === col("c.customer_id"))
-        .join(broadcast(dimDate(s, dir)).as("d"),
-          col("f.order_date_id") === col("d.order_date_id"))
-        .groupBy(col("c.customer_id"), col("c.customer_name"),
-          col("d.year"), col("d.month"), col("d.yyyymm"))
-        .agg(
-          sum(col("f.quantity").cast("decimal(18,6)")).cast("double")
-            .as("total_quantity"),
-          sum(col("f.total_sales_amount").cast("decimal(28,6)")).cast("double")
-            .as("total_revenue"),
-          countDistinct(col("d.order_date")).as("active_days"))
-        .orderBy(col("customer_id"), col("yyyymm"))
-    },
+    (s, dir) => customerSalesAggFrom(factSales(s, dir),
+        dimCustomer(s, dir), dimDate(s, dir))
+      .orderBy(col("customer_id"), col("yyyymm")),
     Some(s"""
       WITH $oracleStar
       SELECT c.customer_id, c.customer_name, d.year, d.month, d.yyyymm,
@@ -330,19 +368,8 @@ object EdwQueries extends QueryPack {
   /** sales_summary_by_day (`snowflake-EDW-ETL-dag.py:503-511`). */
   val q64 = Q(
     "q64_edw_sales_by_day",
-    (s, dir) => {
-      factSales(s, dir).as("fs")
-        .join(broadcast(dimDate(s, dir)).as("d"),
-          col("fs.order_date_id") === col("d.order_date_id"))
-        .groupBy(col("d.order_date"))
-        .agg(
-          sum(col("fs.total_sales_amount").cast("decimal(28,6)")).cast("double")
-            .as("total_sales"),
-          sum(col("fs.quantity").cast("decimal(18,6)")).cast("double")
-            .as("total_units_sold"),
-          countDistinct(col("fs.sales_order_number")).as("total_orders"))
-        .orderBy(col("order_date"))
-    },
+    (s, dir) => salesByDayFrom(factSales(s, dir), dimDate(s, dir))
+      .orderBy(col("order_date")),
     Some(s"""
       WITH $oracleStar
       SELECT d.order_date,
@@ -359,19 +386,8 @@ object EdwQueries extends QueryPack {
     * per-product rollup incl. the ILIKE category chain. */
   val q65 = Q(
     "q65_edw_product_sales",
-    (s, dir) => {
-      factSales(s, dir).as("fs")
-        .join(dimProduct(s, dir).as("p"),
-          col("fs.item_id") === col("p.item_id"))
-        .groupBy(col("p.item_id"), col("p.item_name"), col("p.category"))
-        .agg(
-          sum(col("fs.quantity").cast("decimal(18,6)")).cast("double")
-            .as("units_sold"),
-          sum(col("fs.total_sales_amount").cast("decimal(28,6)")).cast("double")
-            .as("revenue"),
-          countDistinct(col("fs.sales_order_number")).as("order_count"))
-        .orderBy(col("item_id"))
-    },
+    (s, dir) => productSalesFrom(factSales(s, dir), dimProduct(s, dir))
+      .orderBy(col("item_id")),
     Some(s"""
       WITH $oracleStar
       SELECT p.item_id, p.item_name, p.category,
