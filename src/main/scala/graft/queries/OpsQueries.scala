@@ -215,5 +215,26 @@ object OpsQueries extends QueryPack {
       ORDER BY user_id, event_type"""),
     covers = Seq("W3"))
 
-  override def queries: Seq[Q] = Seq(q13, q14, q15, q16, q17)
+  /** Salted two-phase aggregation (Skew.saltedCountSum) through the
+    * driver contract: the hot-group mitigation is EXACT — partial
+    * (key, salt) aggregation then a key-level merge reproduces the
+    * plain group-by bit-for-bit (decimal channel keeps the double sum
+    * order-independent), which is exactly what the oracle checks. */
+  val q72 = Q(
+    "q72_salted_agg",
+    (s, dir) => {
+      import s.implicits._
+      graft.ops.Skew.saltedCountSum(Tables(s, dir, "events"),
+          "event_type", $"value".cast("decimal(18,6)"), buckets = 8)
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_rows,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY event_type ORDER BY event_type"""),
+    covers = Seq("SK-salted-agg"))
+
+  override def queries: Seq[Q] = Seq(q13, q14, q15, q16, q17, q72)
 }
