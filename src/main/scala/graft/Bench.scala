@@ -17,10 +17,16 @@ object Bench {
     // first measured query isn't charged for session bring-up, and read
     // each benched table through once so cold page-cache I/O isn't
     // charged to whichever query happens to scan it first.
-    SparkEntry.entry(spark).count()
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings")
-      .foreach(t => Tables(spark, sfDir, t).count())
+    // guarded: a missing/unreadable table must degrade to that query's
+    // -1, not kill the whole run before a single measurement lands
+    try {
+      SparkEntry.entry(spark).count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .foreach(t => Tables(spark, sfDir, t).count())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -33,10 +33,12 @@ object Verify {
           // The driver's comparator sorts rows, so multi-file parallel
           // output compares identically. limit+count early-exits the
           // size probe for big results.
-          val big = df.limit(100001).count() > 100000
-          (if (big) df else df.coalesce(1))
-            .write.mode("overwrite").parquet(s"$outDir/$name")
-          df.unpersist()
+          try {
+            val big = df.limit(100001).count() > 100000
+            (if (big) df else df.coalesce(1))
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+          } finally df.unpersist() // even on failure: don't starve the
+          // other concurrently-running queries of storage memory
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

@@ -52,9 +52,14 @@ object TicketClassifier {
     * and scores the whole table. Thread-safe lazy init; keyed by
     * session so a fresh session (new executors) retrains. */
   private val defaultModels =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Model]()
+    new java.util.WeakHashMap[SparkSession, Model]() // weak keys: a
+  // stopped session (and its model graph) must stay collectable
   def defaultModel(spark: SparkSession): Model =
-    defaultModels.computeIfAbsent(spark, s => train(s))
+    defaultModels.synchronized {
+      var m = defaultModels.get(spark)
+      if (m == null) { m = train(spark); defaultModels.put(spark, m) }
+      m
+    }
 
   /** Train on the reference corpus (or any (text, label) set). */
   def train(spark: SparkSession,

@@ -86,8 +86,13 @@ object Dedup {
     // property that makes AllPairs prune (a hash-only order would put
     // stopword shingles in prefixes and recreate the hot buckets the
     // construction exists to avoid)
+    // idx feeds dfreq AND the join-back; arrs feeds both sides of the
+    // prefix self-join — persist both so the tokenize+shingle+hash and
+    // the per-doc sort run once, not per subtree (same reasoning and
+    // storage level as jaccardPairs' index persist)
     val idx = shingleIndex(df, id, text, n)
       .select(col(id), xxhash64(col("sh")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val arrs = idx.join(dfreq, Seq("h"))
       .groupBy(col(id))
@@ -97,6 +102,7 @@ object Dedup {
       .withColumn("npfx",
         (col("sz") - ceil(col("sz") * lit(minJ)) + 1).cast("int"))
       .withColumn("pfx", slice(col("shs"), lit(1), col("npfx")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = arrs.select(col(id), col("shs"), col("sz"), col("pfx"),
       explode(col("pfx")).as("p"))
     val a = e.select(col(id).as("id_a"), col("shs").as("sh_a"),

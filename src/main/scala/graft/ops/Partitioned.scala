@@ -24,7 +24,13 @@ object Partitioned {
     * conf: concurrent driver threads share one SparkSession (Verify's
     * thread pool, ModelRegistry.runParallel), and a set/finally-restore
     * of the global would race — another thread's overwrite could run
-    * in the wrong mode or have its setting clobbered by the restore. */
+    * in the wrong mode or have its setting clobbered by the restore.
+    *
+    * NOTE: the commit of a multi-partition dynamic overwrite is NOT
+    * atomic and the caller must not read the same path in the same
+    * job. The streaming sink therefore uses the staged
+    * [[swapStagedPartitions]] protocol instead; this remains the
+    * one-shot batch form for callers without crash-replay needs. */
   def overwriteDynamic(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

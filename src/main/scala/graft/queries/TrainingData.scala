@@ -137,16 +137,9 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-langid"))
 
-  /** All-pairs 3-gram Jaccard near-dup detection (threshold 0.2;
-    * the corpus plants ~25 such pairs). */
-  val q21 = Q(
-    "q21_jaccard_pairs",
-    (s, dir) => {
-      Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
-          n = 3, minJ = 0.2)
-        .orderBy(col("id_a"), col("id_b"))
-    },
-    Some(s"""
+  /** Shared Jaccard-pairs oracle, parameterized by threshold (used by
+    * q21 and q70 — one template, no fragile text substitution). */
+  private def jaccardOracle(minJ: Double): String = s"""
       WITH $dkShingles,
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -156,8 +149,19 @@ object TrainingData extends QueryPack {
              CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
       FROM inter JOIN sizes sa ON id_a = sa.doc_id
                  JOIN sizes sb ON id_b = sb.doc_id
-      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.2
-      ORDER BY id_a, id_b"""),
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= $minJ
+      ORDER BY id_a, id_b"""
+
+  /** All-pairs 3-gram Jaccard near-dup detection (threshold 0.2;
+    * the corpus plants ~25 such pairs). */
+  val q21 = Q(
+    "q21_jaccard_pairs",
+    (s, dir) => {
+      Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJ = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(jaccardOracle(0.2)),
     covers = Seq("TD-dedup-ngram"))
 
   /** Prefix-filtered EXACT Jaccard (PPJoin family) at the realistic
@@ -175,7 +179,7 @@ object TrainingData extends QueryPack {
           n = 3, minJ = 0.7)
         .orderBy(col("id_a"), col("id_b"))
     },
-    q21.oracle.map(_.replace("0.2", "0.7")),
+    Some(jaccardOracle(0.7)),
     covers = Seq("TD-dedup-ngram"))
 
   /** MinHash signatures (k=16, md5-seeded) — bit-for-bit oracle. */

@@ -71,8 +71,10 @@ object Readers {
     * metadata$FILENAME → file_name, metadata$FILE_LAST_MODIFIED →
     * file_last_modified, metadata$FILE_ROW_NUMBER → file_row_number,
     * metadata$FILE_CONTENT_KEY → file_content_key (a stable per-file
-    * content fingerprint: md5 over path + size — computed from scan
-    * metadata, no second read of the file bytes).
+    * content key: md5 over path + size + mtime — computed from scan
+    * metadata with no second read of the file bytes, so an in-place
+    * re-upload of same-sized content still changes the key via mtime;
+    * only a byte-identical-timestamp overwrite is invisible).
     *
     * file_row_number: 1-based position within the source file, from a
     * window over (file, monotonically_increasing_id). Row order within
@@ -90,7 +92,9 @@ object Readers {
         col("_metadata.file_path").as("file_name"),
         col("_metadata.file_modification_time").as("file_last_modified"),
         md5(concat_ws(":", col("_metadata.file_path"),
-          col("_metadata.file_size").cast("string"))).as("file_content_key")): _*)
+          col("_metadata.file_size").cast("string"),
+          col("_metadata.file_modification_time").cast("long").cast("string")))
+          .as("file_content_key")): _*)
     raw.withColumn("file_row_number",
       row_number().over(Window.partitionBy(col("file_name"))
         .orderBy(monotonically_increasing_id())))

@@ -28,25 +28,36 @@ object StreamingDedup {
 
   /** First-seen filter per fingerprint group. Within one micro-batch,
     * the earliest (ts, doc_id) row wins — deterministic under replay,
-    * so the sink stays exactly-once end-to-end. */
+    * so the sink stays exactly-once end-to-end.
+    *
+    * Expiry = first-seen ts + retention, CLAMPED to just past the
+    * current watermark: a key that receives data is invoked with
+    * hasTimedOut=false even when its old timeout already lies behind
+    * the watermark, and Spark rejects setTimeoutTimestamp values at or
+    * before the watermark — without the clamp a duplicate arriving
+    * after the watermark overtook the key's expiry (but before the
+    * idle eviction pass, which only runs for keys WITHOUT data) would
+    * kill the whole stream. */
   def firstSeen(
       retentionMs: Long)(
       fp: String,
       docs: Iterator[Doc],
       state: GroupState[Long]): Iterator[Doc] = {
+    def expireAt(firstSeenMs: Long): Long =
+      math.max(firstSeenMs + retentionMs, state.getCurrentWatermarkMs() + 1)
     if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
     } else if (state.exists) {
-      // already emitted for this fingerprint: keep the state alive past
-      // the newest arrival, emit nothing
+      // already emitted for this fingerprint: suppress, re-arm the
+      // first-seen-based expiry (watermark-clamped)
       val _ = docs.size
-      state.setTimeoutTimestamp(state.get + retentionMs)
+      state.setTimeoutTimestamp(expireAt(state.get))
       Iterator.empty
     } else {
       val first = docs.toSeq.minBy(d => (d.ts.getTime, d.doc_id))
       state.update(first.ts.getTime)
-      state.setTimeoutTimestamp(first.ts.getTime + retentionMs)
+      state.setTimeoutTimestamp(expireAt(first.ts.getTime))
       Iterator.single(first)
     }
   }

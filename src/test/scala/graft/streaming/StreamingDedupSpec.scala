@@ -55,6 +55,52 @@ class StreamingDedupSpec extends SparkSpec {
     assert(r2 == Set((10L, "A"), (20L, "B"), (30L, "C")), s"got $r2")
   }
 
+  test("duplicate arriving as the watermark overtakes its expiry does not kill the stream") {
+    // crash regression for the watermark clamp: fp X first seen at
+    // 10:00 (TTL 1h -> expiry 11:00). One run, one file per
+    // micro-batch: batch(b2: Y@13:05) advances the watermark to 13:05
+    // WITHOUT evicting X (at that batch's start the watermark was
+    // still 10:00 < 11:00); batch(b3: X@13:10) then invokes X with
+    // data (hasTimedOut=false) — re-arming the stored expiry 11:00
+    // against watermark 13:05 would throw and kill the query without
+    // the clamp. With it, the duplicate is suppressed and the state
+    // expires at the next eviction opportunity.
+    val landing = Files.createTempDirectory("graft_sdedup_clamp_l_")
+    val work = Files.createTempDirectory("graft_sdedup_clamp_")
+    val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing.toString).as[Doc]
+      val q = dedupStream(spark, src, retentionMs = 60L * 60 * 1000,
+          watermarkDelay = "0 seconds")
+        .toDF()
+        .writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drop(landing, "b1.json",
+      """{"doc_id":1,"fp":"X","ts":"2024-01-01T10:00:00"}""")
+    runOnce()
+    drop(landing, "b2.json",
+      """{"doc_id":2,"fp":"Y","ts":"2024-01-01T13:05:00"}""")
+    drop(landing, "b3.json",
+      """{"doc_id":4,"fp":"X","ts":"2024-01-01T13:10:00"}""")
+    // order the two micro-batches by mtime (recent: the file source
+    // ignores files older than maxFileAge relative to the newest)
+    val now = System.currentTimeMillis()
+    landing.resolve("b2.json").toFile.setLastModified(now - 2000)
+    landing.resolve("b3.json").toFile.setLastModified(now - 1000)
+    runOnce()
+    val r = spark.read.parquet(out).select("doc_id", "fp")
+      .as[(Long, String)].collect().toSet
+    assert(r == Set((1L, "X"), (2L, "Y")), s"got $r")
+  }
+
   test("retention expiry: a fingerprint seen again after TTL re-emits") {
     val landing = Files.createTempDirectory("graft_sdedup_ttl_l_")
     val work = Files.createTempDirectory("graft_sdedup_ttl_")

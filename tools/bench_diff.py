@@ -38,9 +38,15 @@ def main(old_path, new_path, threshold=0.3):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 0.3
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    thr, args = 0.3, []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+            thr = float(a.split("=", 1)[1]) if "=" in a else float(argv[i + 1])
+            i += 1 if "=" in a else 2
+        else:
+            args.append(a)
+            i += 1
     sys.exit(main(args[0], args[1], thr))
