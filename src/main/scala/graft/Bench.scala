@@ -21,9 +21,7 @@ object Bench {
     // -1, not kill the whole run before a single measurement lands
     try {
       SparkEntry.entry(spark).count()
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings")
-        .foreach(t => Tables(spark, sfDir, t).count())
+      Tables.all.foreach(t => Tables(spark, sfDir, t).count())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }

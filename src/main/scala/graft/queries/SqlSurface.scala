@@ -257,5 +257,38 @@ object SqlSurface extends QueryPack {
       GROUP BY 1 ORDER BY city"""),
     covers = Seq("S2", "S5", "S7"))
 
-  override def queries: Seq[Q] = Seq(q29, q30, q31, q32, q33, q67)
+  /** UNPIVOT (stack) — the inverse of the A10 key-value pivot: a wide
+    * per-flag metrics row melts into (flag, metric, value) tuples, the
+    * melt step every metrics/feature pipeline needs. Exact decimal
+    * channel on the summed doubles. */
+  val q73 = Q(
+    "q73_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum($"l_quantity".cast(D)).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast(D)).cast("double").as("sum_price"),
+          sum($"l_discount".cast(D)).cast("double").as("sum_disc"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'sum_disc', sum_disc, 'sum_price', sum_price, " +
+            "'sum_qty', sum_qty) AS (metric, value)")
+        .orderBy($"l_returnflag", $"metric")
+    },
+    Some("""
+      WITH wide AS (
+        SELECT l_returnflag,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
+               CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM wide
+        UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM wide)
+      ORDER BY l_returnflag, metric"""),
+    covers = Seq("A10-unpivot"))
+
+  override def queries: Seq[Q] = Seq(q29, q30, q31, q32, q33, q67, q73)
 }
