@@ -60,6 +60,60 @@ object Multimodal {
     media.mapPartitions(_.map(StubCodec.decode(_, dim)))
   }
 
+  /** One sampled frame: media payloads fan OUT (a video row becomes n
+    * frame rows) — the row-multiplying shape real frame extraction
+    * has, which is what the downstream partitioning must absorb. */
+  final case class FrameRow(media_id: Long, frame_idx: Int, payload: Array[Byte])
+  final case class FrameFeatures(
+      media_id: Long, frame_idx: Int, n_bytes: Long, features: Array[Float])
+
+  /** STUB frame sampler: n evenly-spaced byte windows of the payload
+    * stand in for decoded frames (deterministic; a real video codec
+    * replaces only the window extraction). Partition-parallel flatMap —
+    * the 1→n fan-out runs on executors, never the driver. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(n > 0)
+    media.flatMap { row =>
+      val len = row.payload.length
+      (0 until n).map { i =>
+        val start = if (len == 0) 0 else (len.toLong * i / n).toInt
+        val end = if (len == 0) 0
+          else math.max(start + 1, (len.toLong * (i + 1) / n).toInt)
+        FrameRow(row.media_id, i,
+          java.util.Arrays.copyOfRange(row.payload, start, math.min(end, len)))
+      }
+    }
+  }
+
+  /** Frame sampling + per-frame feature extraction in ONE executor
+    * pass (flatMap then codec, no intermediate materialization). */
+  def frameFeatures(media: Dataset[MediaRow], n: Int,
+      dim: Int = 16): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    sampleFrames(media, n).map { f =>
+      val asMedia = MediaRow(f.media_id, "frame", f.payload)
+      val feats = StubCodec.decode(asMedia, dim)
+      FrameFeatures(f.media_id, f.frame_idx, f.payload.length.toLong,
+        feats.features)
+    }
+  }
+
+  /** STUB resize: payload → fixed-budget payload for the target
+    * (w, h), deterministic from the source bytes (md5-cycled) — the
+    * map-shaped transform real image resizing is, with byte-size
+    * change the thing the pipeline must re-balance after. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    val budget = math.max(16, math.min(4096, w * h / 64))
+    media.map { row =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(row.payload ++ Array(w.toByte, h.toByte))
+      val out = Array.tabulate(budget)(i => d(i % d.length))
+      MediaRow(row.media_id, row.kind, out)
+    }
+  }
+
   /** DataFrame adapter: (idCol: long, kindCol: string, payloadCol:
     * binary) → feature table. Repartitions by a hash of the id when
     * `numPartitions` is set — payload columns skew partition BYTES

@@ -29,4 +29,42 @@ class MultimodalSpec extends SparkSpec {
     val wh = out.select("width", "height").as[(Int, Int)].collect()
     assert(wh.forall { case (w, h) => w >= 64 && w < 192 && h >= 64 && h < 192 })
   }
+
+  test("frame sampling fans 1 row into n frames; per-frame features deterministic") {
+    import Multimodal._
+    val media = Seq(
+      MediaRow(1L, "video", (0 until 100).map(_.toByte).toArray),
+      MediaRow(2L, "video", Array.emptyByteArray)).toDS()
+    val frames = sampleFrames(media, 4)
+    assert(frames.count() == 8)
+    val f1 = frames.filter($"media_id" === 1).orderBy($"frame_idx")
+      .as[FrameRow].collect()
+    assert(f1.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    // windows cover the payload in order, non-overlapping starts
+    assert(f1.map(_.payload.head.toInt).toSeq == Seq(0, 25, 50, 75))
+    // empty payload -> empty frames, no crash
+    assert(frames.filter($"media_id" === 2).as[FrameRow].collect()
+      .forall(_.payload.isEmpty))
+
+    val ff = frameFeatures(media, 4, dim = 8)
+    assert(ff.count() == 8)
+    val twice = frameFeatures(media, 4, dim = 8)
+    assert(ff.orderBy($"media_id", $"frame_idx").as[FrameFeatures]
+      .collect().map(_.features.toSeq).toSeq ==
+      twice.orderBy($"media_id", $"frame_idx").as[FrameFeatures]
+        .collect().map(_.features.toSeq).toSeq)
+  }
+
+  test("resize: deterministic fixed-budget payloads, metadata re-derivable") {
+    import Multimodal._
+    val media = Seq(MediaRow(1L, "image", Array[Byte](1, 2, 3))).toDS()
+    val small = resize(media, 64, 64).as[MediaRow].head()
+    val big = resize(media, 512, 512).as[MediaRow].head()
+    assert(small.payload.length == 64 * 64 / 64)
+    assert(big.payload.length == 4096)
+    // deterministic per (payload, target)
+    assert(resize(media, 64, 64).as[MediaRow].head()
+      .payload.toSeq == small.payload.toSeq)
+    assert(small.payload.toSeq != big.payload.take(small.payload.length).toSeq)
+  }
 }
