@@ -112,5 +112,48 @@ object AnalyticExtras extends QueryPack {
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
     covers = Seq("A-percentile"))
 
-  override def queries: Seq[Q] = Seq(q60, q61, q71)
+  /** KMV distinct-count sketch next to the exact count: bounded-memory
+    * mergeable cardinality estimation whose approximate answer is
+    * itself deterministic (md5-hash KMV) and therefore oracle-checked
+    * bit-for-bit — the cross-engine-reproducible alternative to HLL. */
+  val q74 = Q(
+    "q74_kmv_distinct",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{TextFunctions => T}
+      val kmv = udaf(graft.functions.KmvSketch(64))
+      graft.Tables(s, dir, "events")
+        .select($"event_type", $"user_id",
+          T.hash60($"user_id".cast("string"), 0).as("hv"))
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("exact_distinct"),
+          kmv($"hv").as("kmv_estimate"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type),
+      h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x'||substr(md5('0|'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+        FROM events),
+      r AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM h),
+      est AS (
+        SELECT event_type,
+               CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+                    ELSE 63.0 / (CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
+                                 / power(2.0, 60)) END AS kmv_estimate
+        FROM r GROUP BY event_type)
+      SELECT ex.event_type, ex.exact_distinct, est.kmv_estimate
+      FROM ex JOIN est USING (event_type)
+      ORDER BY event_type"""),
+    covers = Seq("A-sketch-kmv"))
+
+  override def queries: Seq[Q] = Seq(q60, q61, q71, q74)
 }
