@@ -42,4 +42,36 @@ object Bucketing {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Range-sorted file layout for DATA SKIPPING: repartitionByRange +
+    * sortWithinPartitions on the predicate column gives every output
+    * file (and every parquet row group inside it) a narrow, disjoint
+    * value range, so a pushed range predicate skips whole row groups
+    * via footer min/max stats instead of decoding them. At 100 TB this
+    * is the second pruning tier after partition pruning — partitions
+    * cut the scan to a date slice, range-sorted row groups cut the
+    * slice to the selected keys. */
+  def writeRangeSorted(df: DataFrame, path: String, col: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, df(col))
+      .sortWithinPartitions(col)
+      .write.mode("overwrite").parquet(path)
+
+  /** Rows the scan ACTUALLY produced after parquet row-group/page
+    * skipping (scan numOutputRows) — the assertion helper for "this
+    * layout skips". Triggers execution of this exact plan. */
+  def scanOutputRows(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.queryExecution.toRdd.count()
+    def sum(p: SparkPlan): Long =
+      p.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+        case q: QueryStageExec => sum(q.plan)
+      }.sum
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => sum(a.executedPlan)
+      case p => sum(p)
+    }
+  }
 }

@@ -57,4 +57,27 @@ class ScaleOpsSpec extends SparkSpec {
       assert(j.count() == lineitem.count())
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("range-sorted layout skips row groups a shuffled layout must read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout_").toString
+    val data = spark.range(200000).selectExpr("id AS k", "id * 3 AS v")
+    // force many small row groups so skipping is observable
+    spark.conf.set("spark.hadoop.parquet.block.size", "65536")
+    try {
+      Bucketing.writeRangeSorted(data, s"$dir/sorted", "k", numFiles = 8)
+      data.orderBy(org.apache.spark.sql.functions.rand(7))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/shuffled")
+    } finally spark.conf.unset("spark.hadoop.parquet.block.size")
+
+    def readRows(path: String): Long =
+      Bucketing.scanOutputRows(
+        spark.read.parquet(path).filter($"k" >= 1000 && $"k" < 2000))
+
+    val sortedRows = readRows(s"$dir/sorted")
+    val shuffledRows = readRows(s"$dir/shuffled")
+    // both produce the same ANSWER; the sorted layout decodes far less
+    assert(sortedRows >= 1000 && sortedRows < shuffledRows / 4,
+      s"sorted=$sortedRows shuffled=$shuffledRows")
+  }
 }
