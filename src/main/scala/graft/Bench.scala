@@ -17,14 +17,14 @@ object Bench {
     // first measured query isn't charged for session bring-up, and read
     // each benched table through once so cold page-cache I/O isn't
     // charged to whichever query happens to scan it first.
-    // guarded: a missing/unreadable table must degrade to that query's
-    // -1, not kill the whole run before a single measurement lands
-    try {
-      SparkEntry.entry(spark).count()
-      Tables.all.foreach(t => Tables(spark, sfDir, t).count())
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
-    }
+    // guarded PER STEP: one missing/unreadable table must not abort the
+    // warm-up of the others (nor the run — affected queries record -1)
+    def warm(label: String)(f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $label failed: ${e.getMessage}")
+      }
+    warm("entry")(SparkEntry.entry(spark).count(): Unit)
+    Tables.all.foreach(t => warm(t)(Tables(spark, sfDir, t).count(): Unit))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

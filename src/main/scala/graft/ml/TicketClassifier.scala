@@ -51,11 +51,15 @@ object TicketClassifier {
     * JVM and reuse, exactly as the reference's DAG trains once per run
     * and scores the whole table. Thread-safe lazy init; keyed by
     * session so a fresh session (new executors) retrains. */
+  // NOTE: weak keys would be defeated here — the fitted model's
+  // training summary strongly references its SparkSession, so a
+  // value→key strong path would pin the entry forever. Evict stopped
+  // sessions explicitly on each access instead.
   private val defaultModels =
-    new java.util.WeakHashMap[SparkSession, Model]() // weak keys: a
-  // stopped session (and its model graph) must stay collectable
+    new java.util.HashMap[SparkSession, Model]()
   def defaultModel(spark: SparkSession): Model =
     defaultModels.synchronized {
+      defaultModels.keySet.removeIf(_.sparkContext.isStopped)
       var m = defaultModels.get(spark)
       if (m == null) { m = train(spark); defaultModels.put(spark, m) }
       m

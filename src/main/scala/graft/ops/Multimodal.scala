@@ -106,9 +106,12 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     val budget = math.max(16, math.min(4096, w * h / 64))
+    // full 4-byte dimension encodings: a single-byte seed would make
+    // targets congruent mod 256 (512 vs 768) collide
+    val dims = java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array()
     media.map { row =>
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(row.payload ++ Array(w.toByte, h.toByte))
+        .digest(row.payload ++ dims)
       val out = Array.tabulate(budget)(i => d(i % d.length))
       MediaRow(row.media_id, row.kind, out)
     }

@@ -93,7 +93,7 @@ object Readers {
         col("_metadata.file_modification_time").as("file_last_modified"),
         md5(concat_ws(":", col("_metadata.file_path"),
           col("_metadata.file_size").cast("string"),
-          col("_metadata.file_modification_time").cast("long").cast("string")))
+          unix_millis(col("_metadata.file_modification_time")).cast("string")))
           .as("file_content_key")): _*)
     raw.withColumn("file_row_number",
       row_number().over(Window.partitionBy(col("file_name"))

@@ -48,13 +48,19 @@ object StreamingDedup {
     if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
-    } else if (state.exists) {
-      // already emitted for this fingerprint: suppress, re-arm the
-      // first-seen-based expiry (watermark-clamped)
+    } else if (state.exists &&
+        state.getCurrentWatermarkMs() < state.get + retentionMs) {
+      // live state: suppress, re-arm the first-seen-based expiry
+      // (watermark-clamped)
       val _ = docs.size
       state.setTimeoutTimestamp(expireAt(state.get))
       Iterator.empty
     } else {
+      // no state, OR state whose retention already elapsed per the
+      // watermark (keys WITH data get no idle-eviction call, so the
+      // expiry must be applied here too — re-emit semantics would
+      // otherwise depend on whether an intervening batch happened to
+      // fire the timeout): treat as first-seen
       val first = docs.toSeq.minBy(d => (d.ts.getTime, d.doc_id))
       state.update(first.ts.getTime)
       state.setTimeoutTimestamp(expireAt(first.ts.getTime))

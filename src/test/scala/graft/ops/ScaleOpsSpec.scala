@@ -61,14 +61,17 @@ class ScaleOpsSpec extends SparkSpec {
   test("range-sorted layout skips row groups a shuffled layout must read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout_").toString
     val data = spark.range(200000).selectExpr("id AS k", "id * 3 AS v")
-    // force many small row groups so skipping is observable
-    spark.conf.set("spark.hadoop.parquet.block.size", "65536")
+    // force many small row groups so skipping is observable — bare key:
+    // session-conf entries are copied verbatim into the writer's Hadoop
+    // conf (a spark.hadoop. prefix is only stripped from the STATIC
+    // SparkConf at session startup and would be a silent no-op here)
+    spark.conf.set("parquet.block.size", "65536")
     try {
       Bucketing.writeRangeSorted(data, s"$dir/sorted", "k", numFiles = 8)
       data.orderBy(org.apache.spark.sql.functions.rand(7))
         .repartition(8)
         .write.mode("overwrite").parquet(s"$dir/shuffled")
-    } finally spark.conf.unset("spark.hadoop.parquet.block.size")
+    } finally spark.conf.unset("parquet.block.size")
 
     def readRows(path: String): Long =
       Bucketing.scanOutputRows(

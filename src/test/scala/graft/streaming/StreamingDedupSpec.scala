@@ -55,16 +55,17 @@ class StreamingDedupSpec extends SparkSpec {
     assert(r2 == Set((10L, "A"), (20L, "B"), (30L, "C")), s"got $r2")
   }
 
-  test("duplicate arriving as the watermark overtakes its expiry does not kill the stream") {
-    // crash regression for the watermark clamp: fp X first seen at
-    // 10:00 (TTL 1h -> expiry 11:00). One run, one file per
-    // micro-batch: batch(b2: Y@13:05) advances the watermark to 13:05
-    // WITHOUT evicting X (at that batch's start the watermark was
-    // still 10:00 < 11:00); batch(b3: X@13:10) then invokes X with
-    // data (hasTimedOut=false) — re-arming the stored expiry 11:00
-    // against watermark 13:05 would throw and kill the query without
-    // the clamp. With it, the duplicate is suppressed and the state
-    // expires at the next eviction opportunity.
+  test("duplicate arriving as the watermark overtakes its expiry re-emits, not crashes") {
+    // crash + semantics regression: fp X first seen at 10:00 (TTL 1h ->
+    // expiry 11:00). One run, one file per micro-batch: batch(b2:
+    // Y@13:05) advances the watermark to 13:05 WITHOUT evicting X (at
+    // that batch's start the watermark was still 10:00 < 11:00);
+    // batch(b3: X@13:10) then invokes X with data (hasTimedOut=false).
+    // Naively re-arming the stored expiry 11:00 against watermark 13:05
+    // would throw and kill the query; and since X's retention HAS
+    // elapsed in event time, the correct output is a re-emit — the
+    // same as if an intervening batch had fired the eviction timer
+    // (re-emit must not depend on micro-batch timing).
     val landing = Files.createTempDirectory("graft_sdedup_clamp_l_")
     val work = Files.createTempDirectory("graft_sdedup_clamp_")
     val out = s"$work/out"; val ckpt = s"$work/ckpt"
@@ -98,7 +99,7 @@ class StreamingDedupSpec extends SparkSpec {
     runOnce()
     val r = spark.read.parquet(out).select("doc_id", "fp")
       .as[(Long, String)].collect().toSet
-    assert(r == Set((1L, "X"), (2L, "Y")), s"got $r")
+    assert(r == Set((1L, "X"), (2L, "Y"), (4L, "X")), s"got $r")
   }
 
   test("retention expiry: a fingerprint seen again after TTL re-emits") {

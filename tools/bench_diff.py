@@ -44,9 +44,19 @@ if __name__ == "__main__":
     while i < len(argv):
         a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else float(argv[i + 1])
-            i += 1 if "=" in a else 2
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+                i += 1
+            elif i + 1 < len(argv):
+                thr = float(argv[i + 1])
+                i += 2
+            else:
+                sys.exit("--threshold requires a value")
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag: {a}")
         else:
             args.append(a)
             i += 1
+    if len(args) != 2:
+        sys.exit(__doc__.strip())
     sys.exit(main(args[0], args[1], thr))
