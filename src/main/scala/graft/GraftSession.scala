@@ -35,6 +35,14 @@ object GraftSession {
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerFunctions(s)
     s
   }
+
+  /** SQL-surface registration of the engine's custom aggregates (the
+    * native expressions register via GraftExtensions): `kmv_distinct(h)`
+    * — deterministic KMV cardinality sketch over pre-hashed values. */
+  def registerFunctions(s: SparkSession): Unit =
+    s.udf.register("kmv_distinct",
+      org.apache.spark.sql.functions.udaf(graft.functions.KmvSketch(64)))
 }

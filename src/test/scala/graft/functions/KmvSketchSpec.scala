@@ -31,4 +31,12 @@ class KmvSketchSpec extends SparkSpec {
       .select(TextFunctions.hash60($"s", 0).as("hv"))
     assert(dup.agg(kmv($"hv")).as[Double].head() == 10.0)
   }
+
+  test("kmv_distinct is registered on the SQL surface") {
+    graft.GraftSession.registerFunctions(spark)
+    spark.range(30).select(TextFunctions.hash60($"id".cast("string"), 0).as("hv"))
+      .createOrReplaceTempView("kmv_in")
+    assert(spark.sql("SELECT kmv_distinct(hv) FROM kmv_in")
+      .as[Double].head() == 30.0)
+  }
 }
