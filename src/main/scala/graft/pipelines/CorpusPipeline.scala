@@ -76,6 +76,66 @@ object CorpusPipeline {
       min(col("n_tokens")).as("min_tokens"),
       max(col("n_tokens")).as("max_tokens"))
 
+  /** Batch-incremental ingestion against a persistent seen-fingerprint
+    * table — the registry-cadence analog of StreamingDedup.firstSeen:
+    * returns only the never-seen docs of `newDocs` (earliest id wins
+    * within the batch) and merges their fingerprints into the table,
+    * stamped with `batchId`.
+    *
+    * Exactly-once under replay: the returned frame anti-joins only
+    * against fingerprints claimed by OTHER batches, so its plan
+    * evaluates to the same rows whether the seen-table swap has
+    * happened or not — re-running a batch (same `batchId`, same docs)
+    * after a crash at ANY point re-emits exactly the docs it claimed
+    * and rewrites the seen table to the identical state. The table is
+    * read through `readRecovered` and rewritten by atomic swap, so the
+    * swap itself is also crash-safe.
+    *
+    * Scale shape: one fingerprint aggregation over the batch, one
+    * anti-join against the seen table (shuffle on the 128-bit key),
+    * one union+distinct for the table update — the seen table is the
+    * only state and it grows with DISTINCT content only. `batchId`
+    * must be unique per logical batch (reused only for replays). */
+  def ingestNew(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      seenPath: String, batchId: String, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    import graft.ops.Upsert
+    val withFp = newDocs.withColumn("__fp", T.fingerprint(col(text)))
+    val batchFirst = withFp.join(
+      withFp.groupBy(col("__fp")).agg(min(col(id)).as(id)), Seq("__fp", id))
+    val seen = Upsert.readRecovered(spark, seenPath)
+    def claims(s: DataFrame): DataFrame = batchFirst.join(
+      s.filter(col("batch_id") =!= lit(batchId)).select(col("__fp")),
+      Seq("__fp"), "left_anti")
+    val fresh = seen.map(claims).getOrElse(batchFirst)
+    val freshFps = fresh.select(col("__fp"))
+      .withColumn("batch_id", lit(batchId)).distinct()
+    val newSeen = seen match {
+      case Some(s) => s.unionByName(freshFps).distinct()
+      case None => freshFps
+    }
+    Upsert.overwriteAtomic(newSeen, seenPath)
+    // The returned frame anti-joins against OTHER batches' claims in the
+    // POST-swap table: our fingerprints now carry `batchId`, so they are
+    // excluded from the anti side and exactly this batch's docs survive.
+    // Reading the table fresh here (rather than returning the pre-swap
+    // plan) matters physically too — a parquet read pins its part-file
+    // listing at plan time, and the swap replaced those files.
+    claims(spark.read.parquet(seenPath)).drop("__fp")
+  }
+
+  /** Fixed-size training shards: bounded rows per output file (the
+    * shape downstream training loaders consume), writers spread across
+    * the cluster. `maxRecordsPerFile` does the bounding; the
+    * repartition spreads rows so shard sizes are even rather than
+    * mirroring upstream partition skew. */
+  def writeShards(df: DataFrame, path: String, rowsPerShard: Int,
+      numWriters: Int): Unit =
+    df.repartition(numWriters)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerShard.toLong)
+      .parquet(path)
+
   /** The full pipeline as registry models over a `documents` source. */
   def models(): Seq[graft.runner.ModelRegistry.Model] = {
     import graft.runner.ModelRegistry._

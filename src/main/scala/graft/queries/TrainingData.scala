@@ -477,6 +477,46 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-text-quality", "TD-langid", "TD-dedup-exact"))
 
+  /** Batch-incremental first-seen ingestion (CorpusPipeline.ingestNew):
+    * documents arrive as two batches (even doc_ids, then odd); each
+    * batch emits only never-seen content, earliest id winning within a
+    * batch. The oracle restates the two-batch run declaratively: a
+    * fingerprint's winner is the min doc_id within the EARLIEST batch
+    * containing it. Exercises the persistent seen-table state machine
+    * (atomic swap + replay-stable claims) end to end. */
+  val q75 = Q(
+    "q75_incremental_ingest",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      val docs = Tables(s, dir, "documents")
+      val seen = java.nio.file.Files
+        .createTempDirectory("graft_q75_").toString + "/seen"
+      // pin batch 0's rows before batch 1 swaps the seen table under
+      // its plan (a real deployment writes each batch's output before
+      // the next batch arrives; chaining in-process needs the pin)
+      val even = CorpusPipeline.ingestNew(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), seen, "b0")
+        .localCheckpoint(true)
+      val odd = CorpusPipeline.ingestNew(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), seen, "b1")
+      even.withColumn("batch", lit(0))
+        .unionByName(odd.withColumn("batch", lit(1)))
+        .select(col("doc_id"), col("batch"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+               CAST(doc_id % 2 AS INT) AS b
+        FROM documents),
+      w AS (SELECT fp, min(b) AS mb FROM d GROUP BY fp),
+      k AS (SELECT d.fp, d.b AS batch, min(d.doc_id) AS doc_id
+            FROM d JOIN w ON d.fp = w.fp AND d.b = w.mb
+            GROUP BY d.fp, d.b)
+      SELECT doc_id, batch FROM k ORDER BY doc_id"""),
+    covers = Seq("TD-dedup-exact", "ST1"))
+
   /** Tumbling-window aggregation over the event stream (Spark
     * `window()` — the Structured Streaming windowed-agg shape, run
     * batch here): per hour × event_type counts and exact value sums. */
@@ -503,5 +543,5 @@ object TrainingData extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
-      q66, q68, q69, q70)
+      q66, q68, q69, q70, q75)
 }
