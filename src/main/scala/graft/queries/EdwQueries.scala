@@ -92,7 +92,17 @@ object EdwQueries extends QueryPack {
     * AQE broadcasts them only while genuinely small. dim_date is
     * calendar-bounded (~2.4k rows) and stays explicitly broadcast. */
   private[graft] def factSalesFrom(li: DataFrame, orders: DataFrame,
-      cust: DataFrame, part: DataFrame): DataFrame = {
+      cust: DataFrame, part: DataFrame): DataFrame =
+    factSalesJoin(li, orders, cust, part,
+      dimCustomerFrom(cust), dimDateFrom(orders), dimProductFrom(part))
+
+  /** [[factSalesFrom]] with the dims passed in — so callers that hold
+    * MATERIALIZED dims (the registry DAG, the shared [[star]]) join
+    * against those instead of re-deriving each dim from its base
+    * table inside the fact plan. */
+  private[graft] def factSalesJoin(li: DataFrame, orders: DataFrame,
+      cust: DataFrame, part: DataFrame,
+      dimC: DataFrame, dimD: DataFrame, dimP: DataFrame): DataFrame = {
     val processed = li
       .join(orders, li("l_orderkey") === orders("o_orderkey"))
       .join(cust, orders("o_custkey") === cust("c_custkey"))
@@ -107,12 +117,12 @@ object EdwQueries extends QueryPack {
         col("l_extendedprice").as("unitprice"),
         col("l_tax").as("tax"))
     processed.as("fs")
-      .join(dimCustomerFrom(cust).as("dc"),
+      .join(dimC.as("dc"),
         col("dc.email") === col("fs.email"), "left")
-      .join(broadcast(dimDateFrom(orders).select(
+      .join(broadcast(dimD.select(
           col("order_date_id"), col("order_date").as("dd_date"))).as("dd"),
         col("fs.order_date") === col("dd.dd_date"), "left")
-      .join(dimProductFrom(part).as("dp"),
+      .join(dimP.as("dp"),
         col("dp.item_name") === col("fs.item"), "left")
       .select(
         col("fs.sales_order_number"),
@@ -132,6 +142,39 @@ object EdwQueries extends QueryPack {
   private[graft] def factSales(s: SparkSession, dir: String): DataFrame =
     factSalesFrom(Tables(s, dir, "lineitem"), Tables(s, dir, "orders"),
       Tables(s, dir, "customer"), Tables(s, dir, "part"))
+
+  /** The materialized star: dims + fact, each persisted once. */
+  private[graft] final case class Star(dimCustomer: DataFrame,
+      dimProduct: DataFrame, dimDate: DataFrame, fact: DataFrame)
+
+  /** Materialize-once EDW star, shared by every contract query that
+    * serves from it (q51, q63, q64, q65) — the in-session analog of the
+    * reference's materialized FACT_SALES table
+    * (`snowflake-EDW-ETL-dag.py:425-533`: the golds read the TABLE, they
+    * never re-run the star join; `EdwProject` is the registry form that
+    * writes real parquet). Keyed by (session, sf dir); persisted
+    * MEMORY_AND_DISK so the 4-way base join runs once per session and
+    * every serving aggregate starts from the cached fact — on a cluster
+    * the same plan shape reads the bucketed fact table. Entries of
+    * stopped sessions are evicted on access so a long-lived JVM running
+    * many test sessions doesn't pin dead cached plans. */
+  private val starCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Star]()
+
+  private[graft] def star(s: SparkSession, dir: String): Star = {
+    starCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    starCache.computeIfAbsent((s, dir), { _ =>
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val dimC = dimCustomer(s, dir).persist(lvl)
+      val dimP = dimProduct(s, dir).persist(lvl)
+      val dimD = dimDate(s, dir).persist(lvl)
+      val fact = factSalesJoin(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "orders"),
+        Tables(s, dir, "customer"), Tables(s, dir, "part"),
+        dimC, dimD, dimP).persist(lvl)
+      Star(dimC, dimP, dimD, fact)
+    })
+  }
 
   // ---- gold serving aggregates as DataFrame->DataFrame builders,
   // shared by the q63-q65 contract queries and the EdwProject DAG ----
@@ -336,7 +379,7 @@ object EdwQueries extends QueryPack {
     * = qty*price+tax (exact decimal channel). */
   val q51 = Q(
     "q51_edw_fact_sales",
-    (s, dir) => factSales(s, dir)
+    (s, dir) => star(s, dir).fact
       .orderBy(col("sales_order_number"), col("linenumber")),
     Some(s"""
       WITH $oracleStar
@@ -349,9 +392,11 @@ object EdwQueries extends QueryPack {
     * Exact decimal channel for the double sums (driver hash gate). */
   val q63 = Q(
     "q63_edw_customer_sales_agg",
-    (s, dir) => customerSalesAggFrom(factSales(s, dir),
-        dimCustomer(s, dir), dimDate(s, dir))
-      .orderBy(col("customer_id"), col("yyyymm")),
+    (s, dir) => {
+      val st = star(s, dir)
+      customerSalesAggFrom(st.fact, st.dimCustomer, st.dimDate)
+        .orderBy(col("customer_id"), col("yyyymm"))
+    },
     Some(s"""
       WITH $oracleStar
       SELECT c.customer_id, c.customer_name, d.year, d.month, d.yyyymm,
@@ -368,8 +413,10 @@ object EdwQueries extends QueryPack {
   /** sales_summary_by_day (`snowflake-EDW-ETL-dag.py:503-511`). */
   val q64 = Q(
     "q64_edw_sales_by_day",
-    (s, dir) => salesByDayFrom(factSales(s, dir), dimDate(s, dir))
-      .orderBy(col("order_date")),
+    (s, dir) => {
+      val st = star(s, dir)
+      salesByDayFrom(st.fact, st.dimDate).orderBy(col("order_date"))
+    },
     Some(s"""
       WITH $oracleStar
       SELECT d.order_date,
@@ -386,8 +433,10 @@ object EdwQueries extends QueryPack {
     * per-product rollup incl. the ILIKE category chain. */
   val q65 = Q(
     "q65_edw_product_sales",
-    (s, dir) => productSalesFrom(factSales(s, dir), dimProduct(s, dir))
-      .orderBy(col("item_id")),
+    (s, dir) => {
+      val st = star(s, dir)
+      productSalesFrom(st.fact, st.dimProduct).orderBy(col("item_id"))
+    },
     Some(s"""
       WITH $oracleStar
       SELECT p.item_id, p.item_name, p.category,

@@ -71,6 +71,25 @@ class PlanRegressionSpec extends SparkSpec {
       "distinct agg must keep map-side partials")
   }
 
+  test("q63/q64/q65/q51: EDW golds serve from the materialized fact, not a star re-join") {
+    // Force the shared star into existence the way bench/verify do.
+    SparkEntry.queries("q51_edw_fact_sales")(spark, sf("sf0.001"))
+    for (q <- Seq("q51_edw_fact_sales", "q63_edw_customer_sales_agg",
+        "q64_edw_sales_by_day", "q65_edw_product_sales")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q must read the persisted star:\n" + p.take(600))
+      // Every base-table scan must sit INSIDE the cached relation's
+      // stored build plan: a FileScan appearing before the first
+      // InMemoryRelation means the serving query re-inlined the 4-way
+      // star join over raw parquet.
+      val firstFile = p.indexOf("FileScan")
+      val firstCache = p.indexOf("InMemoryRelation")
+      assert(firstFile == -1 || (firstCache != -1 && firstCache < firstFile),
+        s"$q re-scans base tables outside the materialized fact:\n" + p.take(800))
+    }
+  }
+
   test("q70: prefix-filtered jaccard is an equi-join on prefix shingles") {
     val p = plan("q70_jaccard_prefix")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
