@@ -7,6 +7,13 @@ object Bench {
     // conservative constant — an unset env var must not quarter the bench
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // N iterations per query, reporting the per-query MIN: single-shot
+    // timing on a shared box produced phantom ±50% swings on unchanged
+    // code (round-2 ledger); the min across runs is the established
+    // low-noise estimator of true cost. All iterations land in the
+    // ledger so the spread itself stays diffable.
+    val iters = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,23 +25,52 @@ object Bench {
     // each benched table through once so cold page-cache I/O isn't
     // charged to whichever query happens to scan it first.
     // guarded PER STEP: one missing/unreadable table must not abort the
-    // warm-up of the others (nor the run — affected queries record -1)
+    // warm-up of the others (nor the run — affected queries record null)
     def warm(label: String)(f: => Unit): Unit =
       try f catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $label failed: ${e.getMessage}")
       }
     warm("entry")(SparkEntry.entry(spark).count(): Unit)
     Tables.all.foreach(t => warm(t)(Tables(spark, sfDir, t).count(): Unit))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results: Seq[(String, Seq[Option[Double]])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // release operator-internal persisted intermediates so cached
+          // blocks don't accumulate across iters×queries runs (the EDW
+          // star is deliberately NOT tracked — it models a materialized
+          // table shared across the serving queries)
+          CacheTracker.releaseAll()
+          if (ok) Some(dt) else None
+        }
+        name -> times
+      }
+    def minOf(ts: Seq[Option[Double]]): Option[Double] = {
+      val ok = ts.flatten
+      if (ok.isEmpty) None else Some(ok.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def num(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
+    val qs = results.map { case (k, ts) => s"\"$k\":${num(minOf(ts))}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val allIters = results.map { case (k, ts) =>
+      s"\"$k\":[${ts.map(num).mkString(",")}]"
+    }.mkString("{", ",", "}")
+    // a failing query is EXCLUDED from the total and listed in `failed`
+    // — summing a sentinel would let a broken query masquerade as a
+    // speedup in the committed ledgers
+    val failed = results.collect { case (k, ts) if minOf(ts).isEmpty => k }
+    val total = results.flatMap { case (_, ts) => minOf(ts) }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+        s""""failed":[${failed.map(f => s"\"$f\"").mkString(",")}],""" +
+        s""""queries":$qs,"iterations":$allIters,"sf":"$sfDir"}"""
     println(line)
     // per-round ledger: the driver's BENCH_r{N}.json can truncate in
     // logs — persist the full per-query JSON so round-over-round

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Catalyst expression with whole-stage codegen.
   *
   * This is the hot kernel of embedding similarity (cosine over
-  * quantized vectors — `Dedup.embeddingDupPairs` / `annTopK`): it runs
+  * quantized vectors — `Dedup.embeddingDupPairsLsh` / `annTopK`): it runs
   * once per candidate PAIR, so on an all-pairs or LSH-bucketed join it
   * executes O(n²)·dim times. The `zip_with`+`aggregate` higher-order
   * formulation allocates an intermediate array and interprets two

@@ -22,6 +22,14 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   */
 object Dedup {
 
+  /** Operator-internal persist: MEMORY_AND_DISK (indexes can exceed
+    * executor memory at cluster scale and must spill), registered with
+    * [[graft.CacheTracker]] so harness sweeps can release intermediates
+    * between queries — the operator itself cannot know when the caller
+    * has finished materializing the returned lazy frame. */
+  private def cached(df: DataFrame): DataFrame = graft.CacheTracker.track(
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Exact duplicate groups by normalized-text fingerprint: keeper =
     * min id (deterministic survivor), n_docs = group size. */
   def exactDupGroups(df: DataFrame, id: String, text: String): DataFrame =
@@ -45,9 +53,8 @@ object Dedup {
     // shuffle and cheaper probes; a count-altering collision needs two
     // distinct shingles of the SAME document pair to collide (~2⁻⁶⁴
     // per pair) and the oracle gate would surface it.
-    val idx = shingleIndex(df, id, text, n)
-      .select(col(id), xxhash64(col("sh")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = cached(shingleIndex(df, id, text, n)
+      .select(col(id), xxhash64(col("sh")).as("sh")))
     val sizes = idx.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val a = idx.select(col(id).as("id_a"), col("sh"))
     val b = idx.select(col(id).as("id_b"), col("sh"))
@@ -90,19 +97,17 @@ object Dedup {
     // prefix self-join — persist both so the tokenize+shingle+hash and
     // the per-doc sort run once, not per subtree (same reasoning and
     // storage level as jaccardPairs' index persist)
-    val idx = shingleIndex(df, id, text, n)
-      .select(col(id), xxhash64(col("sh")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = cached(shingleIndex(df, id, text, n)
+      .select(col(id), xxhash64(col("sh")).as("h")))
     val dfreq = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val arrs = idx.join(dfreq, Seq("h"))
+    val arrs = cached(idx.join(dfreq, Seq("h"))
       .groupBy(col(id))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
       .select(col(id), col("ord.h").as("shs"))
       .withColumn("sz", size(col("shs")))
       .withColumn("npfx",
         (col("sz") - ceil(col("sz") * lit(minJ)) + 1).cast("int"))
-      .withColumn("pfx", slice(col("shs"), lit(1), col("npfx")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("pfx", slice(col("shs"), lit(1), col("npfx"))))
     val e = arrs.select(col(id), col("shs"), col("sz"), col("pfx"),
       explode(col("pfx")).as("p"))
     val a = e.select(col(id).as("id_a"), col("shs").as("sh_a"),
@@ -151,8 +156,8 @@ object Dedup {
       concat_ws("_",
         (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*)
     }: _*)
-    val bands = sig.select(col(id), posexplode(bandKeys).as(Seq("band", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = cached(
+      sig.select(col(id), posexplode(bandKeys).as(Seq("band", "band_key"))))
     val l = bands.select(col(id).as("id_a"), col("band"), col("band_key"))
     val r = bands.select(col(id).as("id_b"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))
@@ -224,9 +229,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Embedding near-dup pairs: quantized cosine >= minCos over
-    * candidates from banded random-hyperplane LSH (the default, scale
-    * path): each vector gets `bands` bucket ids of `bitsPerBand`
+  private def quantized(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id), V.quantize(col(vec)).as("q"))
+      .withColumn("nsq", V.normSqQ(col("q")))
+
+  private def scoredPairs(candidates: DataFrame, minCos: Double): DataFrame =
+    candidates
+      .withColumn("cosine", V.cosineFrom(
+        V.dotQ(col("q_a"), col("q_b")), col("n_a"), col("n_b")))
+      .filter(col("cosine") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+
+  /** Embedding near-dup pairs, APPROXIMATE (the scale path): quantized
+    * cosine >= minCos over candidates from banded random-hyperplane
+    * LSH: each vector gets `bands` bucket ids of `bitsPerBand`
     * hyperplane sign bits ([[lshBucket]] with per-band plane offsets);
     * vectors colliding in ANY band are scored exactly (the standard
     * LSH OR-construction — more bands = higher recall, fatter
@@ -235,92 +251,112 @@ object Dedup {
     * colliding in no band is missed), but deterministic — the oracle
     * computes identical integer buckets.
     *
-    * `allPairs = true` keeps the exact cartesian baseline for
-    * test-scale ground truth. */
-  def embeddingDupPairs(df: DataFrame, id: String, vec: String,
-      minCos: Double, allPairs: Boolean = false,
-      bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
-    val q = df.select(col(id), V.quantize(col(vec)).as("q"))
-      .withColumn("nsq", V.normSqQ(col("q")))
-    def scored(candidates: DataFrame): DataFrame = candidates
-      .withColumn("cosine", V.cosineFrom(
-        V.dotQ(col("q_a"), col("q_b")), col("n_a"), col("n_b")))
-      .filter(col("cosine") >= minCos)
-      .select(col("id_a"), col("id_b"), col("cosine"))
-    if (allPairs) {
-      val a = q.select(col(id).as("id_a"), col("q").as("q_a"),
-        col("nsq").as("n_a"))
-      val b = q.select(col(id).as("id_b"), col("q").as("q_b"),
-        col("nsq").as("n_b"))
-      scored(a.join(b, col("id_a") < col("id_b")))
-    } else {
-      val bucketCols = array((0 until bands).map(t =>
-        lshBucket(col("q"), bitsPerBand, planeOffset = t * bitsPerBand)): _*)
-      val bk = q.select(col(id), col("q"), col("nsq"),
-          bucketCols.as("bks"),
-          posexplode(bucketCols).as(Seq("band", "bucket")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val l = bk.select(col(id).as("id_a"), col("q").as("q_a"),
-        col("nsq").as("n_a"), col("bks").as("bks_a"),
-        col("band"), col("bucket"))
-      val r = bk.select(col(id).as("id_b"), col("q").as("q_b"),
-        col("nsq").as("n_b"), col("bks").as("bks_b"),
-        col("band"), col("bucket"))
-      // canonical-band dedup: emit a pair only from its FIRST matching
-      // band (earlier bands must differ — array compares on the carried
-      // bucket vectors), then verify the exact cosine in the same
-      // codegen'd stage. Exactly-once emission, no distinct shuffle.
-      val firstMatchingBand = (0 until bands).map { c =>
-        (col("band") <= lit(c)) ||
-          (element_at(col("bks_a"), c + 1) =!= element_at(col("bks_b"), c + 1))
-      }.reduce(_ && _)
-      scored(l.join(r, Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(firstMatchingBand))
-    }
+    * The approximation is in the NAME so no caller mistakes it for the
+    * exact contract — that's [[embeddingDupPairsExact]]. */
+  def embeddingDupPairsLsh(df: DataFrame, id: String, vec: String,
+      minCos: Double, bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+    val q = quantized(df, id, vec)
+    val bucketCols = array((0 until bands).map(t =>
+      lshBucket(col("q"), bitsPerBand, planeOffset = t * bitsPerBand)): _*)
+    val bk = cached(q.select(col(id), col("q"), col("nsq"),
+      bucketCols.as("bks"),
+      posexplode(bucketCols).as(Seq("band", "bucket"))))
+    val l = bk.select(col(id).as("id_a"), col("q").as("q_a"),
+      col("nsq").as("n_a"), col("bks").as("bks_a"),
+      col("band"), col("bucket"))
+    val r = bk.select(col(id).as("id_b"), col("q").as("q_b"),
+      col("nsq").as("n_b"), col("bks").as("bks_b"),
+      col("band"), col("bucket"))
+    // canonical-band dedup: emit a pair only from its FIRST matching
+    // band (earlier bands must differ — array compares on the carried
+    // bucket vectors), then verify the exact cosine in the same
+    // codegen'd stage. Exactly-once emission, no distinct shuffle.
+    val firstMatchingBand = (0 until bands).map { c =>
+      (col("band") <= lit(c)) ||
+        (element_at(col("bks_a"), c + 1) =!= element_at(col("bks_b"), c + 1))
+    }.reduce(_ && _)
+    scoredPairs(l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(firstMatchingBand), minCos)
   }
 
-  /** Resolve near-dup PAIRS into duplicate CLUSTERS: iterative min-label
-    * propagation (each node adopts the smallest id reachable over the
-    * pair edges) until fixpoint. Returns (id, cluster) where cluster =
-    * min id of the component — the canonical "keeper".
+  /** Embedding near-dup pairs, EXACT: the all-pairs cosine baseline —
+    * O(n²), ground truth at test scale, NOT the production path
+    * (that's [[embeddingDupPairsLsh]]). */
+  def embeddingDupPairsExact(df: DataFrame, id: String, vec: String,
+      minCos: Double): DataFrame = {
+    val q = quantized(df, id, vec)
+    val a = q.select(col(id).as("id_a"), col("q").as("q_a"),
+      col("nsq").as("n_a"))
+    val b = q.select(col(id).as("id_b"), col("q").as("q_b"),
+      col("nsq").as("n_b"))
+    scoredPairs(a.join(b, col("id_a") < col("id_b")), minCos)
+  }
+
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS: min-label
+    * propagation WITH pointer-jumping, iterated to TRUE fixpoint.
+    * Returns (id, cluster) where cluster = min id of the component —
+    * the canonical "keeper".
     *
-    * Scale notes: each iteration is one join + one aggregation on the
-    * edge list; iterations ≈ graph diameter (near-dup clusters are
-    * shallow — typically 2-4 rounds). The label frontier is
-    * checkpointed per round to cut the growing lineage. This is the
-    * standard large-scale CC shape (cf. the alternating-star algorithm
-    * for adversarially deep graphs). */
+    * Each round does two steps:
+    *  1. propagate — every node adopts min(own, neighbours') label
+    *     (one join + one aggregation on the edge list);
+    *  2. shortcut — every node then follows its label one hop,
+    *     label(n) := min(label(n), label(label(n))) (labels are always
+    *     ids of reachable nodes, so the composed label stays within the
+    *     component). The shortcut halves label-chain depth, so a
+    *     path-shaped duplicate chain of diameter d converges in
+    *     O(log d) rounds instead of O(d) — this is the Shiloach-Vishkin
+    *     pointer-jumping idea in DataFrame form.
+    *
+    * The frontier is `localCheckpoint`ed every round: lineage is
+    * truncated (no exponentially growing plan) and each round's labels
+    * are served from executor storage. Rounds run until NOTHING
+    * changes (both steps are pointwise monotone non-increasing, so
+    * next == labels is a genuine fixpoint = exact min labeling);
+    * `maxIter` is only a runaway backstop — exceeding it THROWS rather
+    * than silently mislabeling (log₂-depth convergence makes 50 rounds
+    * enough for any physically possible component). */
   def duplicateClusters(ids: DataFrame, id: String, pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
-    val spark = ids.sparkSession
+      maxIter: Int = 50): DataFrame = {
     // undirected edge list, both directions
     val e1 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = e1.unionByName(
-        e1.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = cached(e1.unionByName(
+      e1.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = ids.select(col(id).as("node"), col(id).as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
-      // each node adopts min(own, neighbours') label
-      val viaEdges = edges
+    while (!converged) {
+      if (it >= maxIter)
+        throw new IllegalStateException(
+          s"duplicateClusters did not converge in $maxIter rounds")
+      // 1. propagate: each node adopts min(own, neighbours') label —
+      // aggregate the neighbour minimum, then least() it against the
+      // node's own label (no self-union: one join + one agg + one join)
+      val nbrMin = edges
         .join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("cluster"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy(col("node")).agg(min(col("cluster")).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nmin"))
+      val prop = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
+        .select(labels("node").as("node"),
+          least(col("cluster"), col("nmin")).as("cluster"))
+      // 2. shortcut: follow the label one hop (left join: a label that
+      // is its own cluster maps to itself)
+      val next = prop.alias("p")
+        .join(prop.select(col("node").as("ln"), col("cluster").as("lc"))
+          .alias("l"), col("p.cluster") === col("l.ln"), "left")
+        .select(col("p.node").as("node"),
+          least(col("p.cluster"), coalesce(col("lc"), col("p.cluster")))
+            .as("cluster"))
+        .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))
         .filter(col("n.cluster") =!= col("o.cluster"))
         .limit(1).count() > 0
-      labels.unpersist()
       labels = next
       converged = !changed
       it += 1
     }
-    edges.unpersist()
     labels.select(col("node").as(id), col("cluster"))
   }
 

@@ -121,7 +121,11 @@ object CorpusPipeline {
     // Reading the table fresh here (rather than returning the pre-swap
     // plan) matters physically too — a parquet read pins its part-file
     // listing at plan time, and the swap replaced those files.
-    claims(spark.read.parquet(seenPath)).drop("__fp")
+    // MATERIALIZED (localCheckpoint) before returning: a lazy plan would
+    // still be pinned to THIS swap's part files, so a caller consuming
+    // it after a subsequent batch's swap would read deleted files —
+    // materializing makes the API safe whenever the frame is consumed.
+    claims(spark.read.parquet(seenPath)).drop("__fp").localCheckpoint()
   }
 
   /** Fixed-size training shards: bounded rows per output file (the

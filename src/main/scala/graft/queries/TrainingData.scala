@@ -270,7 +270,7 @@ object TrainingData extends QueryPack {
   val q26 = Q(
     "q26_embedding_dups",
     (s, dir) => {
-      Dedup.embeddingDupPairs(Tables(s, dir, "embeddings"), "vec_id",
+      Dedup.embeddingDupPairsLsh(Tables(s, dir, "embeddings"), "vec_id",
           "embedding", minCos = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -293,8 +293,8 @@ object TrainingData extends QueryPack {
   val q66 = Q(
     "q66_embedding_dups_exact",
     (s, dir) => {
-      Dedup.embeddingDupPairs(Tables(s, dir, "embeddings"), "vec_id",
-          "embedding", minCos = 0.4, allPairs = true)
+      Dedup.embeddingDupPairsExact(Tables(s, dir, "embeddings"), "vec_id",
+          "embedding", minCos = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(s"""
@@ -491,12 +491,10 @@ object TrainingData extends QueryPack {
       val docs = Tables(s, dir, "documents")
       val seen = java.nio.file.Files
         .createTempDirectory("graft_q75_").toString + "/seen"
-      // pin batch 0's rows before batch 1 swaps the seen table under
-      // its plan (a real deployment writes each batch's output before
-      // the next batch arrives; chaining in-process needs the pin)
+      // ingestNew materializes its result internally, so chaining
+      // batches in-process is safe with no caller-side pin
       val even = CorpusPipeline.ingestNew(s,
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), seen, "b0")
-        .localCheckpoint(true)
       val odd = CorpusPipeline.ingestNew(s,
         docs.filter(pmod(col("doc_id"), lit(2)) === 1), seen, "b1")
       even.withColumn("batch", lit(0))
@@ -516,6 +514,54 @@ object TrainingData extends QueryPack {
             GROUP BY d.fp, d.b)
       SELECT doc_id, batch FROM k ORDER BY doc_id"""),
     covers = Seq("TD-dedup-exact", "ST1"))
+
+  /** Near-dup PAIR→CLUSTER resolution (the stage q69 stops before):
+    * MinHash→LSH candidate pairs (exactly q23's construction) resolved
+    * into connected components by Dedup.duplicateClusters (min-label +
+    * pointer-jumping to fixpoint), with the keeper decision. The oracle
+    * restates the fixpoint declaratively: a recursive reachability
+    * closure over the undirected pair edges, cluster = min reachable
+    * id — so the iterative distributed algorithm is hash-checked
+    * against the mathematical definition of its answer. */
+  val q77 = Q(
+    "q77_dedup_clusters",
+    (s, dir) => {
+      val sig = Dedup.minhashSignatures(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = K)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", k = K, rows = BAND_ROWS)
+      val ids = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+      Dedup.dedupDecision(ids, "doc_id", pairs).orderBy(col("doc_id"))
+    },
+    Some {
+      val bandRows = (0 until K / BAND_ROWS).map { b =>
+        val key = (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH RECURSIVE $dkShingles,
+      $dkSig,
+      bands AS (
+        $bandRows),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING(band, band_key)
+        WHERE a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach AS (
+        SELECT node, node AS m FROM nodes
+        UNION
+        SELECT e.dst AS node, r.m
+        FROM reach r JOIN edges e ON e.src = r.node
+      )
+      SELECT node AS doc_id, MIN(m) AS cluster, node = MIN(m) AS keep
+      FROM reach GROUP BY node ORDER BY doc_id"""
+    },
+    covers = Seq("TD-dedup-clusters", "TD-dedup-lsh"))
 
   /** Tumbling-window aggregation over the event stream (Spark
     * `window()` — the Structured Streaming windowed-agg shape, run
@@ -543,5 +589,5 @@ object TrainingData extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
-      q66, q68, q69, q70, q75)
+      q66, q68, q69, q70, q75, q77)
 }

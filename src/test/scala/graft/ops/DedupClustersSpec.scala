@@ -17,6 +17,19 @@ class DedupClustersSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
   }
 
+  test("duplicateClusters: 50-deep path graph converges exactly (pointer jumping)") {
+    // one path 0-1-2-...-50 (diameter 50) plus a disjoint 200-node
+    // path descending from 300 — deep chains in BOTH id directions,
+    // the shape that silently mislabeled under a fixed 10-round cap
+    val ids = ((0L to 50L) ++ (101L to 300L)).toDF("doc_id")
+    val pairs = ((0L until 50L).map(i => (i, i + 1)) ++
+      (101L until 300L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 50L).forall(got(_) == 0L), "50-path must collapse to 0")
+    assert((101L to 300L).forall(got(_) == 101L), "200-path must collapse to 101")
+  }
+
   test("dedupDecision keeps exactly one doc per cluster") {
     val ids = (1L to 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")

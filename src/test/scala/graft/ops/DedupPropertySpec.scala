@@ -72,10 +72,10 @@ class DedupPropertySpec extends SparkSpec {
       val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("vec_id", "embedding")
       val minCos = 0.2
-      val got = Dedup.embeddingDupPairs(df, "vec_id", "embedding", minCos)
+      val got = Dedup.embeddingDupPairsLsh(df, "vec_id", "embedding", minCos)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-      val exact = Dedup.embeddingDupPairs(df, "vec_id", "embedding", minCos,
-          allPairs = true)
+      val exact = Dedup.embeddingDupPairsExact(df, "vec_id", "embedding",
+          minCos)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       // band buckets straight from the production bucket expression
       val buckets = df

@@ -2,56 +2,87 @@
 """Diff two bench ledger files (bench_history/*.json): per-query deltas,
 sorted by absolute regression, plus totals.
 
-Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold 0.3]
+A delta only counts as SIGNAL when it clears BOTH the absolute
+threshold (seconds) and the relative threshold (fraction of the old
+time) — round-2 showed single-run timings drifting +/-50% on unchanged
+code, so small-absolute or small-relative moves are suppressed as
+noise. Ledgers written by the min-of-N bench (the `iterations` field)
+are already far less noisy; the thresholds guard the residual.
+
+A query whose value is null FAILED in that run and is flagged, never
+summed.
+
+Usage: python3 tools/bench_diff.py OLD.json NEW.json
+           [--threshold 0.3] [--rel-threshold 0.25]
 """
 import json
 import sys
 
 
-def main(old_path, new_path, threshold=0.3):
+def main(old_path, new_path, threshold=0.3, rel=0.25):
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     oq, nq = old["queries"], new["queries"]
     rows = []
     for name in sorted(set(oq) | set(nq)):
+        in_old, in_new = name in oq, name in nq
         a, b = oq.get(name), nq.get(name)
-        if a is None:
-            rows.append((name, None, b, None))
-        elif b is None:
-            rows.append((name, a, None, None))
+        if not in_old or not in_new or a is None or b is None:
+            rows.append((name, a, b, None, in_old, in_new))
         else:
-            rows.append((name, a, b, b - a))
+            rows.append((name, a, b, b - a, True, True))
     rows.sort(key=lambda r: -(abs(r[3]) if r[3] is not None else 1e9))
     print(f"{'query':<42} {'old':>7} {'new':>7} {'delta':>7}")
-    for name, a, b, d in rows:
+    suppressed = 0
+    for name, a, b, d, in_old, in_new in rows:
         if d is None:
-            tag = "ADDED" if a is None else "REMOVED"
-            val = b if a is None else a
-            print(f"{name:<42} {'-' if a is None else f'{a:7.2f}'} "
-                  f"{'-' if b is None else f'{b:7.2f}'}   {tag}")
-        elif abs(d) >= threshold:
+            if not in_old:
+                tag = "ADDED"
+            elif not in_new:
+                tag = "REMOVED"
+            else:
+                tag = "FAILED"
+            fmt = lambda v, present: (
+                f"{v:7.2f}" if v is not None else ("   FAIL" if present else "      -"))
+            print(f"{name:<42} {fmt(a, in_old)} {fmt(b, in_new)}   {tag}")
+        elif abs(d) >= threshold and abs(d) >= rel * a:
             print(f"{name:<42} {a:7.2f} {b:7.2f} {d:+7.2f}")
+        elif abs(d) >= threshold:
+            suppressed += 1
+    if suppressed:
+        print(f"... {suppressed} deltas >= {threshold}s suppressed as noise "
+              f"(< {rel:.0%} relative change)")
     print(f"\ntotal: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({new['value'] - old['value']:+.1f}s), "
           f"{len(oq)} -> {len(nq)} queries")
+    for side, ledger in (("old", old), ("new", new)):
+        failed = ledger.get("failed") or [
+            k for k, v in ledger["queries"].items() if v is None]
+        if failed:
+            print(f"{side} FAILED queries (excluded from total): "
+                  + ", ".join(sorted(failed)))
     return 0
 
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    thr, args = 0.3, []
+    thr, rel, args = 0.3, 0.25, []
     i = 0
+
+    def take(flag, i):
+        a = argv[i]
+        if "=" in a:
+            return float(a.split("=", 1)[1]), i + 1
+        if i + 1 < len(argv):
+            return float(argv[i + 1]), i + 2
+        sys.exit(f"{flag} requires a value")
+
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--threshold"):
-            if "=" in a:
-                thr = float(a.split("=", 1)[1])
-                i += 1
-            elif i + 1 < len(argv):
-                thr = float(argv[i + 1])
-                i += 2
-            else:
-                sys.exit("--threshold requires a value")
+        if a.startswith("--rel-threshold"):
+            rel, i = take("--rel-threshold", i)
+        elif a.startswith("--threshold"):
+            thr, i = take("--threshold", i)
         elif a.startswith("--"):
             sys.exit(f"unknown flag: {a}")
         else:
@@ -59,4 +90,4 @@ if __name__ == "__main__":
             i += 1
     if len(args) != 2:
         sys.exit(__doc__.strip())
-    sys.exit(main(args[0], args[1], thr))
+    sys.exit(main(args[0], args[1], thr, rel))
