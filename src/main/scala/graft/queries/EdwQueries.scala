@@ -449,5 +449,60 @@ object EdwQueries extends QueryPack {
       ORDER BY p.item_id"""),
     covers = Seq("J14", "A1", "A3", "A4"))
 
-  override def queries: Seq[Q] = Seq(q49, q50, q51, q63, q64, q65)
+  /** q64's COUNT(DISTINCT sales_order_number) is the one exact
+    * high-cardinality distinct the EDW serving layer pays for
+    * (expand + full reshuffle of the distinct keys at scale). This twin
+    * runs the SAME grouping (month grain, where group cardinality
+    * exceeds the sketch size) with BOTH the exact count and the
+    * kmv_distinct sketch side by side — the bounded-memory, mergeable,
+    * deterministic alternative a 100 TB deployment opts into — and the
+    * sketch estimate itself is oracle-checked bit-for-bit (md5-derived
+    * hashes, same k-th minimum in DuckDB). Crossover argument: SCALE.md
+    * §"Exact vs sketch distincts". */
+  val q78 = Q(
+    "q78_edw_orders_kmv",
+    (s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      val st = star(s, dir)
+      val kmv = udaf(graft.functions.KmvSketch(64))
+      st.fact.as("fs")
+        .join(broadcast(st.dimDate).as("d"),
+          col("fs.order_date_id") === col("d.order_date_id"))
+        .select(col("d.yyyymm"), col("fs.sales_order_number"),
+          T.hash60(col("fs.sales_order_number").cast("string"), 0).as("hv"))
+        .groupBy(col("yyyymm"))
+        .agg(
+          countDistinct(col("sales_order_number")).as("exact_orders"),
+          kmv(col("hv")).as("kmv_orders"))
+        .orderBy(col("yyyymm"))
+    },
+    Some(s"""
+      WITH $oracleStar,
+      joined AS (
+        SELECT d.yyyymm, fs.sales_order_number
+        FROM fact fs JOIN dim_date d ON fs.order_date_id = d.order_date_id),
+      ex AS (
+        SELECT yyyymm, count(DISTINCT sales_order_number) AS exact_orders
+        FROM joined GROUP BY yyyymm),
+      h AS (
+        SELECT DISTINCT yyyymm,
+               CAST(('0x'||substr(md5('0|'||CAST(sales_order_number AS VARCHAR)),1,15)) AS BIGINT) AS hv
+        FROM joined),
+      r AS (
+        SELECT yyyymm, hv,
+               row_number() OVER (PARTITION BY yyyymm ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY yyyymm) AS nd
+        FROM h),
+      est AS (
+        SELECT yyyymm,
+               CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+                    ELSE 63.0 / (CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
+                                 / power(2.0, 60)) END AS kmv_orders
+        FROM r GROUP BY yyyymm)
+      SELECT ex.yyyymm, ex.exact_orders, est.kmv_orders
+      FROM ex JOIN est USING (yyyymm)
+      ORDER BY yyyymm"""),
+    covers = Seq("A-sketch-kmv", "A3"))
+
+  override def queries: Seq[Q] = Seq(q49, q50, q51, q63, q64, q65, q78)
 }

@@ -515,6 +515,40 @@ object TrainingData extends QueryPack {
       SELECT doc_id, batch FROM k ORDER BY doc_id"""),
     covers = Seq("TD-dedup-exact", "ST1"))
 
+  /** REAL image decode through the JDK codec (javax.imageio): each doc
+    * id is rendered to a grayscale PNG whose pixel function is
+    * closed-form in the id (Multimodal.ImageCodec.syntheticPng), the
+    * engine decodes the actual PNG bytes partition-parallel and emits
+    * header dimensions + exact pixel statistics — and the oracle
+    * recomputes those statistics from the pixel formula alone, so a
+    * codec that mis-decoded a single pixel hash-fails. (Audio/video
+    * remain stubbed: the JVM ships no codecs for them.) */
+  val q76 = Q(
+    "q76_image_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+        .map(id => Multimodal.MediaRow(id, "image",
+          Multimodal.ImageCodec.syntheticPng(id)))
+      Multimodal.imageStats(media).toDF().orderBy($"media_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+               CAST(8 + doc_id % 7 AS INT) AS h
+        FROM documents),
+      px AS (
+        SELECT m.doc_id, m.w, m.h,
+               (x.i * 7 + y.j * 13 + m.doc_id) % 256 AS v
+        FROM m, range(0, 16) x(i), range(0, 14) y(j)
+        WHERE x.i < m.w AND y.j < m.h)
+      SELECT doc_id AS media_id, w AS width, h AS height,
+             COUNT(*) AS n_px,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_intensity
+      FROM px GROUP BY 1, 2, 3 ORDER BY media_id"""),
+    covers = Seq("TD-multimodal"))
+
   /** Near-dup PAIR→CLUSTER resolution (the stage q69 stops before):
     * MinHash→LSH candidate pairs (exactly q23's construction) resolved
     * into connected components by Dedup.duplicateClusters (min-label +
@@ -589,5 +623,5 @@ object TrainingData extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
-      q66, q68, q69, q70, q75, q77)
+      q66, q68, q69, q70, q75, q76, q77)
 }

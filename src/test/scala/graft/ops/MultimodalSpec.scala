@@ -55,6 +55,36 @@ class MultimodalSpec extends SparkSpec {
         .collect().map(_.features.toSeq).toSeq)
   }
 
+  test("ImageCodec: real PNG decode recovers exact dimensions and pixels") {
+    import Multimodal._
+    // encode → decode round trip is exact (TYPE_INT_RGB, no color mgmt)
+    val png = ImageCodec.encodeGrayPng(5, 3, (x, y) => x * 7 + y * 13)
+    val stats = ImageCodec.decodeStats(42L, png)
+    assert(stats.width == 5 && stats.height == 3 && stats.n_px == 15)
+    val expected = (for (y <- 0 until 3; x <- 0 until 5)
+      yield (x * 7 + y * 13) & 0xff).sum.toDouble / 15
+    assert(stats.mean_intensity == expected)
+    // synthetic ids: dimensions are closed-form in the id
+    val s17 = ImageCodec.decodeStats(17L, ImageCodec.syntheticPng(17L))
+    assert(s17.width == 8 + 17 % 9 && s17.height == 8 + 17 % 7)
+  }
+
+  test("extractFeatures routes images through the real codec") {
+    import Multimodal._
+    val media = Seq(
+      MediaRow(1L, "image", ImageCodec.syntheticPng(1L)),
+      MediaRow(2L, "audio", Array[Byte](1, 2, 3))).toDS()
+    val out = extractFeatures(media, dim = 4).collect()
+      .map(f => f.media_id -> f).toMap
+    // image: REAL header dimensions, not the stub's hash-derived ones
+    assert(out(1L).width == 8 + 1 % 9 && out(1L).height == 8 + 1 % 7)
+    assert(out(1L).features.length == 4)
+    assert(out(1L).features.forall(f => f >= 0f && f <= 1f))
+    // audio: still the deterministic stub (JVM has no audio codec)
+    assert(out(2L).n_bytes == 3)
+    assert(out(2L).features.length == 4)
+  }
+
   test("resize: deterministic fixed-budget payloads, metadata re-derivable") {
     import Multimodal._
     val media = Seq(MediaRow(1L, "image", Array[Byte](1, 2, 3))).toDS()
