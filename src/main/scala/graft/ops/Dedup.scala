@@ -142,22 +142,28 @@ object Dedup {
     idx.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs: split the k-wide signature into bands of
-    * `rows` hashes; docs sharing any full band collide. The join is on
-    * (band_index, band_key) — bounded fan-out, no all-pairs compare. */
-  def lshCandidatePairs(sig: DataFrame, id: String, k: Int, rows: Int): DataFrame = {
+  /** (id, band, band_key) table: the k-wide MinHash signature split
+    * into bands of `rows` hashes — one pass over the signatures (all
+    * band keys as an array, then posexplode; a per-band union would
+    * recompute the signature subtree nBands×). Shared by the batch
+    * pair generator ([[lshCandidatePairs]]) and the incremental
+    * bucket-table ingestion (CorpusPipeline.ingestNewNearDup). */
+  def bandKeys(sig: DataFrame, id: String, k: Int, rows: Int): DataFrame = {
     require(k % rows == 0, "k must be divisible by band rows")
     val nBands = k / rows
-    // one pass over the signatures: all band keys as an array, then
-    // posexplode — a per-band union would recompute the signature
-    // subtree nBands× (and 2× more across the self-join sides), so the
-    // exploded band table is also persisted (it is tiny: docs × bands)
-    val bandKeys = array((0 until nBands).map { b =>
+    val keys = array((0 until nBands).map { b =>
       concat_ws("_",
         (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*)
     }: _*)
-    val bands = cached(
-      sig.select(col(id), posexplode(bandKeys).as(Seq("band", "band_key"))))
+    sig.select(col(id), posexplode(keys).as(Seq("band", "band_key")))
+  }
+
+  /** LSH candidate pairs: docs sharing any full band collide. The join
+    * is on (band_index, band_key) — bounded fan-out, no all-pairs
+    * compare. The exploded band table is persisted (it is tiny:
+    * docs × bands) because it feeds both self-join sides. */
+  def lshCandidatePairs(sig: DataFrame, id: String, k: Int, rows: Int): DataFrame = {
+    val bands = cached(bandKeys(sig, id, k, rows))
     val l = bands.select(col(id).as("id_a"), col("band"), col("band_key"))
     val r = bands.select(col(id).as("id_b"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))

@@ -128,6 +128,85 @@ object CorpusPipeline {
     claims(spark.read.parquet(seenPath)).drop("__fp").localCheckpoint()
   }
 
+  /** Batch-incremental NEAR-dup ingestion against a persistent LSH
+    * band-bucket table — the MinHash/LSH analog of [[ingestNew]]'s
+    * exact seen-table: a new doc is ADMITTED iff none of its band keys
+    * collides with a previously-admitted doc's band key, and
+    * intra-batch collisions resolve to the min doc id per connected
+    * component ([[Dedup.duplicateClusters]]); admitted docs' band keys
+    * merge into the table stamped with `batchId`. Docs too short to
+    * shingle have no bands and are admitted trivially (compose with
+    * [[ingestNew]] for exact-content dedup).
+    *
+    * Near-dup admission is GREEDY first-seen (like any streaming
+    * dedup): a doc suppressed by a prior bucket contributes no buckets
+    * itself, so a later doc near BOTH keeps only the admitted side's
+    * buckets as its reference set.
+    *
+    * Exactly-once under replay, same argument as [[ingestNew]]: the
+    * admitted set is computed against buckets claimed by OTHER batches
+    * only, so a replay (same `batchId`, same docs) recomputes the
+    * identical admitted set whether or not the table swap happened; an
+    * admitted doc's band keys can never equal a prior batch's key (it
+    * would have been suppressed), so the distinct-union rewrite is
+    * idempotent too. The result is MATERIALIZED before the swap and
+    * safe to consume at any time. The table is read via `readRecovered`
+    * and rewritten by atomic swap.
+    *
+    * Scale shape: one signature pass over the batch, one semi-join of
+    * batch bands against the bucket table (shuffle on band_key), one
+    * intra-batch band self-join (batch-sized), CC on the intra-batch
+    * pair graph (micro-batch sized, O(log d) rounds) — the bucket
+    * table is the only persistent state and grows with ADMITTED docs ×
+    * bands only. */
+  def ingestNewNearDup(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, bucketPath: String, batchId: String,
+      id: String = "doc_id", text: String = "text",
+      n: Int = 3, k: Int = 16, bandRows: Int = 4): DataFrame = {
+    import graft.ops.Upsert
+    val sig = Dedup.minhashSignatures(newDocs, id, text, n, k)
+    // checkpointed: feeds four subtrees and must stay stable across the
+    // bucket-table swap below
+    val bands = Dedup.bandKeys(sig, id, k, bandRows).localCheckpoint()
+    val prior = Upsert.readRecovered(spark, bucketPath)
+      .map(_.filter(col("batch_id") =!= lit(batchId)))
+    // 1. suppress docs colliding with an already-admitted bucket
+    val suppressedByPrior = prior.map(p =>
+      bands.join(p.select(col("band"), col("band_key")),
+          Seq("band", "band_key"), "left_semi")
+        .select(col(id)).distinct())
+    val liveBands = suppressedByPrior
+      .map(s => bands.join(s, Seq(id), "left_anti")).getOrElse(bands)
+    // 2. intra-batch near-dup clusters among the survivors: losers are
+    // every non-min member of a band-collision component
+    val l = liveBands.select(col(id).as("id_a"), col("band"), col("band_key"))
+    val r = liveBands.select(col(id).as("id_b"), col("band"), col("band_key"))
+    val pairs = l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val nodes = pairs.select(col("id_a").as(id))
+      .unionByName(pairs.select(col("id_b").as(id))).distinct()
+    val losers = Dedup.duplicateClusters(nodes, id, pairs)
+      .filter(col(id) =!= col("cluster")).select(col(id))
+    val dropIds = suppressedByPrior match {
+      case Some(s) => s.unionByName(losers)
+      case None => losers
+    }
+    val admitted = newDocs.join(dropIds, Seq(id), "left_anti")
+      .localCheckpoint() // materialize BEFORE the swap: consumable anytime
+    // 3. merge the admitted docs' band keys into the bucket table
+    val newBuckets = bands
+      .join(admitted.select(col(id)), Seq(id), "left_semi")
+      .select(col("band"), col("band_key"))
+      .withColumn("batch_id", lit(batchId)).distinct()
+    val newTable = prior match {
+      case Some(p) => p.unionByName(newBuckets).distinct()
+      case None => newBuckets
+    }
+    Upsert.overwriteAtomic(newTable, bucketPath)
+    admitted
+  }
+
   /** Fixed-size training shards: bounded rows per output file (the
     * shape downstream training loaders consume), writers spread across
     * the cluster. `maxRecordsPerFile` does the bounding; the

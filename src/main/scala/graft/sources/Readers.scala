@@ -70,11 +70,16 @@ object Readers {
     * `dags/snowflake-EDW-ETL-dag.py:74-96`:
     * metadata$FILENAME → file_name, metadata$FILE_LAST_MODIFIED →
     * file_last_modified, metadata$FILE_ROW_NUMBER → file_row_number,
-    * metadata$FILE_CONTENT_KEY → file_content_key (a stable per-file
-    * content key: md5 over path + size + mtime — computed from scan
-    * metadata with no second read of the file bytes, so an in-place
-    * re-upload of same-sized content still changes the key via mtime;
-    * only a byte-identical-timestamp overwrite is invisible).
+    * metadata$FILE_CONTENT_KEY → file_content_key — GENUINELY
+    * content-derived (md5 of the file bytes via a binaryFile side-scan,
+    * broadcast-joined per file): same bytes ⇒ same key, any byte change
+    * ⇒ new key, matching Snowflake's content-key semantics even for
+    * same-size in-place overwrites within mtime granularity. The extra
+    * read is one pass over the stage files — stage drops are KB–MB
+    * landing files (the reference's are KB), not warehouse tables.
+    * Dropping the column does NOT eliminate the side-scan (Spark has
+    * no left-join elimination); a deployment that cannot afford it
+    * should derive keys at upload time, as Snowflake itself does.
     *
     * file_row_number: 1-based position within the source file, from a
     * window over (file, monotonically_increasing_id). Row order within
@@ -85,19 +90,23 @@ object Readers {
     * are KB-sized; at 100 TB you have many files, not one giant file). */
   def stageSelect(spark: SparkSession, path: String, nCols: Int,
       sep: String = ","): DataFrame = {
+    val contentKeys = spark.read.format("binaryFile").load(path)
+      .select(col("path").as("file_name"),
+        md5(col("content")).as("file_content_key"))
     val raw = spark.read
       .option("sep", sep).option("header", false)
       .csv(path)
       .select((0 until nCols).map(i => col(s"_c$i").as(s"c${i + 1}")) ++ Seq(
         col("_metadata.file_path").as("file_name"),
-        col("_metadata.file_modification_time").as("file_last_modified"),
-        md5(concat_ws(":", col("_metadata.file_path"),
-          col("_metadata.file_size").cast("string"),
-          unix_millis(col("_metadata.file_modification_time")).cast("string")))
-          .as("file_content_key")): _*)
-    raw.withColumn("file_row_number",
-      row_number().over(Window.partitionBy(col("file_name"))
-        .orderBy(monotonically_increasing_id())))
+        col("_metadata.file_modification_time").as("file_last_modified")): _*)
+    raw
+      .join(broadcast(contentKeys), Seq("file_name"), "left")
+      .withColumn("file_row_number",
+        row_number().over(Window.partitionBy(col("file_name"))
+          .orderBy(monotonically_increasing_id())))
+      .select((0 until nCols).map(i => col(s"c${i + 1}")) ++ Seq(
+        col("file_name"), col("file_last_modified"),
+        col("file_content_key"), col("file_row_number")): _*)
   }
 
   /** S10: dbt seed — header CSV, all-string schema unless given

@@ -82,4 +82,41 @@ object StreamingDedup {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         firstSeen(retentionMs))
   }
+
+  /** Streaming NEAR-dup dedup: `foreachBatch` over the persistent LSH
+    * band-bucket table (`CorpusPipeline.ingestNewNearDup`) — the
+    * MinHash/LSH counterpart of [[dedupStream]]'s exact-fingerprint
+    * state. Each micro-batch admits only docs that are not near-dups
+    * of previously-admitted docs (across batches AND runs: the bucket
+    * table is durable state like q75's seen-table), writing admitted
+    * docs to `outPath/batch_<id>`.
+    *
+    * Exactly-once end to end: the bucket update is replay-stable per
+    * micro-batch id (see ingestNewNearDup's contract) and the emission
+    * OVERWRITES the per-batch directory, so a checkpoint replay of a
+    * crashed batch rewrites byte-identical output instead of
+    * appending duplicates. */
+  def runNearDupSink(
+      stream: org.apache.spark.sql.DataFrame,
+      bucketPath: String,
+      outPath: String,
+      checkpointPath: String,
+      id: String = "doc_id",
+      text: String = "text",
+      n: Int = 3,
+      k: Int = 16,
+      bandRows: Int = 4): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val admitted = graft.pipelines.CorpusPipeline.ingestNewNearDup(
+          batch.sparkSession, batch, bucketPath, s"stream_b$bid",
+          id, text, n, k, bandRows)
+        admitted.write.mode("overwrite").parquet(s"$outPath/batch_$bid")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

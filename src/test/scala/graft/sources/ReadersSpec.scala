@@ -72,6 +72,21 @@ class ReadersSpec extends SparkSpec {
       .distinct().as[(String, String)].collect().toMap
     assert(keys.size == 2 && keys.values.toSet.size == 2)
     assert(keys.values.forall(_.matches("[0-9a-f]{32}")))
+    // CONTENT-derived: a same-size in-place overwrite (mtime preserved)
+    // must change the key — metadata-only keys miss exactly this case
+    val f1 = d.resolve("sales_1.csv")
+    val mtime = f1.toFile.lastModified()
+    write(d, "sales_1.csv", "9,z,99", "8,y,88") // same byte count
+    f1.toFile.setLastModified(mtime)
+    val keys2 = Readers.stageSelect(spark, s"$d/sales_*.csv", nCols = 3)
+      .select($"file_name", $"file_content_key")
+      .distinct().as[(String, String)].collect().toMap
+    val k1 = keys.find(_._1.endsWith("sales_1.csv")).get
+    val k2 = keys2.find(_._1.endsWith("sales_1.csv")).get
+    assert(k1._2 != k2._2, "content change must change the key")
+    assert(keys2.find(_._1.endsWith("sales_2.csv")).get._2 ==
+      keys.find(_._1.endsWith("sales_2.csv")).get._2,
+      "untouched file keeps its key")
   }
 
   test("stageHasFiles + archiveFiles (S16/S17)") {
