@@ -447,6 +447,84 @@ object Dedup {
       .select(col("id_q"), col("rank"), col("id_c"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN — the centroid-partitioned scale path:
+    * every corpus vector is assigned ONCE to its nearest
+    * coarse-quantizer cell (argmax cosine, min-cell tie-break), and a
+    * query scores only the corpus rows in its `nProbe` nearest cells —
+    * the equi-join on cell id replaces the all-pairs compare, and
+    * recall/cost trade via nProbe exactly as in FAISS-style IVF.
+    *
+    * The coarse quantizer here is deterministic by construction: the
+    * `nCells` smallest-id corpus vectors serve as centroids (a
+    * production deployment trains k-means offline — everything
+    * downstream: assignment projection, inverted layout, probe join,
+    * is identical). Centroids are tiny quantizer METADATA, collected
+    * once and inlined as literal vectors, so cell assignment is a pure
+    * codegen'd projection — the corpus is never joined or shuffled to
+    * find its cell. Exact integer dot products keep even the
+    * approximate cell structure oracle-reproducible. */
+  def annTopKIvf(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val prep = (d: DataFrame, suffix: String) =>
+      d.select(col(id).as(s"id_$suffix"), V.quantize(col(vec)).as(s"q_$suffix"))
+        .withColumn(s"n_$suffix", V.normSqQ(col(s"q_$suffix")))
+    val cents = quantized(corpus, id, vec).orderBy(col(id)).limit(nCells)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    // per-centroid (negated cosine, cell id) structs: array_min picks
+    // the max-cosine cell with min-id tie-break; array_sort + slice
+    // gives the nProbe nearest cells for the query side
+    def cellScores(qCol: String, nCol: String): Seq[Column] = cents.toSeq.map {
+      case (cid, cvec, cnsq) =>
+        val cos = V.cosineFrom(
+          V.dotQ(col(qCol), array(cvec.map(lit(_)).toSeq: _*)),
+          col(nCol), lit(cnsq))
+        struct((-cos).as("nc"), lit(cid).as("cell"))
+    }
+    val c = prep(corpus, "c")
+      .withColumn("cell",
+        array_min(array(cellScores("q_c", "n_c"): _*)).getField("cell"))
+    val qr = prep(queries, "q")
+      .withColumn("probe", explode(slice(
+        array_sort(array(cellScores("q_q", "n_q"): _*)), 1, nProbe)))
+      .withColumn("cell", col("probe").getField("cell"))
+      .drop("probe")
+    val scored = c.join(broadcast(qr), Seq("cell"))
+      .filter(col("id_q") =!= col("id_c"))
+      .withColumn("cosine", V.cosineFrom(
+        V.dotQ(col("q_q"), col("q_c")), col("n_q"), col("n_c")))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cosine").desc, col("id_c").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_q"), col("rank"), col("id_c"), col("cosine"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    * the MOSS scheme): hash every POSITIONAL word n-gram, slide a
+    * window of `w` consecutive hashes, select each full window's
+    * minimum; the DISTINCT selected hashes are the document's
+    * fingerprint set. Guarantee: any shared token run of length
+    * ≥ w+n−1 between two documents yields at least one SHARED
+    * fingerprint, at ~2/(w+1) of the gram count stored — a
+    * local-similarity property the whole-document hash
+    * (`TextFunctions.fingerprint`) cannot give. One explode + one
+    * window pass + one distinct; no joins, no driver round-trip. */
+  def winnowingFingerprints(df: DataFrame, id: String, text: String,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    val grams = df.select(col(id),
+        posexplode(T.shingles(T.tokens(col(text)), n)).as(Seq("pos", "sh")))
+      .withColumn("hv", T.hash60(col("sh"), 0))
+    val win = Window.partitionBy(col(id)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("wmin", min(col("hv")).over(win))
+      // full windows only (pos is 0-based): the first w-1 positions
+      // have truncated windows whose minima are not winnowing picks
+      .filter(col("pos") >= w - 1 && col("hv") === col("wmin"))
+      .select(col(id), col("hv").as("fp")).distinct()
+  }
+
   /** Brute-force top-k cosine neighbors for a query subset. The query
     * side is small by construction — broadcast it so the corpus scan
     * is embarrassingly parallel with no shuffle of the big side. */

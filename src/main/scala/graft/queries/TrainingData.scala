@@ -433,6 +433,72 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-ann-lsh"))
 
+  /** IVF ANN (the FAISS-style centroid-partitioned scale path,
+    * completing the ANN family next to brute force q27, LSH q52 and
+    * multi-probe q68): deterministic coarse quantizer = the 8
+    * smallest-id vectors, corpus assigned to its argmax-cosine cell,
+    * queries probe their 2 nearest cells. Exact integer dot products
+    * make assignment, probes and scores oracle-reproducible. */
+  val q79 = Q(
+    "q79_ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Dedup.annTopKIvf(emb, emb.filter($"vec_id" < 10), "vec_id",
+          "embedding", k = 5, nCells = 8, nProbe = 2)
+        .orderBy(col("id_q"), col("rank"))
+    },
+    Some(s"""
+      WITH $dkQuantized,
+      cents AS (SELECT vec_id AS cell, qv AS cqv, nsq AS cnsq
+                FROM n ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_aggregate([v.qv[i]*c.cqv[i] for i in generate_series(1,64)],'sum')
+                   / (sqrt(v.nsq) * sqrt(c.cnsq)) DESC, c.cell ASC) AS rn
+        FROM n v, cents c),
+      cellmap AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+      probes AS (SELECT vec_id, cell FROM assign WHERE rn <= 2 AND vec_id < 10),
+      scored AS (
+        SELECT p.vec_id AS id_q, m.vec_id AS id_c,
+               ${dkDot("qq", "cc")} / (sqrt(qq.nsq) * sqrt(cc.nsq)) AS cosine
+        FROM probes p JOIN cellmap m ON p.cell = m.cell
+        JOIN n qq ON qq.vec_id = p.vec_id
+        JOIN n cc ON cc.vec_id = m.vec_id
+        WHERE p.vec_id <> m.vec_id)
+      SELECT id_q, rank, id_c, cosine FROM (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY id_q ORDER BY cosine DESC, id_c ASC) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY id_q, rank"""),
+    covers = Seq("TD-ann-ivf"))
+
+  /** Winnowing fingerprints (MOSS): per-doc selected k-gram hashes —
+    * the local-similarity document sketch; any shared run of w+n-1
+    * tokens between docs shares a fingerprint. */
+  val q80 = Q(
+    "q80_winnowing",
+    (s, dir) => {
+      Dedup.winnowingFingerprints(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 3, w = 4)
+        .orderBy(col("doc_id"), col("fp"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      g AS (SELECT doc_id,
+              unnest([{'pos': i, 'hv': ${dkHash(0, "ws[i]||' '||ws[i+1]||' '||ws[i+2]")}}
+                      for i in generate_series(1, len(ws)-2)]) AS u
+            FROM toks WHERE len(ws) >= 3),
+      h AS (SELECT doc_id, u.pos AS pos, u.hv AS hv FROM g),
+      w AS (SELECT doc_id, pos, hv,
+              min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+            FROM h)
+      SELECT DISTINCT doc_id, hv AS fp FROM w WHERE pos >= 4 AND hv = wmin
+      ORDER BY doc_id, fp"""),
+    covers = Seq("TD-fingerprint"))
+
   /** The corpus-curation pipeline end-to-end (CorpusPipeline): quality
     * envelope → language filter ('en') → exact dedup, emitting the
     * surviving docs — the composed form of q18/q19/q20, oracle-checked
@@ -623,5 +689,5 @@ object TrainingData extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
-      q66, q68, q69, q70, q75, q76, q77)
+      q66, q68, q69, q70, q75, q76, q77, q79, q80)
 }
