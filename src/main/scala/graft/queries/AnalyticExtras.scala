@@ -155,5 +155,41 @@ object AnalyticExtras extends QueryPack {
       ORDER BY event_type"""),
     covers = Seq("A-sketch-kmv"))
 
-  override def queries: Seq[Q] = Seq(q60, q61, q71, q74)
+  /** Ranking-function family (ntile / percent_rank / cume_dist /
+    * dense_rank — SURVEY §2.5 lists none in the reference; affirmative
+    * beyond-parity coverage). The window order is made total by the
+    * (price, orderkey) tie-break, so every rank value is
+    * engine-deterministic; percent_rank/cume_dist are single double
+    * divisions of exact integer ranks. */
+  val q81 = Q(
+    "q81_rank_family",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+      val o = Tables(s, dir, "orders").filter($"o_custkey" % 50 === 0)
+      val c = Tables(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(
+          $"c_mktsegment", $"o_orderkey", $"o_totalprice",
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          dense_rank().over(w).as("drank"))
+        .orderBy($"c_mktsegment", $"o_orderkey")
+    },
+    Some("""
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume,
+             CAST(dense_rank() OVER w AS INT) AS drank
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_custkey % 50 = 0
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice ASC, o_orderkey ASC)
+      ORDER BY c_mktsegment, o_orderkey"""),
+    covers = Seq("W-rank-family"))
+
+  override def queries: Seq[Q] = Seq(q60, q61, q71, q74, q81)
 }
