@@ -58,7 +58,11 @@ object CorpusPipeline {
       text: String = "text", n: Int = 3, k: Int = 16,
       bandRows: Int = 4): DataFrame = {
     val sig = Dedup.minhashSignatures(docs, id, text, n, k)
+    // pinned: the pair set is tiny and feeds the node union + both edge
+    // directions — without the pin the signature+band join re-runs per
+    // consumer subtree
     val pairs = Dedup.lshCandidatePairs(sig, id, k, bandRows)
+      .localCheckpoint()
     val losers = Dedup.duplicateClusters(
         pairs.select(col("id_a").as(id))
           .unionByName(pairs.select(col("id_b").as(id))).distinct(),

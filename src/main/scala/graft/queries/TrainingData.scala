@@ -628,7 +628,11 @@ object TrainingData extends QueryPack {
     (s, dir) => {
       val sig = Dedup.minhashSignatures(Tables(s, dir, "documents"),
         "doc_id", "text", n = 3, k = K)
+      // pairs feed four subtrees (both endpoint unions + both edge
+      // directions); pin the tiny pair set so the signature+band join
+      // runs once, not per consumer
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", k = K, rows = BAND_ROWS)
+        .localCheckpoint()
       val ids = pairs.select(col("id_a").as("doc_id"))
         .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
       Dedup.dedupDecision(ids, "doc_id", pairs).orderBy(col("doc_id"))
