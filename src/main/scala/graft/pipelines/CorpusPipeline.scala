@@ -223,6 +223,29 @@ object CorpusPipeline {
       .option("maxRecordsPerFile", rowsPerShard.toLong)
       .parquet(path)
 
+  /** [[writeShards]] with a DETERMINISTIC seeded global shuffle: rows
+    * are range-partitioned and sorted by a seeded content hash, so the
+    * shard assignment AND the row order inside every shard are a pure
+    * function of (data, seed) — rerunning the export reproduces
+    * byte-identical training order (the reproducibility contract
+    * training loaders need), and changing the seed is a fresh
+    * epoch-level reshuffle. Hash partitioning ON the seeded key (not
+    * `repartitionByRange`, whose boundary sampling seeds from the
+    * run-specific RDD id and would break cross-run determinism) keeps
+    * writers balanced because the key is uniform; the sort is the one
+    * extra cost a deterministic order has. */
+  def writeShardsShuffled(df: DataFrame, path: String, rowsPerShard: Int,
+      numWriters: Int, seed: Int, id: String = "doc_id"): Unit = {
+    val key = T.hash60(col(id).cast("string"), seed)
+    df.withColumn("__shuffle_key", key)
+      .repartition(numWriters, col("__shuffle_key"))
+      .sortWithinPartitions(col("__shuffle_key"))
+      .drop("__shuffle_key")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerShard.toLong)
+      .parquet(path)
+  }
+
   /** The full pipeline as registry models over a `documents` source. */
   def models(): Seq[graft.runner.ModelRegistry.Model] = {
     import graft.runner.ModelRegistry._

@@ -111,4 +111,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(perFile.forall(_ <= 100), s"oversized shard: ${perFile.max}")
     assert(perFile.length >= 10)
   }
+
+  test("writeShardsShuffled: byte-reproducible training order, seed reshuffles") {
+    val base = Files.createTempDirectory("graft_shuf_").toString
+    val df = spark.range(500).select(col("id").as("doc_id"),
+      (col("id") % 13).as("v"))
+    // per-file ordered contents, keyed by shard index in the file name
+    def contents(path: String): Map[String, Seq[(Long, Long)]] = {
+      val rows = spark.read.parquet(path)
+        .select(input_file_name().as("f"), col("doc_id"), col("v"))
+        .as[(String, Long, Long)].collect()
+      rows.groupBy(r => r._1.replaceAll(".*/part-(\\d+)-.*", "$1"))
+        .map { case (k, v) => k -> v.map(r => (r._2, r._3)).toSeq }
+    }
+    CorpusPipeline.writeShardsShuffled(df, s"$base/a", 64, 4, seed = 1)
+    CorpusPipeline.writeShardsShuffled(df, s"$base/b", 64, 4, seed = 1)
+    CorpusPipeline.writeShardsShuffled(df, s"$base/c", 64, 4, seed = 2)
+    val a = contents(s"$base/a")
+    // rerun with the same seed: identical shard assignment AND row order
+    assert(a == contents(s"$base/b"), "same seed must reproduce shards exactly")
+    // all rows present exactly once, bounded shard size
+    assert(a.values.flatten.map(_._1).toSeq.sorted == (0L until 500L))
+    assert(spark.read.parquet(s"$base/a")
+      .groupBy(input_file_name()).count()
+      .select("count").as[Long].collect().forall(_ <= 64))
+    // a different seed is a genuine reshuffle (some order differs)
+    assert(a != contents(s"$base/c"), "different seed must reshuffle")
+  }
 }
