@@ -667,6 +667,85 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-dedup-clusters", "TD-dedup-lsh"))
 
+  /** Incremental NEAR-dup ingestion end to end
+    * (CorpusPipeline.ingestNewNearDup, the state machine behind
+    * StreamingDedup.runNearDupSink): documents arrive as two batches
+    * (even doc_ids, then odd); a doc is admitted iff it shares no LSH
+    * band with an earlier ADMITTED doc, min id winning within a batch
+    * component. The oracle restates the greedy two-batch run
+    * declaratively: batch-0 admission = min-reachable-id over the
+    * even-doc band-collision graph; batch-1 drops odds colliding with
+    * batch-0 admitted bands, then resolves the remaining odd components
+    * the same way. Exercises bucket-table persistence, suppression,
+    * intra-batch clustering and the atomic swap in one oracle-gated
+    * chain. */
+  val q82 = Q(
+    "q82_neardup_ingest",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      val docs = Tables(s, dir, "documents")
+      val bucket = java.nio.file.Files
+        .createTempDirectory("graft_q82_").toString + "/buckets"
+      val even = CorpusPipeline.ingestNewNearDup(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), bucket, "b0")
+      val odd = CorpusPipeline.ingestNewNearDup(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), bucket, "b1")
+      even.withColumn("batch", lit(0))
+        .unionByName(odd.withColumn("batch", lit(1)))
+        .select(col("doc_id"), col("batch"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bandRows = (0 until K / BAND_ROWS).map { b =>
+        val key = (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH RECURSIVE $dkShingles,
+      $dkSig,
+      bands AS (
+        $bandRows),
+      ev AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+      od AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+      bands0 AS (SELECT b.* FROM bands b JOIN ev USING (doc_id)),
+      edges0 AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM bands0 a JOIN bands0 b USING (band, band_key)
+        WHERE a.doc_id <> b.doc_id),
+      reach0 AS (
+        SELECT doc_id AS node, doc_id AS m FROM ev
+        UNION
+        SELECT e.dst AS node, r.m FROM reach0 r JOIN edges0 e ON e.src = r.node
+      ),
+      admit0 AS (SELECT node AS doc_id FROM reach0 GROUP BY node
+                 HAVING node = MIN(m)),
+      bucket0 AS (SELECT DISTINCT band, band_key
+                  FROM bands0 JOIN admit0 USING (doc_id)),
+      sup1 AS (SELECT DISTINCT b.doc_id
+               FROM bands b JOIN od USING (doc_id)
+               JOIN bucket0 USING (band, band_key)),
+      live1 AS (SELECT doc_id FROM od
+                WHERE doc_id NOT IN (SELECT doc_id FROM sup1)),
+      bands1 AS (SELECT b.* FROM bands b JOIN live1 USING (doc_id)),
+      edges1 AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM bands1 a JOIN bands1 b USING (band, band_key)
+        WHERE a.doc_id <> b.doc_id),
+      reach1 AS (
+        SELECT doc_id AS node, doc_id AS m FROM live1
+        UNION
+        SELECT e.dst AS node, r.m FROM reach1 r JOIN edges1 e ON e.src = r.node
+      ),
+      admit1 AS (SELECT node AS doc_id FROM reach1 GROUP BY node
+                 HAVING node = MIN(m))
+      SELECT doc_id, 0 AS batch FROM admit0
+      UNION ALL
+      SELECT doc_id, 1 AS batch FROM admit1
+      ORDER BY doc_id"""
+    },
+    covers = Seq("TD-dedup-lsh", "TD-dedup-clusters", "ST1"))
+
   /** Tumbling-window aggregation over the event stream (Spark
     * `window()` — the Structured Streaming windowed-agg shape, run
     * batch here): per hour × event_type counts and exact value sums. */
@@ -693,5 +772,5 @@ object TrainingData extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
-      q66, q68, q69, q70, q75, q76, q77, q79, q80)
+      q66, q68, q69, q70, q75, q76, q77, q79, q80, q82)
 }
