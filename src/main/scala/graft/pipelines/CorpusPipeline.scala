@@ -72,6 +72,33 @@ object CorpusPipeline {
     docs.join(losers, Seq(id), "left_anti")
   }
 
+  /** Benchmark decontamination: drop every corpus doc sharing at least
+    * `minHits` word n-grams with the benchmark set — the standard
+    * train/test-overlap removal step of LLM data curation (exact
+    * n-gram collision, the GPT-3/PaLM-style 13-gram rule; n and the
+    * hit threshold are the policy knobs). Returns the surviving corpus
+    * docs unchanged.
+    *
+    * Scale shape: one shingle pass over each side, distinct benchmark
+    * gram hashes (benchmarks are small — broadcastable; AQE decides),
+    * one semi-join-shaped aggregation on the 64-bit gram hash, one
+    * anti-join back. The corpus is never shuffled except on the gram
+    * hash match. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      id: String = "doc_id", text: String = "text", n: Int = 5,
+      minHits: Int = 1): DataFrame = {
+    val grams = (d: DataFrame) => d.select(col(id),
+      explode(array_distinct(T.shingles(T.tokens(col(text)), n))).as("g"))
+      .select(col(id), T.hash60(col("g"), 0).as("h"))
+    val benchGrams = grams(benchmark).select(col("h")).distinct()
+    val contaminated = grams(corpus)
+      .join(benchGrams, Seq("h"))
+      .groupBy(col(id)).agg(count(lit(1)).as("__bench_hits"))
+      .filter(col("__bench_hits") >= minHits)
+      .select(col(id))
+    corpus.join(contaminated, Seq(id), "left_anti")
+  }
+
   /** Corpus-level stats of a (possibly filtered) doc set. */
   def stats(docs: DataFrame): DataFrame =
     withQuality(docs).agg(

@@ -667,6 +667,45 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-dedup-clusters", "TD-dedup-lsh"))
 
+  /** Benchmark decontamination (train/test overlap removal — the
+    * GPT-3-style exact n-gram collision rule): source 'src0' plays the
+    * held-out benchmark, every other doc is corpus; corpus docs
+    * sharing ≥1 word 4-gram with the benchmark are dropped. Both sides
+    * shingle once; the match is an equi-join on the 60-bit gram hash
+    * (benchmark side distinct + broadcastable). */
+  val q83 = Q(
+    "q83_decontaminate",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      val docs = Tables(s, dir, "documents")
+      CorpusPipeline.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          n = 4)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val grams = "[ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] " +
+        "for i in generate_series(1, len(ws)-3)]"
+      s"""
+      WITH c AS (SELECT doc_id, source, text FROM documents WHERE source <> 'src0'),
+      b AS (SELECT text FROM documents WHERE source = 'src0'),
+      cg AS (SELECT DISTINCT doc_id, ${dkHash(0, "g")} AS h
+             FROM (SELECT doc_id, unnest($grams) AS g
+                   FROM (SELECT doc_id, string_split(text,' ') AS ws FROM c)
+                   WHERE len(ws) >= 4)),
+      bg AS (SELECT DISTINCT ${dkHash(0, "g")} AS h
+             FROM (SELECT unnest($grams) AS g
+                   FROM (SELECT string_split(text,' ') AS ws FROM b)
+                   WHERE len(ws) >= 4)),
+      bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (h))
+      SELECT doc_id, source FROM c
+      WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id"""
+    },
+    covers = Seq("TD-decontaminate", "TD-dedup-ngram"))
+
   /** Incremental NEAR-dup ingestion end to end
     * (CorpusPipeline.ingestNewNearDup, the state machine behind
     * StreamingDedup.runNearDupSink): documents arrive as two batches
@@ -772,5 +811,5 @@ object TrainingData extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
-      q66, q68, q69, q70, q75, q76, q77, q79, q80, q82)
+      q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83)
 }
