@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.Dataset
 
-/** Lifecycle registry for operator-internal persists.
+/** Lifecycle registry for operator-internal persists AND
+  * localCheckpoints.
   *
   * Operators like `Dedup.jaccardPairs` persist intermediates (shingle
   * indexes, band tables) that outlive the returned lazy frame — the
@@ -12,17 +13,30 @@ import org.apache.spark.sql.Dataset
   * (Bench's measured loop) calls [[releaseAll]] between runs so cached
   * blocks don't accumulate across an unbounded query sweep.
   *
+  * `localCheckpoint()`ed frames need the same lifecycle but a
+  * different release: their pinned blocks belong to the checkpointed
+  * RDD inside the frame's `LogicalRDD` leaf, which `Dataset.unpersist`
+  * does not touch — round 3's official bench timed out precisely
+  * because those blocks accumulated across iters x queries
+  * (`Block rdd_* already exists` log spam, uniform 10-30x slowdowns).
+  * [[trackCheckpoint]] registers such frames; [[releaseAll]] frees
+  * them by unwrapping the leaf and unpersisting the RDD itself.
+  *
+  * IMPORTANT: unlike a plain persist (recompute fallback), releasing a
+  * localCheckpoint is DESTRUCTIVE — lineage was truncated, so a frame
+  * whose checkpoint blocks are gone cannot be evaluated again. Only
+  * harness code at a query boundary (everything from the previous
+  * query is dead) may call [[releaseAll]]; Verify, which materializes
+  * queries concurrently, deliberately never does.
+  *
   * Deliberately NOT tracked: the EDW star (`EdwQueries.star`), which
   * models a materialized warehouse table and must survive across the
   * serving queries — that is its whole point.
-  *
-  * Unpersisting is always safe (Spark falls back to recompute), so a
-  * release racing an in-flight job costs time, not correctness; Verify
-  * (which runs queries concurrently) therefore leaves the session-
-  * lifetime default alone and lets eviction handle pressure.
   */
 object CacheTracker {
   private val tracked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Dataset[_]]()
+  private val checkpointed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Dataset[_]]()
 
   /** Register a persisted intermediate; returns it unchanged. */
@@ -31,12 +45,39 @@ object CacheTracker {
     d
   }
 
-  /** Unpersist every tracked intermediate (non-blocking) and forget it. */
+  /** Register an already-localCheckpoint'ed frame for end-of-query
+    * release; returns it unchanged. */
+  def trackCheckpoint[T](d: Dataset[T]): Dataset[T] = {
+    checkpointed.add(d)
+    d
+  }
+
+  /** Free the pinned blocks behind a localCheckpoint'ed frame by
+    * unpersisting the RDD inside its `LogicalRDD` leaf. Best-effort
+    * (a stopped session or a non-checkpoint plan is a no-op). The
+    * frame MUST be dead to the caller: with its lineage truncated it
+    * cannot be re-evaluated afterwards. */
+  def releaseCheckpoint(d: Dataset[_]): Unit =
+    try d match {
+      case c: org.apache.spark.sql.classic.Dataset[_] =>
+        c.queryExecution.logical.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      case _ => ()
+    } catch { case _: Throwable => () }
+
+  /** Unpersist every tracked intermediate and checkpointed frame
+    * (non-blocking) and forget them. Query-boundary use only — see
+    * the destructive-release caveat above. */
   def releaseAll(): Unit = {
     tracked.forEach { d =>
       try d.unpersist(blocking = false)
       catch { case _: Throwable => () } // stopped session: nothing to free
     }
     tracked.clear()
+    checkpointed.forEach(releaseCheckpoint)
+    checkpointed.clear()
   }
 }

@@ -317,12 +317,20 @@ object Dedup {
     *
     * The frontier is `localCheckpoint`ed every round: lineage is
     * truncated (no exponentially growing plan) and each round's labels
-    * are served from executor storage. Rounds run until NOTHING
+    * are served from executor storage; the SUPERSEDED frontier's
+    * pinned blocks are freed as soon as the next one is materialized
+    * (round 3's bench died of exactly these blocks accumulating), and
+    * the final frontier is registered with [[graft.CacheTracker]] for
+    * the harness's end-of-query sweep. Rounds run until NOTHING
     * changes (both steps are pointwise monotone non-increasing, so
-    * next == labels is a genuine fixpoint = exact min labeling);
-    * `maxIter` is only a runaway backstop — exceeding it THROWS rather
-    * than silently mislabeling (log₂-depth convergence makes 50 rounds
-    * enough for any physically possible component). */
+    * next == labels is a genuine fixpoint = exact min labeling); the
+    * change test is a `__changed` flag computed IN the shortcut pass
+    * and probed with a limit-1 scan of the just-materialized local
+    * blocks — not the extra join + count() per round that made
+    * micro-batch CC latency-bound. `maxIter` is only a runaway
+    * backstop — exceeding it THROWS rather than silently mislabeling
+    * (log₂-depth convergence makes 50 rounds enough for any physically
+    * possible component). */
   def duplicateClusters(ids: DataFrame, id: String, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
     // undirected edge list, both directions
@@ -331,7 +339,10 @@ object Dedup {
       e1.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = ids.select(col(id).as("node"), col(id).as("cluster"))
       .localCheckpoint()
-    var converged = false
+    // no edges → every node already carries its fixpoint label (the
+    // common case for clean micro-batches in incremental ingestion):
+    // zero rounds instead of one no-op propagate+shortcut round.
+    var converged = edges.isEmpty
     var it = 0
     while (!converged) {
       if (it >= maxIter)
@@ -344,25 +355,29 @@ object Dedup {
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nmin"))
       val prop = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
-        .select(labels("node").as("node"),
+        .select(labels("node").as("node"), col("cluster").as("old"),
           least(col("cluster"), col("nmin")).as("cluster"))
       // 2. shortcut: follow the label one hop (left join: a label that
-      // is its own cluster maps to itself)
+      // is its own cluster maps to itself), carrying the convergence
+      // flag so no separate comparison join is needed
+      val stepped = least(col("p.cluster"), coalesce(col("lc"), col("p.cluster")))
       val next = prop.alias("p")
         .join(prop.select(col("node").as("ln"), col("cluster").as("lc"))
           .alias("l"), col("p.cluster") === col("l.ln"), "left")
-        .select(col("p.node").as("node"),
-          least(col("p.cluster"), coalesce(col("lc"), col("p.cluster")))
-            .as("cluster"))
+        .select(col("p.node").as("node"), stepped.as("cluster"),
+          (stepped =!= col("p.old")).as("__changed"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .limit(1).count() > 0
-      labels = next
+      val changed = !next.filter(col("__changed")).isEmpty
+      // `next` is eagerly materialized: the previous frontier's pinned
+      // blocks are dead — free them now instead of leaking one
+      // checkpoint per round
+      graft.CacheTracker.releaseCheckpoint(labels)
+      labels = next.drop("__changed")
       converged = !changed
       it += 1
     }
+    edges.unpersist(blocking = false)
+    graft.CacheTracker.trackCheckpoint(labels)
     labels.select(col("node").as(id), col("cluster"))
   }
 

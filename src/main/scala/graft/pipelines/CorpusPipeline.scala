@@ -63,10 +63,14 @@ object CorpusPipeline {
     // consumer subtree
     val pairs = Dedup.lshCandidatePairs(sig, id, k, bandRows)
       .localCheckpoint()
-    val losers = Dedup.duplicateClusters(
-        pairs.select(col("id_a").as(id))
-          .unionByName(pairs.select(col("id_b").as(id))).distinct(),
-        id, pairs)
+    val clusters = Dedup.duplicateClusters(
+      pairs.select(col("id_a").as(id))
+        .unionByName(pairs.select(col("id_b").as(id))).distinct(),
+      id, pairs)
+    // duplicateClusters materializes eagerly, so the pair checkpoint is
+    // already dead — free its pinned blocks instead of leaking per call
+    graft.CacheTracker.releaseCheckpoint(pairs)
+    val losers = clusters
       .filter(col(id) =!= col("cluster"))
       .select(col(id))
     docs.join(losers, Seq(id), "left_anti")
@@ -156,7 +160,9 @@ object CorpusPipeline {
     // still be pinned to THIS swap's part files, so a caller consuming
     // it after a subsequent batch's swap would read deleted files —
     // materializing makes the API safe whenever the frame is consumed.
-    claims(spark.read.parquet(seenPath)).drop("__fp").localCheckpoint()
+    // Tracked so the harness's end-of-query sweep can free the blocks.
+    graft.CacheTracker.trackCheckpoint(
+      claims(spark.read.parquet(seenPath)).drop("__fp").localCheckpoint())
   }
 
   /** Batch-incremental NEAR-dup ingestion against a persistent LSH
@@ -209,12 +215,15 @@ object CorpusPipeline {
     val liveBands = suppressedByPrior
       .map(s => bands.join(s, Seq(id), "left_anti")).getOrElse(bands)
     // 2. intra-batch near-dup clusters among the survivors: losers are
-    // every non-min member of a band-collision component
+    // every non-min member of a band-collision component. The pair set
+    // is checkpointed: it feeds the node union + both edge directions,
+    // and without the pin the band self-join re-runs per consumer.
     val l = liveBands.select(col(id).as("id_a"), col("band"), col("band_key"))
     val r = liveBands.select(col(id).as("id_b"), col("band"), col("band_key"))
     val pairs = l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint()
     val nodes = pairs.select(col("id_a").as(id))
       .unionByName(pairs.select(col("id_b").as(id))).distinct()
     val losers = Dedup.duplicateClusters(nodes, id, pairs)
@@ -225,6 +234,11 @@ object CorpusPipeline {
     }
     val admitted = newDocs.join(dropIds, Seq(id), "left_anti")
       .localCheckpoint() // materialize BEFORE the swap: consumable anytime
+    // CC labels and the pair set are dead once `admitted` is
+    // materialized — free them now so a long-running ingest loop
+    // doesn't leak one checkpoint pair per batch
+    graft.CacheTracker.releaseCheckpoint(losers)
+    graft.CacheTracker.releaseCheckpoint(pairs)
     // 3. merge the admitted docs' band keys into the bucket table
     val newBuckets = bands
       .join(admitted.select(col(id)), Seq(id), "left_semi")
@@ -235,7 +249,11 @@ object CorpusPipeline {
       case None => newBuckets
     }
     Upsert.overwriteAtomic(newTable, bucketPath)
-    admitted
+    // band checkpoint is dead after the swap (its last consumer is the
+    // newBuckets write); the admitted frame stays live for the caller
+    // and is swept at the harness's query boundary
+    graft.CacheTracker.releaseCheckpoint(bands)
+    graft.CacheTracker.trackCheckpoint(admitted)
   }
 
   /** Fixed-size training shards: bounded rows per output file (the

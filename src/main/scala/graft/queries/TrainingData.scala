@@ -635,7 +635,11 @@ object TrainingData extends QueryPack {
         .localCheckpoint()
       val ids = pairs.select(col("id_a").as("doc_id"))
         .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
-      Dedup.dedupDecision(ids, "doc_id", pairs).orderBy(col("doc_id"))
+      val decided = Dedup.dedupDecision(ids, "doc_id", pairs)
+      // dedupDecision materializes its CC frontier eagerly, so the pair
+      // checkpoint is dead here — free it rather than leak per run
+      graft.CacheTracker.releaseCheckpoint(pairs)
+      decided.orderBy(col("doc_id"))
     },
     Some {
       val bandRows = (0 until K / BAND_ROWS).map { b =>

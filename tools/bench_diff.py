@@ -12,14 +12,23 @@ are already far less noisy; the thresholds guard the residual.
 A query whose value is null FAILED in that run and is flagged, never
 summed.
 
+--gate turns the diff into a CI-style regression gate: exit 1 when any
+query's min regresses more than --gate-factor (default 2x) vs the old
+ledger AND lands above --gate-floor seconds (default 1.0 — a 0.05s ->
+0.15s move is scheduler noise, not a regression), or when the new run
+has FAILED queries. Run it against the last committed ledger before
+handing the driver an official bench.
+
 Usage: python3 tools/bench_diff.py OLD.json NEW.json
            [--threshold 0.3] [--rel-threshold 0.25]
+           [--gate] [--gate-factor 2.0] [--gate-floor 1.0]
 """
 import json
 import sys
 
 
-def main(old_path, new_path, threshold=0.3, rel=0.25):
+def main(old_path, new_path, threshold=0.3, rel=0.25, gate=False,
+         gate_factor=2.0, gate_floor=1.0):
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     oq, nq = old["queries"], new["queries"]
@@ -55,18 +64,35 @@ def main(old_path, new_path, threshold=0.3, rel=0.25):
     print(f"\ntotal: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({new['value'] - old['value']:+.1f}s), "
           f"{len(oq)} -> {len(nq)} queries")
+    new_failed = []
     for side, ledger in (("old", old), ("new", new)):
         failed = ledger.get("failed") or [
             k for k, v in ledger["queries"].items() if v is None]
         if failed:
             print(f"{side} FAILED queries (excluded from total): "
                   + ", ".join(sorted(failed)))
+        if side == "new":
+            new_failed = failed
+    if gate:
+        regressions = [
+            (name, a, b) for name, a, b, d, in_old, in_new in rows
+            if d is not None and b > gate_floor and b > gate_factor * a]
+        ok = not regressions and not new_failed
+        for name, a, b in regressions:
+            print(f"GATE: {name} regressed {b / a:.1f}x "
+                  f"({a:.2f}s -> {b:.2f}s)")
+        if new_failed:
+            print(f"GATE: new run has failed queries: "
+                  + ", ".join(sorted(new_failed)))
+        print("GATE: PASS" if ok else "GATE: FAIL")
+        return 0 if ok else 1
     return 0
 
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
     thr, rel, args = 0.3, 0.25, []
+    gate, gate_factor, gate_floor = False, 2.0, 1.0
     i = 0
 
     def take(flag, i):
@@ -83,6 +109,12 @@ if __name__ == "__main__":
             rel, i = take("--rel-threshold", i)
         elif a.startswith("--threshold"):
             thr, i = take("--threshold", i)
+        elif a.startswith("--gate-factor"):
+            gate_factor, i = take("--gate-factor", i)
+        elif a.startswith("--gate-floor"):
+            gate_floor, i = take("--gate-floor", i)
+        elif a == "--gate":
+            gate, i = True, i + 1
         elif a.startswith("--"):
             sys.exit(f"unknown flag: {a}")
         else:
@@ -90,4 +122,4 @@ if __name__ == "__main__":
             i += 1
     if len(args) != 2:
         sys.exit(__doc__.strip())
-    sys.exit(main(args[0], args[1], thr, rel))
+    sys.exit(main(args[0], args[1], thr, rel, gate, gate_factor, gate_floor))
