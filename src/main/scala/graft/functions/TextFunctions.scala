@@ -58,12 +58,24 @@ object TextFunctions {
     (h31 * minhashA(i) + minhashB(i)) % MINHASH_P
 
   /** Word n-gram shingles from a token array; empty array when the
-    * document is shorter than n. */
+    * document is shorter than n. Baseline builtin formulation — only
+    * runs interpreted (higher-order fns are CodegenFallback) and
+    * re-evaluates the token array per position; [[shinglesOf]] is the
+    * equivalent native single-pass used by the operators. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Native one-pass word n-gram shingles DIRECTLY from the text
+    * column — bit-identical to `shingles(tokens(text), n)` (see
+    * [[graft.expressions.WordShingles]]), codegen-friendly, and O(text
+    * + grams) instead of the interpreted O(tokens²) chain. */
+  def shinglesOf(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.expressions.WordShingles(Bridge.expression(text), n))
+  }
 
   /** Tiny per-language stopword lexicons for the n-gram/stopword
     * language-ID heuristic. Deterministic and oracle-reproducible;

@@ -38,9 +38,13 @@ object Dedup {
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_docs"))
 
   /** (id, shingle) inverted index with distinct shingles per doc. */
+  /** (id, shingle) inverted index. The source is [[Compute.spread]]
+    * first: shingling cost ∝ text length, not input bytes, so a
+    * narrow scan (one small parquet file) must not serialize the
+    * whole explode+hash burn into one task. */
   def shingleIndex(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id),
-        explode(array_distinct(T.shingles(T.tokens(col(text)), n))).as("sh"))
+    Compute.spread(df).select(col(id),
+        explode(array_distinct(T.shinglesOf(col(text), n))).as("sh"))
 
   /** All-pairs n-gram Jaccard >= minJ via the inverted index:
     * |A ∩ B| from the shingle self-join, |A ∪ B| = |A|+|B|-|A∩B|. */
@@ -176,7 +180,8 @@ object Dedup {
     * Single aggregation pass, 60 conditional sums — no bit-position
     * explode. */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val tok = df.select(col(id), explode(T.tokens(col(text))).as("tok"))
+    val tok = Compute.spread(df)
+      .select(col(id), explode(T.tokens(col(text))).as("tok"))
       .withColumn("hv", T.hash60(col("tok"), 0))
     val bitSums = (0 until 60).map(b =>
       sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -527,8 +532,8 @@ object Dedup {
     * window pass + one distinct; no joins, no driver round-trip. */
   def winnowingFingerprints(df: DataFrame, id: String, text: String,
       n: Int = 3, w: Int = 4): DataFrame = {
-    val grams = df.select(col(id),
-        posexplode(T.shingles(T.tokens(col(text)), n)).as(Seq("pos", "sh")))
+    val grams = Compute.spread(df).select(col(id),
+        posexplode(T.shinglesOf(col(text), n)).as(Seq("pos", "sh")))
       .withColumn("hv", T.hash60(col("sh"), 0))
     val win = Window.partitionBy(col(id)).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)

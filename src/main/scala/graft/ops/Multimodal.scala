@@ -160,13 +160,16 @@ object Multimodal {
     * so image payloads hit the real codec. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeAuto(_, dim)))
+    // decode cost ∝ pixels, not payload bytes: widen a narrow scan
+    // before the codec so one small file doesn't serialize the burn
+    Compute.spread(media).mapPartitions(_.map(decodeAuto(_, dim)))
   }
 
   /** Partition-parallel REAL image decode → per-image statistics. */
   def imageStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r => ImageCodec.decodeStats(r.media_id, r.payload)))
+    Compute.spread(media)
+      .mapPartitions(_.map(r => ImageCodec.decodeStats(r.media_id, r.payload)))
   }
 
   /** One sampled frame: media payloads fan OUT (a video row becomes n

@@ -91,8 +91,8 @@ object CorpusPipeline {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       id: String = "doc_id", text: String = "text", n: Int = 5,
       minHits: Int = 1): DataFrame = {
-    val grams = (d: DataFrame) => d.select(col(id),
-      explode(array_distinct(T.shingles(T.tokens(col(text)), n))).as("g"))
+    val grams = (d: DataFrame) => graft.ops.Compute.spread(d).select(col(id),
+      explode(array_distinct(T.shinglesOf(col(text), n))).as("g"))
       .select(col(id), T.hash60(col("g"), 0).as("h"))
     val benchGrams = grams(benchmark).select(col("h")).distinct()
     val contaminated = grams(corpus)
