@@ -318,7 +318,8 @@ object Dedup {
     *     component). The shortcut halves label-chain depth, so a
     *     path-shaped duplicate chain of diameter d converges in
     *     O(log d) rounds instead of O(d) — this is the Shiloach-Vishkin
-    *     pointer-jumping idea in DataFrame form.
+    *     pointer-jumping idea in DataFrame form. (One hop per round is
+    *     a MEASURED choice — see the dead-end note in the loop body.)
     *
     * The frontier is `localCheckpoint`ed every round: lineage is
     * truncated (no exponentially growing plan) and each round's labels
@@ -336,6 +337,12 @@ object Dedup {
     * backstop — exceeding it THROWS rather than silently mislabeling
     * (log₂-depth convergence makes 50 rounds enough for any physically
     * possible component). */
+  /** Rounds the last [[duplicateClusters]] call took to converge —
+    * observability for specs pinning the round economics (each round
+    * costs a checkpointed materialization, the dominant latency of
+    * micro-batch CC). Thread-confined test use only. */
+  private[graft] var lastClusterRounds: Int = 0
+
   def duplicateClusters(ids: DataFrame, id: String, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
     // undirected edge list, both directions
@@ -364,7 +371,14 @@ object Dedup {
           least(col("cluster"), col("nmin")).as("cluster"))
       // 2. shortcut: follow the label one hop (left join: a label that
       // is its own cluster maps to itself), carrying the convergence
-      // flag so no separate comparison join is needed
+      // flag so no separate comparison join is needed.
+      // MEASURED dead end (round 4): fusing a SECOND shortcut into the
+      // same materialization ("double hop", quartering chain depth per
+      // round) made q77 2.6s -> 8.2s and q82 3.9s -> 12s at sf0.1 —
+      // hop2 self-joins two copies of the hop1 subtree, and exchange
+      // reuse does not cover the duplicated propagate tree, so each
+      // round costs ~4x the work to save ~1 round in log-depth. One
+      // hop per round is the right trade; keep it.
       val stepped = least(col("p.cluster"), coalesce(col("lc"), col("p.cluster")))
       val next = prop.alias("p")
         .join(prop.select(col("node").as("ln"), col("cluster").as("lc"))
@@ -383,6 +397,7 @@ object Dedup {
     }
     edges.unpersist(blocking = false)
     graft.CacheTracker.trackCheckpoint(labels)
+    lastClusterRounds = it
     labels.select(col("node").as(id), col("cluster"))
   }
 

@@ -103,6 +103,33 @@ object CorpusPipeline {
     corpus.join(contaminated, Seq(id), "left_anti")
   }
 
+  /** Gopher/RefinedWeb-style repetition signal: per document, the
+    * fraction of word n-gram OCCURRENCES (with multiplicity — this is
+    * not the dedup shingle set) taken by the single most frequent
+    * n-gram. Boilerplate and spam repeat a phrase; prose does not:
+    * corpus-curation recipes drop docs whose top-2-gram fraction
+    * exceeds ~0.2. Docs too short to form a gram score 0.
+    *
+    * Scale shape: one shingle pass (spread first — per-row cost), two
+    * hash aggregations (gram counts, then per-doc max/sum), one left
+    * join back to keep short docs; no self-joins, no windows. */
+  def repetitionScores(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", n: Int = 2): DataFrame = {
+    val grams = graft.ops.Compute.spread(docs)
+      .select(col(id), explode(T.shinglesOf(col(text), n)).as("g"))
+    val stats = grams
+      .groupBy(col(id), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id)).agg(
+        max(col("c")).as("top_gram_count"), sum(col("c")).as("n_grams"))
+    docs.select(col(id)).join(stats, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(col("top_gram_count").cast("double") /
+            col("n_grams").cast("double")).as("rep_ratio"))
+  }
+
   /** Corpus-level stats of a (possibly filtered) doc set. */
   def stats(docs: DataFrame): DataFrame =
     withQuality(docs).agg(

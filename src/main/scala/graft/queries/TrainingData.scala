@@ -813,7 +813,39 @@ object TrainingData extends QueryPack {
       GROUP BY 1, 2 ORDER BY window_start, event_type"""),
     covers = Seq("ST-window-agg"))
 
+  /** Repetition quality signal (the Gopher/RefinedWeb top-n-gram
+    * fraction rule): per doc, share of 2-gram occurrences (with
+    * multiplicity) taken by the most frequent 2-gram; short docs score
+    * 0. The ratio is a single IEEE division of two exact int64s, so
+    * the hash compare is bit-stable. */
+  val q84 = Q(
+    "q84_repetition",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.repetitionScores(Tables(s, dir, "documents"), n = 2)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, unnest([ws[i]||' '||ws[i+1]
+                               for i in generate_series(1, len(ws)-1)]) AS g
+        FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+        WHERE len(ws) >= 2),
+      c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+      r AS (SELECT doc_id, max(c) AS top_gram_count,
+                   CAST(sum(c) AS BIGINT) AS n_grams
+            FROM c GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(r.top_gram_count, 0) AS top_gram_count,
+             coalesce(r.n_grams, 0) AS n_grams,
+             CASE WHEN r.n_grams IS NULL THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(r.top_gram_count AS DOUBLE) / r.n_grams
+             END AS rep_ratio
+      FROM documents d LEFT JOIN r USING (doc_id)
+      ORDER BY d.doc_id"""),
+    covers = Seq("TD-quality-repetition"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
-      q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83)
+      q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84)
 }

@@ -30,6 +30,23 @@ class DedupClustersSpec extends SparkSpec {
     assert((101L to 300L).forall(got(_) == 101L), "200-path must collapse to 101")
   }
 
+  test("duplicateClusters: pointer jumping converges a deep chain in " +
+      "logarithmic rounds") {
+    // micro-batch CC is round-LATENCY-bound: each round costs a
+    // checkpointed materialization, not data. Propagate + shortcut
+    // contracts label-chain depth ~2-3x per round, so a 200-deep path
+    // must converge in ~log2(200)+slack rounds — this pins the round
+    // economics the q82 762s->4s fix depends on (a regression to O(d)
+    // rounds fails here loudly, long before it shows in a bench).
+    val ids = (0L to 200L).toDF("doc_id")
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 200L).forall(got(_) == 0L), "200-path must collapse to 0")
+    assert(Dedup.lastClusterRounds <= 10,
+      s"expected <=10 pointer-jump rounds, got ${Dedup.lastClusterRounds}")
+  }
+
   test("dedupDecision keeps exactly one doc per cluster") {
     val ids = (1L to 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")

@@ -138,4 +138,25 @@ class CorpusPipelineSpec extends SparkSpec {
     // a different seed is a genuine reshuffle (some order differs)
     assert(a != contents(s"$base/c"), "different seed must reshuffle")
   }
+
+  test("repetitionScores: repeated phrase dominates, prose scores low, " +
+      "short docs score 0") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),   // "buy now"/"now buy" loop
+      (2L, "the quick brown fox jumps over it"), // all 2-grams unique
+      (3L, "word"),                              // too short for a 2-gram
+      (4L, "a b a b a b a b a b")).toDF("doc_id", "text")
+    val got = CorpusPipeline.repetitionScores(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: grams = [buy now]x4 + [now buy]x3 -> top 4 of 7
+    assert(got(1L)._2 == 4L && got(1L)._3 == 7L)
+    assert(math.abs(got(1L)._4 - 4.0 / 7.0) < 1e-15)
+    // doc 2: 6 distinct grams of 6 -> ratio 1/6
+    assert(got(2L)._2 == 1L && got(2L)._3 == 6L)
+    // doc 3: no grams -> 0
+    assert(got(3L) == ((3L, 0L, 0L, 0.0)))
+    // doc 4: [a b]x5, [b a]x4 -> 5/9
+    assert(got(4L)._2 == 5L && got(4L)._3 == 9L)
+  }
 }
