@@ -96,6 +96,22 @@ class PlanRegressionSpec extends SparkSpec {
       "prefix filter must not regress to all-pairs:\n" + p.take(800))
   }
 
+  test("q22: shingling is the native expression, not the interpreted " +
+      "higher-order chain") {
+    val f = formatted("q22_minhash_signatures")
+    assert(f.contains("graft_word_shingles"),
+      "minhash must shingle via WordShingles (codegen-capable):\n" + f.take(600))
+    assert(!f.contains("transform(sequence("),
+      "interpreted transform-over-sequence shingle chain resurfaced")
+  }
+
+  test("q22: narrow document scan is spread before the per-row burn") {
+    val p = plan("q22_minhash_signatures")
+    assert(p.contains("RoundRobinPartitioning"),
+      "Compute.spread must widen the 1-split scan so shingle+hash work " +
+        "fans out (cost is per-row, not per-byte):\n" + p.take(600))
+  }
+
   /** Blanket sweep: no quadratic join shape anywhere in the contract
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
