@@ -103,6 +103,41 @@ object CorpusPipeline {
     corpus.join(contaminated, Seq(id), "left_anti")
   }
 
+  /** Graded train/test-contamination scoring — the thresholded
+    * generalization of [[decontaminate]]'s any-collision rule: per
+    * corpus doc, the fraction of its DISTINCT word n-grams that also
+    * occur anywhere in the benchmark set (PaLM-style "drop when ≥τ of
+    * the document's n-grams are contained"). Integer hit/total counts
+    * and one IEEE division, so the score is bit-stable on any engine.
+    * Docs too short to shingle have no grams → containment 0 (nothing
+    * measurable is contaminated).
+    *
+    * Scale shape: identical to [[decontaminate]] — one shingle pass
+    * per side, distinct benchmark gram hashes (broadcastable), one
+    * equi-join on the 60-bit hash + per-doc count, one join back to
+    * per-doc gram totals. The corpus shuffles only on matching grams. */
+  def containmentScores(corpus: DataFrame, benchmark: DataFrame,
+      id: String = "doc_id", text: String = "text", n: Int = 5,
+      tau: Double = 0.7): DataFrame = {
+    val grams = (d: DataFrame) => graft.ops.Compute.spread(d).select(col(id),
+      explode(array_distinct(T.shinglesOf(col(text), n))).as("g"))
+      .select(col(id), T.hash60(col("g"), 0).as("h"))
+    val corpusGrams = grams(corpus)
+    val sizes = corpusGrams.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
+    val hits = corpusGrams
+      .join(grams(benchmark).select(col("h")).distinct(), Seq("h"))
+      .groupBy(col(id)).agg(count(lit(1)).as("bench_hits"))
+    corpus.select(col(id)).join(sizes, Seq(id), "left")
+      .join(hits, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("bench_hits"), lit(0L)).as("bench_hits"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("bench_hits"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("containment"))
+      .withColumn("contaminated", col("containment") >= tau)
+  }
+
   /** Gopher/RefinedWeb-style repetition signal: per document, the
     * fraction of word n-gram OCCURRENCES (with multiplicity — this is
     * not the dedup shingle set) taken by the single most frequent

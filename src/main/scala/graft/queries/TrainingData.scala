@@ -813,6 +813,53 @@ object TrainingData extends QueryPack {
       GROUP BY 1, 2 ORDER BY window_start, event_type"""),
     covers = Seq("ST-window-agg"))
 
+  /** Graded contamination scoring (PaLM-style n-gram containment):
+    * src0 plays the benchmark again (as in q83); every other doc gets
+    * the fraction of its distinct word 4-grams that appear anywhere in
+    * the benchmark, plus the ≥τ flag. Integer counts + one IEEE
+    * division → bit-stable. */
+  val q85 = Q(
+    "q85_contamination",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      val docs = Tables(s, dir, "documents")
+      CorpusPipeline.containmentScores(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          n = 4, tau = 0.25)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val grams = "[ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] " +
+        "for i in generate_series(1, len(ws)-3)]"
+      s"""
+      WITH c AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+      b AS (SELECT text FROM documents WHERE source = 'src0'),
+      cg AS (SELECT DISTINCT doc_id, ${dkHash(0, "g")} AS h
+             FROM (SELECT doc_id, unnest($grams) AS g
+                   FROM (SELECT doc_id, string_split(text,' ') AS ws FROM c)
+                   WHERE len(ws) >= 4)),
+      bg AS (SELECT DISTINCT ${dkHash(0, "g")} AS h
+             FROM (SELECT unnest($grams) AS g
+                   FROM (SELECT string_split(text,' ') AS ws FROM b)
+                   WHERE len(ws) >= 4)),
+      s AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+      ht AS (SELECT doc_id, count(*) AS bench_hits
+             FROM cg JOIN bg USING (h) GROUP BY 1)
+      SELECT c.doc_id,
+             coalesce(s.n_grams, 0) AS n_grams,
+             coalesce(ht.bench_hits, 0) AS bench_hits,
+             CASE WHEN coalesce(s.n_grams, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(coalesce(ht.bench_hits, 0) AS DOUBLE) / s.n_grams
+             END AS containment,
+             (CASE WHEN coalesce(s.n_grams, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(coalesce(ht.bench_hits, 0) AS DOUBLE) / s.n_grams
+              END) >= 0.25 AS contaminated
+      FROM c LEFT JOIN s USING (doc_id) LEFT JOIN ht USING (doc_id)
+      ORDER BY c.doc_id"""
+    },
+    covers = Seq("TD-decontaminate", "TD-quality-containment"))
+
   /** Repetition quality signal (the Gopher/RefinedWeb top-n-gram
     * fraction rule): per doc, share of 2-gram occurrences (with
     * multiplicity) taken by the most frequent 2-gram; short docs score
@@ -847,5 +894,5 @@ object TrainingData extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
-      q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84)
+      q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85)
 }

@@ -139,6 +139,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(a != contents(s"$base/c"), "different seed must reshuffle")
   }
 
+  test("containmentScores: graded overlap, full containment flags, " +
+      "short docs score 0") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // identical -> containment 1
+      (2L, "alpha beta gamma delta unrelated words here now"), // partial
+      (3L, "totally different content with no overlap at all"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = graft.pipelines.CorpusPipeline
+      .containmentScores(corpus, bench, n = 4, tau = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 3L, 1.0, true)))   // 3 of 3 grams contained
+    assert(got(2L)._2 == 5L && got(2L)._3 == 1L && !got(2L)._5) // 1 of 5
+    assert(got(3L)._3 == 0L && got(3L)._4 == 0.0 && !got(3L)._5)
+    assert(got(4L) == ((4L, 0L, 0L, 0.0, false)))  // no grams -> unmeasurable
+  }
+
   test("repetitionScores: repeated phrase dominates, prose scores low, " +
       "short docs score 0") {
     val docs = Seq(
