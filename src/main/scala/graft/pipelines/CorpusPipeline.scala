@@ -1,6 +1,7 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
 import graft.ops.Dedup
@@ -163,6 +164,66 @@ object CorpusPipeline {
         when(col("n_grams").isNull, lit(0.0))
           .otherwise(col("top_gram_count").cast("double") /
             col("n_grams").cast("double")).as("rep_ratio"))
+  }
+
+  /** Token-budget shard packing — the sequence-packing front half of an
+    * LM training-data export: every doc gets the shard id
+    * `floor(tokens_before / budget)` where `tokens_before` is the
+    * exclusive running token total in `id` order, so consecutive docs
+    * fill a shard until the budget spills into the next one. (This is
+    * the prefix-sum formulation of greedy packing: a shard's total
+    * stays within budget + one doc, and the assignment is a pure
+    * function of the data — no partitioning or run dependence.)
+    *
+    * Scale shape: a GLOBAL running sum would be a one-partition window
+    * — the classic scale trap — so it is decomposed two-level: the
+    * caller supplies `bucket`, a coarse grouping MONOTONE in `id`
+    * (date, file, id-range), in-bucket running sums run as a
+    * partitioned window, and the cross-bucket offsets are an aggregate
+    * of #buckets rows whose own prefix sum is a deliberately tiny
+    * single-partition window, broadcast-joined back. Exactly the
+    * per-date-partition packing a 100 TB export does. */
+  def packShards(docs: DataFrame, budgetTokens: Long, bucket: Column,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val t = docs.select(col(id), bucket.as("__b"),
+      T.tokenCount(col(text)).cast("long").as("n_tokens"))
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col(id))
+    val run = t.withColumn("__run",
+      sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+    // #buckets rows: the single-partition window is bounded and cheap
+    val acrossBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+      .select(col("__b"),
+        coalesce(sum(col("__bt")).over(acrossBuckets), lit(0L)).as("__off"))
+    run.join(broadcast(offsets), Seq("__b"))
+      .select(col(id), col("n_tokens"),
+        ((col("__run") + col("__off")) / lit(budgetTokens))
+          .cast("long").as("shard"))
+  }
+
+  /** Stratified quota sampling — the data-mixing primitive: up to
+    * `quota` docs per stratum, chosen by a SEEDED deterministic hash
+    * order (md5-derived, so any engine reproduces the same sample;
+    * changing the seed redraws it). `sample_rank` is the doc's 1-based
+    * position in its stratum's draw order, so downstream can cut a
+    * smaller quota without resampling.
+    *
+    * Scale shape: one window partitioned BY THE STRATA — the shuffle
+    * key is (lang, source, ...), so parallelism is the stratum count
+    * and no global order exists anywhere. Per-stratum top-k via
+    * row_number is the rank-and-prune plan Spark pushes into the
+    * window sort. */
+  def stratifiedSample(docs: DataFrame, quota: Int, seed: Int,
+      strata: Seq[String] = Seq("lang", "source"),
+      id: String = "doc_id"): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(T.hash60(col(id).cast("string"), seed), col(id))
+    docs.select((col(id) +: strata.map(col)): _*)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota)
   }
 
   /** Corpus-level stats of a (possibly filtered) doc set. */

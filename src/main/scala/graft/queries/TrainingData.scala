@@ -892,7 +892,92 @@ object TrainingData extends QueryPack {
       ORDER BY d.doc_id"""),
     covers = Seq("TD-quality-repetition"))
 
+  /** Token-budget shard packing (sequence-packing front half): shard =
+    * exclusive running token total in doc order, integer-divided by the
+    * budget. The Spark side decomposes the prefix sum two-level (see
+    * [[graft.pipelines.CorpusPipeline.packShards]]); the oracle states
+    * the same quantity as one global window — algebraically identical,
+    * which is exactly what the hash compare proves. */
+  val q86 = Q(
+    "q86_shard_pack",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.packShards(
+          Tables(s, dir, "documents"), budgetTokens = 2000,
+          bucket = expr("doc_id DIV 256"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+                 FROM documents)
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 2000 AS shard
+      FROM t ORDER BY doc_id"""),
+    covers = Seq("TD-shard-pack"))
+
+  /** Stratified quota sampling by (lang, source) with a seeded
+    * deterministic hash draw — the data-mixing primitive. */
+  val q87 = Q(
+    "q87_stratified_sample",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.stratifiedSample(
+          Tables(s, dir, "documents"), quota = 40, seed = 7)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id, lang, source, sample_rank FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY ${dkHash(7, "CAST(doc_id AS VARCHAR)")}, doc_id)
+                 AS sample_rank
+        FROM documents)
+      WHERE sample_rank <= 40 ORDER BY doc_id"""),
+    covers = Seq("TD-stratified-sample"))
+
+  /** Embedding cluster coherence: per-label centroid tightness stats
+    * over exact quantized integer vectors (mean via the DECIMAL(18,6)
+    * channel — see [[graft.ops.EmbeddingStats.clusterCoherence]]). */
+  val q88 = Q(
+    "q88_cluster_coherence",
+    (s, dir) => {
+      graft.ops.EmbeddingStats.clusterCoherence(Tables(s, dir, "embeddings"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id, label,
+                   [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                    for x in embedding] AS qv
+                 FROM embeddings),
+      u AS (SELECT vec_id, label, i, qv[i] AS v
+            FROM q, generate_series(1,64) g(i)),
+      cent AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS s
+               FROM u GROUP BY 1, 2),
+      cn AS (SELECT label, CAST(sum(s*s) AS BIGINT) AS cnsq
+             FROM cent GROUP BY 1),
+      per AS (SELECT u.vec_id, u.label,
+                CAST(sum(u.v * c.s) AS BIGINT) AS dot,
+                CAST(sum(u.v * u.v) AS BIGINT) AS nsq
+              FROM u JOIN cent c ON u.label = c.label AND u.i = c.i
+              GROUP BY 1, 2),
+      cos AS (SELECT p.label,
+                CASE WHEN p.nsq = 0 OR c.cnsq = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE CAST(p.dot AS DOUBLE)
+                          / (sqrt(CAST(p.nsq AS DOUBLE))
+                             * sqrt(CAST(c.cnsq AS DOUBLE))) END AS cos
+              FROM per p JOIN cn c USING (label))
+      SELECT label, count(*) AS n_vecs,
+             CAST(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               / count(*) AS mean_cos,
+             min(cos) AS min_cos, max(cos) AS max_cos
+      FROM cos GROUP BY label ORDER BY label"""),
+    covers = Seq("TD-cluster-coherence"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
-      q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85)
+      q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
+      q86, q87, q88)
 }
