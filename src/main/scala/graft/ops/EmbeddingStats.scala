@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** Aggregate diagnostics over labeled embedding sets — the curation
+  * signals a training-data pipeline reads off its clustered corpus
+  * (how tight is each cluster, which labels are noise) before deciding
+  * mixing weights or pruning.
+  *
+  * Determinism contract: same as the ANN family — vectors are
+  * quantized to exact int64 (×1000), every sum/dot/norm is exact
+  * integer arithmetic, and only the final cosine is a single IEEE
+  * double expression. The per-label mean goes through the
+  * DECIMAL(18,6) channel (exact sum, one division) so the result is
+  * independent of aggregation order — the property that lets DuckDB
+  * reproduce it bit-for-bit.
+  */
+object EmbeddingStats {
+
+  /** Per-label cluster coherence: member count and the
+    * mean/min/max cosine of members to their label centroid.
+    *
+    * The centroid is the UNSCALED per-position sum of the quantized
+    * member vectors — cosine is scale-invariant, so dividing by the
+    * count would only introduce a rounding step; using the sum keeps
+    * the whole chain in exact integers.
+    *
+    * Scale shape: one posexplode (rows × dim), one (label, pos)
+    * aggregation for centroids, then the centroid table — #labels ×
+    * dim rows, broadcastable metadata — joins back for one exact
+    * dot/norm aggregation per member. No pairwise work anywhere:
+    * coherence is O(n·d), not O(n²). */
+  def clusterCoherence(emb: DataFrame, id: String = "vec_id",
+      vec: String = "embedding", label: String = "label"): DataFrame = {
+    val q = Compute.spread(emb)
+      .select(col(id), col(label), V.quantize(col(vec)).as("q"))
+    val u = q.select(col(id), col(label),
+      posexplode(col("q")).as(Seq("pos", "v")))
+    val cent = u.groupBy(col(label), col("pos")).agg(sum(col("v")).as("s"))
+    val centNorm = cent.groupBy(col(label))
+      .agg(sum(col("s") * col("s")).as("cnsq"))
+    val per = u.join(broadcast(cent), Seq(label, "pos"))
+      .groupBy(col(id), col(label))
+      .agg(sum(col("v") * col("s")).as("dot"),
+        sum(col("v") * col("v")).as("nsq"))
+    val cos = per.join(broadcast(centNorm), Seq(label))
+      .select(col(label),
+        when(col("nsq") === 0 || col("cnsq") === 0, lit(0.0))
+          .otherwise(V.cosineFrom(col("dot"), col("nsq"), col("cnsq")))
+          .as("cos"))
+    cos.groupBy(col(label)).agg(
+      count(lit(1)).as("n_vecs"),
+      (sum(col("cos").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("mean_cos"),
+      min(col("cos")).as("min_cos"),
+      max(col("cos")).as("max_cos"))
+  }
+}

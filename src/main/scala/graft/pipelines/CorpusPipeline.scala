@@ -414,6 +414,25 @@ object CorpusPipeline {
       .parquet(path)
   }
 
+  /** [[writeShards]] bounded by TOKENS instead of rows — the export
+    * half of [[packShards]]: docs land in files partitioned by their
+    * budget-packed shard id, so every output shard holds consecutive
+    * docs totalling ≤ budget + one doc worth of tokens (what a
+    * sequence-packing loader wants: near-full, never overfull-by-more-
+    * than-one). Written `partitionBy(shard)` so a loader reads exactly
+    * one shard directory per training slot and partition pruning
+    * serves shard-range reads. */
+  def writeShardsByTokenBudget(df: DataFrame, path: String,
+      budgetTokens: Long, bucket: Column, id: String = "doc_id",
+      text: String = "text"): Unit = {
+    val assignment = packShards(df, budgetTokens, bucket, id, text)
+      .select(col(id), col("shard"))
+    df.join(assignment, Seq(id))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** The full pipeline as registry models over a `documents` source. */
   def models(): Seq[graft.runner.ModelRegistry.Model] = {
     import graft.runner.ModelRegistry._

@@ -1,0 +1,86 @@
+package graft.pipelines
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.EmbeddingStats
+
+/** Property tests for the shard-packing / stratified-sampling /
+  * cluster-coherence operators (q86–q88). The DuckDB oracles prove
+  * engine equality; these pin the CONTRACTS: budget bounds, quota
+  * bounds, determinism under re-partitioning, cosine range. */
+class PackSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+
+  test("packShards: shard totals within budget + one doc; ids contiguous") {
+    val budget = 300L
+    val packed = CorpusPipeline.packShards(docs, budget,
+      bucket = expr("doc_id DIV 64")).cache()
+    val perShard = packed.groupBy($"shard")
+      .agg(sum($"n_tokens").as("tot"), max($"n_tokens").as("mx"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("tot") <= budget + r.getAs[Long]("mx"),
+        s"shard ${r.get(0)} exceeds budget+doc")
+    }
+    // shards are a non-decreasing function of doc order with no gaps
+    val shards = packed.orderBy($"doc_id").select($"shard")
+      .as[Long].collect()
+    assert(shards.zip(shards.tail).forall { case (a, b) => b >= a },
+      "shard ids must be non-decreasing in doc order")
+    assert(shards.distinct.sorted.sameElements(shards.min to shards.max),
+      "shard ids must be contiguous")
+    packed.unpersist()
+  }
+
+  test("packShards: assignment independent of bucketing granularity") {
+    val a = CorpusPipeline.packShards(docs, 500, expr("doc_id DIV 16"))
+    val b = CorpusPipeline.packShards(docs, 500, expr("doc_id DIV 512"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "two-level decomposition must not depend on the bucket width")
+  }
+
+  test("stratifiedSample: quota respected, deterministic, seed-sensitive") {
+    val s1 = CorpusPipeline.stratifiedSample(docs, quota = 5, seed = 1).cache()
+    val counts = s1.groupBy($"lang", $"source").count().collect()
+    assert(counts.forall(_.getAs[Long]("count") <= 5))
+    // sample size = sum over strata of min(stratum size, quota)
+    val expected = docs.groupBy($"lang", $"source").count()
+      .select(sum(least($"count", lit(5L)))).as[Long].head()
+    assert(counts.map(_.getAs[Long]("count")).sum == expected)
+    val s1again = CorpusPipeline.stratifiedSample(docs, quota = 5, seed = 1)
+    assert(s1.exceptAll(s1again).isEmpty, "same seed => same sample")
+    val s2 = CorpusPipeline.stratifiedSample(docs, quota = 5, seed = 2)
+    assert(s2.exceptAll(s1).count() > 0, "different seed => different draw")
+    s1.unpersist()
+  }
+
+  test("writeShardsByTokenBudget: export lands every doc in its assigned shard") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    CorpusPipeline.writeShardsByTokenBudget(docs, out, 500,
+      bucket = expr("doc_id DIV 64"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    val assign = CorpusPipeline.packShards(docs, 500, expr("doc_id DIV 64"))
+    val mismatched = back.select($"doc_id", $"shard".cast("long").as("s"))
+      .join(assign.select($"doc_id", $"shard"), "doc_id")
+      .filter($"s" =!= $"shard")
+    assert(mismatched.isEmpty, "partition dir must equal packed shard id")
+  }
+
+  test("clusterCoherence: cosine bounds, counts, self-consistency") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val c = EmbeddingStats.clusterCoherence(emb).cache()
+    val rows = c.collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == emb.count())
+    rows.foreach { r =>
+      val (mn, mx, mean) = (r.getAs[Double]("min_cos"),
+        r.getAs[Double]("max_cos"), r.getAs[Double]("mean_cos"))
+      assert(mn >= -1.0001 && mx <= 1.0001 && mn <= mx)
+      assert(mean >= mn - 1e-6 && mean <= mx + 1e-6)
+    }
+    c.unpersist()
+  }
+}
