@@ -112,6 +112,33 @@ class PlanRegressionSpec extends SparkSpec {
         "fans out (cost is per-row, not per-byte):\n" + p.take(600))
   }
 
+  test("q86: prefix sum runs bucket-partitioned; only the tiny offset " +
+      "table sees a single partition; offsets broadcast back") {
+    val p = plan("q86_shard_pack")
+    assert(p.contains("hashpartitioning(__b"),
+      "in-bucket running sum must shuffle on the bucket key:\n" + p.take(600))
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      "exactly the #buckets-row offset window may be single-partition:\n" +
+        p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "offset table must broadcast, not shuffle the doc side:\n" + p.take(600))
+  }
+
+  test("q87: sampling window is keyed by the strata, no global window") {
+    val p = plan("q87_stratified_sample")
+    assert(p.contains("hashpartitioning(lang"), p.take(600))
+    assert(!p.contains("Exchange SinglePartition"),
+      "stratified sampling must never serialize into one partition")
+  }
+
+  test("q88: centroid joins broadcast; no sort-merge anywhere") {
+    val p = plan("q88_cluster_coherence")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "centroid + centroid-norm joins must both broadcast:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "label-keyed metadata joins must not sort-merge the member side")
+  }
+
   /** Blanket sweep: no quadratic join shape anywhere in the contract
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
