@@ -217,8 +217,13 @@ object Dedup {
     def chunkOf(h: Column, c: Int): Column =
       shiftright(h, offsets(c)).bitwiseAND(lit((1L << widths(c)) - 1))
     val chunks = array((0 until nChunks).map(c => chunkOf(col("simhash"), c)): _*)
-    val idx = sh.select(col(id), col("simhash"),
-      posexplode(chunks).as(Seq("chunk", "cv")))
+    // pinned: the chunk index feeds BOTH sides of the self-join, and the
+    // broadcast side's exchange type differs from the probe side's, so
+    // exchange reuse can never kick in — without the pin the entire
+    // upstream simhash aggregation (token explode + 60 conditional sums)
+    // runs twice
+    val idx = cached(sh.select(col(id), col("simhash"),
+      posexplode(chunks).as(Seq("chunk", "cv"))))
     val a = idx.select(col(id).as("id_a"), col("simhash").as("sh_a"),
       col("chunk"), col("cv"))
     val b = idx.select(col(id).as("id_b"), col("simhash").as("sh_b"),

@@ -29,7 +29,13 @@ object Probe {
     time("warmup_fact")(graft.queries.EdwQueries.factSales(spark, dir).count())
     args.foreach { a =>
       graft.SparkEntry.queries.filter(_._1.startsWith(a)).toSeq.sortBy(_._1)
-        .foreach { case (name, fn) => time(name)(fn(spark, dir).count()) }
+        .foreach { case (name, fn) =>
+          time(name)(fn(spark, dir).count())
+          // mirror Bench's per-iteration sweep so probe numbers are
+          // comparable to bench minima (operator-internal caches are
+          // rebuilt per iteration there too)
+          graft.CacheTracker.releaseAll()
+        }
     }
     spark.stop()
   }
