@@ -33,6 +33,15 @@ object GraftExtensions {
     ("graft_md5prefix60", classOf[Md5Prefix60], { args =>
       require(args.length == 1, "graft_md5prefix60(str)")
       Md5Prefix60(args.head)
+    }),
+    ("graft_word_shingles", classOf[WordShingles], { args =>
+      require(args.length == 2, "graft_word_shingles(text, n)")
+      val n = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_word_shingles: n must be an integer literal, got $other")
+      }
+      WordShingles(args.head, n)
     }))
 
   /** Retrofit registration for an ALREADY-RUNNING session (builder

@@ -75,6 +75,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — excerpt/quote detection, the
+    * complement of symmetric Jaccard: C = |A∩B| / min(|A|,|B|), the
+    * fraction of the SMALLER doc's n-grams inside the larger. A short
+    * quote embedded in a long doc scores near 1 here while its Jaccard
+    * is near 0, which is why corpus curation runs both.
+    *
+    * Contract detail that is also the scale lever: n-grams with
+    * document frequency > `maxDf` are EXCLUDED from every doc's gram
+    * set (sizes included) — boilerplate-gram exclusion, standard in
+    * web-scale containment dedup. Semantically it ignores grams so
+    * common they carry no authorship signal; physically it caps the
+    * inverted-index bucket fan-out at maxDf² pairs per gram, which is
+    * what keeps the self-join near-linear. The DuckDB oracle applies
+    * the identical cap, so results stay exactly comparable.
+    *
+    * Join runs on 64-bit gram hashes (same collision argument as
+    * [[jaccardPairs]]); counts are exact integers, the score is one
+    * IEEE division. */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+      n: Int, minC: Double, maxDf: Long): DataFrame = {
+    // index feeds dfreq + both join sides + sizes: persist it once
+    val idx = cached(shingleIndex(df, id, text, n)
+      .select(col(id), xxhash64(col("sh")).as("h")))
+    val rare = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val kept = cached(idx.join(rare, Seq("h")))
+    val sizes = kept.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val a = kept.select(col(id).as("id_a"), col("h"))
+    val b = kept.select(col(id).as("id_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("containment", col("n_inter").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minC)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("n_a"), col("n_b"), col("containment"))
+  }
+
   /** EXACT n-gram Jaccard >= minJ via prefix filtering (the
     * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
     * WWW'08): under any global total order on shingles (ascending

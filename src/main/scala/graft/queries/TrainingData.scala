@@ -976,8 +976,41 @@ object TrainingData extends QueryPack {
       FROM cos GROUP BY label ORDER BY label"""),
     covers = Seq("TD-cluster-coherence"))
 
+  /** Asymmetric containment pairs (excerpt/quote detection):
+    * C = |A∩B| / min(|A|,|B|) over 3-gram sets with boilerplate grams
+    * (df > 30) excluded — the df cap is part of the operator contract
+    * AND the scale lever (bucket fan-out ≤ maxDf²). Complement of q21's
+    * symmetric Jaccard: a short doc quoted inside a long one scores ~1
+    * here while its Jaccard is ~0. */
+  val q89 = Q(
+    "q89_containment_pairs",
+    (s, dir) => {
+      Dedup.containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          n = 3, minC = 0.6, maxDf = 30)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH $dkShingles,
+      fr AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+      kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN fr USING (sh)
+               WHERE df <= 30),
+      sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_inter
+                FROM kept a JOIN kept b USING (sh)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+             CAST(n_inter AS DOUBLE)
+               / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                 JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE)
+              / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.6
+      ORDER BY id_a, id_b"""),
+    covers = Seq("TD-dedup-containment"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
-      q86, q87, q88)
+      q86, q87, q88, q89)
 }

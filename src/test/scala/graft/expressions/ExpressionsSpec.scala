@@ -52,6 +52,17 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(row.getLong(0) == row.getLong(1))
   }
 
+  test("graft_word_shingles callable from SQL text, matches builtin chain") {
+    val row = spark.sql(
+      "SELECT graft_word_shingles('a b c d', 3) AS g").collect().head
+    assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
+    // non-literal n is rejected with a clear message
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_word_shingles('a b', 1 + 1)").collect())
+    assert(e.getMessage.contains("integer literal") ||
+      e.getMessage.contains("graft_word_shingles"))
+  }
+
   test("null-safety: null array input yields null") {
     val r = spark.sql(
       "SELECT graft_dotq(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d")

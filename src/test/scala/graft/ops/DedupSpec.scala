@@ -28,6 +28,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 4L, 1.0)))
   }
 
+  test("containment: embedded quote scores 1.0 while jaccard is low; " +
+      "df cap drops boilerplate grams") {
+    val quote = "alpha beta gamma delta epsilon"
+    val long = s"one two three four five six seven $quote eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val df = Seq((1L, quote), (2L, long), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text",
+      n = 3, minC = 0.9, maxDf = 100).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0,
+      "every 3-gram of the quote appears in the long doc")
+    // the same pair's jaccard is far below the containment threshold
+    val j = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.9).count()
+    assert(j == 0, "symmetric jaccard must NOT fire on the excerpt pair")
+    // a df cap of 1 excludes every shared gram -> no pairs at all
+    assert(Dedup.containmentPairs(df, "doc_id", "text", 3, 0.9, maxDf = 1)
+      .isEmpty)
+  }
+
   test("LSH candidates cover all high-jaccard pairs on real data (recall)") {
     val docs = graft.Tables(spark, sf001, "documents")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
