@@ -27,6 +27,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.ui.explainMode", "formatted")
+      .withExtensions(new graft.expressions.GraftExtensions)
     master.orElse(sys.env.get("SPARK_GRAFT_MASTER").orElse(
       Some(s"local[$cpus]"))).foreach(b.master)
     b
@@ -36,6 +37,9 @@ object GraftSession {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     registerFunctions(s)
+    // getOrCreate may have reused a pre-existing session whose builder
+    // never saw the extensions — retrofit the native expressions then
+    graft.expressions.GraftExtensions.register(s)
     s
   }
 
