@@ -226,6 +226,47 @@ object CorpusPipeline {
       .filter(col("sample_rank") <= quota)
   }
 
+  /** Rate-based mixture sampling — the data-mixing formulation that
+    * survives streaming (no per-stratum counting cursor): given target
+    * SHARES per stratum and a target total, each stratum gets
+    * acceptance rate r_s = min(1, share_s · total / n_s), and a doc is
+    * kept iff its seeded 60-bit hash falls below ⌊r_s · 2⁶⁰⌋ — a
+    * deterministic Bernoulli draw, reproducible across engines and
+    * re-runs (the property [[stratifiedSample]]'s rank draw has for
+    * batch, carried over to rates). Strata absent from `shares` get
+    * rate 0 (dropped) — an explicit mixture spec, not a passthrough.
+    *
+    * Determinism: rate = one double multiply + one divide of exact
+    * integers, threshold = one multiply by the exactly-representable
+    * 2⁶⁰ + floor — every step is a single correctly-rounded IEEE op,
+    * so any engine computes the identical threshold; the accept
+    * compare is pure int64.
+    *
+    * Scale shape: one count aggregation keyed by the stratum, a
+    * #strata-row rate table broadcast back, one filter — no windows,
+    * no global order, nothing driver-side. */
+  def mixtureSample(docs: DataFrame, shares: Seq[(String, Double)],
+      targetTotal: Long, seed: Int, stratum: String = "lang",
+      id: String = "doc_id"): DataFrame = {
+    require(shares.nonEmpty, "mixture spec must name at least one stratum")
+    val shareCol = shares.tail.foldLeft(
+      when(col(stratum) === lit(shares.head._1), lit(shares.head._2))) {
+        case (acc, (s, w)) => acc.when(col(stratum) === lit(s), lit(w))
+      }.otherwise(lit(0.0))
+    val rates = docs.groupBy(col(stratum))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(stratum),
+        least(lit(1.0),
+          shareCol * lit(targetTotal.toDouble) / col("__n").cast("double"))
+          .as("accept_rate"))
+      .withColumn("__thresh",
+        floor(col("accept_rate") * lit(1152921504606846976.0)) // 2^60
+          .cast("long"))
+    docs.join(broadcast(rates), Seq(stratum))
+      .filter(T.hash60(col(id).cast("string"), seed) < col("__thresh"))
+      .select(col(id), col(stratum), col("accept_rate"))
+  }
+
   /** Corpus-level stats of a (possibly filtered) doc set. */
   def stats(docs: DataFrame): DataFrame =
     withQuality(docs).agg(

@@ -1009,8 +1009,42 @@ object TrainingData extends QueryPack {
       ORDER BY id_a, id_b"""),
     covers = Seq("TD-dedup-containment"))
 
+  /** Rate-based mixture sampling (q87's streaming-safe complement):
+    * explicit target shares per lang, acceptance rate min(1,
+    * share·total/n_s), deterministic Bernoulli accept via the seeded
+    * 60-bit hash against ⌊rate·2⁶⁰⌋. Strata not in the spec drop. */
+  val q90 = Q(
+    "q90_mixture_sample",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.mixtureSample(Tables(s, dir, "documents"),
+          shares = Seq("en" -> 0.6, "de" -> 0.3, "fr" -> 0.1),
+          targetTotal = 300, seed = 11)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+      r AS (SELECT lang,
+              least(CAST(1.0 AS DOUBLE),
+                    (CASE lang WHEN 'en' THEN CAST(0.6 AS DOUBLE)
+                               WHEN 'de' THEN CAST(0.3 AS DOUBLE)
+                               WHEN 'fr' THEN CAST(0.1 AS DOUBLE)
+                               ELSE CAST(0.0 AS DOUBLE) END)
+                    * CAST(300.0 AS DOUBLE)
+                    / CAST(n_s AS DOUBLE)) AS accept_rate
+            FROM n),
+      t AS (SELECT lang, accept_rate,
+              CAST(floor(accept_rate * 1152921504606846976.0) AS BIGINT)
+                AS thresh
+            FROM r)
+      SELECT d.doc_id, d.lang, t.accept_rate
+      FROM documents d JOIN t USING (lang)
+      WHERE ${dkHash(11, "CAST(doc_id AS VARCHAR)")} < t.thresh
+      ORDER BY d.doc_id"""),
+    covers = Seq("TD-mixture-sample"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
-      q86, q87, q88, q89)
+      q86, q87, q88, q89, q90)
 }

@@ -70,6 +70,35 @@ class PackSampleSpec extends SparkSpec {
     assert(mismatched.isEmpty, "partition dir must equal packed shard id")
   }
 
+  test("mixtureSample: rates honor the spec, unknown strata drop, " +
+      "deterministic and seed-sensitive") {
+    val m = CorpusPipeline.mixtureSample(docs,
+      shares = Seq("en" -> 0.5, "de" -> 0.5), targetTotal = 100,
+      seed = 3).cache()
+    // only named strata survive
+    assert(m.select($"lang").distinct().as[String].collect().toSet
+      .subsetOf(Set("en", "de")))
+    // realized counts concentrate near rate * n_s (binomial; wide bound)
+    val real = m.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("en", "de").foreach { l =>
+      val n = expect(l).toDouble
+      val rate = math.min(1.0, 0.5 * 100 / n)
+      val got = real.getOrElse(l, 0L).toDouble
+      assert(math.abs(got - rate * n) <= 4 * math.sqrt(rate * n) + 1,
+        s"$l: got $got expected ~${rate * n}")
+    }
+    val again = CorpusPipeline.mixtureSample(docs,
+      Seq("en" -> 0.5, "de" -> 0.5), 100, 3)
+    assert(m.exceptAll(again).isEmpty, "same seed => same sample")
+    val other = CorpusPipeline.mixtureSample(docs,
+      Seq("en" -> 0.5, "de" -> 0.5), 100, 4)
+    assert(other.exceptAll(m).count() > 0, "different seed => different draw")
+    m.unpersist()
+  }
+
   test("clusterCoherence: cosine bounds, counts, self-consistency") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val c = EmbeddingStats.clusterCoherence(emb).cache()
