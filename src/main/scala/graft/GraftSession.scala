@@ -44,9 +44,16 @@ object GraftSession {
   }
 
   /** SQL-surface registration of the engine's custom aggregates (the
-    * native expressions register via GraftExtensions): `kmv_distinct(h)`
-    * — deterministic KMV cardinality sketch over pre-hashed values. */
-  def registerFunctions(s: SparkSession): Unit =
+    * native expressions register via GraftExtensions):
+    *  - `kmv_distinct(h)` — deterministic KMV cardinality sketch over
+    *    pre-hashed values;
+    *  - `bottomk_sample(h, v)` — deterministic bottom-k uniform sample
+    *    of values (sorted array out), the bounded-memory quantile
+    *    path. */
+  def registerFunctions(s: SparkSession): Unit = {
     s.udf.register("kmv_distinct",
       org.apache.spark.sql.functions.udaf(graft.functions.KmvSketch(64)))
+    s.udf.register("bottomk_sample",
+      org.apache.spark.sql.functions.udaf(graft.functions.BottomKSample(64)))
+  }
 }

@@ -37,8 +37,8 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** (id, shingle) inverted index with distinct shingles per doc. */
-  /** (id, shingle) inverted index. The source is [[Compute.spread]]
+  /** (id, shingle) inverted index with distinct shingles per doc.
+    * The source is [[Compute.spread]]
     * first: shingling cost ∝ text length, not input bytes, so a
     * narrow scan (one small parquet file) must not serialize the
     * whole explode+hash burn into one task. */

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -191,5 +192,52 @@ object AnalyticExtras extends QueryPack {
       ORDER BY c_mktsegment, o_orderkey"""),
     covers = Seq("W-rank-family"))
 
-  override def queries: Seq[Q] = Seq(q60, q61, q71, q74, q81)
+  /** Bottom-k sample-sketch quantiles next to the exact percentiles
+    * (q71's bounded-memory twin, as q74 is to q63's exact distinct):
+    * per group, the k=64 rows with smallest seeded md5 hash form a
+    * deterministic uniform sample; quantiles are read off the sorted
+    * sample at ⌊q·(m−1)⌋ — exact integer indexing, so the approximate
+    * answer itself is oracle-checked bit-for-bit. */
+  val q91 = Q(
+    "q91_quantile_sketch",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{TextFunctions => T}
+      val bk = udaf(graft.functions.BottomKSample(64))
+      def at(q: Double, vs: Column): Column =
+        element_at(vs,
+          (floor(lit(q) * (size(vs) - 1).cast("double")) + 1).cast("int"))
+      graft.Tables(s, dir, "events")
+        .select($"event_type", $"value",
+          T.hash60($"event_id".cast("string"), 13).as("hv"))
+        .groupBy($"event_type")
+        .agg(bk($"hv", $"value").as("vs"))
+        .select($"event_type",
+          size($"vs").as("sample_size"),
+          at(0.5, $"vs").as("p50"),
+          at(0.9, $"vs").as("p90"),
+          at(0.99, $"vs").as("p99"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH h AS (
+        SELECT event_type, value,
+               CAST(('0x'||substr(md5('13|'||CAST(event_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+        FROM events),
+      rk AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+        FROM h),
+      arr AS (
+        SELECT event_type, list_sort(list(value)) AS vs
+        FROM rk WHERE r <= 64 GROUP BY 1)
+      SELECT event_type,
+             CAST(len(vs) AS INT) AS sample_size,
+             vs[CAST(floor(CAST(0.5 AS DOUBLE) * (len(vs)-1)) AS BIGINT) + 1] AS p50,
+             vs[CAST(floor(CAST(0.9 AS DOUBLE) * (len(vs)-1)) AS BIGINT) + 1] AS p90,
+             vs[CAST(floor(CAST(0.99 AS DOUBLE) * (len(vs)-1)) AS BIGINT) + 1] AS p99
+      FROM arr ORDER BY event_type"""),
+    covers = Seq("A-sketch-quantile"))
+
+  override def queries: Seq[Q] = Seq(q60, q61, q71, q74, q81, q91)
 }
