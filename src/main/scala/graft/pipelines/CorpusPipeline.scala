@@ -267,6 +267,72 @@ object CorpusPipeline {
       .select(col(id), col(stratum), col("accept_rate"))
   }
 
+  /** Tokenizer-vocabulary build: the k most frequent tokens (with
+    * multiplicity) and the share of all token occurrences each covers —
+    * the frequency table a BPE/unigram trainer seeds from, and the
+    * first question asked of any new corpus ("what does the head of
+    * the distribution look like?").
+    *
+    * Scale shape: one explode + one hash aggregation (map-side combine
+    * does the heavy lifting — partial counts per token per partition,
+    * so the shuffle carries |vocab| rows, not |tokens|), then TakeOrdered
+    * for the top-k (no global sort materializes). The grand total rides
+    * the same aggregation via a broadcast 1-row cross join, not a
+    * second scan. Ties break on the token string so the cut is
+    * deterministic. */
+  def topTokens(docs: DataFrame, k: Int,
+      text: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(T.tokens(col(text))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"))
+    val total = counts.agg(sum(col("n_occ")).as("__total"))
+    val w = Window.orderBy(col("n_occ").desc, col("token"))
+    counts
+      .orderBy(col("n_occ").desc, col("token")).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w)) // k rows: tiny window
+      .select(col("rank"), col("token"), col("n_occ"),
+        (col("n_occ").cast("double") / col("__total").cast("double"))
+          .as("coverage"))
+  }
+
+  /** Corpus-level duplicated-span fraction (the Lee et al. 2021
+    * "Deduplicating Training Data" diagnostic): per document, the
+    * share of its DISTINCT word n-gram windows that also occur in at
+    * least one OTHER document. Doc-level dedup (q18/q23) misses
+    * boilerplate shared across otherwise-distinct pages; this is the
+    * signal that finds it. Docs shorter than n grams score 0 over 0.
+    *
+    * Scale shape: one native shingle pass (explode), distinct
+    * (doc, gram-hash) pairs, one aggregation for per-gram document
+    * frequency, one equi-join back on the 60-bit gram hash, one
+    * per-doc aggregation. Two shuffles on the gram hash + one on the
+    * doc id — no similarity join, no candidate blowup; cost ∝ total
+    * grams, which is the floor for this statistic. */
+  def dupSpanFraction(docs: DataFrame, n: Int = 8, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val grams = graft.ops.Compute.spread(docs.select(col(id), col(text)))
+      .select(col(id), explode(T.shinglesOf(col(text), n)).as("g"))
+      .select(col(id), T.hash60(col("g"), 0).as("h"))
+      .distinct()
+    val df = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("__df"))
+    val perDoc = grams.join(df, Seq("h"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__df") >= 2, 1)).as("n_dup_grams"))
+    docs.select(col(id))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup_grams").cast("double") /
+            col("n_grams").cast("double"))
+          .as("dup_fraction"))
+  }
+
   /** Corpus-level stats of a (possibly filtered) doc set. */
   def stats(docs: DataFrame): DataFrame =
     withQuality(docs).agg(

@@ -1043,8 +1043,128 @@ object TrainingData extends QueryPack {
       ORDER BY d.doc_id"""),
     covers = Seq("TD-mixture-sample"))
 
+  /** PII scrub (`graft.ops.Pii`): detect and redact phone-shaped
+    * substrings and account-number digit runs before text reaches a
+    * tokenizer. The corpus tables carry no natural PII, so the query
+    * first formats a deterministic support-message per customer row
+    * (phone present on 2 of 3 rows — both branches exercised), then
+    * runs the real detection/redaction expressions; the oracle
+    * re-derives the message AND the scrub in DuckDB, so one mis-masked
+    * character hash-fails. Pure narrow projection — codegen'd regex
+    * over the scan, no shuffle, the 100 TB shape of a scrub pass. */
+  val q92 = Q(
+    "q92_pii_scrub",
+    (s, dir) => {
+      import graft.ops.Pii
+      val c = Tables(s, dir, "customer")
+      val k = col("c_custkey")
+      val phone = concat(
+        ((k % 90) + 10).cast("string"), lit("-"),
+        ((k % 900) + 100).cast("string"), lit("-"),
+        (((k * 7) % 900) + 100).cast("string"), lit("-"),
+        (((k * 13) % 9000) + 1000).cast("string"))
+      val acct = (lit(10000000L) + (k * 7919) % 90000000L).cast("string")
+      val msg = concat(lit("customer "), col("c_name"),
+        when(k % 3 === 0, lit(""))
+          .otherwise(concat(lit(" call "), phone)),
+        lit(" ref "), acct)
+      c.select(k.as("c_custkey"),
+          Pii.hasPhone(msg).as("has_phone"),
+          Pii.digitCount(msg).as("n_digits"),
+          Pii.redactDigitRuns(
+            regexp_replace(msg, Pii.PhonePattern, "<PHONE>"), "<ID>")
+            .as("scrubbed"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT c_custkey,
+               'customer ' || c_name ||
+               (CASE WHEN c_custkey % 3 = 0 THEN ''
+                     ELSE ' call ' ||
+                          CAST((c_custkey % 90) + 10 AS VARCHAR) || '-' ||
+                          CAST((c_custkey % 900) + 100 AS VARCHAR) || '-' ||
+                          CAST(((c_custkey * 7) % 900) + 100 AS VARCHAR) || '-' ||
+                          CAST(((c_custkey * 13) % 9000) + 1000 AS VARCHAR)
+                END) ||
+               ' ref ' ||
+               CAST(10000000 + (c_custkey * 7919) % 90000000 AS VARCHAR) AS msg
+        FROM customer)
+      SELECT c_custkey,
+             regexp_matches(msg, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')
+               AS has_phone,
+             CAST(len(msg) - len(regexp_replace(msg, '[0-9]', '', 'g'))
+               AS BIGINT) AS n_digits,
+             regexp_replace(
+               regexp_replace(msg, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}',
+                              '<PHONE>', 'g'),
+               '[0-9]{6,}', '<ID>', 'g') AS scrubbed
+      FROM m ORDER BY c_custkey"""),
+    covers = Seq("TD-pii-scrub"))
+
+  /** Tokenizer-vocabulary head ([[CorpusPipeline.topTokens]]): top-50
+    * tokens by occurrence with deterministic tie-break and coverage
+    * share — one explode + one map-side-combined aggregation +
+    * TakeOrdered; the shuffle carries |vocab| rows, not |tokens|. */
+  val q93 = Q(
+    "q93_top_tokens",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.topTokens(Tables(s, dir, "documents"), k = 50)
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+      c AS (SELECT token, count(*) AS n_occ FROM t GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total FROM c),
+      top AS (SELECT token, n_occ FROM c
+              ORDER BY n_occ DESC, token LIMIT 50)
+      SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INT)
+               AS rank,
+             token, n_occ,
+             CAST(n_occ AS DOUBLE) / CAST(tot.total AS DOUBLE) AS coverage
+      FROM top, tot ORDER BY rank"""),
+    covers = Seq("TD-vocab-head"))
+
+  /** Duplicated-span fraction ([[CorpusPipeline.dupSpanFraction]]):
+    * per doc, share of its distinct 5-gram windows occurring in >= 2
+    * documents — the sub-document boilerplate diagnostic doc-level
+    * dedup can't see. Gram-hash equi-joins only; no similarity join. */
+  val q94 = Q(
+    "q94_dup_spans",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.dupSpanFraction(Tables(s, dir, "documents"), n = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val grams = "[ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] " +
+        "for i in generate_series(1, len(ws)-4)]"
+      s"""
+      WITH g AS (
+        SELECT DISTINCT doc_id, ${dkHash(0, "g")} AS h
+        FROM (SELECT doc_id, unnest($grams) AS g
+              FROM (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents)
+              WHERE len(ws) >= 5)),
+      f AS (SELECT h, count(*) AS df FROM g GROUP BY 1),
+      p AS (SELECT doc_id, count(*) AS n_grams,
+                   count(*) FILTER (WHERE f.df >= 2) AS n_dup_grams
+            FROM g JOIN f USING (h) GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(p.n_grams, 0) AS n_grams,
+             coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+             CASE WHEN coalesce(p.n_grams, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(p.n_dup_grams AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+             END AS dup_fraction
+      FROM documents d LEFT JOIN p USING (doc_id)
+      ORDER BY d.doc_id"""
+    },
+    covers = Seq("TD-dup-spans"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
-      q86, q87, q88, q89, q90)
+      q86, q87, q88, q89, q90, q92, q93, q94)
 }

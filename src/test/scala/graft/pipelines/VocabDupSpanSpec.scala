@@ -1,0 +1,42 @@
+package graft.pipelines
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** topTokens and dupSpanFraction on hand-built corpora with
+  * closed-form expected answers. */
+class VocabDupSpanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topTokens: counts, deterministic tie-break, coverage sums") {
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "b a d d")).toDF("doc_id", "text")
+    // occurrences: a=3 b=2 d=2 c=1, total=8; tie b/d breaks on token
+    val got = CorpusPipeline.topTokens(docs, k = 3)
+      .orderBy($"rank")
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", 3L, 3.0 / 8),
+      (2, "b", 2L, 2.0 / 8),
+      (3, "d", 2L, 2.0 / 8)))
+  }
+
+  test("dupSpanFraction: shared windows flagged, short docs score 0") {
+    val shared = "w1 w2 w3 w4 w5" // one 5-gram, present in docs 1 and 2
+    val docs = Seq(
+      (1L, s"$shared u1 u2 u3 u4"), // 5 grams, 1 shared
+      (2L, s"v1 v2 v3 v4 $shared"), // 5 grams, 1 shared
+      (3L, "x1 x2 x3 x4 x5 x6"),    // 2 grams, 0 shared
+      (4L, "too short")             // < 5 tokens -> 0/0
+    ).toDF("doc_id", "text")
+    val got = CorpusPipeline.dupSpanFraction(docs, n = 5)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 1L, 0.2),
+      (2L, 5L, 1L, 0.2),
+      (3L, 2L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+}
