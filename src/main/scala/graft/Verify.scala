@@ -2,10 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Extra args after (sfDir, outDir) restrict the run to the named
+  * queries — builder-side iteration shortcut (check_oracle.py only
+  * reads oracle_sql.json, which is filtered the same way), the driver
+  * always calls the 2-arg form. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
+    require(only.isEmpty || only.subsetOf(SparkEntry.queries.keySet),
+      s"unknown query names: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
+    def selected(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +30,8 @@ object Verify {
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val jobs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val jobs = SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
+      .map { case (name, fn) =>
       Future {
         try {
           val df = fn(spark, sfDir)
@@ -58,7 +68,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

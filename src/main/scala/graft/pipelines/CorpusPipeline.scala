@@ -333,6 +333,45 @@ object CorpusPipeline {
           .as("dup_fraction"))
   }
 
+  /** Epoch-weighted mixture UPSAMPLING — the data-recipe complement
+    * of [[mixtureSample]]: there the acceptance rate is capped at 1
+    * (pure downsampling); here a stratum whose target share exceeds
+    * its natural share gets rate > 1 and each doc is emitted
+    * floor(rate) times plus one more with probability frac(rate),
+    * decided by the seeded 60-bit hash (deterministic: the replica
+    * set (doc_id, copy) is stable across runs and engines). This is
+    * how high-quality sources run >1 epoch in a fixed-token-budget
+    * mixture.
+    *
+    * Scale shape: one count aggregation (|strata| rows) broadcast
+    * back, then a generate-per-row explode — output size is the only
+    * cost, there is no shuffle of the corpus itself. */
+  def upsampleMixture(docs: DataFrame, shares: Seq[(String, Double)],
+      targetTotal: Long, seed: Int, stratum: String = "lang",
+      id: String = "doc_id"): DataFrame = {
+    val shareCol = shares.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(stratum) === k, lit(v)).otherwise(acc)
+    }
+    val rates = docs.groupBy(col(stratum))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(stratum),
+        (shareCol * lit(targetTotal.toDouble) / col("__n").cast("double"))
+          .as("rate"))
+      .withColumn("__base", floor(col("rate")))
+      .withColumn("__thresh",
+        floor((col("rate") - col("__base").cast("double"))
+          * lit(1152921504606846976.0)) // 2^60
+          .cast("long"))
+    docs.join(broadcast(rates), Seq(stratum))
+      .withColumn("n_copies",
+        col("__base") +
+          when(T.hash60(col(id).cast("string"), seed) < col("__thresh"),
+            lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_copies") >= 1)
+      .select(col(id), col(stratum), col("rate"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
   /** Corpus-level stats of a (possibly filtered) doc set. */
   def stats(docs: DataFrame): DataFrame =
     withQuality(docs).agg(

@@ -1163,8 +1163,48 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-dup-spans"))
 
+  /** Epoch-weighted upsampling ([[CorpusPipeline.upsampleMixture]]):
+    * q90's uncapped complement — rate > 1 replicates docs
+    * floor(rate)× plus a seeded-hash Bernoulli for the fraction, the
+    * fixed-budget multi-epoch data recipe. Replica set is
+    * deterministic, so the oracle reproduces every (doc_id, copy)
+    * row exactly. */
+  val q95 = Q(
+    "q95_upsample_mixture",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.upsampleMixture(Tables(s, dir, "documents"),
+          shares = Seq("en" -> 0.55, "de" -> 0.25, "fr" -> 0.2),
+          targetTotal = 1200, seed = 17)
+        .orderBy(col("doc_id"), col("copy"))
+    },
+    Some(s"""
+      WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+      r AS (SELECT lang,
+              (CASE lang WHEN 'en' THEN CAST(0.55 AS DOUBLE)
+                         WHEN 'de' THEN CAST(0.25 AS DOUBLE)
+                         WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END)
+              * CAST(1200.0 AS DOUBLE) / CAST(n_s AS DOUBLE) AS rate
+            FROM n),
+      b AS (SELECT lang, rate,
+              CAST(floor(rate) AS BIGINT) AS base,
+              CAST(floor((rate - floor(rate)) * 1152921504606846976.0)
+                AS BIGINT) AS thresh
+            FROM r),
+      c AS (SELECT d.doc_id, d.lang, b.rate,
+              b.base + (CASE WHEN
+                ${dkHash(17, "CAST(doc_id AS VARCHAR)")} < b.thresh
+                THEN 1 ELSE 0 END) AS n_copies
+            FROM documents d JOIN b USING (lang))
+      SELECT doc_id, lang, rate, n_copies,
+             unnest(generate_series(1, n_copies)) AS copy
+      FROM c WHERE n_copies >= 1
+      ORDER BY doc_id, copy"""),
+    covers = Seq("TD-upsample-mixture"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
-      q86, q87, q88, q89, q90, q92, q93, q94)
+      q86, q87, q88, q89, q90, q92, q93, q94, q95)
 }

@@ -139,6 +139,28 @@ class PlanRegressionSpec extends SparkSpec {
       "label-keyed metadata joins must not sort-merge the member side")
   }
 
+  test("q92: PII scrub is scan + project only — no join, no aggregation") {
+    val p = plan("q92_pii_scrub")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "scrub pass must stay a narrow projection:\n" + p.take(600))
+  }
+
+  test("q93: top-k vocab cut is TakeOrdered, not a global sort") {
+    val p = plan("q93_top_tokens")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must early-terminate per partition:\n" + p.take(600))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "token counting must keep map-side partials")
+  }
+
+  test("q94: dup-span df join is an equi-join on the gram hash") {
+    val p = plan("q94_dup_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "df join must stay an equi-join:\n" + p.take(800))
+    assert(p.contains("hashpartitioning(h"),
+      "per-gram df aggregation must shuffle on the gram hash:\n" + p.take(600))
+  }
+
   /** Blanket sweep: no quadratic join shape anywhere in the contract
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
@@ -149,7 +171,8 @@ class PlanRegressionSpec extends SparkSpec {
       "q27_ann_topk",               // brute-force ANN baseline: broadcast NL by design (scale path = q52)
       "q66_embedding_dups_exact",   // all-pairs ground-truth baseline (scale path = q26)
       "q31_config_exclusion",       // 1-row control-table crossJoin
-      "q48_gold_customer_experience_controlled") // same control-table shape
+      "q48_gold_customer_experience_controlled", // same control-table shape
+      "q93_top_tokens")             // 1-row grand-total crossJoin over k rows
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>

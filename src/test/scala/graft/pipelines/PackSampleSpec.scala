@@ -99,6 +99,35 @@ class PackSampleSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("upsampleMixture: copy counts bracket floor/ceil of the rate, " +
+      "realized totals track rate * n_s, replicas enumerated") {
+    val u = CorpusPipeline.upsampleMixture(docs,
+      shares = Seq("en" -> 0.6, "de" -> 0.4), targetTotal = 400,
+      seed = 5).cache()
+    val expect = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("en" -> 0.6, "de" -> 0.4).foreach { case (l, share) =>
+      val n = expect(l).toDouble
+      val rate = share * 400 / n
+      // every doc's n_copies is floor(rate) or ceil(rate)
+      val copies = u.filter($"lang" === l).groupBy($"doc_id")
+        .agg(max($"n_copies").as("c"), count(lit(1)).as("rows"))
+      val bad = copies.filter($"c" =!= $"rows" ||
+        $"c" < math.floor(rate).toLong || $"c" > math.ceil(rate).toLong)
+      assert(bad.isEmpty, s"$l: copy counts must bracket rate=$rate")
+      // realized stratum size ~ rate * n_s (Bernoulli only on the frac)
+      val got = u.filter($"lang" === l).count().toDouble
+      assert(math.abs(got - rate * n) <= 4 * math.sqrt(n) + 1,
+        s"$l: got $got expected ~${rate * n}")
+    }
+    // copy ids enumerate 1..n_copies
+    assert(u.filter($"copy" < 1 || $"copy" > $"n_copies").isEmpty)
+    val again = CorpusPipeline.upsampleMixture(docs,
+      Seq("en" -> 0.6, "de" -> 0.4), 400, 5)
+    assert(u.exceptAll(again).isEmpty, "same seed => same replica set")
+    u.unpersist()
+  }
+
   test("clusterCoherence: cosine bounds, counts, self-consistency") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val c = EmbeddingStats.clusterCoherence(emb).cache()
