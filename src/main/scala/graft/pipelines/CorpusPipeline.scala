@@ -372,6 +372,78 @@ object CorpusPipeline {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
   }
 
+  /** Context-window chunking: each doc's token stream cut into
+    * windows of `width` tokens every `stride` tokens (overlap =
+    * width − stride) — the shape a pretraining tokenizer feed or a
+    * RAG indexer consumes. One narrow projection + one explode; no
+    * shuffle, no join. The token array is carried once per emitted
+    * chunk (bounded ×⌈n/stride⌉ fan-out, a small constant). Chunk
+    * identity is the seeded 60-bit content hash, so chunk-level dedup
+    * composes with the q18 fingerprint machinery unchanged. */
+  def chunkTokens(docs: DataFrame, width: Int, stride: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(stride > 0 && width >= stride, "need 0 < stride <= width")
+    docs
+      .select(col(id), T.tokens(col(text)).as("ws"))
+      .select(col(id), col("ws"),
+        explode(sequence(lit(1), size(col("ws")), lit(stride))).as("start"))
+      .select(col(id), col("start").cast("int").as("start"),
+        size(slice(col("ws"), col("start"), lit(width))).as("n_chunk_toks"),
+        T.hash60(concat_ws(" ", slice(col("ws"), col("start"), lit(width))), 0)
+          .as("chunk_hash"))
+  }
+
+  /** Deterministic train/val/test assignment: seeded 60-bit hash of
+    * the id, taken mod 100, against cumulative percentage cuts.
+    * Stable across runs, partitionings and engines (no RNG state, no
+    * global sort), and independent of any stratum column, so the split
+    * is uniform within every stratum by construction. */
+  def splitAssign(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+      seed: Int = 21, id: String = "doc_id"): DataFrame = {
+    require(trainPct + valPct <= 100, "train+val must leave room for test")
+    val h = T.hash60(col(id).cast("string"), seed) % 100
+    docs.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Cross-source contamination matrix: for every source pair, how
+    * many distinct whole-document fingerprints AND distinct n-gram
+    * span hashes they share — the provenance-level duplication
+    * diagnostic (document-level replication vs boilerplate bleed)
+    * that drives dedup-before-mixing decisions. Each key set is
+    * distinct per source first, so both equi-joins' fan-out is
+    * bounded by per-key source multiplicity (≤ #sources), never
+    * all-pairs; each shared key then contributes exactly one joined
+    * row per pair, so plain count(*) IS the distinct count. The two
+    * pair tables meet in a full outer join: a pair can share spans
+    * without whole-doc dups (the common case) or — for sub-n-token
+    * docs — fingerprints without spans. */
+  def crossSourceOverlap(docs: DataFrame, text: String = "text",
+      source: String = "source", gramN: Int = 5): DataFrame = {
+    def pairCounts(d: DataFrame, key: String, out: String): DataFrame = {
+      val a = d.select(col(source).as("source_a"), col(key))
+      val b = d.select(col(source).as("source_b"), col(key))
+      a.join(b, Seq(key))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as(out))
+    }
+    val fps = pairCounts(
+      docs.select(col(source), T.fingerprint(col(text)).as("k")).distinct(),
+      "k", "n_shared_fps")
+    val spans = pairCounts(
+      graft.ops.Compute.spread(docs.select(col(source), col(text)))
+        .select(col(source), explode(T.shinglesOf(col(text), gramN)).as("g"))
+        .select(col(source), T.hash60(col("g"), 0).as("k")).distinct(),
+      "k", "n_shared_grams")
+    fps.join(spans, Seq("source_a", "source_b"), "full_outer")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+  }
+
   /** Corpus-level stats of a (possibly filtered) doc set. */
   def stats(docs: DataFrame): DataFrame =
     withQuality(docs).agg(

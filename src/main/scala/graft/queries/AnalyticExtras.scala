@@ -239,5 +239,133 @@ object AnalyticExtras extends QueryPack {
       FROM arr ORDER BY event_type"""),
     covers = Seq("A-sketch-quantile"))
 
-  override def queries: Seq[Q] = Seq(q60, q61, q71, q74, q81, q91)
+  /** LISTAGG / string_agg (ordered string aggregation — absent from
+    * the reference's SQL surface, present in every warehouse it
+    * targets). Determinism: the aggregated list is fully ordered by
+    * the aggregated value itself (binary collation in both engines),
+    * so the concatenated string is engine-exact. Scale note: bounded
+    * output per group (high-balance filter first, pushed to the scan),
+    * one partial-aggregated shuffle — collect_list's partial buffers
+    * merge associatively, order imposed once at the end. */
+  val q96 = Q(
+    "q96_listagg",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      c.filter($"c_acctbal" > 9000)
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_mktsegment", $"n_name")
+        .agg(
+          count(lit(1)).as("n_high_value"),
+          concat_ws(",", array_sort(collect_list($"c_name")))
+            .as("customer_names"))
+        .orderBy($"c_mktsegment", $"n_name")
+    },
+    Some("""
+      SELECT c_mktsegment, n_name, count(*) AS n_high_value,
+             string_agg(c_name, ',' ORDER BY c_name) AS customer_names
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_acctbal > 9000
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    covers = Seq("A-listagg"))
+
+  /** Second-moment statistics (corr / covar_samp / var_samp /
+    * stddev_samp) computed from EXACT decimal power sums, then combined
+    * in double with an identical expression shape on both engines —
+    * the only float ops are products, differences, divisions and
+    * sqrt of identical operand bits (all exactly rounded per IEEE-754),
+    * so even corr is hash-checkable bit-for-bit. Native corr()/stddev()
+    * would be order-dependent in partial-merge order; the power-sum
+    * formulation is associative and therefore shuffle-plan-independent
+    * — the property that makes it safe on 1000 executors too. */
+  val q97 = Q(
+    "q97_stats_moments",
+    (s, dir) => {
+      import s.implicits._
+      val x = $"l_quantity".cast(D)
+      val y = $"l_extendedprice".cast(D)
+      val big = "decimal(38,12)"
+      val g = Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum((x * y).cast(big)).cast("double").as("sxy"),
+          sum((x * x).cast(big)).cast("double").as("sxx"),
+          sum((y * y).cast(big)).cast("double").as("syy"))
+      g.select(
+          $"l_returnflag",
+          $"n".cast("long").as("n_rows"),
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+                 ($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"),
+          (($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1)))
+            .as("var_qty"),
+          sqrt(($"n" * $"syy" - $"sy" * $"sy") / ($"n" * ($"n" - 1)))
+            .as("stddev_price"),
+          (($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * ($"n" - 1)))
+            .as("covar_qty_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag,
+             CAST(n AS BIGINT) AS n_rows,
+             (n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+             (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
+             sqrt((n * syy - sy * sy) / (n * (n - 1))) AS stddev_price,
+             (n * sxy - sx * sy) / (n * (n - 1)) AS covar_qty_price
+      FROM g ORDER BY l_returnflag"""),
+    covers = Seq("A-stats-moments"))
+
+  /** Equi-width histogram: 20 buckets over the observed [min, max]
+    * price range (the range comes from a broadcast scalar aggregate,
+    * not a driver collect). Bucket arithmetic is pure IEEE double with
+    * identical shape on both engines; the top edge folds into the last
+    * bucket via least(). One scan + one tiny broadcast + one
+    * aggregation — the 100 TB plan is the same three stages. */
+  val q98 = Q(
+    "q98_histogram",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      val bounds = o.agg(
+        min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .select(
+          least(floor(($"o_totalprice" - $"lo") /
+            (($"hi" - $"lo") / 20.0)), lit(19.0)).cast("int").as("bucket"),
+          $"o_totalprice")
+        .groupBy($"bucket")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast(D)).cast("double").as("bucket_revenue"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                 FROM orders),
+      x AS (SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)),
+                              19.0) AS INT) AS bucket,
+                   o_totalprice
+            FROM orders, b)
+      SELECT bucket, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS bucket_revenue
+      FROM x GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("A-histogram"))
+
+  override def queries: Seq[Q] =
+    Seq(q60, q61, q71, q74, q81, q91, q96, q97, q98)
 }

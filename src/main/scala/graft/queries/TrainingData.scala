@@ -1203,8 +1203,138 @@ object TrainingData extends QueryPack {
       ORDER BY doc_id, copy"""),
     covers = Seq("TD-upsample-mixture"))
 
+  /** Context-window chunking ([[CorpusPipeline.chunkTokens]]): token
+    * windows of 64 every 48 (16-token overlap), chunk identity = the
+    * seeded 60-bit content hash. Explode-only — no shuffle. */
+  val q99 = Q(
+    "q99_chunking",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.chunkTokens(Tables(s, dir, "documents"),
+          width = 64, stride = 48)
+        .orderBy(col("doc_id"), col("start"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+      ch AS (SELECT doc_id, ws,
+                    unnest(generate_series(1, len(ws), 48)) AS start
+             FROM toks)
+      SELECT doc_id,
+             CAST(start AS INT) AS start,
+             CAST(len(ws[start:least(start+63, len(ws))]) AS INT)
+               AS n_chunk_toks,
+             ${dkHash(0, "array_to_string(ws[start:least(start+63, len(ws))],' ')")}
+               AS chunk_hash
+      FROM ch ORDER BY doc_id, start"""),
+    covers = Seq("TD-chunking"))
+
+  /** Cross-source contamination matrix
+    * ([[CorpusPipeline.crossSourceOverlap]]): per source pair, the
+    * distinct shared whole-doc fingerprints and shared 5-gram span
+    * hashes — key equi-joins with per-key fan-out ≤ #sources. */
+  val q100 = Q(
+    "q100_source_overlap",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.crossSourceOverlap(Tables(s, dir, "documents"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""
+      WITH d AS (SELECT DISTINCT source,
+               md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS k
+             FROM documents),
+      fp AS (SELECT a.source AS source_a, b.source AS source_b,
+                    count(*) AS n_shared_fps
+             FROM d a JOIN d b ON a.k = b.k AND a.source < b.source
+             GROUP BY 1, 2),
+      g AS (SELECT DISTINCT source, ${dkHash(0, "g")} AS k FROM
+              (SELECT source,
+                      unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+                              for i in generate_series(1, len(ws)-4)]) AS g
+               FROM (SELECT source, string_split(text,' ') AS ws FROM documents)
+               WHERE len(ws) >= 5)),
+      sp AS (SELECT a.source AS source_a, b.source AS source_b,
+                    count(*) AS n_shared_grams
+             FROM g a JOIN g b ON a.k = b.k AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT coalesce(fp.source_a, sp.source_a) AS source_a,
+             coalesce(fp.source_b, sp.source_b) AS source_b,
+             coalesce(fp.n_shared_fps, 0) AS n_shared_fps,
+             coalesce(sp.n_shared_grams, 0) AS n_shared_grams
+      FROM fp FULL OUTER JOIN sp
+        ON fp.source_a = sp.source_a AND fp.source_b = sp.source_b
+      ORDER BY 1, 2"""),
+    covers = Seq("TD-cross-source"))
+
+  /** Deterministic train/val/test split ([[CorpusPipeline.splitAssign]]):
+    * seeded-hash mod-100 cuts (80/10/10), verified via per-(lang,split)
+    * counts — uniform within every stratum by construction. */
+  val q101 = Q(
+    "q101_train_split",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.splitAssign(Tables(s, dir, "documents"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy(col("lang"), col("split"))
+    },
+    Some(s"""
+      WITH a AS (SELECT doc_id, lang,
+               CASE WHEN ${dkHash(21, "CAST(doc_id AS VARCHAR)")} % 100 < 80
+                      THEN 'train'
+                    WHEN ${dkHash(21, "CAST(doc_id AS VARCHAR)")} % 100 < 90
+                      THEN 'val'
+                    ELSE 'test' END AS split
+             FROM documents)
+      SELECT lang, split, count(*) AS n_docs,
+             min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      FROM a GROUP BY 1, 2 ORDER BY 1, 2"""),
+    covers = Seq("TD-split"))
+
+  /** BM25 lexical retrieval ([[graft.ops.Retrieval.bm25TopK]]):
+    * query-by-document top-20 with odds-ratio idf and fixed-order
+    * summation (see Retrieval's scaladoc for why both are exact
+    * cross-engine). tf/df aggregations + broadcast query terms. */
+  val q102 = Q(
+    "q102_bm25_topk",
+    (s, dir) => {
+      graft.ops.Retrieval.bm25TopK(Tables(s, dir, "documents"),
+        queryDocId = 42L, k = 20)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                    FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+             FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df
+                FROM tf GROUP BY 1),
+      dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
+             FROM documents),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                    CAST(sum(len(string_split(text,' '))) AS DOUBLE) AS tot_toks
+             FROM documents),
+      qt AS (SELECT DISTINCT unnest(string_split(text,' ')) AS tok
+             FROM documents WHERE doc_id = 42),
+      sc AS (SELECT tf.doc_id,
+               (((n_docs - df) + 0.5) / (df + 0.5)) *
+               ((tf * 2.5) /
+                (tf + (1.5 * (0.25 + ((0.75 * dl) / (tot_toks / n_docs))))))
+                 AS term_score
+             FROM tf JOIN qt USING (tok) JOIN dfreq USING (tok)
+                  JOIN dl USING (doc_id), st),
+      ag AS (SELECT doc_id, count(*) AS n_matched_terms,
+                    list_sort(list(term_score)) AS ss
+             FROM sc GROUP BY 1)
+      SELECT doc_id, n_matched_terms,
+             list_reduce(ss, (a, b) -> a + b) AS score
+      FROM ag ORDER BY score DESC, doc_id LIMIT 20"""),
+    covers = Seq("TD-bm25"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
-      q86, q87, q88, q89, q90, q92, q93, q94, q95)
+      q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102)
 }

@@ -172,7 +172,9 @@ class PlanRegressionSpec extends SparkSpec {
       "q66_embedding_dups_exact",   // all-pairs ground-truth baseline (scale path = q26)
       "q31_config_exclusion",       // 1-row control-table crossJoin
       "q48_gold_customer_experience_controlled", // same control-table shape
-      "q93_top_tokens")             // 1-row grand-total crossJoin over k rows
+      "q93_top_tokens",             // 1-row grand-total crossJoin over k rows
+      "q98_histogram",              // 1-row min/max bounds crossJoin
+      "q102_bm25_topk")             // 1-row corpus-stats crossJoin
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
