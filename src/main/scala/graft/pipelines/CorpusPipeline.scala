@@ -444,6 +444,32 @@ object CorpusPipeline {
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
   }
 
+  /** Deterministic weighted sampling — the priority-sampling scheme of
+    * Duffield/Lund/Thorup (priority q = u/w for u uniform): per
+    * stratum, keep the k docs with SMALLEST priority
+    * hash60(id)/weight, so inclusion probability grows with weight
+    * (a doc with 2× the weight halves its priority). The uniform draw
+    * is the seeded 60-bit hash, so the sample is stable across runs,
+    * partitionings and engines, and the priority itself is one
+    * exactly-rounded double division — oracle-checkable bit-for-bit.
+    *
+    * Scale shape: the per-stratum window is the q87 pattern
+    * (parallelism = stratum count); for huge strata or tiny k the
+    * mergeable bottom-k aggregator ([[graft.functions.BottomKSample]],
+    * q91) computes the same smallest-priority set with bounded memory
+    * and no window sort. */
+  def weightedSample(docs: DataFrame, k: Int, weight: Column, seed: Int,
+      stratum: String = "lang", id: String = "doc_id"): DataFrame = {
+    val pr = T.hash60(col(id).cast("string"), seed).cast("double") /
+      weight.cast("double")
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(col("priority").asc, col(id).asc)
+    docs.withColumn("priority", pr)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Corpus-level stats of a (possibly filtered) doc set. */
   def stats(docs: DataFrame): DataFrame =
     withQuality(docs).agg(

@@ -1333,8 +1333,38 @@ object TrainingData extends QueryPack {
       FROM ag ORDER BY score DESC, doc_id LIMIT 20"""),
     covers = Seq("TD-bm25"))
 
+  /** Weighted priority sampling ([[CorpusPipeline.weightedSample]]):
+    * per lang, the 25 docs with smallest hash60(id)/n_tokens —
+    * token-weighted PPS draw (Duffield/Lund/Thorup), deterministic
+    * and bit-exact (one double division per doc). */
+  val q103 = Q(
+    "q103_weighted_sample",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      val d = Tables(s, dir, "documents")
+        .withColumn("n_tokens", T.tokenCount(col("text")).cast("long"))
+      CorpusPipeline.weightedSample(d, k = 25,
+          weight = col("n_tokens"), seed = 33)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("priority"))
+        .orderBy(col("lang"), col("priority"), col("doc_id"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang,
+               len(string_split(text,' ')) AS n_tokens,
+               CAST(${dkHash(33, "CAST(doc_id AS VARCHAR)")} AS DOUBLE) /
+                 CAST(len(string_split(text,' ')) AS DOUBLE) AS priority
+             FROM documents),
+      r AS (SELECT *, row_number() OVER
+               (PARTITION BY lang ORDER BY priority ASC, doc_id ASC) AS rn
+            FROM d)
+      SELECT doc_id, lang, n_tokens, priority
+      FROM r WHERE rn <= 25
+      ORDER BY lang, priority, doc_id"""),
+    covers = Seq("TD-weighted-sample"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
-      q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102)
+      q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
+      q103)
 }

@@ -75,6 +75,32 @@ class ChunkSplitRetrievalSpec extends SparkSpec {
     assert(got == Set(("a", "b", 1L, 0L), ("a", "c", 1L, 2L)))
   }
 
+  test("weightedSample: caps per stratum at k, deterministic, priority = hash/w") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val d = docs((1L to 100L).map(i =>
+        (i, (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" "),
+         if (i % 2 == 0) "even" else "odd")): _*)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val got = CorpusPipeline.weightedSample(d, k = 10,
+      weight = col("n_tokens"), seed = 33, stratum = "source")
+    val perStratum = got.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perStratum.values.forall(_ == 10))
+    // priority recomputes exactly
+    val bad = got.withColumn("expect",
+        T.hash60($"doc_id".cast("string"), 33).cast("double") /
+          $"n_tokens".cast("double"))
+      .filter($"priority" =!= $"expect").count()
+    assert(bad == 0)
+    // stable across evaluations
+    val ids1 = got.select("doc_id").as[Long].collect().toSet
+    val ids2 = CorpusPipeline.weightedSample(d, k = 10,
+      weight = col("n_tokens"), seed = 33, stratum = "source")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("bm25TopK: query doc ranks itself first; scores positive and sorted") {
     import spark.implicits._
     val d = docs(
