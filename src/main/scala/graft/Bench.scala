@@ -28,6 +28,16 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_BUDGET", "60").toDouble
     val deadlineSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "900").toDouble
+    // Subset mode (builder-side iteration shortcut, mirrors Verify's):
+    // comma-separated query names; unset/empty = full suite. The
+    // driver always runs the full suite — a partial ledger is written
+    // to bench_history with its own timestamp but must never be
+    // handed over as the round's reference ledger.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    require(only.isEmpty || only.subsetOf(SparkEntry.queries.keySet),
+      s"unknown query names: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,7 +60,9 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val degraded = scala.collection.mutable.ListBuffer.empty[String]
     val results: Seq[(String, Seq[Option[Double]])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .map { case (name, fn) =>
         val effIters =
           if (elapsedSec <= deadlineSec) iters
           else {

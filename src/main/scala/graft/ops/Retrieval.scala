@@ -52,18 +52,24 @@ object Retrieval {
       .select(col(id), explode(T.tokens(col(text))).as("tok"))
     val tf = toks.groupBy(col(id), col("tok"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    // global document frequency — over ALL docs, computed before the
-    // query-term restriction (df is a corpus property, not a result
-    // of the query)
-    val dfreq = tf.groupBy(col("tok"))
+    val qterms = docs.filter(col(id) === queryDocId)
+      .select(explode(T.tokens(col(text))).as("tok")).distinct()
+    // restrict to query terms BEFORE computing df: tf covers every
+    // doc, so per-term counts over the restricted table equal the
+    // GLOBAL document frequency of those terms — df stays a corpus
+    // property while the expensive full-token aggregation runs once
+    // (tfq is pinned because it feeds both df and the scoring join;
+    // unpinned, the whole explode+agg subtree would run twice).
+    val tfq = graft.CacheTracker.track(
+      tf.join(broadcast(qterms), Seq("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfreq = tfq.groupBy(col("tok"))
       .agg(count(lit(1)).cast("double").as("df"))
     val dl = docs.select(col(id),
       T.tokenCount(col(text)).cast("double").as("dl"))
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum(T.tokenCount(col(text)).cast("long")).cast("double").as("tot_toks"))
-    val qterms = docs.filter(col(id) === queryDocId)
-      .select(explode(T.tokens(col(text))).as("tok")).distinct()
     val termScore: Column = {
       val idf = ((col("n_docs") - col("df")) + 0.5) / (col("df") + 0.5)
       val norm = col("tf") +
@@ -71,9 +77,8 @@ object Retrieval {
           ((lit(B) * col("dl")) / (col("tot_toks") / col("n_docs")))))
       idf * ((col("tf") * K1P1) / norm)
     }
-    tf
-      .join(broadcast(qterms), Seq("tok"))
-      .join(broadcast(dfreq.join(qterms, Seq("tok"))), Seq("tok"))
+    tfq
+      .join(broadcast(dfreq), Seq("tok"))
       .join(dl, Seq(id))
       .crossJoin(broadcast(stats))
       .withColumn("term_score", termScore)

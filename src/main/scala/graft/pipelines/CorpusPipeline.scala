@@ -422,22 +422,32 @@ object CorpusPipeline {
     * docs — fingerprints without spans. */
   def crossSourceOverlap(docs: DataFrame, text: String = "text",
       source: String = "source", gramN: Int = 5): DataFrame = {
-    def pairCounts(d: DataFrame, key: String, out: String): DataFrame = {
-      val a = d.select(col(source).as("source_a"), col(key))
-      val b = d.select(col(source).as("source_b"), col(key))
-      a.join(b, Seq(key))
-        .filter(col("source_a") < col("source_b"))
-        .groupBy(col("source_a"), col("source_b"))
+    // Per shared key: aggregate its sorted distinct source set, then
+    // explode every i<j pair from that (≤ #sources)-element array —
+    // ONE aggregation instead of a key self-join. The self-join
+    // formulation shuffles the full (source, key) set twice and
+    // re-derives the same pairs from a larger intermediate; here the
+    // shuffle carries each key once and pair fan-out is bounded by
+    // C(|sources sharing key|, 2) ≤ C(#sources, 2), a small constant.
+    // The sorted set makes source_a < source_b by construction.
+    def pairCounts(keyed: DataFrame, out: String): DataFrame =
+      keyed.groupBy(col("k"))
+        .agg(sort_array(collect_set(col(source))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(flatten(transform(col("ss"), (x, i) =>
+          transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+            y => struct(x.as("source_a"), y.as("source_b")))))).as("p"))
+        .groupBy(col("p.source_a").as("source_a"),
+          col("p.source_b").as("source_b"))
         .agg(count(lit(1)).as(out))
-    }
     val fps = pairCounts(
       docs.select(col(source), T.fingerprint(col(text)).as("k")).distinct(),
-      "k", "n_shared_fps")
+      "n_shared_fps")
     val spans = pairCounts(
       graft.ops.Compute.spread(docs.select(col(source), col(text)))
         .select(col(source), explode(T.shinglesOf(col(text), gramN)).as("g"))
         .select(col(source), T.hash60(col("g"), 0).as("k")).distinct(),
-      "k", "n_shared_grams")
+      "n_shared_grams")
     fps.join(spans, Seq("source_a", "source_b"), "full_outer")
       .select(col("source_a"), col("source_b"),
         coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"),
