@@ -12,8 +12,13 @@ object Bench {
     // code (round-2 ledger); the min across runs is the established
     // low-noise estimator of true cost. All iterations land in the
     // ledger so the spread itself stays diffable.
+    // 4 iterations (was 3): the round-4 official ledger showed single
+    // contended iterations inflating a query's min when only 3 samples
+    // existed; one extra sample per query costs ~total/3 extra wall
+    // (well inside the deadline) and lets min-of-N absorb a full
+    // contention wave. Budget/deadline still cap the damage.
     val iters = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt)
     // Wall-clock budget (round-3 lesson: one pathological query ran
     // 762 s × iterations and timed out the driver's whole window,
     // voiding the round's bench evidence — rc 124, parsed null).
@@ -41,6 +46,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,8 +66,18 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val degraded = scala.collection.mutable.ListBuffer.empty[String]
+    // Heavy tail FIRST (while the box is coldest — the documented
+    // host-contention waves build as the run ages and other tenants
+    // wake): the five historically-expensive queries run before the
+    // ~100 sub-second ones, so a late-run wave can only inflate cheap
+    // queries whose min-of-N recovers instantly, not the tail whose
+    // single contended iteration dominated the round-4 official total.
+    val heavyFirst = Seq("q100_source_overlap", "q77_dedup_clusters",
+      "q75_incremental_ingest", "q82_neardup_ingest", "q76_image_decode")
+    val rank = heavyFirst.zipWithIndex.toMap
     val results: Seq[(String, Seq[Option[Double]])] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
+      SparkEntry.queries.toSeq
+        .sortBy { case (name, _) => (rank.getOrElse(name, heavyFirst.size), name) }
         .filter { case (name, _) => only.isEmpty || only(name) }
         .map { case (name, fn) =>
         val effIters =

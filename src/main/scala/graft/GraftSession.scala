@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // backward compat: lets a TIMESTAMP(NANOS) events file (older
+      // driver testdata) read as raw INT64; Tables rewrites it to
+      // micros only when the resolved type is LongType
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ui.explainMode", "formatted")
       .withExtensions(new graft.expressions.GraftExtensions)
     master.orElse(sys.env.get("SPARK_GRAFT_MASTER").orElse(

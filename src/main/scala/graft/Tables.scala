@@ -16,17 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-      // natively — read the raw INT64 nanos and floor to microseconds.
-      // DuckDB's TIMESTAMP_NS -> TIMESTAMP cast truncates identically,
-      // so oracle SQL must CAST(ts AS TIMESTAMP) when it outputs ts.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      // Legacy testdata stored events.ts as parquet TIMESTAMP(NANOS),
+      // which Spark only reads via spark.sql.legacy.parquet.nanosAsLong
+      // (set in the session builders, NOT here — a loader must not
+      // mutate shared session conf) as a raw INT64: floor to micros.
+      // DuckDB's TIMESTAMP_NS -> TIMESTAMP cast truncates identically.
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+      // Current testdata is TIMESTAMP(MICROS) with isAdjustedToUTC=false
+      // → TIMESTAMP_NTZ. Normalize to session-TZ TimestampType (UTC
+      // everywhere in this engine) so downstream temporal queries see
+      // the exact type the suite was verified against.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+  }
 
   /** Register every table as a temp view so `spark.sql` queries (the
     * EP1 raw-SQL entry point per SURVEY §3) can reference them by name

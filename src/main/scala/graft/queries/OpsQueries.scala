@@ -236,5 +236,62 @@ object OpsQueries extends QueryPack {
       GROUP BY event_type ORDER BY event_type"""),
     covers = Seq("SK-salted-agg"))
 
-  override def queries: Seq[Q] = Seq(q13, q14, q15, q16, q17, q72)
+  /** M2 incremental depth: TWO consecutive dbt snapshot runs
+    * (Upsert.scd2Merge) over the event stream, split at a mid-month
+    * cutoff — run 1 snapshots each user's latest pre-cutoff state, run
+    * 2 closes out changed users (dbt_valid_to = the new state's ts,
+    * chaining exactly to the successor row's dbt_valid_from), passes
+    * unchanged users through untouched, and opens rows for new users.
+    * The oracle restates the two-run outcome declaratively from the
+    * two per-batch latest-state relations. */
+  val q104 = Q(
+    "q104_scd2_merge",
+    (s, dir) => {
+      import s.implicits._
+      val cut = lit("2024-01-16").cast("timestamp")
+      val ev = Tables(s, dir, "events")
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+      def state(df: org.apache.spark.sql.DataFrame) =
+        Upsert.dedupLatest(df, Seq("user_id"), Seq($"ts", $"event_id"))
+          .select($"user_id", $"event_type", $"ts")
+      val run1 = Upsert.scd2Merge(None, state(ev.filter($"ts" < cut)),
+        Seq("user_id"), "ts", Seq("event_type"))
+      val run2 = Upsert.scd2Merge(Some(run1), state(ev.filter($"ts" >= cut)),
+        Seq("user_id"), "ts", Seq("event_type"))
+      run2.orderBy($"user_id", $"dbt_valid_from")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events),
+      a AS (SELECT user_id, event_type, ts FROM (
+          SELECT user_id, event_type, ts, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e WHERE ts < TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1),
+      b AS (SELECT user_id, event_type, ts FROM (
+          SELECT user_id, event_type, ts, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1),
+      chg AS (SELECT a.user_id, a.event_type AS old_t, a.ts AS old_ts,
+                     b.event_type AS new_t, b.ts AS new_ts
+              FROM a JOIN b ON a.user_id = b.user_id)
+      SELECT user_id, old_t AS event_type, old_ts AS dbt_valid_from,
+             new_ts AS dbt_valid_to, FALSE AS is_current
+      FROM chg WHERE old_t IS DISTINCT FROM new_t
+      UNION ALL
+      SELECT user_id, new_t, new_ts, CAST(NULL AS TIMESTAMP), TRUE
+      FROM chg WHERE old_t IS DISTINCT FROM new_t
+      UNION ALL
+      SELECT user_id, old_t, old_ts, CAST(NULL AS TIMESTAMP), TRUE
+      FROM chg WHERE old_t IS NOT DISTINCT FROM new_t
+      UNION ALL
+      SELECT user_id, event_type, ts, CAST(NULL AS TIMESTAMP), TRUE
+      FROM a WHERE user_id NOT IN (SELECT user_id FROM b)
+      UNION ALL
+      SELECT user_id, event_type, ts, CAST(NULL AS TIMESTAMP), TRUE
+      FROM b WHERE user_id NOT IN (SELECT user_id FROM a)
+      ORDER BY user_id, dbt_valid_from"""),
+    covers = Seq("M2-scd2", "ST1"))
+
+  override def queries: Seq[Q] = Seq(q13, q14, q15, q16, q17, q72, q104)
 }

@@ -68,6 +68,33 @@ class UpsertSpec extends SparkSpec {
     assert(cur == 0)
   }
 
+  test("scd2Merge chains dbt_valid_to across two snapshot runs") {
+    // run 1 state: u1=A, u2=X, u3=Q ; run 2 state: u1=B (changed),
+    // u2=X (unchanged), u4=N (new); u3 absent from run 2 (untouched)
+    val s1 = Seq(("u1", 1L, "A"), ("u2", 1L, "X"), ("u3", 2L, "Q"))
+      .toDF("k", "ts", "status")
+    val s2 = Seq(("u1", 5L, "B"), ("u2", 6L, "X"), ("u4", 7L, "N"))
+      .toDF("k", "ts", "status")
+    val run1 = Upsert.scd2Merge(None, s1, Seq("k"), "ts", Seq("status"))
+    val run2 = Upsert.scd2Merge(Some(run1), s2, Seq("k"), "ts", Seq("status"))
+    val rows = run2.orderBy($"k", $"dbt_valid_from")
+      .select($"k", $"status", $"dbt_valid_from", $"dbt_valid_to", $"is_current")
+      .as[(String, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(rows == Seq(
+      ("u1", "A", 1L, Some(5L), false), // closed: valid_to = successor's from
+      ("u1", "B", 5L, None, true),
+      ("u2", "X", 1L, None, true),      // unchanged: original row untouched
+      ("u3", "Q", 2L, None, true),      // absent from run 2: untouched
+      ("u4", "N", 7L, None, true)))     // new key: opened current
+    // invariant: exactly one current row per key
+    assert(run2.filter($"is_current").groupBy($"k").count()
+      .filter($"count" =!= 1).count() == 0)
+    // a third run with an identical state is a no-op
+    val run3 = Upsert.scd2Merge(Some(run2), s2, Seq("k"), "ts", Seq("status"))
+    assert(run3.orderBy($"k", $"dbt_valid_from").collect().toSeq ==
+      run2.orderBy($"k", $"dbt_valid_from").collect().toSeq)
+  }
+
   test("overwriteAtomic swaps without losing previous data on success") {
     val dir = java.nio.file.Files.createTempDirectory("graft-atomic").toString + "/t"
     Upsert.overwriteAtomic(Seq((1, "a")).toDF("id", "v"), dir)
