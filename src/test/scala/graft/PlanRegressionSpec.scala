@@ -161,6 +161,16 @@ class PlanRegressionSpec extends SparkSpec {
       "per-gram df aggregation must shuffle on the gram hash:\n" + p.take(600))
   }
 
+  test("q104: snapshot states dedup via WindowGroupLimit; batch cutoffs " +
+      "pushed to the parquet scans") {
+    val f = formatted("q104_scd2_merge")
+    assert(f.contains("WindowGroupLimit"),
+      "dedupLatest must plan as a rank-limit, not a full window sort:\n" +
+        f.take(600))
+    assert(f.contains("LessThan(ts") && f.contains("GreaterThanOrEqual(ts"),
+      "both batch cutoff predicates must reach PushedFilters:\n" + f.take(600))
+  }
+
   /** Blanket sweep: no quadratic join shape anywhere in the contract
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
