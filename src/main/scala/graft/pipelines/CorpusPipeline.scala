@@ -203,6 +203,53 @@ object CorpusPipeline {
           .cast("long").as("shard"))
   }
 
+  /** Fixed-width training-SEQUENCE packing — the back half of the LM
+    * export that [[packShards]] fronts: concatenate all docs in `id`
+    * order into one global token stream and cut it into exact
+    * `width`-token sequences, docs crossing sequence boundaries (the
+    * standard pretraining feed: no padding, documents separated only
+    * by position). Output is one row per sequence: contributing doc
+    * count, first/last doc id, and its token count (= width except
+    * possibly the final sequence).
+    *
+    * Scale shape: each doc's global token offset comes from the same
+    * two-level prefix sum as [[packShards]] (in-bucket partitioned
+    * window + broadcast #buckets-row offsets — no data-sized
+    * single-partition window), then each doc EXPLODES only over the
+    * sequences it actually overlaps: fan-out = n_docs +
+    * total_tokens/width, and the final per-sequence aggregate shuffles
+    * on seq_id. All arithmetic is exact int64 (`div`, not double
+    * division). */
+  def packSequences(docs: DataFrame, width: Long, bucket: Column,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(width > 0, "width must be positive")
+    val t = docs.select(col(id), bucket.as("__b"),
+      T.tokenCount(col(text)).cast("long").as("n_tokens"))
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col(id))
+    val run = t.withColumn("__run",
+      sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+    val acrossBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+      .select(col("__b"),
+        coalesce(sum(col("__bt")).over(acrossBuckets), lit(0L)).as("__off"))
+    val spans = run.join(broadcast(offsets), Seq("__b"))
+      .filter(col("n_tokens") > 0) // empty docs occupy no stream positions
+      .select(col(id), col("n_tokens"),
+        (col("__run") + col("__off")).as("__start"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start div ${width}L"),
+        expr(s"(__start + n_tokens - 1) div ${width}L"))))
+      .withColumn("n_seq_tokens",
+        least(col("__start") + col("n_tokens"), (col("seq_id") + 1) * width)
+          - greatest(col("__start"), col("seq_id") * width))
+    spans.groupBy(col("seq_id")).agg(
+      count(lit(1)).as("n_docs"),
+      min(col(id)).as("first_doc"),
+      max(col(id)).as("last_doc"),
+      sum(col("n_seq_tokens")).as("n_tokens"))
+  }
+
   /** Stratified quota sampling — the data-mixing primitive: up to
     * `quota` docs per stratum, chosen by a SEEDED deterministic hash
     * order (md5-derived, so any engine reproduces the same sample;

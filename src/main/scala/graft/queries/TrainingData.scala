@@ -1362,9 +1362,74 @@ object TrainingData extends QueryPack {
       ORDER BY lang, priority, doc_id"""),
     covers = Seq("TD-weighted-sample"))
 
+  /** Int8 scalar quantization of the embedding store with per-vector
+    * audit stats (amax scale, saturation count, worst reconstruction
+    * error, exact int code norm) — see [[graft.ops.Quantization]].
+    * Pure narrow projection: runs at scan speed at any scale. */
+  val q105 = Q(
+    "q105_int8_quant",
+    (s, dir) => {
+      graft.ops.Quantization.int8Stats(Tables(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS xd
+                 FROM embeddings),
+      m AS (SELECT vec_id, xd,
+                   list_max([abs(x) for x in xd]) AS amax FROM v),
+      sc AS (SELECT vec_id, xd, amax, amax / 127.0 AS scl FROM m),
+      q AS (SELECT vec_id, xd, amax, scl,
+              CASE WHEN amax = 0 THEN [CAST(0 AS BIGINT) for x in xd]
+                   ELSE [CAST(GREATEST(-127, LEAST(127,
+                          FLOOR(x / scl + 0.5))) AS BIGINT) for x in xd]
+              END AS q8
+            FROM sc)
+      SELECT vec_id, amax,
+             CAST(len([x for x in q8 if abs(x) = 127]) AS BIGINT) AS n_sat,
+             CASE WHEN amax = 0 THEN 0.0
+                  ELSE list_max([abs(xd[i] - CAST(q8[i] AS DOUBLE) * scl)
+                                 for i in generate_series(1, len(xd))])
+             END AS max_abs_err,
+             CAST(list_sum([x * x for x in q8]) AS BIGINT) AS qnorm_sq
+      FROM q ORDER BY vec_id"""),
+    covers = Seq("TD-int8-quant"))
+
+  /** Fixed-width training-sequence packing over the concatenated
+    * doc_id-ordered token stream (width 128, docs cross boundaries) —
+    * the pretraining feed shape; see
+    * [[graft.pipelines.CorpusPipeline.packSequences]]. */
+  val q106 = Q(
+    "q106_seq_pack",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.packSequences(
+          Tables(s, dir, "documents"), width = 128,
+          bucket = expr("doc_id DIV 256"))
+        .orderBy(col("seq_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks
+                 FROM documents),
+      p AS (SELECT doc_id, n_toks,
+              CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS st
+            FROM t WHERE n_toks > 0),
+      e AS (SELECT doc_id, n_toks, st,
+              unnest(generate_series(st // 128, (st + n_toks - 1) // 128))
+                AS seq_id
+            FROM p)
+      SELECT seq_id, count(*) AS n_docs, min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc,
+             CAST(sum(LEAST(st + n_toks, (seq_id + 1) * 128)
+                    - GREATEST(st, seq_id * 128)) AS BIGINT) AS n_tokens
+      FROM e GROUP BY seq_id ORDER BY seq_id"""),
+    covers = Seq("TD-seq-pack"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
-      q103)
+      q103, q105, q106)
 }

@@ -161,6 +161,28 @@ class PlanRegressionSpec extends SparkSpec {
       "per-gram df aggregation must shuffle on the gram hash:\n" + p.take(600))
   }
 
+  test("q105: int8 quantization is scan + project only — no join, no " +
+      "aggregation, no shuffle") {
+    val p = plan("q105_int8_quant")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "quantization must stay a narrow projection:\n" + p.take(600))
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange SinglePartition"),
+      "quantization must not shuffle data:\n" + p.take(600))
+  }
+
+  test("q106: sequence packing runs bucket-partitioned; only the tiny " +
+      "offset table sees a single partition; offsets broadcast back") {
+    val p = plan("q106_seq_pack")
+    assert(p.contains("hashpartitioning(__b"),
+      "in-bucket running sum must shuffle on the bucket key:\n" + p.take(600))
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      "exactly the #buckets-row offset window may be single-partition:\n" +
+        p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "offset table must broadcast, not shuffle the doc side:\n" + p.take(600))
+  }
+
   test("q104: snapshot states dedup via WindowGroupLimit; batch cutoffs " +
       "pushed to the parquet scans") {
     val f = formatted("q104_scd2_merge")

@@ -141,4 +141,37 @@ class PackSampleSpec extends SparkSpec {
     }
     c.unpersist()
   }
+
+  test("packSequences: every sequence is exactly `width` tokens except " +
+      "the last; totals and ids are conserved") {
+    val width = 100L
+    val seqs = CorpusPipeline.packSequences(docs, width,
+      bucket = expr("doc_id DIV 64")).cache()
+    val rows = seqs.orderBy($"seq_id").collect()
+    val totalTokens = docs
+      .select(sum(size(split($"text", " ")).cast("long"))).as[Long].head()
+    // conservation: concatenation loses no tokens
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    // exact width everywhere but the final cut
+    rows.init.foreach(r => assert(r.getAs[Long]("n_tokens") == width,
+      s"seq ${r.get(0)} is not full"))
+    assert(rows.last.getAs[Long]("n_tokens") <= width)
+    // contiguous ids from 0
+    val ids = rows.map(_.getAs[Long]("seq_id"))
+    assert(ids.sameElements(0L until ids.length))
+    // doc spans are contiguous across consecutive sequences: a
+    // sequence starts at the doc the previous one ended in (crossing)
+    // or the next doc — never earlier, never skipping
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b.getAs[Long]("first_doc") >= a.getAs[Long]("last_doc"))
+    }
+    seqs.unpersist()
+  }
+
+  test("packSequences: assignment independent of bucketing granularity") {
+    val a = CorpusPipeline.packSequences(docs, 75, expr("doc_id DIV 16"))
+    val b = CorpusPipeline.packSequences(docs, 75, expr("doc_id DIV 512"))
+    assert(a.orderBy($"seq_id").collect().toSeq ==
+      b.orderBy($"seq_id").collect().toSeq)
+  }
 }
