@@ -380,6 +380,47 @@ object CorpusPipeline {
           .as("dup_fraction"))
   }
 
+  /** Duplicated-span REMOVAL — the cleaning op behind
+    * [[dupSpanFraction]]'s diagnostic (Lee et al. 2021's dedup applied,
+    * not just measured, restricted to word n-grams): a token is removed
+    * iff it lies inside any n-gram window that occurs in ≥ 2 distinct
+    * documents; the output doc is the surviving tokens re-joined.
+    * Within-doc repeats deliberately do NOT count (q84's repetition
+    * score owns that signal) — the target is cross-document boilerplate.
+    *
+    * Scale shape: the df side is exactly [[dupSpanFraction]]'s (native
+    * positional shingles → distinct (doc, gram-hash) → one hash agg on
+    * the gram hash → equi-join back); the duplicated START POSITIONS
+    * then aggregate per doc (`collect_set`, bounded by grams-per-doc)
+    * and the final cleanup is a narrow per-row array pass — coverage
+    * test per token over the doc's own dup-start list, no shuffle
+    * beyond the df join. No similarity join anywhere; cost ∝ total
+    * grams + Σ(tokens · dup-starts) per doc. */
+  def removeDupSpans(docs: DataFrame, n: Int = 5, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val pos = graft.ops.Compute.spread(docs.select(col(id), col(text)))
+      .select(col(id),
+        posexplode(T.shinglesOf(col(text), n)).as(Seq("st", "g")))
+      .select(col(id), col("st"), T.hash60(col("g"), 0).as("h"))
+    val dupHashes = pos.select(col(id), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+    val dupStarts = pos.join(dupHashes, Seq("h"))
+      .groupBy(col(id)).agg(collect_set(col("st")).as("__dup"))
+    docs.select(col(id), col(text))
+      .join(dupStarts, Seq(id), "left")
+      .withColumn("__toks", split(col(text), " "))
+      .withColumn("__dup",
+        coalesce(col("__dup"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(col("__dup"), s => s <= i && i <= s + (n - 1))))
+      .select(col(id),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        array_join(col("__kept"), " ").as("text_clean"))
+  }
+
   /** Epoch-weighted mixture UPSAMPLING — the data-recipe complement
     * of [[mixtureSample]]: there the acceptance rate is capped at 1
     * (pure downsampling); here a stratum whose target share exceeds

@@ -1427,9 +1427,48 @@ object TrainingData extends QueryPack {
       FROM e GROUP BY seq_id ORDER BY seq_id"""),
     covers = Seq("TD-seq-pack"))
 
+  /** Duplicated-span removal (Lee et al. applied): tokens inside any
+    * 5-gram occurring in ≥2 distinct docs are cut, survivors re-joined
+    * — see [[graft.pipelines.CorpusPipeline.removeDupSpans]]. The
+    * oracle rebuilds each cleaned doc with positional list
+    * comprehensions over the same dup-start sets. */
+  val q107 = Q(
+    "q107_dup_span_removal",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.removeDupSpans(Tables(s, dir, "documents"), n = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+      g AS (
+        SELECT doc_id, st,
+               ${dkHash(0, "array_to_string(ws[st:st+4], ' ')")} AS h
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-4)) AS st
+              FROM toks WHERE len(ws) >= 5)),
+      f AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+                           FROM g GROUP BY 1) WHERE df >= 2),
+      d AS (SELECT doc_id, list(st) AS dups FROM g JOIN f USING (h)
+            GROUP BY 1),
+      sel AS (SELECT t.doc_id, t.ws,
+                     coalesce(d.dups, CAST([] AS BIGINT[])) AS dups
+              FROM toks t LEFT JOIN d USING (doc_id)),
+      fin AS (
+        SELECT doc_id, ws,
+          [ws[i] for i in generate_series(1, len(ws))
+             if len(list_filter(dups, s -> s <= i AND i <= s + 4)) = 0]
+            AS kept
+        FROM sel)
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+             coalesce(array_to_string(kept, ' '), '') AS text_clean
+      FROM fin ORDER BY doc_id"""),
+    covers = Seq("TD-dup-span-removal"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
-      q103, q105, q106)
+      q103, q105, q106, q107)
 }

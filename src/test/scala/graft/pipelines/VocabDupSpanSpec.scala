@@ -39,4 +39,30 @@ class VocabDupSpanSpec extends SparkSpec {
       (3L, 2L, 0L, 0.0),
       (4L, 0L, 0L, 0.0)))
   }
+
+  test("removeDupSpans: exactly the cross-doc window tokens are cut, " +
+      "survivors keep order, unique and short docs pass untouched") {
+    val shared = "w1 w2 w3 w4 w5" // one 5-gram, present in docs 1 and 2
+    val docs = Seq(
+      (1L, s"$shared u1 u2 u3 u4"), // head span removed, tail kept
+      (2L, s"v1 v2 v3 v4 $shared"), // tail span removed, head kept
+      (3L, "x1 x2 x3 x4 x5 x6"),    // unique content: untouched
+      (4L, "too short"),            // < n tokens: untouched
+      (5L, "r r r r r r")           // within-doc repeat only: untouched
+    ).toDF("doc_id", "text")
+    val got = CorpusPipeline.removeDupSpans(docs, n = 5)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 9L, 5L, "u1 u2 u3 u4"),
+      (2L, 9L, 5L, "v1 v2 v3 v4"),
+      (3L, 6L, 0L, "x1 x2 x3 x4 x5 x6"),
+      (4L, 2L, 0L, "too short"),
+      (5L, 6L, 0L, "r r r r r r")))
+    // a doc that is ALL duplicated spans empties cleanly (not null)
+    val wipe = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val w = CorpusPipeline.removeDupSpans(wipe, n = 5)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(w == Seq((1L, 5L, 5L, ""), (2L, 5L, 5L, "")))
+  }
 }
