@@ -344,6 +344,36 @@ object CorpusPipeline {
           .as("coverage"))
   }
 
+  /** BPE merge-pair statistics — the inner quantity a byte-pair
+    * tokenizer trainer maximizes each merge round: the corpus-weighted
+    * frequency of adjacent character pairs. Computed the way
+    * production BPE trainers do it — over the WORD HISTOGRAM, not the
+    * raw corpus: the vocabulary aggregation compresses the corpus to
+    * |vocab| rows first, and the char-pair explode runs on distinct
+    * words weighted by their counts, so per-character work is
+    * O(|vocab| · word-length) no matter how many times a word repeats.
+    * Top-k pairs with deterministic (count desc, pair asc) tie-break,
+    * [[topTokens]]-style.
+    *
+    * Scale shape: one token explode + hash agg (shuffle carries
+    * |vocab|), one bounded explode over distinct words, one hash agg
+    * on the pair (|char-bigram| rows), TakeOrdered for the cut. */
+  def bpePairStats(docs: DataFrame, k: Int,
+      text: String = "text"): DataFrame = {
+    val vocab = graft.ops.Compute.spread(docs)
+      .select(explode(split(col(text), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val pairs = vocab.select(col("wc"), explode(expr(
+      "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+      .as("pair"))
+    val agg = pairs.groupBy(col("pair")).agg(sum(col("wc")).as("n_occ"))
+    val w = Window.orderBy(col("n_occ").desc, col("pair"))
+    agg.orderBy(col("n_occ").desc, col("pair")).limit(k)
+      .withColumn("rank", row_number().over(w)) // k rows: tiny window
+      .select(col("rank"), col("pair"), col("n_occ"))
+  }
+
   /** Corpus-level duplicated-span fraction (the Lee et al. 2021
     * "Deduplicating Training Data" diagnostic): per document, the
     * share of its DISTINCT word n-gram windows that also occur in at

@@ -1466,9 +1466,34 @@ object TrainingData extends QueryPack {
       FROM fin ORDER BY doc_id"""),
     covers = Seq("TD-dup-span-removal"))
 
+  /** BPE merge-pair statistics over the word histogram (the
+    * tokenizer-training inner loop's first round) — top-20 adjacent
+    * character pairs by corpus-weighted count, deterministic
+    * tie-break; see [[graft.pipelines.CorpusPipeline.bpePairStats]]. */
+  val q108 = Q(
+    "q108_bpe_pairs",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.bpePairStats(Tables(s, dir, "documents"), k = 20)
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH wds AS (SELECT unnest(string_split(text,' ')) AS w
+                   FROM documents),
+      v AS (SELECT w, count(*) AS wc FROM wds WHERE len(w) >= 2
+            GROUP BY 1),
+      p AS (SELECT wc, unnest([substr(w, i, 2)
+              for i in generate_series(1, len(w)-1)]) AS pair FROM v),
+      a AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occ FROM p
+            GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS INT)
+               AS rank, pair, n_occ
+      FROM a ORDER BY n_occ DESC, pair LIMIT 20"""),
+    covers = Seq("TD-bpe-pairs"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
-      q103, q105, q106, q107)
+      q103, q105, q106, q107, q108)
 }

@@ -183,6 +183,15 @@ class PlanRegressionSpec extends SparkSpec {
       "offset table must broadcast, not shuffle the doc side:\n" + p.take(600))
   }
 
+  test("q108: BPE pair cut is TakeOrdered over map-side-combined aggs") {
+    val p = plan("q108_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must early-terminate per partition:\n" + p.take(600))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      "both the vocab and pair aggs must keep map-side partials:\n" +
+        p.take(600))
+  }
+
   test("q104: snapshot states dedup via WindowGroupLimit; batch cutoffs " +
       "pushed to the parquet scans") {
     val f = formatted("q104_scd2_merge")

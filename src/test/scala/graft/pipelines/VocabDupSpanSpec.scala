@@ -40,6 +40,18 @@ class VocabDupSpanSpec extends SparkSpec {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("bpePairStats: histogram-weighted char-pair counts, deterministic " +
+      "tie-break, single-char words excluded") {
+    val docs = Seq(
+      (1L, "ab ab cd x"), // 'x' is sub-pair-width: contributes nothing
+      (2L, "abc")
+    ).toDF("doc_id", "text")
+    // words: ab×2, cd×1, abc×1 → pairs: ab = 2 + 1(from abc), bc = 1, cd = 1
+    val got = CorpusPipeline.bpePairStats(docs, k = 10)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "ab", 3L), (2, "bc", 1L), (3, "cd", 1L)))
+  }
+
   test("removeDupSpans: exactly the cross-doc window tokens are cut, " +
       "survivors keep order, unique and short docs pass untouched") {
     val shared = "w1 w2 w3 w4 w5" // one 5-gram, present in docs 1 and 2
