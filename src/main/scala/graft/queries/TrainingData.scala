@@ -1491,9 +1491,38 @@ object TrainingData extends QueryPack {
       FROM a ORDER BY n_occ DESC, pair LIMIT 20"""),
     covers = Seq("TD-bpe-pairs"))
 
+  /** Seeded ±1 sign random projection of the embedding store onto 8
+    * pseudo-random directions — exact int64 in quantized units, the
+    * matrix derived from the hash so no engine materializes it; see
+    * [[graft.ops.RandomProjection.signProject]]. */
+  val q109 = Q(
+    "q109_random_projection",
+    (s, dir) => {
+      graft.ops.RandomProjection
+        .signProject(Tables(s, dir, "embeddings"), k = 8, seed = 11)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val ys = (0 until 8).map { j =>
+        val sign = s"CASE WHEN ${dkHash(11, s"CAST(i-1 AS VARCHAR)||'_$j'")}" +
+          s" % 2 = 0 THEN 1 ELSE -1 END"
+        s"""CAST(list_sum([qv[i] * ($sign)
+             for i in generate_series(1, len(qv))]) AS BIGINT) AS y$j"""
+      }.mkString(",\n             ")
+      s"""
+      WITH qe AS (SELECT vec_id,
+                    [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                     for x in embedding] AS qv
+                  FROM embeddings)
+      SELECT vec_id,
+             $ys
+      FROM qe ORDER BY vec_id"""
+    },
+    covers = Seq("TD-random-projection"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
-      q103, q105, q106, q107, q108)
+      q103, q105, q106, q107, q108, q109)
 }

@@ -183,6 +183,13 @@ class PlanRegressionSpec extends SparkSpec {
       "offset table must broadcast, not shuffle the doc side:\n" + p.take(600))
   }
 
+  test("q109: random projection is scan + project only — no shuffle") {
+    val p = plan("q109_random_projection")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("HashAggregate") && !p.contains("Join"),
+      "projection must stay narrow:\n" + p.take(600))
+  }
+
   test("q108: BPE pair cut is TakeOrdered over map-side-combined aggs") {
     val p = plan("q108_bpe_pairs")
     assert(p.contains("TakeOrderedAndProject"),

@@ -28,6 +28,35 @@ class QuantizationSpec extends SparkSpec {
     assert(r.getAs[Long]("qnorm_sq") == 0L)
   }
 
+  test("signProject: one-hot inputs map to ±1000 components; " +
+      "deterministic and seed-sensitive") {
+    // one-hot vectors: each output component is exactly ±(1.0 × 1000)
+    val oneHot = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val p = RandomProjection.signProject(oneHot, k = 4, seed = 11)
+      .orderBy($"vec_id").collect()
+    p.foreach { r =>
+      (0 until 4).foreach(j =>
+        assert(math.abs(r.getAs[Long](s"y$j")) == 1000L,
+          s"vec ${r.get(0)} y$j must be ±1000"))
+    }
+    // linearity on exactly-representable inputs: P(a) + P(b) = P(a+b)
+    val ab = Seq((1L, Seq(1.0f, 2.0f, -3.0f)), (2L, Seq(4.0f, -1.0f, 0.5f)),
+      (3L, Seq(5.0f, 1.0f, -2.5f))).toDF("vec_id", "embedding")
+    val rows = RandomProjection.signProject(ab, k = 4, seed = 11)
+      .orderBy($"vec_id").collect()
+    (0 until 4).foreach { j =>
+      assert(rows(0).getAs[Long](s"y$j") + rows(1).getAs[Long](s"y$j") ==
+        rows(2).getAs[Long](s"y$j"), s"projection must be linear in y$j")
+    }
+    // a different seed draws a different matrix
+    val other = RandomProjection.signProject(oneHot, k = 4, seed = 12)
+      .orderBy($"vec_id").collect()
+    assert(p.map(_.toSeq).toSeq != other.map(_.toSeq).toSeq)
+  }
+
   test("int8Stats over real embeddings: every non-zero vector saturates " +
       "its amax component and error stays within half a quantization step") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
