@@ -344,6 +344,44 @@ object CorpusPipeline {
           .as("coverage"))
   }
 
+  /** Occurrence-weighted token-rarity scoring — the CCNet-style LM
+    * quality filter's shape with a determinism-safe statistic: each
+    * token occurrence scores the odds-ratio rarity
+    * (n_docs − df + 0.5)/(df + 0.5) of its type (the same log-free
+    * idf-odds as [[graft.ops.Retrieval]]'s BM25 — ln is <1 ulp, not
+    * exactly rounded, so engines may legally disagree on it), and a
+    * doc's score is the mean over its occurrences. High = dominated by
+    * rare types (gibberish/IDs), low = common-word text; threshold it
+    * like a perplexity filter.
+    *
+    * Determinism: per-occurrence rarity is a few single IEEE ops on
+    * exact-integer-derived doubles; the per-doc sum folds the SORTED
+    * occurrence list (one deterministic order on any partitioning —
+    * the q102 idiom), and the mean is one final division.
+    *
+    * Scale shape: one distinct (doc, token) pass → df agg (shuffle
+    * carries |vocab|), one equi-join of occurrences to the df table,
+    * one per-doc aggregation whose list is bounded by doc length. No
+    * similarity join, no window. */
+  def rarityScores(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val toks = graft.ops.Compute.spread(docs.select(col(id), col(text)))
+      .select(col(id), explode(T.tokens(col(text))).as("tok"))
+    val dfreq = toks.select(col(id), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("__df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
+    toks.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__r",
+        ((col("__n_docs") - col("__df")) + 0.5) / (col("__df") + 0.5))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_tokens"),
+        aggregate(sort_array(collect_list(col("__r"))), lit(0.0),
+          (a, b) => a + b).as("__sum_r"))
+      .select(col(id), col("n_tokens"),
+        (col("__sum_r") / col("n_tokens").cast("double")).as("rarity"))
+  }
+
   /** BPE merge-pair statistics — the inner quantity a byte-pair
     * tokenizer trainer maximizes each merge round: the corpus-weighted
     * frequency of adjacent character pairs. Computed the way

@@ -1520,9 +1520,36 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-random-projection"))
 
+  /** Occurrence-weighted token-rarity quality scores (log-free CCNet
+    * analog, sorted-fold deterministic) — see
+    * [[graft.pipelines.CorpusPipeline.rarityScores]]. */
+  val q110 = Q(
+    "q110_rarity_score",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.rarityScores(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                    FROM documents),
+      dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM toks GROUP BY 1),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      r AS (SELECT doc_id, ((n_docs - df) + 0.5) / (df + 0.5) AS r
+            FROM toks JOIN dfreq USING (tok), nd),
+      ag AS (SELECT doc_id, count(*) AS n_tokens,
+                    list_sort(list(r)) AS rs
+             FROM r GROUP BY 1)
+      SELECT doc_id, n_tokens,
+             list_reduce(rs, (a, b) -> a + b) / CAST(n_tokens AS DOUBLE)
+               AS rarity
+      FROM ag ORDER BY doc_id"""),
+    covers = Seq("TD-rarity-filter"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
-      q103, q105, q106, q107, q108, q109)
+      q103, q105, q106, q107, q108, q109, q110)
 }

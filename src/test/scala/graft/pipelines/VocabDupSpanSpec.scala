@@ -40,6 +40,17 @@ class VocabDupSpanSpec extends SparkSpec {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("rarityScores: odds-ratio rarity per occurrence, mean per doc") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // n_docs=2; df: a=2, b=1, c=1 → r(a)=0.5/2.5, r(b)=r(c)=1.5/1.5
+    val ra = 0.5 / 2.5
+    val got = CorpusPipeline.rarityScores(docs).orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, ((ra + ra) + 1.0) / 3.0), // sorted fold: a, a, then b
+      (2L, 2L, (ra + 1.0) / 2.0)))
+  }
+
   test("bpePairStats: histogram-weighted char-pair counts, deterministic " +
       "tie-break, single-char words excluded") {
     val docs = Seq(
