@@ -222,7 +222,8 @@ class PlanRegressionSpec extends SparkSpec {
       "q48_gold_customer_experience_controlled", // same control-table shape
       "q93_top_tokens",             // 1-row grand-total crossJoin over k rows
       "q98_histogram",              // 1-row min/max bounds crossJoin
-      "q102_bm25_topk")             // 1-row corpus-stats crossJoin
+      "q102_bm25_topk",             // 1-row corpus-stats crossJoin
+      "q110_rarity_score")          // 1-row corpus-count crossJoin
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
