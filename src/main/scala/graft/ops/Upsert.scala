@@ -199,6 +199,50 @@ object Upsert {
         throw new java.io.IOException(s"backup restore failed for $dst")
     }
 
+  /** APPEND-ONLY batch-state tables: for state whose batches are
+    * provably disjoint (a dedup seen-table or LSH bucket table — an
+    * admitted key can never equal a prior batch's key, it would have
+    * been suppressed), the state lives as one subdirectory per batch
+    * under `root`, each written once by [[overwriteAtomic]] (so a
+    * replay overwrites only ITS OWN subdir, idempotently) and never
+    * touched again. A batch therefore costs O(batch) state I/O, not
+    * the O(total state) a whole-table rewrite costs — the difference
+    * between an ingest loop that stays flat at 100 TB and one whose
+    * every batch rewrites the accumulated state. Readers union the
+    * live subdirectories, rolling any interrupted per-subdir swap
+    * forward first (same crash contract as [[readRecovered]], applied
+    * per batch). */
+  def writeBatchState(df: DataFrame, root: String, batchId: String): Unit = {
+    require(!batchId.contains("__") && !batchId.contains("/"),
+      s"batch id must be a plain directory name: $batchId")
+    overwriteAtomic(df, s"$root/$batchId")
+  }
+
+  /** Union of every completed batch subdirectory under `root` except
+    * `excludeBatch` (pass "" to read all). `schema` (DDL) makes empty
+    * batch subdirs — zero rows, no parquet footers — read cleanly.
+    * None when no other batch has landed. */
+  def readBatchState(spark: org.apache.spark.sql.SparkSession,
+      root: String, excludeBatch: String, schema: String): Option[DataFrame] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) None
+    else {
+      def dirs = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+      dirs.map(_.getName).filter(_.endsWith("__old"))
+        .map(_.stripSuffix("__old")).foreach { b =>
+          recoverAtomic(fs,
+            new org.apache.hadoop.fs.Path(rootPath, b),
+            new org.apache.hadoop.fs.Path(rootPath, b + "__old"))
+        }
+      val live = dirs.map(_.getName)
+        .filter(n => !n.contains("__") && n != excludeBatch)
+      if (live.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(live.map(n =>
+        new org.apache.hadoop.fs.Path(rootPath, n).toString).toIndexedSeq: _*))
+    }
+  }
+
   /** Crash-recovering read of a swap-managed table: roll any
     * interrupted swap forward FIRST, then read; None if the table was
     * never written. Every reader of an [[overwriteAtomic]] target MUST

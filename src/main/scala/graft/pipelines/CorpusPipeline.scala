@@ -651,19 +651,25 @@ object CorpusPipeline {
     * stamped with `batchId`.
     *
     * Exactly-once under replay: the returned frame anti-joins only
-    * against fingerprints claimed by OTHER batches, so its plan
-    * evaluates to the same rows whether the seen-table swap has
-    * happened or not — re-running a batch (same `batchId`, same docs)
-    * after a crash at ANY point re-emits exactly the docs it claimed
-    * and rewrites the seen table to the identical state. The table is
-    * read through `readRecovered` and rewritten by atomic swap, so the
-    * swap itself is also crash-safe.
+    * against fingerprints claimed by OTHER batches (the caller's own
+    * subdirectory is excluded at listing), so it evaluates to the same
+    * rows whether the state write happened or not — re-running a batch
+    * (same `batchId`, same docs) after a crash at ANY point re-emits
+    * exactly the docs it claimed and overwrites only its own subdir,
+    * idempotently.
+    *
+    * State layout — APPEND-ONLY BY CONSTRUCTION (the
+    * [[graft.ops.Upsert.writeBatchState]] contract): a fresh
+    * fingerprint can't equal one claimed by a prior batch (the
+    * anti-join removed it), so batches are disjoint and each lands
+    * only `seenPath/<batchId>/` — O(batch) state I/O per run instead
+    * of the whole-table rewrite's O(total state).
     *
     * Scale shape: one fingerprint aggregation over the batch, one
     * anti-join against the seen table (shuffle on the 128-bit key),
-    * one union+distinct for the table update — the seen table is the
-    * only state and it grows with DISTINCT content only. `batchId`
-    * must be unique per logical batch (reused only for replays). */
+    * one O(batch) subdir write — the seen table is the only state and
+    * it grows with DISTINCT content only. `batchId` must be unique per
+    * logical batch (reused only for replays). */
   def ingestNew(spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
       seenPath: String, batchId: String, id: String = "doc_id",
       text: String = "text"): DataFrame = {
@@ -671,31 +677,28 @@ object CorpusPipeline {
     val withFp = newDocs.withColumn("__fp", T.fingerprint(col(text)))
     val batchFirst = withFp.join(
       withFp.groupBy(col("__fp")).agg(min(col(id)).as(id)), Seq("__fp", id))
-    val seen = Upsert.readRecovered(spark, seenPath)
-    def claims(s: DataFrame): DataFrame = batchFirst.join(
-      s.filter(col("batch_id") =!= lit(batchId)).select(col("__fp")),
-      Seq("__fp"), "left_anti")
-    val fresh = seen.map(claims).getOrElse(batchFirst)
-    val freshFps = fresh.select(col("__fp"))
-      .withColumn("batch_id", lit(batchId)).distinct()
-    val newSeen = seen match {
-      case Some(s) => s.unionByName(freshFps).distinct()
-      case None => freshFps
-    }
-    Upsert.overwriteAtomic(newSeen, seenPath)
-    // The returned frame anti-joins against OTHER batches' claims in the
-    // POST-swap table: our fingerprints now carry `batchId`, so they are
-    // excluded from the anti side and exactly this batch's docs survive.
-    // Reading the table fresh here (rather than returning the pre-swap
-    // plan) matters physically too — a parquet read pins its part-file
-    // listing at plan time, and the swap replaced those files.
-    // MATERIALIZED (localCheckpoint) before returning: a lazy plan would
-    // still be pinned to THIS swap's part files, so a caller consuming
-    // it after a subsequent batch's swap would read deleted files —
-    // materializing makes the API safe whenever the frame is consumed.
-    // Tracked so the harness's end-of-query sweep can free the blocks.
-    graft.CacheTracker.trackCheckpoint(
-      claims(spark.read.parquet(seenPath)).drop("__fp").localCheckpoint())
+    // other batches' claims only — our own (possibly crash-landed)
+    // subdir is excluded at listing, so replays never see themselves
+    val seen = Upsert.readBatchState(spark, seenPath,
+      excludeBatch = batchId, schema = "__fp STRING, batch_id STRING")
+    val fresh = seen.map(s => batchFirst.join(
+      s.select(col("__fp")), Seq("__fp"), "left_anti")).getOrElse(batchFirst)
+    // MATERIALIZED before the state write: the admitted set is what the
+    // caller consumes, and pinning it first makes the write below pure
+    // bookkeeping. (With the per-batch layout the anti side's pinned
+    // file listing stays valid forever — other batches' subdirs are
+    // never rewritten — but a materialized result is still the safe
+    // API.) Tracked so the harness's end-of-query sweep frees it.
+    val admitted = graft.CacheTracker.trackCheckpoint(
+      fresh.localCheckpoint())
+    // APPEND-ONLY state: this batch's fresh fingerprints can't collide
+    // with other batches' (they were anti-joined away), so the batch
+    // lands only its own subdir — O(batch) I/O, no whole-table rewrite.
+    Upsert.writeBatchState(
+      admitted.select(col("__fp"))
+        .withColumn("batch_id", lit(batchId)).distinct(),
+      seenPath, batchId)
+    admitted.drop("__fp")
   }
 
   /** Batch-incremental NEAR-dup ingestion against a persistent LSH
@@ -716,12 +719,21 @@ object CorpusPipeline {
     * Exactly-once under replay, same argument as [[ingestNew]]: the
     * admitted set is computed against buckets claimed by OTHER batches
     * only, so a replay (same `batchId`, same docs) recomputes the
-    * identical admitted set whether or not the table swap happened; an
-    * admitted doc's band keys can never equal a prior batch's key (it
-    * would have been suppressed), so the distinct-union rewrite is
-    * idempotent too. The result is MATERIALIZED before the swap and
-    * safe to consume at any time. The table is read via `readRecovered`
-    * and rewritten by atomic swap.
+    * identical admitted set whether or not the state write happened;
+    * re-writing the batch's own subdirectory is idempotent by the
+    * atomic per-subdir swap. The result is MATERIALIZED before the
+    * write and safe to consume at any time.
+    *
+    * State layout — APPEND-ONLY BY CONSTRUCTION: an admitted doc's
+    * band keys can never equal a prior batch's key (it would have been
+    * suppressed), so batches never overlap and the table needs no
+    * cross-batch rewrite. Each batch writes ONLY its own rows to
+    * `bucketPath/<batchId>/` (atomic per-subdir swap, crash-recovered
+    * on read), and the prior state is the union of the other
+    * subdirectories. A run therefore costs O(batch) state I/O where
+    * the previous whole-table rewrite cost O(total state) — at 100 TB
+    * the difference between an ingest loop that stays flat and one
+    * whose every batch rewrites the accumulated corpus state.
     *
     * Scale shape: one signature pass over the batch, one semi-join of
     * batch bands against the bucket table (shuffle on band_key), one
@@ -738,8 +750,7 @@ object CorpusPipeline {
     // checkpointed: feeds four subtrees and must stay stable across the
     // bucket-table swap below
     val bands = Dedup.bandKeys(sig, id, k, bandRows).localCheckpoint()
-    val prior = Upsert.readRecovered(spark, bucketPath)
-      .map(_.filter(col("batch_id") =!= lit(batchId)))
+    val prior = readBucketState(spark, bucketPath, excludeBatch = batchId)
     // 1. suppress docs colliding with an already-admitted bucket
     val suppressedByPrior = prior.map(p =>
       bands.join(p.select(col("band"), col("band_key")),
@@ -772,22 +783,29 @@ object CorpusPipeline {
     // doesn't leak one checkpoint pair per batch
     graft.CacheTracker.releaseCheckpoint(losers)
     graft.CacheTracker.releaseCheckpoint(pairs)
-    // 3. merge the admitted docs' band keys into the bucket table
+    // 3. land ONLY this batch's band keys — the append-only write
+    // (cross-batch disjointness argued in the scaladoc; no prior-state
+    // rewrite, O(batch) I/O)
     val newBuckets = bands
       .join(admitted.select(col(id)), Seq(id), "left_semi")
       .select(col("band"), col("band_key"))
       .withColumn("batch_id", lit(batchId)).distinct()
-    val newTable = prior match {
-      case Some(p) => p.unionByName(newBuckets).distinct()
-      case None => newBuckets
-    }
-    Upsert.overwriteAtomic(newTable, bucketPath)
+    Upsert.writeBatchState(newBuckets, bucketPath, batchId)
     // band checkpoint is dead after the swap (its last consumer is the
     // newBuckets write); the admitted frame stays live for the caller
     // and is swept at the harness's query boundary
     graft.CacheTracker.releaseCheckpoint(bands)
     graft.CacheTracker.trackCheckpoint(admitted)
   }
+
+  /** Read the near-dup bucket state: union of every completed batch
+    * subdirectory except `excludeBatch` (the caller's own batch, so
+    * replays never see their previous selves) — the append-only layout
+    * of [[graft.ops.Upsert.readBatchState]] with the band schema. */
+  def readBucketState(spark: org.apache.spark.sql.SparkSession,
+      bucketPath: String, excludeBatch: String): Option[DataFrame] =
+    graft.ops.Upsert.readBatchState(spark, bucketPath, excludeBatch,
+      schema = "band INT, band_key STRING, batch_id STRING")
 
   /** Fixed-size training shards: bounded rows per output file (the
     * shape downstream training loaders consume), writers spread across

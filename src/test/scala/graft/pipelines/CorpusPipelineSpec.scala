@@ -62,9 +62,13 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(r2.select("doc_id").as[Long].collect().toSeq == Seq(5L))
 
     // seen table holds one row per distinct fingerprint, tagged by claimer
-    val st = spark.read.parquet(seen)
+    val st = seenState(seen)
     assert(st.count() == 3 && st.select("__fp").distinct().count() == 3)
   }
+
+  private def seenState(seen: String) =
+    graft.ops.Upsert.readBatchState(spark, seen, "",
+      "__fp STRING, batch_id STRING").get
 
   test("ingestNew: replaying a completed batch re-emits the same rows") {
     val seen = Files.createTempDirectory("graft_seen_").toString + "/seen"
@@ -75,29 +79,29 @@ class CorpusPipelineSpec extends SparkSpec {
     val first = CorpusPipeline.ingestNew(spark, b2, seen, "b2")
       .select("doc_id").as[Long].collect().toSeq
     assert(first == Seq(4L))
-    // the returned (lazy) frame still evaluates to the batch's claims
-    // AFTER its own swap — and a full replay is byte-identical
+    // the returned frame evaluates to the batch's claims after its own
+    // state write — and a full replay is byte-identical
     val replay = CorpusPipeline.ingestNew(spark, b2, seen, "b2")
       .select("doc_id").as[Long].collect().toSeq
     assert(replay == Seq(4L), s"replay emitted $replay")
-    assert(spark.read.parquet(seen).count() == 3)
+    assert(seenState(seen).count() == 3)
   }
 
-  test("ingestNew: recovers a crashed swap before reading the seen table") {
-    val root = Files.createTempDirectory("graft_seen_").toString
-    val seen = s"$root/seen"
+  test("ingestNew: recovers a crashed batch-subdir swap before reading") {
+    val seen = Files.createTempDirectory("graft_seen_").toString + "/seen"
     CorpusPipeline.ingestNew(spark,
       Seq((1L, "alpha")).toDF("doc_id", "text"), seen, "b1").count()
-    // simulate a crash between dst->bak and tmp->dst: live dir absent
-    val fs = new org.apache.hadoop.fs.Path(seen)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(seen),
-      new org.apache.hadoop.fs.Path(seen + "__old")))
+    // simulate the crash window on b1's subdir: renamed away, never
+    // promoted back — the next reader must roll it forward
+    val root = new org.apache.hadoop.fs.Path(seen)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, "b1"),
+      new org.apache.hadoop.fs.Path(root, "b1__old")))
     val r = CorpusPipeline.ingestNew(spark,
       Seq((2L, "alpha"), (3L, "beta")).toDF("doc_id", "text"), seen, "b2")
     // pre-crash state was recovered, so "alpha" is still seen
     assert(r.select("doc_id").as[Long].collect().toSeq == Seq(3L))
-    assert(spark.read.parquet(seen).count() == 2)
+    assert(seenState(seen).count() == 2)
   }
 
   test("writeShards: bounded rows per file, all rows present") {

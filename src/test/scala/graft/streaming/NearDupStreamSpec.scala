@@ -33,7 +33,8 @@ class NearDupStreamSpec extends SparkSpec {
     assert(r2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(5L, 6L))
 
     // bucket table: one batch_id per (band, band_key), only admitted docs
-    val bt = spark.read.parquet(bucket)
+    // (read through the state API — the layout is per-batch subdirs)
+    val bt = CorpusPipeline.readBucketState(spark, bucket, "").get
     assert(bt.groupBy("band", "band_key")
       .agg(countDistinct("batch_id").as("n"))
       .filter(col("n") > 1).count() == 0)
@@ -50,16 +51,48 @@ class NearDupStreamSpec extends SparkSpec {
     val first = CorpusPipeline.ingestNewNearDup(spark, b2, bucket, "b2")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(first == Seq(4L))
-    val tableAfter = spark.read.parquet(bucket)
+    val tableAfter = CorpusPipeline.readBucketState(spark, bucket, "").get
       .orderBy("band", "band_key", "batch_id").collect().toSeq
 
     // crash-replay of b2: same admitted rows, bucket table unchanged
     val replay = CorpusPipeline.ingestNewNearDup(spark, b2, bucket, "b2")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(replay == first)
-    val tableReplay = spark.read.parquet(bucket)
+    val tableReplay = CorpusPipeline.readBucketState(spark, bucket, "").get
       .orderBy("band", "band_key", "batch_id").collect().toSeq
     assert(tableReplay == tableAfter)
+  }
+
+  test("ingestNewNearDup: a batch with no bands lands an empty state " +
+      "dir that later batches read through cleanly") {
+    val bucket = Files.createTempDirectory("graft_ndup_eb_").toString + "/b"
+    // every doc too short to shingle: all admitted, zero bucket rows
+    val b1 = Seq((1L, "hi"), (2L, "yo")).toDF("doc_id", "text")
+    assert(CorpusPipeline.ingestNewNearDup(spark, b1, bucket, "b1")
+      .count() == 2)
+    // the next batch must union the footerless b1 dir without error
+    val b2 = Seq((3L, textA), (4L, textA)).toDF("doc_id", "text")
+    assert(CorpusPipeline.ingestNewNearDup(spark, b2, bucket, "b2")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L))
+  }
+
+  test("readBucketState rolls an interrupted per-batch swap forward") {
+    val bucket = Files.createTempDirectory("graft_ndup_cr_").toString + "/b"
+    val b1 = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    CorpusPipeline.ingestNewNearDup(spark, b1, bucket, "b1").count()
+    // simulate the crash window: b1 renamed away, never promoted back
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(bucket)
+    val fs = root.getFileSystem(conf)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, "b1"),
+      new org.apache.hadoop.fs.Path(root, "b1__old")))
+    // a state read recovers it; the suppressed re-ingest proves content
+    val st = CorpusPipeline.readBucketState(spark, bucket, "").get
+    assert(st.select("batch_id").distinct().as[String].collect().toSeq ==
+      Seq("b1"))
+    val b2 = Seq((9L, textA)).toDF("doc_id", "text")
+    assert(CorpusPipeline.ingestNewNearDup(spark, b2, bucket, "b2")
+      .count() == 0)
   }
 
   test("runNearDupSink: streaming file drops, exactly-once across runs") {
