@@ -453,6 +453,47 @@ object Dedup {
     duplicateClusters(ids, id, pairs)
       .withColumn("keep", col(id) === col("cluster"))
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): within each embedding cluster (`label`), members
+    * connected by cosine ≥ `minCos` form a duplicate component, and
+    * the component KEEPS the member with the LOWEST cosine to the
+    * cluster centroid (the paper's rule: redundant near-centroid
+    * copies drop, the informative outlier survives); ties break on the
+    * id. Unpaired members keep themselves. Returns every member with
+    * (label, cos_centroid, cluster, kept).
+    *
+    * Scale shape: candidates come from the banded hyperplane LSH
+    * equi-join ([[embeddingDupPairsLsh]] — no all-pairs anywhere),
+    * restricted to same-label pairs; centroid cosines are
+    * [[EmbeddingStats.memberCentroidCosine]]'s O(n·d) pass; components
+    * resolve by pointer-jumping CC over the (sparse) verified pair
+    * graph; the keeper draw is one window partitioned by the cluster
+    * ids. At 100 TB fold the label into the LSH bucket join key so
+    * cross-cluster collisions never reach the verifier — here they are
+    * dropped right after the same equi-join, which is the same plan
+    * shape with a slightly wider candidate set. */
+  def semanticDedup(emb: DataFrame, minCos: Double, id: String = "vec_id",
+      vec: String = "embedding", label: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val memberCos = EmbeddingStats.memberCentroidCosine(emb, id, vec, label)
+    val lab = emb.select(col(id), col(label))
+    val pairs = embeddingDupPairsLsh(emb, id, vec, minCos)
+      .join(lab.select(col(id).as("id_a"), col(label).as("__la")), Seq("id_a"))
+      .join(lab.select(col(id).as("id_b"), col(label).as("__lb")), Seq("id_b"))
+      .filter(col("__la") === col("__lb"))
+      .select(col("id_a"), col("id_b"))
+    val nodes = pairs.select(col("id_a").as(id))
+      .unionByName(pairs.select(col("id_b").as(id))).distinct()
+    val comp = duplicateClusters(nodes, id, pairs)
+      .withColumnRenamed("cluster", "__c")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("cos_centroid").asc, col(id).asc)
+    memberCos.join(comp, Seq(id), "left")
+      .withColumn("cluster", coalesce(col("__c"), col(id))).drop("__c")
+      .withColumn("kept", row_number().over(w) === 1)
+  }
+
   /** Random-hyperplane LSH bucket id for a quantized vector: bit j =
     * [dot(q, w_j) >= 0] with deterministic integer hyperplanes
     * w_j[i] = ((a_j·(i+1) + b_j) mod 1009) − 504 (reusing the minhash

@@ -33,6 +33,21 @@ object EmbeddingStats {
     * dot/norm aggregation per member. No pairwise work anywhere:
     * coherence is O(n·d), not O(n²). */
   def clusterCoherence(emb: DataFrame, id: String = "vec_id",
+      vec: String = "embedding", label: String = "label"): DataFrame =
+    memberCentroidCosine(emb, id, vec, label)
+      .select(col(label), col("cos_centroid").as("cos"))
+      .groupBy(col(label)).agg(
+        count(lit(1)).as("n_vecs"),
+        (sum(col("cos").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean_cos"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+
+  /** Per-member cosine to its label centroid — [[clusterCoherence]]'s
+    * inner quantity kept at member grain (the signal SemDeDup-style
+    * semantic dedup ranks keepers by). Same exact-integer chain and
+    * the same scale shape: O(n·d) + broadcast centroid metadata. */
+  def memberCentroidCosine(emb: DataFrame, id: String = "vec_id",
       vec: String = "embedding", label: String = "label"): DataFrame = {
     val q = Compute.spread(emb)
       .select(col(id), col(label), V.quantize(col(vec)).as("q"))
@@ -45,16 +60,10 @@ object EmbeddingStats {
       .groupBy(col(id), col(label))
       .agg(sum(col("v") * col("s")).as("dot"),
         sum(col("v") * col("v")).as("nsq"))
-    val cos = per.join(broadcast(centNorm), Seq(label))
-      .select(col(label),
+    per.join(broadcast(centNorm), Seq(label))
+      .select(col(id), col(label),
         when(col("nsq") === 0 || col("cnsq") === 0, lit(0.0))
           .otherwise(V.cosineFrom(col("dot"), col("nsq"), col("cnsq")))
-          .as("cos"))
-    cos.groupBy(col(label)).agg(
-      count(lit(1)).as("n_vecs"),
-      (sum(col("cos").cast("decimal(18,6)")).cast("double") /
-        count(lit(1))).as("mean_cos"),
-      min(col("cos")).as("min_cos"),
-      max(col("cos")).as("max_cos"))
+          .as("cos_centroid"))
   }
 }

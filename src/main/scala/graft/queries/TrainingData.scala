@@ -1547,9 +1547,81 @@ object TrainingData extends QueryPack {
       FROM ag ORDER BY doc_id"""),
     covers = Seq("TD-rarity-filter"))
 
+  /** SemDeDup-style semantic dedup within embedding clusters
+    * ([[graft.ops.Dedup.semanticDedup]]): LSH candidates → exact
+    * cosine ≥ 0.4 → same-label components → keep the member with the
+    * LOWEST centroid cosine (the informative outlier). The oracle
+    * restates the whole chain: q88's member-centroid cosines, q26's
+    * banded hyperplane candidates restricted to same-label, q77's
+    * recursive min-reachable-id closure, one keeper window. */
+  val q111 = Q(
+    "q111_semantic_dedup",
+    (s, dir) => {
+      Dedup.semanticDedup(Tables(s, dir, "embeddings"), minCos = 0.4)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val bands = (0 until 4)
+        .map(t => s"(${dkBand("n", t, 4)}) AS band$t")
+        .mkString(",\n                ")
+      s"""
+      WITH RECURSIVE
+      q AS (SELECT vec_id, label,
+              [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+               for x in embedding] AS qv
+            FROM embeddings),
+      n AS (SELECT vec_id, label, qv,
+              list_aggregate([qv[i]*qv[i]
+                for i in generate_series(1,64)],'sum') AS nsq
+            FROM q),
+      u AS (SELECT vec_id, label, i, qv[i] AS v
+            FROM q, generate_series(1,64) g(i)),
+      cent AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS s
+               FROM u GROUP BY 1, 2),
+      cn AS (SELECT label, CAST(sum(s*s) AS BIGINT) AS cnsq
+             FROM cent GROUP BY 1),
+      per AS (SELECT u.vec_id, u.label,
+                CAST(sum(u.v * c.s) AS BIGINT) AS dot,
+                CAST(sum(u.v * u.v) AS BIGINT) AS nsq
+              FROM u JOIN cent c ON u.label = c.label AND u.i = c.i
+              GROUP BY 1, 2),
+      mc AS (SELECT p.vec_id, p.label,
+               CASE WHEN p.nsq = 0 OR c.cnsq = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(p.dot AS DOUBLE)
+                         / (sqrt(CAST(p.nsq AS DOUBLE))
+                            * sqrt(CAST(c.cnsq AS DOUBLE))) END AS cos_centroid
+             FROM per p JOIN cn c USING (label)),
+      bkt AS (SELECT vec_id, label, qv, nsq,
+                $bands
+              FROM n),
+      pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id
+              AND a.label = b.label
+              AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+                   a.band2 = b.band2 OR a.band3 = b.band3)
+             WHERE ${dkDot("a", "b")} / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.4),
+      nodes AS (SELECT id_a AS node FROM pr UNION SELECT id_b FROM pr),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      reach AS (SELECT node, node AS m FROM nodes
+                UNION
+                SELECT e.dst AS node, r.m
+                FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (SELECT node AS vec_id, min(m) AS cluster
+               FROM reach GROUP BY 1),
+      fin AS (SELECT mc.vec_id, mc.label, mc.cos_centroid,
+                coalesce(comp.cluster, mc.vec_id) AS cluster
+              FROM mc LEFT JOIN comp USING (vec_id))
+      SELECT vec_id, label, cos_centroid, cluster,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY cos_centroid, vec_id) = 1 AS kept
+      FROM fin ORDER BY vec_id"""
+    },
+    covers = Seq("TD-semantic-dedup", "TD-dedup-cosine", "TD-dedup-clusters"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
-      q103, q105, q106, q107, q108, q109, q110)
+      q103, q105, q106, q107, q108, q109, q110, q111)
 }

@@ -142,6 +142,29 @@ class PackSampleSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("semanticDedup: same-label components keep one member; " +
+      "identical content in another cluster is untouched") {
+    import graft.ops.Dedup
+    val dim = 64
+    def vec(hot: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == hot) scale else 0.0f)
+    val emb = Seq(
+      (1L, vec(0, 1.0f), 0), // dup pair {1,2}: same direction, all
+      (2L, vec(0, 2.0f), 0), //   bands collide, cosine exactly 1.0
+      (3L, vec(1, 1.0f), 0), // same label, orthogonal: own cluster
+      (4L, vec(0, 1.0f), 1)  // identical to 1 but OTHER label: kept
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDedup(emb, minCos = 0.4)
+      .orderBy($"vec_id")
+      .select($"vec_id", $"cluster", $"kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, true),  // equal centroid cosine: min-id tie-break keeps 1
+      (2L, 1L, false),
+      (3L, 3L, true),
+      (4L, 4L, true))) // cross-label LSH collision filtered out
+  }
+
   test("packSequences: every sequence is exactly `width` tokens except " +
       "the last; totals and ids are conserved") {
     val width = 100L
