@@ -478,15 +478,20 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val memberCos = EmbeddingStats.memberCentroidCosine(emb, id, vec, label)
     val lab = emb.select(col(id), col(label))
+    // pinned: the LSH join feeds both the node set and the CC edge
+    // list — without the checkpoint it runs twice
     val pairs = embeddingDupPairsLsh(emb, id, vec, minCos)
       .join(lab.select(col(id).as("id_a"), col(label).as("__la")), Seq("id_a"))
       .join(lab.select(col(id).as("id_b"), col(label).as("__lb")), Seq("id_b"))
       .filter(col("__la") === col("__lb"))
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val nodes = pairs.select(col("id_a").as(id))
       .unionByName(pairs.select(col("id_b").as(id))).distinct()
     val comp = duplicateClusters(nodes, id, pairs)
       .withColumnRenamed("cluster", "__c")
+    // comp is materialized by duplicateClusters; the pair graph is dead
+    graft.CacheTracker.releaseCheckpoint(pairs)
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("cos_centroid").asc, col(id).asc)
     memberCos.join(comp, Seq(id), "left")
