@@ -672,4 +672,29 @@ object Dedup {
       .filter(col("rank") <= k)
       .select(col("id_q"), col("rank"), col("id_c"), col("cosine"))
   }
+
+  /** Recall@k of the LSH-bucketed ANN against the exact brute-force
+    * baseline — the evaluation harness an approximate-search
+    * deployment tunes its `bits` knob with: per query, the fraction of
+    * the TRUE top-k the bucketed path returned. Both sides are fully
+    * deterministic (exact integer cosines, id tie-breaks), so even the
+    * recall numbers are oracle-checkable — not just "approximately
+    * right".
+    *
+    * Scale note: the exact side is the declared all-pairs baseline —
+    * at corpus scale this harness runs on a SAMPLED query set (the
+    * standard ANN-benchmark protocol), which is how `queries` is meant
+    * to be fed; cost is then |sample| × corpus with the query side
+    * broadcast, one pass. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, bits: Int = 8): DataFrame = {
+    val exact = annTopK(corpus, queries, id, vec, k)
+      .select(col("id_q"), col("id_c"))
+    val approx = annTopKLsh(corpus, queries, id, vec, k, bits)
+      .select(col("id_q"), col("id_c")).withColumn("__hit", lit(1))
+    exact.join(approx, Seq("id_q", "id_c"), "left")
+      .groupBy(col("id_q"))
+      .agg(count(col("__hit")).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
+  }
 }

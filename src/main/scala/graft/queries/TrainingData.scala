@@ -1619,9 +1619,53 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-semantic-dedup", "TD-dedup-cosine", "TD-dedup-clusters"))
 
+  /** Recall@k of the q52 LSH ANN against the q27 exact baseline
+    * ([[graft.ops.Dedup.annRecall]]) — deterministic on both sides, so
+    * the recall numbers themselves are oracle-exact. */
+  val q112 = Q(
+    "q112_ann_recall",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Dedup.annRecall(emb, emb.filter($"vec_id" < 10), "vec_id",
+          "embedding", k = 5, bits = 8)
+        .orderBy(col("id_q"))
+    },
+    Some {
+      val dotW = (alias: String) => (0 until 8).map { j =>
+        val a = T.minhashA(j); val b = T.minhashB(j)
+        s"""CASE WHEN list_aggregate([$alias.qv[ij] * ((($a*ij + $b) % 1009) - 504)
+             for ij in generate_series(1,64)], 'sum') >= 0
+           THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""
+      WITH $dkQuantized,
+      ex AS (SELECT id_q, id_c FROM (
+          SELECT qs.vec_id AS id_q, cs.vec_id AS id_c,
+                 row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+                   ${dkDot("qs", "cs")} / (sqrt(qs.nsq) * sqrt(cs.nsq)) DESC,
+                   cs.vec_id ASC) AS rank
+          FROM n qs JOIN n cs ON qs.vec_id < 10 AND qs.vec_id <> cs.vec_id)
+        WHERE rank <= 5),
+      b AS (SELECT vec_id, qv, nsq, ${dotW("n")} AS bucket FROM n),
+      ap AS (SELECT id_q, id_c FROM (
+          SELECT qs.vec_id AS id_q, cs.vec_id AS id_c,
+                 row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+                   ${dkDot("qs", "cs")} / (sqrt(qs.nsq) * sqrt(cs.nsq)) DESC,
+                   cs.vec_id ASC) AS rank
+          FROM b qs JOIN b cs ON qs.bucket = cs.bucket
+          WHERE qs.vec_id < 10 AND qs.vec_id <> cs.vec_id)
+        WHERE rank <= 5)
+      SELECT ex.id_q, count(ap.id_c) AS n_hits,
+             CAST(count(ap.id_c) AS DOUBLE) / 5.0 AS recall
+      FROM ex LEFT JOIN ap ON ex.id_q = ap.id_q AND ex.id_c = ap.id_c
+      GROUP BY ex.id_q ORDER BY ex.id_q"""
+    },
+    covers = Seq("TD-ann-recall", "TD-ann-lsh"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
-      q103, q105, q106, q107, q108, q109, q110, q111)
+      q103, q105, q106, q107, q108, q109, q110, q111, q112)
 }

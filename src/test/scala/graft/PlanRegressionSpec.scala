@@ -223,7 +223,9 @@ class PlanRegressionSpec extends SparkSpec {
       "q93_top_tokens",             // 1-row grand-total crossJoin over k rows
       "q98_histogram",              // 1-row min/max bounds crossJoin
       "q102_bm25_topk",             // 1-row corpus-stats crossJoin
-      "q110_rarity_score")          // 1-row corpus-count crossJoin
+      "q110_rarity_score",          // 1-row corpus-count crossJoin
+      "q112_ann_recall")            // exact side IS the declared brute baseline
+                                    // (recall harness runs on sampled queries)
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
