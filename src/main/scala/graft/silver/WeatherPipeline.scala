@@ -9,8 +9,9 @@ import graft.sources.Readers
   * `dags/weather_api_dag.py:59-68`): OpenWeather JSON is flattened to
   * 9 CSV fields, landed as `weather_YYYYMMDDHHMMSS.csv`, bulk-loaded
   * with COPY INTO (PATTERN '.*weather_.*\.csv') and typed by the
-  * target table. The HTTP fetch is out-of-engine orchestration
-  * (SURVEY §2.1); the engine starts at the landed CSV files.
+  * target table. The HTTP fetch-and-land front half is
+  * [[graft.sources.HttpIngest.landWeatherCsv]] (pluggable transport);
+  * this pipeline consumes its landed CSV files.
   */
 object WeatherPipeline {
 
