@@ -51,6 +51,32 @@ object CorpusPipeline {
     docs.join(keep, Seq(id))
   }
 
+  /** Per-source curation FUNNEL — the observability query every
+    * pipeline dashboard runs: document counts per source at each stage
+    * of the canonical chain (raw → quality envelope → language filter
+    * → exact-dedup keeper), so a source whose docs die at one stage
+    * (spam source collapsing at quality, mislabeled source at langid,
+    * mirror source at dedup) is visible as a row, not a mystery.
+    *
+    * Scale shape: each stage is the chain's own plan topped with one
+    * count aggregation keyed by the source (shuffle carries #sources
+    * rows per stage); the four branches share nothing at runtime but
+    * each is a single pass — at 100 TB, persist the chain's final
+    * stage if the funnel runs alongside the export itself. */
+  def curationFunnel(docs: DataFrame,
+      source: String = "source"): DataFrame = {
+    def cnt(df: DataFrame, ord: Int, stage: String) =
+      df.groupBy(col(source)).agg(count(lit(1)).as("n_docs"))
+        .select(lit(ord).as("stage_ord"), lit(stage).as("stage"),
+          col(source), col("n_docs"))
+    val quality = qualityFilter(docs)
+    val langed = languageFilter(quality)
+    cnt(docs, 0, "raw")
+      .unionByName(cnt(quality, 1, "quality"))
+      .unionByName(cnt(langed, 2, "lang"))
+      .unionByName(cnt(dedupExact(langed), 3, "dedup"))
+  }
+
   /** Near-dup dedup: MinHash signatures → LSH band candidates →
     * connected components → keep each cluster's min id. Docs that pair
     * with nothing survive untouched (clusters only contain paired

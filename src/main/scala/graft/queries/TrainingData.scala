@@ -1663,9 +1663,54 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-ann-recall", "TD-ann-lsh"))
 
+  /** Per-source curation funnel ([[CorpusPipeline.curationFunnel]]):
+    * counts per source at raw → quality → lang → dedup — the pipeline
+    * observability row set. Oracle = q69's stage chain carried through
+    * with the source column, one count per stage. */
+  val q113 = Q(
+    "q113_curation_funnel",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.curationFunnel(Tables(s, dir, "documents"))
+        .orderBy(col("stage_ord"), col("source"))
+    },
+    Some {
+      val hits = T.lexicons.map { case (lang, ws) =>
+        s"len([t for t in string_split(text,' ') if t IN (${ws.map(w => s"'$w'").mkString(",")})]) AS h_$lang"
+      }.mkString(",\n               ")
+      val langs = T.lexicons.map(_._1)
+      val m = s"greatest(${langs.map("h_" + _).mkString(",")})"
+      val cases = langs.map(l => s"WHEN h_$l = $m AND $m > 0 THEN '$l'")
+        .mkString(" ")
+      s"""
+      WITH q0 AS (
+        SELECT doc_id, source, text,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                 / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len
+        FROM documents),
+      f AS (SELECT * FROM q0
+            WHERE n_tokens BETWEEN 5 AND 10000 AND avg_token_len <= 15.0),
+      scored AS (SELECT *, $hits FROM f),
+      langed AS (SELECT doc_id, source, text FROM scored
+                 WHERE (CASE $cases ELSE 'und' END) = 'en'),
+      fpd AS (SELECT *, md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              FROM langed),
+      keep AS (SELECT fp, min(doc_id) AS keeper FROM fpd GROUP BY fp),
+      ded AS (SELECT d.doc_id, d.source
+              FROM fpd d JOIN keep k ON d.fp = k.fp AND d.doc_id = k.keeper)
+      SELECT 0 AS stage_ord, 'raw' AS stage, source, count(*) AS n_docs
+      FROM documents GROUP BY source
+      UNION ALL SELECT 1, 'quality', source, count(*) FROM f GROUP BY source
+      UNION ALL SELECT 2, 'lang', source, count(*) FROM langed GROUP BY source
+      UNION ALL SELECT 3, 'dedup', source, count(*) FROM ded GROUP BY source
+      ORDER BY stage_ord, source"""
+    },
+    covers = Seq("TD-curation-funnel", "TD-text-quality", "TD-langid"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
-      q103, q105, q106, q107, q108, q109, q110, q111, q112)
+      q103, q105, q106, q107, q108, q109, q110, q111, q112, q113)
 }

@@ -48,6 +48,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(st._1 == nCanonical && st._2 > 0)
   }
 
+  test("curationFunnel: per-source counts shrink through the stages " +
+      "for exactly the designed reasons") {
+    val en = "the cat is sitting on a mat and the dog is of to in there"
+    val docs = Seq(
+      (1L, en, "s1"),            // survives everything
+      (2L, en, "s1"),            // exact dup of 1: dies at dedup
+      (3L, "x", "s1"),           // 1 token: dies at quality
+      (4L, en + " extra", "s2")  // unique en: survives
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusPipeline.curationFunnel(docs)
+      .orderBy($"stage_ord", $"source")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, "raw", "s1", 3L), (0, "raw", "s2", 1L),
+      (1, "quality", "s1", 2L), (1, "quality", "s2", 1L),
+      (2, "lang", "s1", 2L), (2, "lang", "s2", 1L),
+      (3, "dedup", "s1", 1L), (3, "dedup", "s2", 1L)))
+  }
+
   test("ingestNew: first-seen across batches, earliest id within a batch") {
     val seen = Files.createTempDirectory("graft_seen_").toString + "/seen"
     val b1 = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
