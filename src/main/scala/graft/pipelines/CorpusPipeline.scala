@@ -229,6 +229,42 @@ object CorpusPipeline {
           .cast("long").as("shard"))
   }
 
+  /** [[packSequences]]'s CONTENT path: materialize each fixed-width
+    * training sequence's actual token text (docs crossing boundaries,
+    * no padding) — what the export actually writes, where
+    * [[packSequences]] reports only the boundaries. Every token gets
+    * its global stream position from the same two-level prefix sum,
+    * then ONE shuffle keyed by seq_id regroups the token stream and a
+    * sorted struct-array rebuild makes the in-sequence order
+    * deterministic on any partitioning. That single corpus-wide token
+    * shuffle IS the honest floor for a re-segmented export — the
+    * output rows cut across input rows, so some repartition of the
+    * content is unavoidable; everything around it is narrow. */
+  def packSequenceText(docs: DataFrame, width: Long, bucket: Column,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(width > 0, "width must be positive")
+    val t = docs.select(col(id), bucket.as("__b"), col(text),
+      T.tokenCount(col(text)).cast("long").as("n_tokens"))
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col(id))
+    val run = t.withColumn("__run",
+      sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+    val acrossBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+      .select(col("__b"),
+        coalesce(sum(col("__bt")).over(acrossBuckets), lit(0L)).as("__off"))
+    run.join(broadcast(offsets), Seq("__b"))
+      .filter(col("n_tokens") > 0)
+      .select((col("__run") + col("__off")).as("__start"),
+        posexplode(T.tokens(col(text))).as(Seq("__tpos", "__tok")))
+      .select((col("__start") + col("__tpos")).as("__gpos"), col("__tok"))
+      .groupBy(expr(s"__gpos div ${width}L").as("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__gpos"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("text"))
+  }
+
   /** Fixed-width training-SEQUENCE packing — the back half of the LM
     * export that [[packShards]] fronts: concatenate all docs in `id`
     * order into one global token stream and cut it into exact

@@ -1708,9 +1708,38 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-curation-funnel", "TD-text-quality", "TD-langid"))
 
+  /** q106's content path: the actual packed-sequence token text
+    * ([[CorpusPipeline.packSequenceText]]) — one corpus-wide token
+    * shuffle keyed by seq_id, order rebuilt deterministically. */
+  val q114 = Q(
+    "q114_seq_pack_text",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.packSequenceText(
+          Tables(s, dir, "documents"), width = 128,
+          bucket = expr("doc_id DIV 256"))
+        .orderBy(col("seq_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text,' ') AS ws,
+                   CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks
+                 FROM documents),
+      p AS (SELECT doc_id, ws, n_toks,
+              CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS st
+            FROM t WHERE n_toks > 0),
+      e AS (SELECT st + i - 1 AS gpos, ws[i] AS tok
+            FROM (SELECT st, ws, unnest(generate_series(1, len(ws))) AS i
+                  FROM p))
+      SELECT gpos // 128 AS seq_id, count(*) AS n_tokens,
+             string_agg(tok, ' ' ORDER BY gpos) AS text
+      FROM e GROUP BY 1 ORDER BY seq_id"""),
+    covers = Seq("TD-seq-pack"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
-      q103, q105, q106, q107, q108, q109, q110, q111, q112, q113)
+      q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114)
 }
