@@ -88,35 +88,56 @@ object Bench {
               s"[bench] deadline (${deadlineSec}s) passed: $name runs 1 iter")
             1
           }
-        var overBudget = false
-        val times = (1 to effIters).flatMap { i =>
-          if (overBudget) None
-          else {
-            val t0 = System.nanoTime()
-            val ok =
-              try { fn(spark, sfDir).count(); true }
-              catch { case e: Throwable =>
-                System.err.println(s"[bench] $name failed: ${e.getMessage}")
-                false
-              }
-            val dt = (System.nanoTime() - t0) / 1e9
-            // release operator-internal persisted intermediates AND
-            // localCheckpoint blocks so pinned storage doesn't
-            // accumulate across iters×queries runs (the EDW star is
-            // deliberately NOT tracked — it models a materialized
-            // table shared across the serving queries)
-            CacheTracker.releaseAll()
-            if (dt > queryBudgetSec && i < effIters) {
-              overBudget = true
-              degraded += name
+        val times = scala.collection.mutable.ListBuffer.empty[Option[Double]]
+        var stop = false
+        var i = 0
+        while (!stop && i < effIters) {
+          i += 1
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // release operator-internal persisted intermediates AND
+          // localCheckpoint blocks so pinned storage doesn't
+          // accumulate across iters×queries runs (the EDW star is
+          // deliberately NOT tracked — it models a materialized
+          // table shared across the serving queries)
+          CacheTracker.releaseAll()
+          times += (if (ok) Some(dt) else None)
+          if (dt > queryBudgetSec && i < effIters) {
+            // over budget: stop burning the allowance — BUT a contended
+            // FIRST iteration must not become the query's only sample
+            // (round-5 official ledger: q100's single 109.9 s iteration
+            // stood as its "min" while four clean ledgers the same
+            // night measured 0.73 s). Guarantee a second iteration
+            // whenever the deadline still has room for one of the same
+            // size; only then stop. Min-of-N is thus never min-of-1
+            // unless the box is too contended to afford the retry.
+            val canRetry = times.size < 2 && (elapsedSec + dt) < deadlineSec
+            if (!canRetry) {
+              stop = true
               System.err.println(
                 s"[bench] $name iter $i took ${dt}s > ${queryBudgetSec}s " +
-                  "budget: skipping remaining iterations")
-            }
-            Some(if (ok) Some(dt) else None)
+                  "budget: stopping iterations")
+            } else
+              System.err.println(
+                s"[bench] $name iter $i took ${dt}s > ${queryBudgetSec}s " +
+                  "budget: retrying once for a steady-state sample")
           }
         }
-        name -> times
+        // degraded = the recorded min is NOT a trustworthy steady-state
+        // number: every completed iteration ran over budget (genuinely
+        // heavy or contention the retry couldn't escape). A query whose
+        // retry came back under budget reports its clean min and is NOT
+        // degraded — that is the point of the guaranteed second sample.
+        val okTimes = times.toList.flatten
+        if (okTimes.nonEmpty && okTimes.min > queryBudgetSec)
+          degraded += name
+        name -> times.toList
       }
     def minOf(ts: Seq[Option[Double]]): Option[Double] = {
       val ok = ts.flatten
@@ -133,12 +154,20 @@ object Bench {
     // speedup in the committed ledgers
     val failed = results.collect { case (k, ts) if minOf(ts).isEmpty => k }
     val total = results.flatMap { case (_, ts) => minOf(ts) }.sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+    val common =
+      s""""metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
         s""""failed":[${failed.map(f => s"\"$f\"").mkString(",")}],""" +
-        s""""degraded":[${degraded.distinct.map(d => s"\"$d\"").mkString(",")}],""" +
-        s""""queries":$qs,"iterations":$allIters,"sf":"$sfDir"}"""
-    println(line)
+        s""""degraded":[${degraded.distinct.map(d => s"\"$d\"").mkString(",")}]"""
+    // full ledger (per-iteration detail) — persisted to bench_history/
+    val line = s"""{$common,"queries":$qs,"iterations":$allIters,"sf":"$sfDir"}"""
+    // stdout gets the COMPACT ledger only, as the program's LAST line:
+    // rounds 4–5 the driver recorded `"parsed": null` because its
+    // capture kept a bounded stdout tail and the full line (8 KB+ of
+    // per-iteration arrays) plus sbt's trailing chatter pushed the
+    // JSON head out of the window. The compact line carries the whole
+    // contract (metric/value/unit/failed/degraded/per-query minima/sf);
+    // the per-iteration spread stays machine-diffable in bench_history.
+    println(s"""{$common,"queries":$qs,"sf":"$sfDir"}""")
     // per-round ledger: the driver's BENCH_r{N}.json can truncate in
     // logs — persist the full per-query JSON so round-over-round
     // regressions stay machine-diffable (bench_history/ is committed).

@@ -692,9 +692,17 @@ object Dedup {
       .select(col("id_q"), col("id_c"))
     val approx = annTopKLsh(corpus, queries, id, vec, k, bits)
       .select(col("id_q"), col("id_c")).withColumn("__hit", lit(1))
+    // recall@k proper: hits / |true top-k| — the per-query EXACT result
+    // count, not the constant k. They coincide when the corpus offers ≥k
+    // candidates per query; near a corpus edge (fewer than k candidates)
+    // the constant-k denominator would understate recall. A query with
+    // ZERO exact neighbors has undefined recall and is (deliberately)
+    // absent from the output — there is nothing to recall.
     exact.join(approx, Seq("id_q", "id_c"), "left")
       .groupBy(col("id_q"))
-      .agg(count(col("__hit")).as("n_hits"))
-      .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
+      .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_true"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_true").cast("double"))
+      .drop("n_true")
   }
 }

@@ -213,8 +213,11 @@ object Upsert {
     * forward first (same crash contract as [[readRecovered]], applied
     * per batch). */
   def writeBatchState(df: DataFrame, root: String, batchId: String): Unit = {
-    require(!batchId.contains("__") && !batchId.contains("/"),
-      s"batch id must be a plain directory name: $batchId")
+    // nonEmpty: "" would collide with readBatchState's read-all sentinel
+    // AND make overwriteAtomic target "$root/" — the state root itself —
+    // turning the root into a parquet dir and corrupting the layout
+    require(batchId.nonEmpty && !batchId.contains("__") && !batchId.contains("/"),
+      s"batch id must be a non-empty plain directory name: '$batchId'")
     overwriteAtomic(df, s"$root/$batchId")
   }
 
@@ -228,6 +231,21 @@ object Upsert {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) None
     else {
+      // fail LOUDLY on a pre-subdirectory state layout (parquet
+      // part-files directly under root, written when the state was one
+      // swap-managed table): silently treating it as empty would
+      // re-admit every previously-seen fingerprint — an exactly-once
+      // violation with no error. The operator must migrate (move the
+      // files into one named batch subdir) or start a fresh root.
+      val legacyFiles = fs.listStatus(rootPath).filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      require(legacyFiles.isEmpty,
+        s"$root holds a legacy single-table state layout " +
+          s"(data files directly under the root: ${legacyFiles.take(3).mkString(", ")}…); " +
+          "migrate them into a batch subdirectory (e.g. mv the part-files " +
+          s"into $root/<batchId>/) before reading — refusing to silently " +
+          "treat prior state as empty")
       def dirs = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
       dirs.map(_.getName).filter(_.endsWith("__old"))
         .map(_.stripSuffix("__old")).foreach { b =>

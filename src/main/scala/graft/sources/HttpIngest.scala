@@ -118,8 +118,16 @@ object HttpIngest {
     else {
       val dir = Paths.get(landingDir)
       Files.createDirectories(dir)
-      val csv = (weatherFields.mkString(",") +: rows.map(
-        _.map(_.getOrElse("")).mkString(","))).mkString("", "\r\n", "\r\n")
+      // RFC-4180 minimal quoting (the reference's csv.DictWriter
+      // behavior): a cell containing comma, quote, CR or LF is wrapped
+      // in double quotes with embedded quotes doubled — a city name
+      // like `Washington, D.C.` must not shift the columns.
+      def cell(v: String): String =
+        if (v.exists(c => c == ',' || c == '"' || c == '\r' || c == '\n'))
+          "\"" + v.replace("\"", "\"\"") + "\""
+        else v
+      val csv = (weatherFields.map(cell).mkString(",") +: rows.map(
+        _.map(o => cell(o.getOrElse(""))).mkString(","))).mkString("", "\r\n", "\r\n")
       Some(Files.writeString(
         dir.resolve(s"weather_$timestamp.csv"), csv))
     }

@@ -199,6 +199,41 @@ class PlanRegressionSpec extends SparkSpec {
         p.take(600))
   }
 
+  test("q111: SemDeDup outer plan — no all-pairs, keeper window keyed " +
+      "by cluster, never single-partition") {
+    // the candidate build (banded LSH) sits behind a localCheckpoint,
+    // so its plan is locked via q26's generator test; HERE we lock what
+    // the outer plan can show: no quadratic join anywhere, and the
+    // keeper draw partitioned by the cluster id (a global window over
+    // the member set would be the scale regression to catch)
+    val p = plan("q111_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "semantic dedup must not regress to all-pairs:\n" + p.take(800))
+    assert(p.contains("hashpartitioning(cluster"),
+      "keeper window must partition by cluster:\n" + p.take(600))
+    assert(!p.contains("Exchange SinglePartition"),
+      "no stage of the dedup may serialize into one partition:\n" + p.take(800))
+  }
+
+  test("q114: sequence text materialization — exactly the #buckets-row " +
+      "offset window is single-partition; the token regroup is the one " +
+      "honest wide stage") {
+    val p = plan("q114_seq_pack_text")
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      "only the tiny cross-bucket offset window may serialize; a second " +
+        "single-partition exchange means the token stream collapsed:\n" +
+        p.take(800))
+    assert(p.contains("hashpartitioning(__b"),
+      "in-bucket running sum must shuffle on the bucket key:\n" + p.take(600))
+    // the regroup keys on the computed `__gpos div width` grouping
+    // expression (Catalyst names it _groupingexpression); either that
+    // or a named seq_id key counts as the honest keyed shuffle
+    assert(p.contains("Exchange hashpartitioning(_groupingexpression") ||
+      p.contains("Exchange hashpartitioning(seq_id"),
+      "the re-segmentation regroup must be keyed by the sequence id:\n" +
+        p.take(800))
+  }
+
   test("q104: snapshot states dedup via WindowGroupLimit; batch cutoffs " +
       "pushed to the parquet scans") {
     val f = formatted("q104_scd2_merge")
