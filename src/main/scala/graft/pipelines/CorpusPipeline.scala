@@ -697,6 +697,205 @@ object CorpusPipeline {
       .drop("__rn")
   }
 
+  /** CCNet-style sub-document dedup, re-expressed for a token-stream
+    * corpus: each doc splits into consecutive `blockTokens`-token
+    * blocks (the "paragraph" analog when the text carries no newline
+    * structure), a block occurrence survives only if it is the
+    * corpus-wide FIRST occurrence of its content hash (lexicographic
+    * (id, block_idx) — deterministic on any partitioning), and the doc
+    * is rebuilt from its surviving blocks. Unlike whole-doc dedup
+    * (q18) this removes the *shared regions* of partially-overlapping
+    * docs; unlike dup-span removal (q107, df-threshold on grams) the
+    * criterion is strict first-occurrence, so the corpus-wide content
+    * is emitted exactly once.
+    *
+    * Scale shape: block construction is a narrow higher-order
+    * projection (no shuffle); the keeper draw is one hash aggregation
+    * on the block hash + one equi-join back; the rebuild is one
+    * per-doc aggregation with a bounded sorted-array fold. Nothing is
+    * all-pairs and no window runs over a data-sized partition. */
+  def dedupBlocks(docs: DataFrame, blockTokens: Int = 16,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val b = lit(blockTokens)
+    val blocks = graft.ops.Compute.spread(docs.select(col(id), col(text)))
+      .select(col(id), T.tokens(col(text)).as("__ws"))
+      .select(col(id), posexplode(transform(
+        sequence(lit(0),
+          ceil(size(col("__ws")).cast("double") / b.cast("double"))
+            .cast("int") - 1),
+        i => concat_ws(" ", slice(col("__ws"), i * b + 1, b))))
+        .as(Seq("block_idx", "block")))
+      .withColumn("__h", T.hash60(col("block"), 0))
+    val keepers = blocks.groupBy(col("__h"))
+      .agg(min(struct(col(id), col("block_idx"))).as("__k"))
+    blocks.join(keepers, Seq("__h"))
+      .withColumn("__kept",
+        col(id) === col(s"__k.$id") && col("block_idx") === col("__k.block_idx"))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count(when(!col("__kept"), 1)).as("n_dup_blocks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__kept"), struct(col("block_idx"), col("block"))))),
+          s => s("block"))).as("text_clean"))
+  }
+
+  /** Gopher-style composite quality rules (Rae et al. 2021, §A1.1
+    * adapted to the word-token corpus): each heuristic is a NAMED
+    * boolean column so a curation dashboard can attribute kills per
+    * rule, and `pass` is their conjunction. All metrics are
+    * exact-integer-derived (counts, one final division each), so the
+    * whole rule table is oracle-checkable.
+    *
+    * Scale shape: one narrow projection — per-row token-array work,
+    * no shuffle, no join; codegen keeps it in one stage. */
+  def gopherRules(docs: DataFrame,
+      minTokens: Long = 10, maxTokens: Long = 10000,
+      minAvgLen: Double = 2.0, maxAvgLen: Double = 12.0,
+      minAlphaFrac: Double = 0.7, minStopHits: Long = 2,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = T.tokens(col(text))
+    val n = T.tokenCount(col(text)).cast("long")
+    docs.select(col(id),
+        n.as("n_tokens"),
+        ((length(col(text)) - n + 1).cast("double") / n.cast("double"))
+          .as("avg_token_len"),
+        (size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+          n.cast("double")).as("alpha_frac"),
+        T.stopwordHits(toks, T.lexicons.toMap.apply("en")).cast("long")
+          .as("stop_hits"))
+      .withColumn("r_token_count",
+        col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("r_avg_len",
+        col("avg_token_len").between(minAvgLen, maxAvgLen))
+      .withColumn("r_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("r_stopwords", col("stop_hits") >= minStopHits)
+      .withColumn("pass",
+        col("r_token_count") && col("r_avg_len") &&
+          col("r_alpha") && col("r_stopwords"))
+  }
+
+  /** Temperature-flattened mixture weights at α = 1/2 (the multilingual
+    * / multi-source sampling rule of mBERT/XLM-R and data-mixing
+    * recipes): source share ∝ sqrt(p_i), which upweights small sources
+    * relative to proportional sampling without letting any source
+    * dominate. α is pinned to 1/2 because sqrt is an IEEE
+    * correctly-rounded operation — any engine computing it on the same
+    * exact-integer-derived double gets the same bits, which a general
+    * pow(p, α) does NOT guarantee; other temperatures belong behind
+    * the same shape with an engine-pinned rounding channel.
+    *
+    * Scale shape: one count aggregation (shuffle carries #sources
+    * rows), two 1-row broadcast scalar attaches (grand total and the
+    * sorted-fold normalizer — the q102 determinism idiom). */
+  def temperatureShares(docs: DataFrame,
+      stratum: String = "source"): DataFrame = {
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__n"))
+    val withW = counts.crossJoin(broadcast(total))
+      .withColumn("p", col("n_docs").cast("double") / col("__n").cast("double"))
+      .withColumn("__w", sqrt(col("p")))
+    val z = withW.agg(
+      aggregate(sort_array(collect_list(col("__w"))), lit(0.0),
+        (a, x) => a + x).as("__z"))
+    withW.crossJoin(broadcast(z))
+      .select(col(stratum), col("n_docs"), col("p"),
+        (col("__w") / col("__z")).as("share"))
+  }
+
+  /** Boilerplate-prefix detection: docs of one source opening with the
+    * same `prefixTokens`-token prefix are template instances (scraped
+    * headers, licence banners, form letters); per (source, prefix)
+    * document frequency flags them. The Dolma/C4-style boilerplate
+    * diagnostic re-expressed for the token-stream corpus (no line
+    * structure to hash, so the prefix window stands in for "first
+    * line").
+    *
+    * Scale shape: one narrow prefix-hash projection, one count
+    * aggregation on (source, prefix-hash), one equi-join back —
+    * df-table cardinality is bounded by distinct prefixes. */
+  def boilerplatePrefix(docs: DataFrame, prefixTokens: Int = 8,
+      minDf: Long = 3, id: String = "doc_id", source: String = "source",
+      text: String = "text"): DataFrame = {
+    require(prefixTokens > 0, "prefixTokens must be positive")
+    val pfx = concat_ws(" ", slice(T.tokens(col(text)), 1, prefixTokens))
+    val t = docs.select(col(id), col(source), T.hash60(pfx, 0).as("__ph"))
+    val dfs = t.groupBy(col(source), col("__ph"))
+      .agg(count(lit(1)).as("prefix_df"))
+    t.join(dfs, Seq(source, "__ph"))
+      .select(col(id), col(source), col("prefix_df"),
+        (col("prefix_df") >= minDf).as("is_boilerplate"))
+  }
+
+  /** Out-of-vocabulary rate against the corpus' own top-`vocabSize`
+    * token head — the tokenizer-coverage diagnostic run before
+    * committing a vocab: what fraction of each doc's occurrences a
+    * candidate vocabulary would miss. Cut ties break (count desc,
+    * token asc) so the vocab set is deterministic.
+    *
+    * Scale shape: one token df aggregation (map-side combined), a
+    * TakeOrdered head for the vocab, one BROADCAST left join of the
+    * occurrence stream against the tiny vocab, one per-doc count
+    * aggregation. The occurrence stream is never shuffled except by
+    * doc id. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 20,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = graft.ops.Compute.spread(docs.select(col(id), col(text)))
+      .select(col(id), explode(T.tokens(col(text))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Adjacent-bigram collocation mining ranked by LIFT — PMI's
+    * argument without its logarithm (ln is not exactly rounded, so
+    * engines may legally disagree on it; lift orders identically):
+    * lift(a,b) = P(ab) / (P(a)·P(b)), with P from exact integer
+    * counts and the ratio a fixed chain of IEEE double ops. Top-k by
+    * (count desc, pair asc) — the deterministic frequency cut; lift
+    * annotates strength.
+    *
+    * Scale shape: unigram and bigram passes are explode + hash agg
+    * (map-side combined, shuffles carry |vocab| and |bigram vocab|);
+    * the cut is TakeOrdered; the tiny top-k side then equi-joins the
+    * unigram table and picks up the two grand totals as 1-row
+    * broadcast attaches. */
+  def collocationLift(docs: DataFrame, k: Int,
+      text: String = "text"): DataFrame = {
+    val toks = graft.ops.Compute.spread(docs.select(col(text)))
+      .select(T.tokens(col(text)).as("ws"))
+    val uni = toks.select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val n1 = uni.agg(sum(col("n_tok")).as("__n1"))
+    val bi = toks
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("tok_a"), b.as("tok_b")))).as("p"))
+      .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_ab"))
+    val n2 = bi.agg(sum(col("n_ab")).as("__n2"))
+    bi.orderBy(col("n_ab").desc, col("tok_a"), col("tok_b")).limit(k)
+      .join(uni.select(col("tok").as("tok_a"), col("n_tok").as("__na")),
+        Seq("tok_a"))
+      .join(uni.select(col("tok").as("tok_b"), col("n_tok").as("__nb")),
+        Seq("tok_b"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        ((col("n_ab").cast("double") / col("__n2").cast("double")) /
+          ((col("__na").cast("double") / col("__n1").cast("double")) *
+            (col("__nb").cast("double") / col("__n1").cast("double"))))
+          .as("lift"))
+  }
+
   /** Corpus-level stats of a (possibly filtered) doc set. */
   def stats(docs: DataFrame): DataFrame =
     withQuality(docs).agg(

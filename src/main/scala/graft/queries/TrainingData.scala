@@ -1737,9 +1737,263 @@ object TrainingData extends QueryPack {
       FROM e GROUP BY 1 ORDER BY seq_id"""),
     covers = Seq("TD-seq-pack"))
 
+  /** CCNet-style block-level dedup ([[CorpusPipeline.dedupBlocks]]):
+    * 16-token blocks, corpus-wide first occurrence survives, docs
+    * rebuilt from surviving blocks. The oracle restates the keeper as
+    * a window rank over the same md5 block hash. */
+  val q115 = Q(
+    "q115_block_dedup",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.dedupBlocks(Tables(s, dir, "documents"),
+          blockTokens = 16)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      b AS (SELECT doc_id, i AS block_idx,
+              array_to_string(ws[(i*16+1):(i*16+16)], ' ') AS block
+            FROM (SELECT doc_id, ws,
+                    unnest(generate_series(0,
+                      CAST(ceil(len(ws)/16.0) AS BIGINT) - 1)) AS i
+                  FROM toks)),
+      h AS (SELECT doc_id, block_idx, block, ${dkHash(0, "block")} AS h FROM b),
+      k AS (SELECT *, row_number() OVER (PARTITION BY h
+              ORDER BY doc_id, block_idx) AS rn FROM h)
+      SELECT doc_id,
+             count(*) AS n_blocks,
+             count(*) FILTER (WHERE rn > 1) AS n_dup_blocks,
+             coalesce(string_agg(block, ' ' ORDER BY block_idx)
+               FILTER (WHERE rn = 1), '') AS text_clean
+      FROM k GROUP BY doc_id ORDER BY doc_id"""),
+    covers = Seq("TD-dedup-block"))
+
+  /** Gopher-style composite quality rules
+    * ([[CorpusPipeline.gopherRules]]): named per-rule booleans +
+    * conjunction, all exact-integer-derived. */
+  val q116 = Q(
+    "q116_gopher_rules",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.gopherRules(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val en = T.lexicons.toMap.apply("en").map(w => s"'$w'").mkString(",")
+      s"""
+      WITH m AS (SELECT doc_id,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                 / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len,
+               CAST(len([t for t in string_split(text,' ')
+                         if regexp_matches(t, '[a-z]')]) AS DOUBLE)
+                 / CAST(len(string_split(text,' ')) AS DOUBLE) AS alpha_frac,
+               CAST(len([t for t in string_split(text,' ')
+                         if t IN ($en)]) AS BIGINT) AS stop_hits
+             FROM documents)
+      SELECT *,
+             n_tokens BETWEEN 10 AND 10000 AS r_token_count,
+             avg_token_len BETWEEN 2.0 AND 12.0 AS r_avg_len,
+             alpha_frac >= 0.7 AS r_alpha,
+             stop_hits >= 2 AS r_stopwords,
+             (n_tokens BETWEEN 10 AND 10000)
+               AND (avg_token_len BETWEEN 2.0 AND 12.0)
+               AND alpha_frac >= 0.7 AND stop_hits >= 2 AS pass
+      FROM m ORDER BY doc_id"""
+    },
+    covers = Seq("TD-quality-rules", "TD-text-quality"))
+
+  /** α=1/2 temperature mixture shares
+    * ([[CorpusPipeline.temperatureShares]]): source share ∝ sqrt(p) —
+    * sqrt is correctly rounded, so the shares oracle-match exactly. */
+  val q117 = Q(
+    "q117_temperature_mix",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.temperatureShares(Tables(s, dir, "documents"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+                 GROUP BY source),
+      t AS (SELECT sum(n_docs) AS n FROM c),
+      w AS (SELECT source, n_docs,
+              CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+              sqrt(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)) AS wr
+            FROM c, t),
+      z AS (SELECT list_reduce(list_sort(list(wr)), (a, b) -> a + b) AS z
+            FROM w)
+      SELECT source, n_docs, p, wr / z AS share
+      FROM w, z ORDER BY source"""),
+    covers = Seq("TD-mixture-temperature"))
+
+  /** HyperLogLog register sketch over the distinct-token stream
+    * ([[graft.functions.HllSketch.registers]], p=6 → 64 buckets):
+    * exact-integer registers, oracle-checked bit-for-bit; the
+    * harmonic-mean estimate is spec-verified driver-side. */
+  val q118 = Q(
+    "q118_hll_registers",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("tok")).distinct()
+      graft.functions.HllSketch.registers(toks, col("tok"), p = 6, seed = 0)
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val mask = (1L << 54) - 1
+      s"""
+      WITH d AS (SELECT DISTINCT tok FROM
+             (SELECT unnest(string_split(text,' ')) AS tok FROM documents)),
+      h AS (SELECT ${dkHash(0, "tok")} AS h FROM d),
+      r AS (SELECT h >> 54 AS bucket,
+              CAST(CASE WHEN (h & $mask) = 0 THEN 55
+                   ELSE 54 - (length(bin(h & $mask)) - 1) END AS BIGINT) AS rho
+            FROM h)
+      SELECT bucket, max(rho) AS max_rho
+      FROM r GROUP BY bucket ORDER BY bucket"""
+    },
+    covers = Seq("TD-sketch-hll"))
+
+  /** Boilerplate-prefix detection ([[CorpusPipeline.boilerplatePrefix]]):
+    * per-(source, 8-token-prefix) document frequency flags template
+    * instances. */
+  val q119 = Q(
+    "q119_boilerplate_prefix",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.boilerplatePrefix(Tables(s, dir, "documents"),
+          prefixTokens = 8, minDf = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH p AS (SELECT doc_id, source,
+              ${dkHash(0, "array_to_string(string_split(text,' ')[1:8], ' ')")}
+                AS ph
+            FROM documents),
+      d AS (SELECT source, ph, count(*) AS prefix_df FROM p
+            GROUP BY source, ph)
+      SELECT doc_id, p.source, prefix_df, prefix_df >= 3 AS is_boilerplate
+      FROM p JOIN d USING (source, ph) ORDER BY doc_id"""),
+    covers = Seq("TD-boilerplate"))
+
+  /** OOV rate against the corpus' own top-20 token head
+    * ([[CorpusPipeline.oovRate]]) — tokenizer-coverage diagnostic. */
+  val q120 = Q(
+    "q120_oov_rate",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.oovRate(Tables(s, dir, "documents"), vocabSize = 20)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                  FROM documents),
+      v AS (SELECT tok FROM
+              (SELECT tok, count(*) AS n FROM tk GROUP BY tok)
+            ORDER BY n DESC, tok LIMIT 20)
+      SELECT tk.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+             CAST(count(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS oov_rate
+      FROM tk LEFT JOIN v ON tk.tok = v.tok
+      GROUP BY tk.doc_id ORDER BY doc_id"""),
+    covers = Seq("TD-oov-rate", "TD-token-count"))
+
+  /** Adjacent-bigram collocations ranked by lift (log-free PMI)
+    * ([[CorpusPipeline.collocationLift]]), top-15 by frequency with
+    * deterministic tie-break. */
+  val q121 = Q(
+    "q121_collocation_lift",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.collocationLift(Tables(s, dir, "documents"), k = 15)
+        .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
+    },
+    Some("""
+      WITH toks AS (SELECT string_split(text,' ') AS ws FROM documents),
+      uni AS (SELECT tok, count(*) AS n_tok FROM
+                (SELECT unnest(ws) AS tok FROM toks) GROUP BY tok),
+      n1 AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n1 FROM uni),
+      bi AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM (
+               SELECT ws[i] AS tok_a, ws[i+1] AS tok_b
+               FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i
+                     FROM toks))
+             GROUP BY tok_a, tok_b),
+      n2 AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n2 FROM bi),
+      top AS (SELECT * FROM bi ORDER BY n_ab DESC, tok_a, tok_b LIMIT 15)
+      SELECT t.tok_a, t.tok_b, t.n_ab,
+             (CAST(t.n_ab AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+             ((CAST(ua.n_tok AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+              (CAST(ub.n_tok AS DOUBLE) / CAST(n1 AS DOUBLE))) AS lift
+      FROM top t JOIN uni ua ON t.tok_a = ua.tok
+                 JOIN uni ub ON t.tok_b = ub.tok, n1, n2
+      ORDER BY n_ab DESC, tok_a, tok_b"""),
+    covers = Seq("TD-collocations"))
+
+  /** LSH dedup-quality harness: candidate pairs (q23's banded LSH) vs
+    * exact Jaccard ≥ 0.5 truth (q21's machinery) — the pair-level
+    * precision/recall a production dedup tunes (bands, rows, k)
+    * against, the q112 evaluation pattern applied to TEXT near-dup.
+    * One-row output of exact counts + two single divisions. */
+  val q122 = Q(
+    "q122_lsh_dedup_quality",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+          minJ = 0.5).select(col("id_a"), col("id_b"))
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = K)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", k = K,
+          rows = BAND_ROWS).select(col("id_a"), col("id_b"))
+      val t = truth.agg(count(lit(1)).as("n_true"))
+      val c = cand.agg(count(lit(1)).as("n_cand"))
+      val h = truth.join(cand, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hits"))
+      t.crossJoin(c).crossJoin(h)
+        .select(col("n_true"), col("n_cand"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_cand").cast("double"))
+            .as("pair_precision"),
+          (col("n_hits").cast("double") / col("n_true").cast("double"))
+            .as("pair_recall"))
+    },
+    Some {
+      val bandRows = (0 until K / BAND_ROWS).map { b =>
+        val key = (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $dkShingles,
+      $dkSig,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b USING(sh)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      truth AS (SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5),
+      bands AS (
+        $bandRows),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b USING(band, band_key)
+               WHERE a.doc_id < b.doc_id),
+      hit AS (SELECT count(*) AS n FROM truth JOIN cand USING (id_a, id_b))
+      SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+             CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+             CAST((SELECT n FROM hit) AS BIGINT) AS n_hits,
+             CAST((SELECT n FROM hit) AS DOUBLE)
+               / CAST((SELECT count(*) FROM cand) AS DOUBLE) AS pair_precision,
+             CAST((SELECT n FROM hit) AS DOUBLE)
+               / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS pair_recall"""
+    },
+    covers = Seq("TD-dedup-quality", "TD-dedup-lsh", "TD-dedup-ngram"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
-      q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114)
+      q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
+      q115, q116, q117, q118, q119, q120, q121, q122)
 }

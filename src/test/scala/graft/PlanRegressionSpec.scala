@@ -259,8 +259,12 @@ class PlanRegressionSpec extends SparkSpec {
       "q98_histogram",              // 1-row min/max bounds crossJoin
       "q102_bm25_topk",             // 1-row corpus-stats crossJoin
       "q110_rarity_score",          // 1-row corpus-count crossJoin
-      "q112_ann_recall")            // exact side IS the declared brute baseline
+      "q112_ann_recall",            // exact side IS the declared brute baseline
                                     // (recall harness runs on sampled queries)
+      "q117_temperature_mix",       // two 1-row scalar attaches (total + normalizer)
+      "q121_collocation_lift",      // two 1-row grand-total crossJoins over k rows
+      "q122_lsh_dedup_quality")     // 1-row counts; truth side IS q21's declared
+                                    // all-pairs baseline (harness, not prod path)
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
