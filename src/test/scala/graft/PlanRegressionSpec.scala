@@ -234,6 +234,40 @@ class PlanRegressionSpec extends SparkSpec {
         p.take(800))
   }
 
+  test("q115: block dedup — keeper resolved by hash equi-join, no " +
+      "single-partition stage, rebuild agg keeps map-side partials") {
+    val p = plan("q115_block_dedup")
+    assert(!p.contains("Exchange SinglePartition"),
+      "block dedup must never serialize into one partition:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "keeper resolution must stay an equi-join on the block hash:\n" +
+        p.take(800))
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      "doc rebuild must keep partial (map-side) aggregation:\n" + p.take(600))
+  }
+
+  test("q118: HLL registers — map-side combined aggregation, no join, " +
+      "no single-partition stage") {
+    val p = plan("q118_hll_registers")
+    assert(!p.contains("Join"), "sketch build must not join:\n" + p.take(600))
+    assert(!p.contains("Exchange SinglePartition"),
+      "register aggregation must stay distributed:\n" + p.take(600))
+    assert(p.contains("partial_max"),
+      "register agg must keep the map-side partial max (the property " +
+        "that makes the sketch mergeable):\n" + p.take(600))
+  }
+
+  test("q120: OOV rate — vocab head is TakeOrdered and broadcasts; the " +
+      "occurrence stream is never sort-merged") {
+    val p = plan("q120_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab cut must early-terminate per partition:\n" + p.take(600))
+    assert(p.contains("BroadcastHashJoin"),
+      "tiny vocab must broadcast against the occurrence stream:\n" + p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "occurrence stream must not shuffle for the vocab join")
+  }
+
   test("q104: snapshot states dedup via WindowGroupLimit; batch cutoffs " +
       "pushed to the parquet scans") {
     val f = formatted("q104_scd2_merge")
