@@ -896,6 +896,129 @@ object CorpusPipeline {
           .as("lift"))
   }
 
+  /** Content-defined chunking (the Rabin/CDC scheme of storage dedup
+    * and incremental-ingest pipelines, over tokens): a chunk boundary
+    * falls AFTER token i wherever the rolling window hash of the last
+    * `w` tokens ending at i satisfies `hash % (1<<maskBits) == 0`, plus
+    * a forced boundary at the doc end. Unlike fixed-stride chunking
+    * (q99), an insertion near the start shifts only the chunks up to
+    * the next content boundary — every later chunk re-aligns and
+    * dedups against the previous version (the property CDC exists
+    * for). Expected chunk length = 2^maskBits tokens.
+    *
+    * Scale shape: boundary detection and span construction are one
+    * narrow higher-order projection over the token array (no shuffle,
+    * no join); the explode fan-out is #chunks ≈ n_tokens/2^maskBits.
+    * Chunk identity is the seeded 60-bit content hash, so chunk-level
+    * dedup composes with the q18 fingerprint machinery unchanged. */
+  def contentDefinedChunks(docs: DataFrame, w: Int = 3, maskBits: Int = 4,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(w > 0 && maskBits >= 1 && maskBits <= 20,
+      "need w > 0 and maskBits in [1,20]")
+    val mask = 1L << maskBits
+    val ws = col("__ws")
+    val n = size(ws)
+    // candidate boundary positions (1-based, after token i), i in [w, n]
+    val bpos = when(n >= w,
+      filter(sequence(lit(w), n),
+        i => T.hash60(concat_ws(" ", slice(ws, i - w + 1, lit(w))), 0) % mask
+          === 0L)).otherwise(array().cast("array<int>"))
+    docs.select(col(id), T.tokens(col(text)).as("__ws"))
+      .withColumn("__bs", bpos)
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(col("__bs"), b => b + 1)))
+      .withColumn("__ends", concat(col("__bs"), array(n)))
+      .select(col(id), col("__ws"), posexplode(
+        filter(zip_with(col("__starts"), col("__ends"),
+          (s, e) => struct(s.as("s"), e.as("e"))), p => p("s") <= p("e")))
+        .as(Seq("chunk_idx", "span")))
+      .select(col(id), col("chunk_idx"),
+        (col("span.e") - col("span.s") + 1).cast("long").as("n_chunk_toks"),
+        T.hash60(concat_ws(" ",
+          slice(col("__ws"), col("span.s"), col("span.e") - col("span.s") + 1)),
+          0).as("chunk_hash"))
+  }
+
+  /** EXACT corpus quantiles of the token-length distribution via a
+    * value histogram — the scale-safe formulation for any
+    * bounded-cardinality metric: aggregate counts per DISTINCT length
+    * (map-side combined; cardinality ≤ max doc length, thousands not
+    * billions), run the cumulative sum over that tiny table (the
+    * deliberate q86-offsets-style bounded single-partition window),
+    * and each requested p picks the smallest value whose cumulative
+    * count reaches the nearest-rank cutoff ⌈p·N⌉. No global sort of
+    * the data, no approximation — percentile_approx exists for the
+    * unbounded-cardinality case, this is the exact path when the
+    * domain is small.
+    *
+    * The p × distinct-values probe join is a bounded nested loop
+    * (|ps| · |lengths| pairs) — declared, constant-sized. */
+  def lengthQuantiles(docs: DataFrame, ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      text: String = "text"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "quantiles must lie in (0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val c = docs.select(T.tokenCount(col(text)).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("__n"))
+    // bounded single-partition window: one row per DISTINCT length
+    val cum = c.withColumn("__cum",
+      sum(col("__n")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = c.agg(sum(col("__n")).as("__t"))
+    ps.toDF("p").crossJoin(broadcast(total))
+      .withColumn("__rank", ceil(col("p") * col("__t")).cast("long"))
+      .join(cum, col("__cum") >= col("__rank"))
+      .groupBy(col("p")).agg(min(col("v")).as("quantile"))
+  }
+
+  /** Per-source distribution drift as TOTAL-VARIATION distance from
+    * the corpus token distribution: TV(s) = ½ Σ_tok |p_s − p_corpus|
+    * — the drift/contamination detector run when a new crawl lands
+    * (KL/JS need logs; TV is the log-free metric with the same
+    * "how different is this source" reading, in [0,1]).
+    *
+    * Exactness: every term is INTEGER until one final division —
+    * |n_st·N − n_t·N_s| sums exactly (no float summation order
+    * anywhere, unlike a sorted-fold of per-token doubles), the
+    * out-of-source mass Σ_{t∉s} p_c collapses to the closed form
+    * N_s·(N − Σ_{t∈s} n_t) (no source×vocab grid materializes), and
+    * TV = (Σ + closed form) / (2·N_s·N) is one IEEE division of
+    * exactly-derived operands. int64 holds to ~10^6-token-corpus ×
+    * source scale; beyond that switch the two sums to DECIMAL(38,0) —
+    * same plan, wider type.
+    *
+    * Scale shape: three hash aggregations (per-(source,token),
+    * per-token, per-source — all map-side combined), one equi-join on
+    * the token, one broadcast grand total, one per-source aggregation.
+    * Nothing is all-pairs and no per-group list is collected. */
+  def sourceDivergence(docs: DataFrame, source: String = "source",
+      text: String = "text"): DataFrame = {
+    val toks = graft.ops.Compute.spread(docs.select(col(source), col(text)))
+      .select(col(source), explode(T.tokens(col(text))).as("tok"))
+    val st = toks.groupBy(col(source), col("tok"))
+      .agg(count(lit(1)).as("__n_st"))
+    val ct = toks.groupBy(col("tok")).agg(count(lit(1)).as("__n_t"))
+    val ns = toks.groupBy(col(source)).agg(count(lit(1)).as("n_tokens_src"))
+    val n = toks.agg(count(lit(1)).as("__n"))
+    st.join(ct, Seq("tok"))
+      .join(ns, Seq(source))
+      .crossJoin(broadcast(n))
+      .groupBy(col(source))
+      .agg(
+        max(col("n_tokens_src")).as("n_tokens_src"),
+        max(col("__n")).as("__nn"),
+        sum(abs(col("__n_st") * col("__n") -
+          col("__n_t") * col("n_tokens_src"))).as("__num"),
+        sum(col("__n_t")).as("__sum_nt"))
+      .select(col(source), col("n_tokens_src"),
+        ((col("__num") +
+          col("n_tokens_src") * (col("__nn") - col("__sum_nt")))
+          .cast("double") /
+          (lit(2L) * col("n_tokens_src") * col("__nn")).cast("double"))
+          .as("tv_distance"))
+  }
+
   /** Corpus-level stats of a (possibly filtered) doc set. */
   def stats(docs: DataFrame): DataFrame =
     withQuality(docs).agg(

@@ -1990,10 +1990,95 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-dedup-quality", "TD-dedup-lsh", "TD-dedup-ngram"))
 
+  /** Content-defined chunking ([[CorpusPipeline.contentDefinedChunks]],
+    * w=3 window, 4 mask bits → expected 16-token chunks): boundaries
+    * where the rolling window hash ≡ 0 (mod 16) — the dedup-stable
+    * chunking of storage/incremental-ingest systems. */
+  val q123 = Q(
+    "q123_cdc_chunks",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.contentDefinedChunks(Tables(s, dir, "documents"),
+          w = 3, maskBits = 4)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      bp AS (SELECT doc_id, ws, len(ws) AS n,
+               [i for i in generate_series(3, len(ws))
+                if (${dkHash(0, "array_to_string(ws[(i-2):i], ' ')")} % 16) = 0]
+                 AS bs
+             FROM toks),
+      sp AS (SELECT doc_id, ws,
+               list_prepend(1, [b + 1 for b in bs]) AS starts,
+               list_append(bs, n) AS ends
+             FROM bp),
+      ch AS (SELECT doc_id, ws, starts[i] AS s, ends[i] AS e
+             FROM (SELECT doc_id, ws, starts, ends,
+                     unnest(generate_series(1, len(starts))) AS i
+                   FROM sp)
+             WHERE starts[i] <= ends[i])
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+               AS INTEGER) AS chunk_idx,
+             CAST(e - s + 1 AS BIGINT) AS n_chunk_toks,
+             ${dkHash(0, "array_to_string(ws[s:e], ' ')")} AS chunk_hash
+      FROM ch ORDER BY doc_id, chunk_idx"""),
+    covers = Seq("TD-cdc-chunking"))
+
+  /** Exact token-length quantiles via the bounded value histogram
+    * ([[CorpusPipeline.lengthQuantiles]]) — nearest-rank p50/p90/p99. */
+  val q124 = Q(
+    "q124_length_quantiles",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.lengthQuantiles(Tables(s, dir, "documents"))
+        .orderBy(col("p"))
+    },
+    Some("""
+      WITH c AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT) AS v,
+                   count(*) AS n FROM documents GROUP BY v),
+      cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM c),
+      tt AS (SELECT count(*) AS n_total FROM documents),
+      pp AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                            CAST(0.99 AS DOUBLE)]) AS p)
+      SELECT p, min(v) AS quantile
+      FROM pp, tt, cum
+      WHERE cum >= CAST(ceil(p * n_total) AS BIGINT)
+      GROUP BY p ORDER BY p"""),
+    covers = Seq("TD-length-quantiles"))
+
+  /** Per-source total-variation drift from the corpus token
+    * distribution ([[CorpusPipeline.sourceDivergence]]) — log-free
+    * KL-style drift detection, exact integer sums, one division. */
+  val q125 = Q(
+    "q125_source_divergence",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.sourceDivergence(Tables(s, dir, "documents"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH tk AS (SELECT source, unnest(string_split(text,' ')) AS tok
+                  FROM documents),
+      st AS (SELECT source, tok, count(*) AS n_st FROM tk
+             GROUP BY source, tok),
+      ct AS (SELECT tok, count(*) AS n_t FROM tk GROUP BY tok),
+      ns AS (SELECT source, count(*) AS n_s FROM tk GROUP BY source),
+      nn AS (SELECT count(*) AS n FROM tk)
+      SELECT s.source, ns.n_s AS n_tokens_src,
+             CAST(sum(abs(s.n_st * n - c.n_t * ns.n_s)) +
+                  ns.n_s * (n - sum(c.n_t)) AS DOUBLE)
+               / CAST(2 * ns.n_s * n AS DOUBLE) AS tv_distance
+      FROM st s JOIN ct c USING (tok) JOIN ns USING (source), nn
+      GROUP BY s.source, ns.n_s, nn.n
+      ORDER BY source"""),
+    covers = Seq("TD-source-drift"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
       q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, q120, q121, q122)
+      q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
 }

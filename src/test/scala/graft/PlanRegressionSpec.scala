@@ -297,8 +297,10 @@ class PlanRegressionSpec extends SparkSpec {
                                     // (recall harness runs on sampled queries)
       "q117_temperature_mix",       // two 1-row scalar attaches (total + normalizer)
       "q121_collocation_lift",      // two 1-row grand-total crossJoins over k rows
-      "q122_lsh_dedup_quality")     // 1-row counts; truth side IS q21's declared
+      "q122_lsh_dedup_quality",     // 1-row counts; truth side IS q21's declared
                                     // all-pairs baseline (harness, not prod path)
+      "q124_length_quantiles",      // bounded |ps| x |distinct lengths| probe join
+      "q125_source_divergence")     // 1-row grand-total crossJoin
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>

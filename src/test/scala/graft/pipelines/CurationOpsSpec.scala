@@ -96,6 +96,50 @@ class CurationOpsSpec extends SparkSpec {
       math.abs(out(1).getDouble(3) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("contentDefinedChunks: chunks tile the doc; boundaries survive a " +
+      "front insertion (the CDC property)") {
+    val words = (1 to 200).map(i => s"w${i % 37}").mkString(" ")
+    val base = docs(1L -> words)
+    val chunks = CorpusPipeline.contentDefinedChunks(base)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getLong(2)).sum == 200L, "chunks must tile the doc")
+    assert(chunks.length > 3, "200 tokens at 16-token expectation must split")
+    // prepend one token: every content window from token 2 on is
+    // unchanged, so every boundary shifts by one and every chunk except
+    // the FIRST keeps its hash — the re-alignment fixed-stride
+    // chunking (q99) cannot do
+    val shifted = CorpusPipeline.contentDefinedChunks(docs(2L -> s"zzz $words"))
+      .orderBy("chunk_idx").collect()
+    assert(shifted.length == chunks.length)
+    assert(shifted.map(_.getLong(3)).drop(1).sameElements(
+      chunks.map(_.getLong(3)).drop(1)),
+      "all chunks after the first must re-align after an insertion")
+    assert(shifted.head.getLong(3) != chunks.head.getLong(3))
+  }
+
+  test("lengthQuantiles: nearest-rank cutoffs on a known distribution") {
+    val d = (1 to 10).map(n => (n.toLong, ("x " * n).trim)).toDF("doc_id", "text")
+    val out = CorpusPipeline.lengthQuantiles(d, ps = Seq(0.5, 1.0))
+      .orderBy("p").collect()
+    assert(out(0).getLong(1) == 5L, "p50 of lengths 1..10 is 5 (rank 5)")
+    assert(out(1).getLong(1) == 10L, "p100 is the max")
+  }
+
+  test("sourceDivergence: 0 for identical distributions, (N-n_s)/N for " +
+      "disjoint vocabularies") {
+    val same = Seq((1L, "s1", "a b c"), (2L, "s2", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val tvSame = CorpusPipeline.sourceDivergence(same).collect()
+      .map(_.getDouble(2))
+    assert(tvSame.forall(_ == 0.0), "identical distributions must score 0")
+    val disjoint = Seq((1L, "s1", "a a b"), (2L, "s2", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val tvDis = CorpusPipeline.sourceDivergence(disjoint).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // disjoint closed form: (N - n_s) / N = 3/6
+    assert(tvDis("s1") == 0.5 && tvDis("s2") == 0.5)
+  }
+
   test("collocationLift: fixed pair dominates and lift exceeds 1") {
     val d = docs(
       1L -> "new york new york new york",
