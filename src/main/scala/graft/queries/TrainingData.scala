@@ -2075,10 +2075,77 @@ object TrainingData extends QueryPack {
       ORDER BY source"""),
     covers = Seq("TD-source-drift"))
 
+  /** Band-count tuning harness for the embedding LSH generator (the
+    * knob behind q26 AND q111's candidate stage): verified-pair recall
+    * of [[graft.ops.Dedup.embeddingDupPairsLsh]] vs the q66 exact
+    * truth at bands ∈ {2, 4, 8} (OR-construction: more bands = higher
+    * recall, fatter candidate set). Verified pairs are a SUBSET of the
+    * truth by construction (same exact-cosine threshold), so recall is
+    * the whole story and precision is 1. Exact integer buckets make
+    * the recall numbers themselves oracle-checkable — the q112/q122
+    * evaluation pattern completing the harness family. Truth side is
+    * the declared all-pairs baseline; run on a sample at scale. */
+  val q126 = Q(
+    "q126_embedding_lsh_quality",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val nTrue = Dedup.embeddingDupPairsExact(emb, "vec_id", "embedding",
+          minCos = 0.4).agg(count(lit(1)).as("n_true"))
+      val found = Seq(2, 4, 8).map { b =>
+        Dedup.embeddingDupPairsLsh(emb, "vec_id", "embedding",
+            minCos = 0.4, bands = b)
+          .agg(count(lit(1)).as("n_found"))
+          .select(lit(b).as("bands"), col("n_found"))
+      }.reduce(_ unionByName _)
+      found.crossJoin(broadcast(nTrue))
+        .select(col("bands"), col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true").cast("double"))
+            .as("band_recall"))
+        .orderBy(col("bands"))
+    },
+    Some {
+      def bkt(b: Int): String = {
+        val cols = (0 until b)
+          .map(t => s"(${dkBand("n", t, 4)}) AS band$t")
+          .mkString(",\n                ")
+        s"""bkt$b AS (SELECT vec_id, qv, nsq,
+                $cols
+              FROM n)"""
+      }
+      def f(b: Int): String = {
+        val anyMatch = (0 until b).map(t => s"x.band$t = y.band$t")
+          .mkString(" OR ")
+        s"""f$b AS (SELECT CAST($b AS INTEGER) AS bands, count(*) AS n_found
+             FROM (SELECT 1 FROM bkt$b x JOIN bkt$b y
+                   ON x.vec_id < y.vec_id AND ($anyMatch)
+                   WHERE ${dkDot("x", "y")} / (sqrt(x.nsq) * sqrt(y.nsq))
+                     >= 0.4))"""
+      }
+      s"""
+      WITH $dkQuantized,
+      ${bkt(2)},
+      ${bkt(4)},
+      ${bkt(8)},
+      tr AS (SELECT count(*) AS n_true
+             FROM (SELECT 1 FROM n x JOIN n y ON x.vec_id < y.vec_id
+                   WHERE ${dkDot("x", "y")} / (sqrt(x.nsq) * sqrt(y.nsq))
+                     >= 0.4)),
+      ${f(2)},
+      ${f(4)},
+      ${f(8)}
+      SELECT bands, n_true, n_found,
+             CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS band_recall
+      FROM (SELECT * FROM f2 UNION ALL SELECT * FROM f4
+            UNION ALL SELECT * FROM f8), tr
+      ORDER BY bands"""
+    },
+    covers = Seq("TD-dedup-quality", "TD-dedup-cosine"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
       q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
+      q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
+      q126)
 }

@@ -300,7 +300,9 @@ class PlanRegressionSpec extends SparkSpec {
       "q122_lsh_dedup_quality",     // 1-row counts; truth side IS q21's declared
                                     // all-pairs baseline (harness, not prod path)
       "q124_length_quantiles",      // bounded |ps| x |distinct lengths| probe join
-      "q125_source_divergence")     // 1-row grand-total crossJoin
+      "q125_source_divergence",     // 1-row grand-total crossJoin
+      "q126_embedding_lsh_quality") // truth side IS q66's declared all-pairs
+                                    // baseline; 1-row count crossJoin
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
