@@ -2141,11 +2141,60 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-dedup-quality", "TD-dedup-cosine"))
 
+  /** Distributed Lloyd k-means training ([[graft.ops.KMeans.assign]],
+    * k=4, one full update round): the TRAINING side of the IVF path —
+    * q79 probes fixed centroids, this op produces trained ones. Exact
+    * integer per-dim sums + one division per mean + fixed-order
+    * distance folds make even the trained assignments oracle-exact;
+    * the oracle unrolls the iteration (init → assign → integer sums →
+    * means with empty-cluster carry → final assign). */
+  val q127 = Q(
+    "q127_kmeans_train",
+    (s, dir) => {
+      graft.ops.KMeans.assign(Tables(s, dir, "embeddings"), k = 4,
+          iters = 1)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      def dist(cTable: String) =
+        s"""list_reduce([(CAST(a.qv[i] AS DOUBLE) - c.m[i]) *
+               (CAST(a.qv[i] AS DOUBLE) - c.m[i])
+               for i in generate_series(1,64)], (x, y) -> x + y)"""
+      s"""
+      WITH $dkQuantized,
+      init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                 AS cid,
+                 [CAST(v AS DOUBLE) for v in qv] AS m
+               FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
+      d1 AS (SELECT a.vec_id, c.cid, ${dist("init")} AS dist_sq
+             FROM q a CROSS JOIN init c),
+      a1 AS (SELECT vec_id, cid FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist_sq, cid) AS rn FROM d1)
+             WHERE rn = 1),
+      s1 AS (SELECT a1.cid, i, sum(q.qv[i]) AS s, count(*) AS n
+             FROM a1 JOIN q USING (vec_id)
+             CROSS JOIN generate_series(1,64) g(i)
+             GROUP BY a1.cid, i),
+      u1 AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                              ORDER BY i) AS m
+             FROM s1 GROUP BY cid),
+      c1 AS (SELECT init.cid, coalesce(u1.m, init.m) AS m
+             FROM init LEFT JOIN u1 USING (cid)),
+      d2 AS (SELECT a.vec_id, c.cid, ${dist("c1")} AS dist_sq
+             FROM q a CROSS JOIN c1 c)
+      SELECT vec_id, cid AS cluster, dist_sq FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist_sq, cid) AS rn FROM d2)
+      WHERE rn = 1 ORDER BY vec_id"""
+    },
+    covers = Seq("TD-kmeans", "TD-ann-ivf"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
       q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-      q126)
+      q126, q127)
 }

@@ -301,8 +301,10 @@ class PlanRegressionSpec extends SparkSpec {
                                     // all-pairs baseline (harness, not prod path)
       "q124_length_quantiles",      // bounded |ps| x |distinct lengths| probe join
       "q125_source_divergence",     // 1-row grand-total crossJoin
-      "q126_embedding_lsh_quality") // truth side IS q66's declared all-pairs
+      "q126_embedding_lsh_quality", // truth side IS q66's declared all-pairs
                                     // baseline; 1-row count crossJoin
+      "q127_kmeans_train")          // k-row centroid table rides as a collected
+                                    // 1-row broadcast array (per-row argmin HOF)
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>

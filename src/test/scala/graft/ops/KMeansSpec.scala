@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight, well-separated 64-dim blobs around +1 and -1
+  private def blobs = {
+    val rows = (0 until 20).map { i =>
+      val base = if (i < 10) 1.0f else -1.0f
+      val v = Array.tabulate(64)(d => base + 0.01f * ((i * 7 + d) % 5))
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("separable blobs: two iterations recover the true partition") {
+    val out = KMeans.assign(blobs, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // init picks vec_id 0 and 1 (both in blob A) — only the UPDATE
+    // step can pull a centroid across to blob B, so convergence here
+    // proves the Lloyd round actually moves centroids
+    val a = (0L until 10L).map(out)
+    val b = (10L until 20L).map(out)
+    assert(a.distinct.size == 1, s"blob A split: $a")
+    assert(b.distinct.size == 1, s"blob B split: $b")
+    assert(a.head != b.head, "blobs must land in different clusters")
+  }
+
+  test("assignments independent of partitioning; iters=0 is nearest-init") {
+    val d = blobs
+    val r1 = KMeans.assign(d, k = 3, iters = 1).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val r2 = KMeans.assign(d.repartition(7), k = 3, iters = 1)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r1.sameElements(r2), "k-means must not depend on partitioning")
+    val init = KMeans.assign(d, k = 2, iters = 0).orderBy("vec_id").collect()
+    // with zero updates, vec 0 and 1 ARE the centroids: self-distance 0
+    assert(init(0).getLong(1) == 0L && init(0).getDouble(2) == 0.0)
+    assert(init(1).getLong(1) == 1L && init(1).getDouble(2) == 0.0)
+  }
+}
