@@ -32,35 +32,44 @@ import graft.functions.{VectorFunctions => V}
   */
 object KMeans {
 
-  /** Assignments after `iters` full Lloyd updates: (id, cluster,
-    * dist_sq) with cluster = final nearest centroid id in [0, k). */
-  def assign(emb: DataFrame, k: Int, iters: Int, id: String = "vec_id",
+  private def prep(emb: DataFrame, id: String, vec: String): DataFrame =
+    emb.select(col(id), V.quantize(col(vec)).as("__q"))
+      .withColumn("__qd", transform(col("__q"), _.cast("double")))
+
+  /** Per-row squared distance of the quantized-double vector `qd` to
+    * a centroid mean — fixed index-order fold, the determinism pin. */
+  private def distSq(qd: org.apache.spark.sql.Column,
+      mean: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(qd, mean, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest trained centroid per row of (already-prepped) `q`. */
+  private def assignPrepped(q: DataFrame, cents: DataFrame,
+      id: String): DataFrame = {
+    val cArr = cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("mean")))).as("__cs"))
+    q.crossJoin(broadcast(cArr))
+      .withColumn("__best", array_min(transform(col("__cs"), c =>
+        struct(distSq(col("__qd"), c("mean")).as("dist_sq"),
+          c("cid").as("cid")))))
+      .select(col(id), col("__q"),
+        col("__best.cid").as("cluster"),
+        col("__best.dist_sq").as("dist_sq"))
+  }
+
+  /** Trained centroid table (cid, mean) after `iters` Lloyd updates
+    * from the smallest-id init — k rows, bounded by contract. */
+  def centroids(emb: DataFrame, k: Int, iters: Int, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {
     require(k >= 1 && iters >= 0, "need k >= 1 and iters >= 0")
-    val q = emb.select(col(id), V.quantize(col(vec)).as("__q"))
-      .withColumn("__qd", transform(col("__q"), _.cast("double")))
-    // init: the k smallest-id vectors, cid by id rank (k-row window)
+    val q = prep(emb, id, vec)
     val init = q.orderBy(col(id)).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col(id))) - 1).cast("long"))
       .select(col("cid"), col("__qd").as("mean"))
-    def assignTo(cents: DataFrame): DataFrame = {
-      val cArr = cents.agg(
-        sort_array(collect_list(struct(col("cid"), col("mean")))).as("__cs"))
-      q.crossJoin(broadcast(cArr))
-        .withColumn("__best", array_min(transform(col("__cs"), c =>
-          struct(
-            aggregate(
-              zip_with(col("__qd"), c("mean"), (a, b) => (a - b) * (a - b)),
-              lit(0.0), (acc, x) => acc + x).as("dist_sq"),
-            c("cid").as("cid")))))
-        .select(col(id), col("__q"),
-          col("__best.cid").as("cluster"),
-          col("__best.dist_sq").as("dist_sq"))
-    }
     var cents = init
     for (_ <- 1 to iters) {
-      val assigned = assignTo(cents)
+      val assigned = assignPrepped(q, cents, id)
       // exact integer per-dim sums; shuffle carries k·d rows
       val sums = assigned
         .select(col("cluster"), posexplode(col("__q")).as(Seq("__dim", "__v")))
@@ -77,6 +86,56 @@ object KMeans {
         .join(upd, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("mean"), col("__prev")).as("mean"))
     }
-    assignTo(cents).drop("__q")
+    cents
+  }
+
+  /** Assignments after `iters` full Lloyd updates: (id, cluster,
+    * dist_sq) with cluster = final nearest centroid id in [0, k). */
+  def assign(emb: DataFrame, k: Int, iters: Int, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame =
+    assignPrepped(prep(emb, id, vec), centroids(emb, k, iters, id, vec), id)
+      .drop("__q")
+
+  /** IVF ANN over TRAINED centroids — q79's probe pattern with this
+    * op's Lloyd-trained coarse quantizer instead of fixed seed
+    * vectors, end-to-end in-plan (the centroid table is never
+    * collected): corpus vectors index into their nearest trained
+    * cell, each query probes its `nProbe` nearest cells, and only
+    * same-cell candidates are scored exactly (quantized cosine, the
+    * shared similarity channel). Approximate by design — a true
+    * neighbor in an unprobed cell is missed — and exactly reproducible.
+    *
+    * Scale shape: training as [[centroids]]; the probe explode is
+    * nProbe rows per query; the candidate join is an equi-join on the
+    * cell id (shuffle carries corpus once, keyed by cell); per-query
+    * top-k is a window over the candidate set, partitioned by query. */
+  def ivfSearch(emb: DataFrame, queries: DataFrame, k: Int, iters: Int,
+      nProbe: Int, topK: Int, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && topK >= 1, "need nProbe >= 1 and topK >= 1")
+    val cents = centroids(emb, k, iters, id, vec)
+    val cArr = cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("mean")))).as("__cs"))
+    val corpus = assignPrepped(prep(emb, id, vec), cents, id)
+      .withColumn("__n", V.normSqQ(col("__q")))
+      .select(col(id).as("id_c"), col("cluster"),
+        col("__q").as("q_c"), col("__n").as("n_c"))
+    val probes = prep(queries, id, vec).crossJoin(broadcast(cArr))
+      .select(col(id).as("id_q"), col("__q").as("q_q"),
+        V.normSqQ(col("__q")).as("n_q"),
+        explode(slice(array_sort(transform(col("__cs"), c =>
+          struct(distSq(col("__qd"), c("mean")).as("dist_sq"),
+            c("cid").as("cid")))), 1, nProbe)).as("__p"))
+      .select(col("id_q"), col("q_q"), col("n_q"),
+        col("__p.cid").as("cluster"))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cosine").desc, col("id_c").asc)
+    probes.join(corpus, Seq("cluster"))
+      .filter(col("id_q") =!= col("id_c"))
+      .withColumn("cosine", V.cosineFrom(
+        V.dotQ(col("q_q"), col("q_c")), col("n_q"), col("n_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("id_q"), col("rank"), col("id_c"), col("cosine"))
   }
 }

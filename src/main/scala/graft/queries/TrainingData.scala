@@ -2141,32 +2141,21 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-dedup-quality", "TD-dedup-cosine"))
 
-  /** Distributed Lloyd k-means training ([[graft.ops.KMeans.assign]],
-    * k=4, one full update round): the TRAINING side of the IVF path —
-    * q79 probes fixed centroids, this op produces trained ones. Exact
-    * integer per-dim sums + one division per mean + fixed-order
-    * distance folds make even the trained assignments oracle-exact;
-    * the oracle unrolls the iteration (init → assign → integer sums →
-    * means with empty-cluster carry → final assign). */
-  val q127 = Q(
-    "q127_kmeans_train",
-    (s, dir) => {
-      graft.ops.KMeans.assign(Tables(s, dir, "embeddings"), k = 4,
-          iters = 1)
-        .orderBy(col("vec_id"))
-    },
-    Some {
-      def dist(cTable: String) =
-        s"""list_reduce([(CAST(a.qv[i] AS DOUBLE) - c.m[i]) *
-               (CAST(a.qv[i] AS DOUBLE) - c.m[i])
-               for i in generate_series(1,64)], (x, y) -> x + y)"""
-      s"""
-      WITH $dkQuantized,
-      init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+  /** Shared k-means oracle CTE chain (k=4, one Lloyd update; assumes
+    * the `q` CTE from [[dkQuantized]]): init = 4 smallest-id vectors,
+    * fixed-order distance folds, exact integer per-dim sums, means by
+    * one division, empty clusters carry the previous mean, `d2` =
+    * distances to the trained centroids. Used by q127 and q128. */
+  private val dkKmeansCtes: String = {
+    val dist =
+      s"""list_reduce([(CAST(a.qv[i] AS DOUBLE) - c.m[i]) *
+             (CAST(a.qv[i] AS DOUBLE) - c.m[i])
+             for i in generate_series(1,64)], (x, y) -> x + y)"""
+    s"""init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                  AS cid,
                  [CAST(v AS DOUBLE) for v in qv] AS m
                FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
-      d1 AS (SELECT a.vec_id, c.cid, ${dist("init")} AS dist_sq
+      d1 AS (SELECT a.vec_id, c.cid, $dist AS dist_sq
              FROM q a CROSS JOIN init c),
       a1 AS (SELECT vec_id, cid FROM
                (SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -2181,14 +2170,75 @@ object TrainingData extends QueryPack {
              FROM s1 GROUP BY cid),
       c1 AS (SELECT init.cid, coalesce(u1.m, init.m) AS m
              FROM init LEFT JOIN u1 USING (cid)),
-      d2 AS (SELECT a.vec_id, c.cid, ${dist("c1")} AS dist_sq
-             FROM q a CROSS JOIN c1 c)
+      d2 AS (SELECT a.vec_id, c.cid, $dist AS dist_sq
+             FROM q a CROSS JOIN c1 c)"""
+  }
+
+  /** Distributed Lloyd k-means training ([[graft.ops.KMeans.assign]],
+    * k=4, one full update round): the TRAINING side of the IVF path —
+    * q79 probes fixed centroids, this op produces trained ones. Exact
+    * integer per-dim sums + one division per mean + fixed-order
+    * distance folds make even the trained assignments oracle-exact;
+    * the oracle unrolls the iteration (init → assign → integer sums →
+    * means with empty-cluster carry → final assign). */
+  val q127 = Q(
+    "q127_kmeans_train",
+    (s, dir) => {
+      graft.ops.KMeans.assign(Tables(s, dir, "embeddings"), k = 4,
+          iters = 1)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $dkQuantized,
+      $dkKmeansCtes
       SELECT vec_id, cid AS cluster, dist_sq FROM
         (SELECT *, row_number() OVER (PARTITION BY vec_id
            ORDER BY dist_sq, cid) AS rn FROM d2)
-      WHERE rn = 1 ORDER BY vec_id"""
-    },
+      WHERE rn = 1 ORDER BY vec_id"""),
     covers = Seq("TD-kmeans", "TD-ann-ivf"))
+
+  /** IVF ANN over TRAINED centroids ([[graft.ops.KMeans.ivfSearch]]):
+    * q79's probe pattern with q127's Lloyd-trained coarse quantizer —
+    * train → index → probe → exact-cosine top-k, end-to-end in-plan
+    * (the centroid table is never collected), every stage oracle-exact. */
+  val q128 = Q(
+    "q128_ivf_trained",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      graft.ops.KMeans.ivfSearch(emb, emb.filter($"vec_id" < 10),
+          k = 4, iters = 1, nProbe = 2, topK = 5)
+        .orderBy(col("id_q"), col("rank"))
+    },
+    Some {
+      val dist =
+        s"""list_reduce([(CAST(a.qv[i] AS DOUBLE) - c.m[i]) *
+               (CAST(a.qv[i] AS DOUBLE) - c.m[i])
+               for i in generate_series(1,64)], (x, y) -> x + y)"""
+      s"""
+      WITH $dkQuantized,
+      $dkKmeansCtes,
+      ca AS (SELECT vec_id, cid AS cluster FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist_sq, cid) AS rn FROM d2)
+             WHERE rn = 1),
+      pr AS (SELECT a.vec_id AS id_q, c.cid AS cluster,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY $dist, c.cid) AS prn
+             FROM q a CROSS JOIN c1 c WHERE a.vec_id < 10),
+      sc AS (SELECT p.id_q, ix.vec_id AS id_c,
+               ${dkDot("qq", "cc")} / (sqrt(qq.nsq) * sqrt(cc.nsq)) AS cosine
+             FROM (SELECT id_q, cluster FROM pr WHERE prn <= 2) p
+             JOIN ca ix USING (cluster)
+             JOIN n qq ON qq.vec_id = p.id_q
+             JOIN n cc ON cc.vec_id = ix.vec_id
+             WHERE ix.vec_id <> p.id_q)
+      SELECT id_q, rank, id_c, cosine FROM
+        (SELECT *, CAST(row_number() OVER (PARTITION BY id_q
+           ORDER BY cosine DESC, id_c) AS INT) AS rank FROM sc)
+      WHERE rank <= 5 ORDER BY id_q, rank"""
+    },
+    covers = Seq("TD-ann-ivf", "TD-kmeans"))
 
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
@@ -2196,5 +2246,5 @@ object TrainingData extends QueryPack {
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
       q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-      q126, q127)
+      q126, q127, q128)
 }

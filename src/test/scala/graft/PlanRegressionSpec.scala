@@ -303,8 +303,9 @@ class PlanRegressionSpec extends SparkSpec {
       "q125_source_divergence",     // 1-row grand-total crossJoin
       "q126_embedding_lsh_quality", // truth side IS q66's declared all-pairs
                                     // baseline; 1-row count crossJoin
-      "q127_kmeans_train")          // k-row centroid table rides as a collected
+      "q127_kmeans_train",          // k-row centroid table rides as a collected
                                     // 1-row broadcast array (per-row argmin HOF)
+      "q128_ivf_trained")           // same k-row centroid broadcast in train+probe
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>

@@ -29,6 +29,28 @@ class KMeansSpec extends SparkSpec {
     assert(a.head != b.head, "blobs must land in different clusters")
   }
 
+  test("ivfSearch: trained cells route queries to their own blob; " +
+      "deterministic under repartition") {
+    val d = blobs
+    val q = d.filter($"vec_id".isin(0L, 15L))
+    val out = KMeans.ivfSearch(d, q, k = 2, iters = 2, nProbe = 1,
+      topK = 3).collect()
+    // with 1 probed cell over converged 2-blob centroids, neighbors of
+    // a blob-A query are all blob-A members (and vice versa)
+    out.foreach { r =>
+      val (idQ, idC) = (r.getLong(0), r.getLong(2))
+      assert((idQ < 10) == (idC < 10),
+        s"query $idQ got cross-blob neighbor $idC")
+    }
+    assert(out.count(_.getLong(0) == 0L) == 3 &&
+      out.count(_.getLong(0) == 15L) == 3)
+    val r2 = KMeans.ivfSearch(d.repartition(5), q, k = 2, iters = 2,
+      nProbe = 1, topK = 3).orderBy("id_q", "rank").collect()
+    val r1 = out.sortBy(r => (r.getLong(0), r.getInt(1)))
+    assert(r1.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sameElements(r2.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))))
+  }
+
   test("assignments independent of partitioning; iters=0 is nearest-init") {
     val d = blobs
     val r1 = KMeans.assign(d, k = 3, iters = 1).orderBy("vec_id")
