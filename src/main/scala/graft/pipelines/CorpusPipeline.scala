@@ -228,6 +228,82 @@ object CorpusPipeline {
         expr(s"(__run + __off) div ${budgetTokens}L").as("shard"))
   }
 
+  /** Per-source token-budget QUOTA FILL — the data-recipe admission
+    * step: each source contributes its highest-priority documents
+    * until the source's token budget is exhausted (kept = the longest
+    * priority-ordered prefix whose running token total stays within
+    * `budgetTokens`). Priority is the seeded 60-bit hash of the doc id
+    * — a deterministic exchangeable order, the "uniform random subject
+    * to budget" recipe; swap the priority column for a quality score
+    * and the same plan is quality-ranked admission.
+    *
+    * Scale shape: the running sum is NOT one window per source over
+    * data-sized partitions (a 100 TB source would serialize) — it is
+    * the [[packShards]] two-level prefix sum applied per source: the
+    * top 4 bits of the priority hash form 16 buckets MONOTONE in
+    * priority, in-bucket running sums run as (source, bucket)
+    * partitioned windows, and cross-bucket offsets are an aggregate of
+    * #sources·16 rows broadcast-joined back. */
+  def quotaFill(docs: DataFrame, budgetTokens: Long,
+      source: String = "source", id: String = "doc_id",
+      text: String = "text", seed: Int = 7): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val t = docs.select(col(id), col(source),
+        T.tokenCount(col(text)).cast("long").as("n_tokens"),
+        T.hash60(col(id).cast("string"), seed).as("__pri"))
+      .withColumn("__b", expr(s"__pri div ${1L << 56}L"))
+    val inBucket = Window.partitionBy(col(source), col("__b"))
+      .orderBy(col("__pri"), col(id))
+    val run = t.withColumn("__cum", sum(col("n_tokens")).over(inBucket))
+    // #sources × 16 rows: bounded, broadcastable by construction
+    val acrossBuckets = Window.partitionBy(col(source)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col(source), col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .select(col(source), col("__b"),
+        coalesce(sum(col("__bt")).over(acrossBuckets), lit(0L)).as("__off"))
+    run.join(broadcast(offsets), Seq(source, "__b"))
+      .withColumn("cum_tokens", col("__cum") + col("__off"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(id), col(source), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Within-doc duplicate n-gram COVERAGE — the Gopher repetition
+    * signal (Rae et al. 2021, "fraction of characters in duplicate
+    * n-grams") in token space: the fraction of a document's tokens
+    * lying inside any n-gram that occurs ≥ 2 times IN THAT DOCUMENT.
+    * Complements [[repetitionScores]] (top-gram share) and
+    * [[dupSpanFraction]] (cross-doc spans): this is the self-repetition
+    * kill rule for looping generators and boilerplate-stuffed pages.
+    *
+    * Scale shape: every aggregation is keyed by doc id (gram counts
+    * per (doc, hash), covered positions per doc) — cost ∝ grams, and
+    * the interval union is computed as a distinct-position count (each
+    * duplicated start explodes into its n covered positions), so no
+    * per-doc sort or HOF fold is needed. */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 3, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val pos = graft.ops.Compute.spread(docs.select(col(id), col(text)))
+      .select(col(id),
+        posexplode(T.shinglesOf(col(text), n)).as(Seq("st", "g")))
+      .select(col(id), col("st"), T.hash60(col("g"), 0).as("h"))
+    val dupHashes = pos.groupBy(col(id), col("h"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+      .select(col(id), col("h"))
+    val dupPos = pos.join(dupHashes, Seq(id, "h"))
+    val covered = dupPos
+      .select(col(id), explode(sequence(col("st"), col("st") + (n - 1)))
+        .as("p"))
+      .distinct()
+      .groupBy(col(id)).agg(count(lit(1)).as("n_dup_covered"))
+    docs.select(col(id), T.tokenCount(col(text)).cast("long").as("n_tokens"))
+      .join(covered, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("n_dup_covered"), lit(0L)).as("n_dup_covered"),
+        (coalesce(col("n_dup_covered"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
   /** [[packSequences]]'s CONTENT path: materialize each fixed-width
     * training sequence's actual token text (docs crossing boundaries,
     * no padding) — what the export actually writes, where

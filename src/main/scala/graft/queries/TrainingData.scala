@@ -2240,11 +2240,105 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-ann-ivf", "TD-kmeans"))
 
+  /** Count-Min sketch registers over the token stream
+    * ([[graft.functions.CmsSketch.registers]], depth 4 × width 32):
+    * the per-key FREQUENCY sketch (heavy hitters, quota enforcement)
+    * completing the KMV/HLL family — exact-integer cells (sum of
+    * occurrences per (row, hash-mod-width)), emitted DENSE with zeros
+    * so the merge identity is in the table; the registers themselves
+    * hash-match the oracle, the min-over-rows point estimate is
+    * spec-verified ([[graft.functions.CmsSketch.estimate]]). */
+  val q129 = Q(
+    "q129_cms_registers",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("tok"))
+      graft.functions.CmsSketch.registers(toks, col("tok"),
+          depth = 4, width = 32)
+        .orderBy(col("row"), col("col"))
+    },
+    Some {
+      val cellRows = (0 until 4).map { j =>
+        s"""SELECT $j AS row, ${dkHash(100 + j, "tok")} % 32 AS col,
+               count(*) AS cnt FROM t GROUP BY 2"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH t AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+      cells AS (
+        $cellRows),
+      grid AS (SELECT r AS row, c AS col
+               FROM generate_series(0,3) g(r), generate_series(0,31) h(c))
+      SELECT CAST(grid.row AS INTEGER) AS row, CAST(grid.col AS INTEGER) AS col,
+             CAST(coalesce(cells.cnt, 0) AS BIGINT) AS cnt
+      FROM grid LEFT JOIN cells ON grid.row = cells.row AND grid.col = cells.col
+      ORDER BY row, col"""
+    },
+    covers = Seq("TD-sketch-cms", "TD-token-count"))
+
+  /** Per-source token-budget quota fill
+    * ([[CorpusPipeline.quotaFill]], budget 2000): each source admits
+    * its hash-priority-ordered document prefix until the running token
+    * total exceeds the budget — the data-recipe admission step, with
+    * the running sum decomposed by q86's two-level prefix sum (top
+    * hash bits as monotone buckets) instead of one data-sized window
+    * per source. */
+  val q130 = Q(
+    "q130_quota_fill",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.quotaFill(Tables(s, dir, "documents"),
+          budgetTokens = 2000L)
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, source,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+               ${dkHash(7, "CAST(doc_id AS VARCHAR)")} AS pri
+             FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM t)
+      SELECT doc_id, source, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 2000
+      ORDER BY source, cum_tokens, doc_id"""),
+    covers = Seq("TD-mixture-budget", "TD-token-count"))
+
+  /** Within-doc duplicate 3-gram coverage
+    * ([[CorpusPipeline.dupNgramCoverage]]) — the Gopher
+    * self-repetition kill signal: fraction of a doc's tokens inside
+    * any 3-gram occurring ≥ 2 times in that same doc; all aggregation
+    * doc-keyed, interval union as a distinct-covered-position count. */
+  val q131 = Q(
+    "q131_dup_ngram_coverage",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.dupNgramCoverage(Tables(s, dir, "documents"), n = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i AS st,
+              ${dkHash(0, "ws[i]||' '||ws[i+1]||' '||ws[i+2]")} AS h
+            FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, len(ws)-2)) AS i
+                  FROM toks WHERE len(ws) >= 3)),
+      d AS (SELECT doc_id, h FROM g GROUP BY doc_id, h HAVING count(*) >= 2),
+      cov AS (SELECT DISTINCT g.doc_id, g.st + o AS p
+              FROM g JOIN d USING (doc_id, h), generate_series(0,2) t(o)),
+      c AS (SELECT doc_id, count(*) AS n_dup_covered FROM cov GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(coalesce(c.n_dup_covered, 0) AS BIGINT) AS n_dup_covered,
+             CAST(coalesce(c.n_dup_covered, 0) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE) AS dup_frac
+      FROM toks t LEFT JOIN c USING (doc_id) ORDER BY doc_id"""),
+    covers = Seq("TD-quality-rules", "TD-dup-span"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
       q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-      q126, q127, q128)
+      q126, q127, q128, q129, q130, q131)
 }
