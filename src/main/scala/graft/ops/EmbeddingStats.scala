@@ -32,6 +32,48 @@ object EmbeddingStats {
     * dim rows, broadcastable metadata — joins back for one exact
     * dot/norm aggregation per member. No pairwise work anywhere:
     * coherence is O(n·d), not O(n²). */
+  /** LABEL-ERROR candidates by centroid-distance ratio — confident-
+    * learning-lite over the embedding space: each vector's squared
+    * distance to its own label centroid, relative to the label's mean
+    * squared distance; the top ratios are the members farthest from
+    * their class relative to classmates — mislabeled/outlier
+    * candidates for relabeling or pruning.
+    *
+    * Exactness trick: the centroid mean never materializes as a
+    * float. With n = label count and s_i = exact per-dim integer sum,
+    * n²·‖q − s/n‖² = Σ_i (n·q_i − s_i)² — exact int64 end-to-end.
+    * The ratio then divides by the label mean of that same integer
+    * (two IEEE divisions), so the score is bit-stable on any engine
+    * and any aggregation order.
+    *
+    * Scale shape: identical to [[clusterCoherence]] — one posexplode,
+    * one (label, pos) sum aggregation, broadcast centroid table join,
+    * one per-member aggregation, then a TakeOrdered top-k. O(n·d). */
+  def labelOutliers(emb: DataFrame, topK: Int = 20, id: String = "vec_id",
+      vec: String = "embedding", label: String = "label"): DataFrame = {
+    val u = Compute.spread(emb)
+      .select(col(id), col(label),
+        posexplode(V.quantize(col(vec))).as(Seq("pos", "v")))
+    val cent = u.groupBy(col(label), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val d = u.join(broadcast(cent), Seq(label, "pos"))
+      .groupBy(col(id), col(label))
+      .agg(sum((col("n") * col("v") - col("s")) *
+        (col("n") * col("v") - col("s"))).as("nsq_d2"))
+    val m = d.groupBy(col(label))
+      .agg(sum(col("nsq_d2")).as("tot"), count(lit(1)).as("cnt"))
+    d.join(broadcast(m), Seq(label))
+      .select(col(id), col(label), col("nsq_d2"),
+        // a degenerate label (all members identical) has tot = 0 and
+        // every nsq_d2 = 0: nobody is an outlier, define the ratio 0
+        when(col("tot") === 0L, lit(0.0))
+          .otherwise(col("nsq_d2").cast("double") /
+            (col("tot").cast("double") / col("cnt").cast("double")))
+          .as("outlier_ratio"))
+      .orderBy(col("outlier_ratio").desc, col(id))
+      .limit(topK)
+  }
+
   def clusterCoherence(emb: DataFrame, id: String = "vec_id",
       vec: String = "embedding", label: String = "label"): DataFrame =
     memberCentroidCosine(emb, id, vec, label)

@@ -701,6 +701,56 @@ object CorpusPipeline {
         .otherwise("test"))
   }
 
+  /** Train/test LEAKAGE audit — the split-integrity check run after
+    * [[splitAssign]]: near-duplicate pairs that CROSS the train
+    * boundary (one side lands in train, the other in val/test), each
+    * verified by exact n-gram Jaccard ≥ `minJ`. Exact-dup leakage is
+    * caught by dedup-before-split; this catches the near-dup leaks —
+    * the documents whose paraphrase/re-crawl sits in train while the
+    * original is held out, silently inflating eval scores.
+    *
+    * Scale shape: candidates come from the banded-LSH equi-join
+    * (never all-pairs), the split filter prunes to crossing pairs
+    * BEFORE verification, and the exact-Jaccard verify joins shingle
+    * sets only for surviving candidates (cost ∝ candidate pairs ×
+    * shingles, on the 64-bit gram hash). */
+  def trainTestLeak(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+      seed: Int = 21, minJ: Double = 0.5, n: Int = 3, k: Int = 16,
+      bandRows: Int = 4, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val split = splitAssign(docs.select(col(id)), trainPct, valPct, seed, id)
+      .select(col(id), col("split"))
+    val sig = Dedup.minhashSignatures(docs, id, text, n, k)
+    val cross = Dedup.lshCandidatePairs(sig, id, k, bandRows)
+      .select(col("id_a"), col("id_b"))
+      .join(split.select(col(id).as("id_a"), col("split").as("__sa")), "id_a")
+      .join(split.select(col(id).as("id_b"), col("split").as("__sb")), "id_b")
+      .filter((col("__sa") === "train") =!= (col("__sb") === "train"))
+    // exact verify on the crossing candidates only
+    val idx = Dedup.shingleIndex(docs, id, text, n)
+      .select(col(id), xxhash64(col("sh")).as("sh"))
+    val sizes = idx.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val inter = cross
+      .join(idx.select(col(id).as("id_a"), col("sh")), Seq("id_a"))
+      .join(idx.select(col(id).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("__na")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("__nb")), "id_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("__na") + col("__nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(
+        when(col("__sa") =!= "train", col("id_a")).otherwise(col("id_b"))
+          .as("leak_id"),
+        when(col("__sa") =!= "train", col("__sa")).otherwise(col("__sb"))
+          .as("split"),
+        when(col("__sa") === "train", col("id_a")).otherwise(col("id_b"))
+          .as("train_id"),
+        col("jaccard"))
+  }
+
   /** Cross-source contamination matrix: for every source pair, how
     * many distinct whole-document fingerprints AND distinct n-gram
     * span hashes they share — the provenance-level duplication

@@ -2334,11 +2334,136 @@ object TrainingData extends QueryPack {
       FROM toks t LEFT JOIN c USING (doc_id) ORDER BY doc_id"""),
     covers = Seq("TD-quality-rules", "TD-dup-span"))
 
+  /** Train/test near-dup LEAKAGE audit
+    * ([[CorpusPipeline.trainTestLeak]]): banded-LSH candidates
+    * filtered to pairs CROSSING the q101 split boundary, then
+    * exact-Jaccard-verified (≥ 0.5) — the split-integrity check that
+    * catches held-out docs whose near-copy sits in train. */
+  val q132 = Q(
+    "q132_train_test_leak",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.trainTestLeak(Tables(s, dir, "documents"))
+        .orderBy(col("leak_id"), col("train_id"))
+    },
+    Some {
+      val bandRows = (0 until K / BAND_ROWS).map { b =>
+        val key = (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      val h100 = s"${dkHash(21, "CAST(doc_id AS VARCHAR)")} % 100"
+      s"""
+      WITH $dkShingles,
+      $dkSig,
+      sp AS (SELECT doc_id,
+               CASE WHEN $h100 < 80 THEN 'train'
+                    WHEN $h100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM documents),
+      bands AS (
+        $bandRows),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b USING (band, band_key)
+               WHERE a.doc_id < b.doc_id),
+      cr AS (SELECT id_a, id_b, sa.split AS sp_a, sb.split AS sp_b
+             FROM cand JOIN sp sa ON id_a = sa.doc_id
+                       JOIN sp sb ON id_b = sb.doc_id
+             WHERE (sa.split = 'train') <> (sb.split = 'train')),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT cr.id_a, cr.id_b, sp_a, sp_b, count(*) AS n_inter
+                FROM cr JOIN sh a ON cr.id_a = a.doc_id
+                        JOIN sh b ON cr.id_b = b.doc_id AND a.sh = b.sh
+                GROUP BY cr.id_a, cr.id_b, sp_a, sp_b),
+      j AS (SELECT id_a, id_b, sp_a, sp_b,
+              CAST(n_inter AS DOUBLE)
+                / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                       JOIN sizes sb ON id_b = sb.doc_id)
+      SELECT CASE WHEN sp_a <> 'train' THEN id_a ELSE id_b END AS leak_id,
+             CASE WHEN sp_a <> 'train' THEN sp_a ELSE sp_b END AS split,
+             CASE WHEN sp_a = 'train' THEN id_a ELSE id_b END AS train_id,
+             jaccard
+      FROM j WHERE jaccard >= 0.5
+      ORDER BY leak_id, train_id"""
+    },
+    covers = Seq("TD-decontamination", "TD-dedup-lsh", "TD-split"))
+
+  /** Label-error candidates by centroid-distance ratio
+    * ([[graft.ops.EmbeddingStats.labelOutliers]]): n²·dist² to the own-
+    * label centroid stays exact int64 (n·q_i − s_i form — the mean
+    * never materializes), ratio = value / label mean, top-20. */
+  val q133 = Q(
+    "q133_label_outliers",
+    (s, dir) => {
+      graft.ops.EmbeddingStats.labelOutliers(
+        Tables(s, dir, "embeddings"), topK = 20)
+    },
+    Some("""
+      WITH q2 AS (SELECT vec_id, label,
+               [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                for x in embedding] AS qv FROM embeddings),
+      u AS (SELECT vec_id, label, i AS pos, qv[i] AS v
+            FROM q2, generate_series(1,64) g(i)),
+      cent AS (SELECT label, pos, sum(v) AS s, count(*) AS n
+               FROM u GROUP BY label, pos),
+      d AS (SELECT u.vec_id, u.label,
+              sum((cent.n * u.v - cent.s) * (cent.n * u.v - cent.s))
+                AS nsq_d2
+            FROM u JOIN cent ON u.label = cent.label AND u.pos = cent.pos
+            GROUP BY u.vec_id, u.label),
+      m AS (SELECT label, sum(nsq_d2) AS tot, count(*) AS cnt
+            FROM d GROUP BY label)
+      SELECT vec_id, d.label, nsq_d2,
+             CASE WHEN tot = 0 THEN 0.0
+                  ELSE CAST(nsq_d2 AS DOUBLE)
+                    / (CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)) END
+               AS outlier_ratio
+      FROM d JOIN m ON d.label = m.label
+      ORDER BY outlier_ratio DESC, vec_id LIMIT 20"""),
+    covers = Seq("TD-label-errors", "TD-embedding-stats"))
+
+  /** Z-order layout + per-file skipping stats
+    * ([[graft.ops.Layout.zOrderFiles]]): orders clustered on the
+    * Morton interleave of (custkey, order date), cut into 1024-row
+    * files; the output IS the per-file min/max range table that read-
+    * time data skipping would prune against. File numbering via the
+    * q86 two-level prefix sum (top z-bits as monotone buckets). */
+  val q134 = Q(
+    "q134_zorder_layout",
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      graft.ops.Layout.zOrderFiles(orders,
+          x = col("o_custkey"),
+          y = datediff(col("o_orderdate").cast("date"), lit("1970-01-01")),
+          tie = col("o_orderkey"),
+          rowsPerFile = 1024L, bits = 16)
+        .orderBy(col("file_id"))
+    },
+    Some {
+      val z = (0 until 16).map(b =>
+        s"(((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" | ")
+      s"""
+      WITH t AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS y
+             FROM orders),
+      z AS (SELECT x, y, o_orderkey, ($z) AS zv FROM t),
+      r AS (SELECT x, y, CAST((row_number() OVER (ORDER BY zv, o_orderkey)
+               - 1) // 1024 AS BIGINT) AS file_id FROM z)
+      SELECT file_id, count(*) AS n_rows,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM r GROUP BY file_id ORDER BY file_id"""
+    },
+    covers = Seq("TD-layout-zorder"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
       q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-      q126, q127, q128, q129, q130, q131)
+      q126, q127, q128, q129, q130, q131, q132, q133, q134)
 }
