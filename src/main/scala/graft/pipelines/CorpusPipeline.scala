@@ -701,6 +701,57 @@ object CorpusPipeline {
         .otherwise("test"))
   }
 
+  /** Content-overlap STITCH pairs — adjacency recovery for chunked /
+    * paginated corpora: directed pairs (a, b) where a's last `k`
+    * tokens equal b's first `k` tokens, the signature of a document
+    * split into overlapping chunks (or a scrape paginating with
+    * carried-over trailing content). Rows shorter than 2k are skipped
+    * (their prefix and suffix overlap — a degenerate self-signal).
+    *
+    * Scale shape: one narrow projection computes each row's prefix
+    * and suffix 60-bit hashes, then ONE equi-join on the hash —
+    * never any pairwise scan; fan-out is bounded by hash-bucket
+    * multiplicity (how many rows genuinely share that k-gram). */
+  def stitchPairs(docs: DataFrame, k: Int = 8, id: String = "chunk_id",
+      text: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val t = docs.select(col(id), T.tokens(col(text)).as("__ws"))
+      .filter(size(col("__ws")) >= 2 * k)
+      .select(col(id),
+        T.hash60(concat_ws(" ", slice(col("__ws"), lit(1), lit(k))), 0)
+          .as("__pre"),
+        T.hash60(concat_ws(" ", slice(col("__ws"), lit(-k), lit(k))), 0)
+          .as("__suf"))
+    t.select(col(id).as("id_a"), col("__suf").as("__h"))
+      .join(t.select(col(id).as("id_b"), col("__pre").as("__h")), Seq("__h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Corpus SNAPSHOT DIFF — the change feed between two corpus
+    * versions: full outer join on the doc id comparing content
+    * fingerprints, emitting `added` (new id), `removed` (gone id),
+    * `changed` (same id, different normalized content). The
+    * incremental-reprocessing driver: downstream stages (dedup state,
+    * embeddings, shards) re-run only on this delta instead of the
+    * whole corpus.
+    *
+    * Scale shape: two narrow fingerprint projections + one equi-join
+    * on the id; unchanged rows (the overwhelming majority) are
+    * filtered before anything downstream sees them. */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val p = prev.select(col(id).as("__ip"), T.fingerprint(col(text)).as("__fp"))
+    val c = curr.select(col(id).as("__ic"), T.fingerprint(col(text)).as("__fc"))
+    p.join(c, col("__ip") === col("__ic"), "full_outer")
+      .select(coalesce(col("__ip"), col("__ic")).as(id),
+        when(col("__ip").isNull, "added")
+          .when(col("__ic").isNull, "removed")
+          .when(col("__fp") =!= col("__fc"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
   /** Train/test LEAKAGE audit — the split-integrity check run after
     * [[splitAssign]]: near-duplicate pairs that CROSS the train
     * boundary (one side lands in train, the other in val/test), each

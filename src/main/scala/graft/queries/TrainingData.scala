@@ -2459,11 +2459,139 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-layout-zorder"))
 
+  /** CMS accuracy harness: exact top-10 token counts vs the
+    * Count-Min point estimate from the q129 registers — the sketch
+    * tuning harness (depth/width vs overestimate), completing the
+    * harness family (q112 ANN, q122 text LSH, q126 embedding LSH);
+    * the CMS guarantee est ≥ exact makes `overestimate` ≥ 0 by
+    * construction, and all quantities are exact integers. */
+  val q135 = Q(
+    "q135_cms_accuracy",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("tok"))
+      val ex = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      val top = ex.orderBy(col("n_exact").desc, col("tok")).limit(10)
+      val reg = graft.functions.CmsSketch.registers(toks, col("tok"),
+        depth = 4, width = 32)
+      val est = graft.functions.CmsSketch.estimate(reg,
+          top.select(col("tok")), col("tok"), depth = 4, width = 32)
+        .select(col("key").as("tok"), col("est").as("cms_est"))
+      top.join(est, Seq("tok"))
+        .select(col("tok"), col("n_exact"), col("cms_est"),
+          (col("cms_est") - col("n_exact")).as("overestimate"))
+        .orderBy(col("n_exact").desc, col("tok"))
+    },
+    Some {
+      val cellRows = (0 until 4).map { j =>
+        s"""SELECT $j AS row, ${dkHash(100 + j, "tok")} % 32 AS col,
+               count(*) AS cnt FROM t GROUP BY 2"""
+      }.mkString("\n        UNION ALL\n        ")
+      val keyRows = (0 until 4).map { j =>
+        s"SELECT tok, $j AS row, ${dkHash(100 + j, "tok")} % 32 AS col FROM top"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH t AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+      ex AS (SELECT tok, count(*) AS n_exact FROM t GROUP BY tok),
+      top AS (SELECT tok, n_exact FROM ex ORDER BY n_exact DESC, tok LIMIT 10),
+      cells AS (
+        $cellRows),
+      keyed AS (
+        $keyRows),
+      est AS (SELECT k.tok, min(c.cnt) AS cms_est
+              FROM keyed k JOIN cells c ON k.row = c.row AND k.col = c.col
+              GROUP BY k.tok)
+      SELECT top.tok, CAST(top.n_exact AS BIGINT) AS n_exact,
+             CAST(est.cms_est AS BIGINT) AS cms_est,
+             CAST(est.cms_est - top.n_exact AS BIGINT) AS overestimate
+      FROM top JOIN est USING (tok)
+      ORDER BY n_exact DESC, tok"""
+    },
+    covers = Seq("TD-sketch-cms", "TD-dedup-quality"))
+
+  /** Chunk-adjacency recovery by content overlap
+    * ([[CorpusPipeline.stitchPairs]]): chunk the corpus with
+    * overlapping windows (width 32, stride 24 → 8-token overlap),
+    * then recover which chunk follows which purely from content —
+    * suffix-8 hash equi-joined to prefix-8 hash. Consecutive chunks
+    * of the same doc re-link by construction; cross-doc links expose
+    * shared boilerplate seams. */
+  val q136 = Q(
+    "q136_stitch_pairs",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      val ch = Tables(s, dir, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")), lit(24))).as("start"))
+        .select(
+          concat_ws("_", col("doc_id"), col("start")).as("chunk_id"),
+          concat_ws(" ", slice(col("ws"), col("start"), lit(32))).as("text"))
+      CorpusPipeline.stitchPairs(ch, k = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      ch AS (SELECT CAST(doc_id AS VARCHAR)||'_'||CAST(start AS VARCHAR)
+               AS chunk_id,
+               ws[start:least(start+31, len(ws))] AS cw
+             FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws), 24)) AS start
+                   FROM toks)),
+      f AS (SELECT chunk_id,
+              ${dkHash(0, "array_to_string(cw[1:8],' ')")} AS pre,
+              ${dkHash(0, "array_to_string(cw[len(cw)-7:len(cw)],' ')")} AS suf
+            FROM ch WHERE len(cw) >= 16)
+      SELECT a.chunk_id AS id_a, b.chunk_id AS id_b
+      FROM f a JOIN f b ON a.suf = b.pre AND a.chunk_id <> b.chunk_id
+      ORDER BY id_a, id_b"""),
+    covers = Seq("TD-cdc-chunking", "TD-boilerplate"))
+
+  /** Corpus snapshot diff ([[CorpusPipeline.snapshotDiff]]): the
+    * incremental-reprocessing change feed — added/removed/changed
+    * between two corpus versions (both derived deterministically from
+    * the documents table: prev drops ids ≡ 3 mod 17 and appends
+    * ' legacy' to ids ≡ 5 mod 13; curr drops ids ≡ 7 mod 19). */
+  val q137 = Q(
+    "q137_snapshot_diff",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      val docs = Tables(s, dir, "documents")
+      val prev = docs.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text", when(col("doc_id") % 13 === 5,
+          concat(col("text"), lit(" legacy"))).otherwise(col("text")))
+      val curr = docs.filter(col("doc_id") % 19 =!= 7)
+      CorpusPipeline.snapshotDiff(prev, curr)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH prev AS (SELECT doc_id,
+               CASE WHEN doc_id % 13 = 5 THEN text || ' legacy'
+                    ELSE text END AS text
+             FROM documents WHERE doc_id % 17 <> 3),
+      curr AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 7),
+      p AS (SELECT doc_id,
+              md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+            FROM prev),
+      c AS (SELECT doc_id,
+              md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+            FROM curr)
+      SELECT doc_id,
+             CASE WHEN p.fp IS NULL THEN 'added'
+                  WHEN c.fp IS NULL THEN 'removed'
+                  WHEN p.fp <> c.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM p FULL JOIN c USING (doc_id)
+      WHERE p.fp IS NULL OR c.fp IS NULL OR p.fp <> c.fp
+      ORDER BY doc_id"""),
+    covers = Seq("TD-snapshot-diff", "TD-dedup-exact"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
       q86, q87, q88, q89, q90, q92, q93, q94, q95, q99, q100, q101, q102,
       q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-      q126, q127, q128, q129, q130, q131, q132, q133, q134)
+      q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
+      q137)
 }
