@@ -278,7 +278,39 @@ class PlanRegressionSpec extends SparkSpec {
       "both batch cutoff predicates must reach PushedFilters:\n" + f.take(600))
   }
 
-  /** Blanket sweep: no quadratic join shape anywhere in the contract
+  test("q130: quota fill — running sums bucket-partitioned; only the " +
+      "bounded #sources×16-row offset window is single-partition") {
+    val p = plan("q130_quota_fill")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, p.take(600))
+    // the in-bucket running sum must keep its (source, bucket) keys
+    assert(winLines.exists(l =>
+      l.contains("partitionspecification") || l.contains("source")),
+      "expected a partitioned running-sum window:\n" + winLines.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      "bucket offsets must broadcast back:\n" + p.take(800))
+  }
+
+  test("q132: train/test leak — candidates from the band equi-join, " +
+      "no all-pairs anywhere") {
+    val p = plan("q132_train_test_leak")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "leak audit must stay LSH-bucketed:\n" + p.take(800))
+    assert(p.contains("band"), "expected band/bucket join keys in the plan")
+  }
+
+  test("q134: z-order layout — file numbering bucket-partitioned; " +
+      "offsets broadcast") {
+    val p = plan("q134_zorder_layout")
+    assert(p.linesIterator.exists(l => l.contains("Window") &&
+      l.contains("__b")), "expected the in-bucket row_number window:\n" +
+      p.take(800))
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      "64-row offsets must broadcast back:\n" + p.take(800))
+  }
+
+  /** CartesianProduct / BroadcastNestedLoopJoin sweep over the full
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
     * config row, constant cost). */
