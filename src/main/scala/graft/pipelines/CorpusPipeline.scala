@@ -1149,6 +1149,58 @@ object CorpusPipeline {
       .groupBy(col("p")).agg(min(col("v")).as("quantile"))
   }
 
+  /** Grouped exact token-length quantiles — [[lengthQuantiles]] per
+    * group (source/language/shard): the per-stratum length profile a
+    * mixture recipe reads before setting chunk widths or packing
+    * budgets. Same bounded-histogram construction, with the cumulative
+    * window PARTITIONED by the group (one #distinct-lengths-sized
+    * partition per group — bounded by max doc length, never by data),
+    * and the probe join bounded by |groups| × |ps| × |lengths|. */
+  def lengthQuantilesBy(docs: DataFrame, group: String = "source",
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      text: String = "text"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "quantiles must lie in (0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val c = docs.select(col(group),
+        T.tokenCount(col(text)).cast("long").as("v"))
+      .groupBy(col(group), col("v")).agg(count(lit(1)).as("__n"))
+    val cum = c.withColumn("__cum",
+      sum(col("__n")).over(Window.partitionBy(col(group)).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumnRenamed(group, "__g")
+    val total = c.groupBy(col(group)).agg(sum(col("__n")).as("__t"))
+    total.crossJoin(broadcast(ps.toDF("p")))
+      .withColumn("__rank", ceil(col("p") * col("__t")).cast("long"))
+      .join(cum, col("__g") === col(group) && col("__cum") >= col("__rank"))
+      .groupBy(col(group), col("p")).agg(min(col("v")).as("quantile"))
+  }
+
+  /** Tokenizer FERTILITY per source — subword-to-word ratio, the
+    * tokenizer-coverage diagnostic (a source whose fertility spikes is
+    * one the tokenizer fragments — code, URLs, non-target languages —
+    * and its real token budget is correspondingly larger). Subword
+    * proxy: maximal letter runs, digit runs, and single punctuation
+    * marks (the pre-merge alphabet of a BPE trainer); words = the
+    * whitespace tokens every other op counts.
+    *
+    * Scale shape: one codegen'd regexp projection + one map-side-
+    * combined aggregation; exact integer sums, one final division. */
+  def tokenizerFertility(docs: DataFrame, source: String = "source",
+      text: String = "text"): DataFrame = {
+    val t = docs.select(col(source),
+      T.tokenCount(col(text)).cast("long").as("__w"),
+      size(regexp_extract_all(lower(col(text)),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("__s"))
+    t.groupBy(col(source)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__s")).as("n_subtokens"))
+      .withColumn("fertility",
+        col("n_subtokens").cast("double") / col("n_words").cast("double"))
+  }
+
   /** Per-source distribution drift as TOTAL-VARIATION distance from
     * the corpus token distribution: TV(s) = ½ Σ_tok |p_s − p_corpus|
     * — the drift/contamination detector run when a new crawl lands

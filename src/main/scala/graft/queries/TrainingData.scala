@@ -2586,6 +2586,111 @@ object TrainingData extends QueryPack {
       ORDER BY doc_id"""),
     covers = Seq("TD-snapshot-diff", "TD-dedup-exact"))
 
+  /** Tokenizer fertility per source
+    * ([[CorpusPipeline.tokenizerFertility]]): subword-to-word ratio
+    * with the BPE-alphabet proxy (letter runs | digit runs | single
+    * punctuation) — the tokenizer-coverage diagnostic behind
+    * per-source token budgeting. */
+  val q138 = Q(
+    "q138_tokenizer_fertility",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.tokenizerFertility(Tables(s, dir, "documents"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (SELECT source,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+               CAST(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS s
+             FROM documents)
+      SELECT source, count(*) AS n_docs, sum(w) AS n_words,
+             sum(s) AS n_subtokens,
+             CAST(sum(s) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility
+      FROM t GROUP BY source ORDER BY source"""),
+    covers = Seq("TD-token-count", "TD-source-drift"))
+
+  /** Per-source exact token-length quantiles
+    * ([[CorpusPipeline.lengthQuantilesBy]]): q124's bounded-histogram
+    * nearest-rank construction with the cumulative window partitioned
+    * by source — the per-stratum length profile. */
+  val q139 = Q(
+    "q139_length_quantiles_by_source",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.lengthQuantilesBy(Tables(s, dir, "documents"))
+        .orderBy(col("source"), col("p"))
+    },
+    Some("""
+      WITH c AS (SELECT source,
+                   CAST(len(string_split(text,' ')) AS BIGINT) AS v,
+                   count(*) AS n FROM documents GROUP BY source, v),
+      cum AS (SELECT source, v,
+                sum(n) OVER (PARTITION BY source ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cumn FROM c),
+      tot AS (SELECT source, sum(n) AS t FROM c GROUP BY source),
+      pp AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                            CAST(0.99 AS DOUBLE)]) AS p)
+      SELECT tot.source, p, min(v) AS quantile
+      FROM tot, pp, cum
+      WHERE cum.source = tot.source
+        AND cum.cumn >= CAST(ceil(p * tot.t) AS BIGINT)
+      GROUP BY tot.source, p ORDER BY tot.source, p"""),
+    covers = Seq("TD-length-quantiles", "TD-source-drift"))
+
+  /** Duplicate-cluster SIZE histogram — dedup observability over the
+    * q77 connected components: how many clusters of each size the LSH
+    * near-dup graph produced (the shape that tells a mirror-heavy
+    * crawl from scattered pairwise near-dups). Two tiny aggregations
+    * over the cluster table. */
+  val q140 = Q(
+    "q140_cluster_size_histogram",
+    (s, dir) => {
+      val sig = Dedup.minhashSignatures(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = K)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", k = K,
+        rows = BAND_ROWS).localCheckpoint()
+      val ids = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+      val decided = Dedup.dedupDecision(ids, "doc_id", pairs)
+      graft.CacheTracker.releaseCheckpoint(pairs)
+      decided.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    },
+    Some {
+      val bandRows = (0 until K / BAND_ROWS).map { b =>
+        val key = (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH RECURSIVE $dkShingles,
+      $dkSig,
+      bands AS (
+        $bandRows),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING(band, band_key)
+        WHERE a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach AS (
+        SELECT node, node AS m FROM nodes
+        UNION
+        SELECT e.dst AS node, r.m
+        FROM reach r JOIN edges e ON e.src = r.node
+      ),
+      cc AS (SELECT node, MIN(m) AS cluster FROM reach GROUP BY node),
+      sz AS (SELECT cluster, count(*) AS cluster_size FROM cc
+             GROUP BY cluster)
+      SELECT cluster_size, count(*) AS n_clusters
+      FROM sz GROUP BY cluster_size ORDER BY cluster_size"""
+    },
+    covers = Seq("TD-dedup-clusters", "TD-dedup-quality"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -2593,5 +2698,5 @@ object TrainingData extends QueryPack {
       q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137)
+      q137, q138, q139, q140)
 }

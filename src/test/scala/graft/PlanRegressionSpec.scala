@@ -332,6 +332,8 @@ class PlanRegressionSpec extends SparkSpec {
       "q122_lsh_dedup_quality",     // 1-row counts; truth side IS q21's declared
                                     // all-pairs baseline (harness, not prod path)
       "q124_length_quantiles",      // bounded |ps| x |distinct lengths| probe join
+      "q139_length_quantiles_by_source", // same probe join, bounded by
+                                    // |groups| x |ps| x |distinct lengths|
       "q125_source_divergence",     // 1-row grand-total crossJoin
       "q126_embedding_lsh_quality", // truth side IS q66's declared all-pairs
                                     // baseline; 1-row count crossJoin
