@@ -32,6 +32,24 @@ object EmbeddingStats {
     * dim rows, broadcastable metadata — joins back for one exact
     * dot/norm aggregation per member. No pairwise work anywhere:
     * coherence is O(n·d), not O(n²). */
+  /** Class-centroid EXPORT — the per-label mean embedding table
+    * (label, dim, member count, centroid coordinate): the prototype
+    * set a nearest-class-mean classifier, SemDeDup cluster stage, or
+    * IVF-style coarse quantizer consumes. Exact integer per-dim sums,
+    * then exactly two IEEE divisions (sum/n, then the ×1000
+    * dequantization) — bit-stable on any engine and aggregation
+    * order. One posexplode + one map-side-combined aggregation;
+    * output is #labels × dim rows (broadcastable metadata). */
+  def classCentroids(emb: DataFrame, id: String = "vec_id",
+      vec: String = "embedding", label: String = "label"): DataFrame =
+    Compute.spread(emb)
+      .select(col(label), posexplode(V.quantize(col(vec))).as(Seq("pos", "v")))
+      .groupBy(col(label), col("pos"))
+      .agg(sum(col("v")).as("__s"), count(lit(1)).as("n_vecs"))
+      .select(col(label), (col("pos") + 1).as("dim"), col("n_vecs"),
+        (col("__s").cast("double") / col("n_vecs").cast("double") /
+          lit(1000.0)).as("centroid"))
+
   /** LABEL-ERROR candidates by centroid-distance ratio — confident-
     * learning-lite over the embedding space: each vector's squared
     * distance to its own label centroid, relative to the label's mean

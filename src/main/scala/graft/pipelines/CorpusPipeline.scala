@@ -701,6 +701,49 @@ object CorpusPipeline {
         .otherwise("test"))
   }
 
+  /** BLOOM-FILTER decontamination — the sketch variant of
+    * [[decontaminate]] for the case where the benchmark gram set is
+    * too large to ship exactly (or must be shared without revealing
+    * the grams): the benchmark compresses to a bit set (`m` bits, `k`
+    * seeded hashes per gram — the classic Bloom membership sketch),
+    * and a corpus gram is "possibly contaminated" iff ALL its k bit
+    * positions are set. False positives at the standard Bloom rate
+    * (deterministic here — both engines compute the same bits);
+    * false negatives impossible, so the flagged set is a SUPERSET of
+    * [[decontaminate]]'s exact hits — the safe direction for
+    * contamination removal.
+    *
+    * Scale shape: the bit set is ≤ m rows (broadcast); corpus grams
+    * explode to k positions each, join the broadcast bits, and a
+    * gram counts as hit iff its DISTINCT matched positions equal its
+    * distinct position count. Cost ∝ k · corpus grams, no shuffle of
+    * the corpus itself. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 4, m: Int = 65536, k: Int = 3, seedBase: Int = 200,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(m >= 2 && k >= 1, "need m >= 2 and k >= 1")
+    def positions(g: Column): Column =
+      array_distinct(array((0 until k).map(j =>
+        T.hash60(g, seedBase + j) % m): _*))
+    val bits = benchmark
+      .select(explode(array_distinct(T.shinglesOf(col(text), n))).as("g"))
+      .select(explode(positions(col("g"))).as("bit"))
+      .distinct()
+    val cg = graft.ops.Compute.spread(corpus.select(col(id), col(text)))
+      .select(col(id),
+        explode(array_distinct(T.shinglesOf(col(text), n))).as("g"))
+      .select(col(id), T.hash60(col("g"), 0).as("gh"),
+        positions(col("g")).as("__ps"))
+      .withColumn("__np", size(col("__ps")))
+    cg.select(col(id), col("gh"), col("__np"),
+        explode(col("__ps")).as("bit"))
+      .join(broadcast(bits), Seq("bit"))
+      .groupBy(col(id), col("gh"), col("__np"))
+      .agg(count(lit(1)).as("__hit"))
+      .filter(col("__hit") === col("__np"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_hit_grams"))
+  }
+
   /** Content-overlap STITCH pairs — adjacency recovery for chunked /
     * paginated corpora: directed pairs (a, b) where a's last `k`
     * tokens equal b's first `k` tokens, the signature of a document

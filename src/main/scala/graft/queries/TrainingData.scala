@@ -2691,6 +2691,122 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-dedup-clusters", "TD-dedup-quality"))
 
+  /** Bloom-filter decontamination
+    * ([[CorpusPipeline.bloomDecontaminate]], m=65536 bits, k=3
+    * hashes, 4-grams, benchmark = 'src0' as in q83): the sketch
+    * variant of exact decontamination — the benchmark ships as a bit
+    * set, flagged docs are a SUPERSET of q83's exact hits (false
+    * negatives impossible, the safe direction). */
+  val q141 = Q(
+    "q141_bloom_decontaminate",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      val docs = Tables(s, dir, "documents")
+      CorpusPipeline.bloomDecontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val grams = "[ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] " +
+        "for i in generate_series(1, len(ws)-3)]"
+      def ps(g: String) = s"list_distinct([${dkHash(200, g)} % 65536, " +
+        s"${dkHash(201, g)} % 65536, ${dkHash(202, g)} % 65536])"
+      s"""
+      WITH c AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+      b AS (SELECT text FROM documents WHERE source = 'src0'),
+      bg AS (SELECT DISTINCT g FROM
+               (SELECT unnest($grams) AS g
+                FROM (SELECT string_split(text,' ') AS ws FROM b))),
+      bits AS (SELECT DISTINCT unnest(${ps("g")}) AS bit FROM bg),
+      cg AS (SELECT DISTINCT doc_id, g FROM
+               (SELECT doc_id, unnest($grams) AS g
+                FROM (SELECT doc_id, string_split(text,' ') AS ws FROM c))),
+      cp AS (SELECT doc_id, ${dkHash(0, "g")} AS gh, ${ps("g")} AS pl
+             FROM cg),
+      ex AS (SELECT doc_id, gh, len(pl) AS np, unnest(pl) AS bit FROM cp),
+      hit AS (SELECT doc_id, gh FROM ex JOIN bits USING (bit)
+              GROUP BY doc_id, gh, np HAVING count(*) = np)
+      SELECT doc_id, count(*) AS n_hit_grams
+      FROM hit GROUP BY doc_id ORDER BY doc_id"""
+    },
+    covers = Seq("TD-decontamination", "TD-sketch-bloom"))
+
+  /** Event conversion FUNNEL over the events stream: users with a
+    * view, a first click strictly after their first view, and a first
+    * purchase strictly after that click — the classic ordered-funnel
+    * semantics (each stage anchored to the previous stage's
+    * timestamp, not mere co-occurrence), with stage counts and
+    * conversion rates. Every stage is one filter + one equi-join on
+    * user_id + one min aggregation — scales as three hash joins. */
+  val q142 = Q(
+    "q142_event_funnel",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("t_c"))
+        .join(v, Seq("user_id")).filter(col("t_c") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("t_c")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("t_p"))
+        .join(c, Seq("user_id")).filter(col("t_p") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("t_p")).as("t_purchase"))
+      val nv = v.agg(count(lit(1)).as("n_view_users"))
+      val nc = c.agg(count(lit(1)).as("n_click_users"))
+      val np = p.agg(count(lit(1)).as("n_purchase_users"))
+      nv.crossJoin(broadcast(nc)).crossJoin(broadcast(np))
+        .select(col("n_view_users"), col("n_click_users"),
+          col("n_purchase_users"),
+          (col("n_click_users").cast("double") /
+            col("n_view_users").cast("double")).as("view_to_click"),
+          (col("n_purchase_users").cast("double") /
+            col("n_click_users").cast("double")).as("click_to_purchase"))
+    },
+    Some("""
+      WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM v) AS n_view_users,
+             (SELECT count(*) FROM c) AS n_click_users,
+             (SELECT count(*) FROM p) AS n_purchase_users,
+             CAST((SELECT count(*) FROM c) AS DOUBLE)
+               / CAST((SELECT count(*) FROM v) AS DOUBLE) AS view_to_click,
+             CAST((SELECT count(*) FROM p) AS DOUBLE)
+               / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase"""),
+    covers = Seq("TD-event-funnel", "A1"))
+
+  /** Class-centroid export ([[graft.ops.EmbeddingStats
+    * .classCentroids]]): the per-label mean-embedding prototype table
+    * (nearest-class-mean / SemDeDup / coarse-quantizer input); exact
+    * integer sums, two IEEE divisions per coordinate. */
+  val q143 = Q(
+    "q143_class_centroids",
+    (s, dir) => {
+      graft.ops.EmbeddingStats.classCentroids(Tables(s, dir, "embeddings"))
+        .orderBy(col("label"), col("dim"))
+    },
+    Some("""
+      WITH q2 AS (SELECT vec_id, label,
+               [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                for x in embedding] AS qv FROM embeddings),
+      u AS (SELECT label, i AS dim, qv[i] AS v
+            FROM q2, generate_series(1,64) g(i))
+      SELECT label, CAST(dim AS INTEGER) AS dim,
+             count(*) AS n_vecs,
+             CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0
+               AS centroid
+      FROM u GROUP BY label, dim ORDER BY label, dim"""),
+    covers = Seq("TD-embedding-stats", "TD-kmeans"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -2698,5 +2814,5 @@ object TrainingData extends QueryPack {
       q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139, q140)
+      q137, q138, q139, q140, q141, q142, q143)
 }
