@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T}
@@ -2807,6 +2808,128 @@ object TrainingData extends QueryPack {
       FROM u GROUP BY label, dim ORDER BY label, dim"""),
     covers = Seq("TD-embedding-stats", "TD-kmeans"))
 
+  /** Hourly event-rate ANOMALY detection: per (event_type, hour)
+    * counts, each compared to its trailing-24h mean (rows-preceding
+    * window, ≥ 6 trailing hours required); flagged when the hour runs
+    * ≥ 2× its trail. The ops-dashboard spike detector. The window
+    * partitions by event type over #hours rows — bounded by the TIME
+    * DOMAIN, not data volume; counts are exact ints, the mean is one
+    * division. */
+  val q144 = Q(
+    "q144_event_anomaly",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val hourly = ev
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("__ts", sum(col("n")).over(w))
+        .withColumn("__tc", count(col("n")).over(w))
+        .filter(col("__tc") >= 6)
+        .withColumn("trail_avg",
+          col("__ts").cast("double") / col("__tc").cast("double"))
+        .filter(col("n").cast("double") >= lit(2.0) * col("trail_avg"))
+        .select(col("event_type"), col("hour"), col("n"), col("trail_avg"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+    Some("""
+      WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n
+             FROM events GROUP BY event_type, hour),
+      t AS (SELECT event_type, hour, n,
+              sum(n) OVER (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS ts,
+              count(n) OVER (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS tc
+            FROM hourly)
+      SELECT event_type, hour, n,
+             CAST(ts AS DOUBLE) / CAST(tc AS DOUBLE) AS trail_avg
+      FROM t
+      WHERE tc >= 6
+        AND CAST(n AS DOUBLE) >= 2.0 * (CAST(ts AS DOUBLE) / CAST(tc AS DOUBLE))
+      ORDER BY event_type, hour"""),
+    covers = Seq("TD-event-anomaly", "W1"))
+
+  /** Weekly COHORT RETENTION over the events stream: users cohorted
+    * by first-signup week, counted distinct-active in weeks k=0..3
+    * after their cohort week, with the retention rate against cohort
+    * size — the canonical product-analytics matrix. Three hash
+    * aggregations + two equi-joins on user_id/cohort; the (cohort, k)
+    * grid is bounded by the time domain. */
+  val q145 = Q(
+    "q145_cohort_retention",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+      val sizes = su.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_cohort"))
+      val act = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("w")).distinct()
+      su.join(act, Seq("user_id"))
+        .withColumn("k", expr("CAST(datediff(w, cohort) div 7 AS BIGINT)"))
+        .filter(col("k").between(0, 3))
+        .groupBy(col("cohort"), col("k"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .join(sizes, Seq("cohort"))
+        .select(col("cohort"), col("k"), col("n_cohort"), col("n_active"),
+          (col("n_active").cast("double") / col("n_cohort").cast("double"))
+            .as("retention"))
+        .orderBy(col("cohort"), col("k"))
+    },
+    Some("""
+      WITH su AS (SELECT user_id,
+                    min(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort
+                  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      sizes AS (SELECT cohort, count(*) AS n_cohort FROM su GROUP BY cohort),
+      act AS (SELECT DISTINCT user_id,
+                CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+              FROM events),
+      r AS (SELECT su.cohort, date_diff('day', su.cohort, act.w) // 7 AS k,
+              count(DISTINCT su.user_id) AS n_active
+            FROM su JOIN act ON su.user_id = act.user_id
+            WHERE date_diff('day', su.cohort, act.w) // 7 BETWEEN 0 AND 3
+            GROUP BY su.cohort, k)
+      SELECT r.cohort, CAST(k AS BIGINT) AS k, n_cohort, n_active,
+             CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+      FROM r JOIN sizes ON r.cohort = sizes.cohort
+      ORDER BY r.cohort, k"""),
+    covers = Seq("TD-cohort-retention", "A1"))
+
+  /** Per-source TOP-5 tokens (count desc, token asc tie-break) via a
+    * rank window PARTITIONED by source over the per-source vocab —
+    * bounded by vocabulary domain, never by data volume; the grouped
+    * form of q93's global vocab head. */
+  val q146 = Q(
+    "q146_top_tokens_by_source",
+    (s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("tok"))
+      t.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("tok"), col("n"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""
+      WITH t AS (SELECT source, tok, count(*) AS n FROM
+                   (SELECT source, unnest(string_split(text,' ')) AS tok
+                    FROM documents)
+                 GROUP BY source, tok),
+      r AS (SELECT source, tok, n,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY n DESC, tok) AS INTEGER) AS rank
+            FROM t)
+      SELECT source, rank, tok, n FROM r WHERE rank <= 5
+      ORDER BY source, rank"""),
+    covers = Seq("TD-vocab-head", "W2"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -2814,5 +2937,5 @@ object TrainingData extends QueryPack {
       q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139, q140, q141, q142, q143)
+      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
 }
