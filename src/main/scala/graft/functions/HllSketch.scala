@@ -52,6 +52,26 @@ object HllSketch {
       .agg(max(col("__rho")).as("max_rho"))
   }
 
+  /** GROUPED register tables: one HLL sketch per value of `group`
+    * (source / day / shard) — (group, bucket, max_rho) rows. The
+    * grouped form is what a 100 TB pipeline actually materializes:
+    * per-partition sketches that roll up to any coarser grain by
+    * re-aggregating max over the group subset (day→month, source→all)
+    * without touching the data again. */
+  def registersBy(df: DataFrame, group: String, value: Column, p: Int = 6,
+      seed: Int = 0): DataFrame = {
+    require(p >= 1 && p <= 16, s"p must be in [1,16]: $p")
+    val rem = 60 - p
+    val h = TextFunctions.hash60(value, seed)
+    val bucket = shiftright(h, rem).as("bucket")
+    val rest = h.bitwiseAND(lit((1L << rem) - 1L))
+    val rho = when(rest === 0L, lit(rem + 1))
+      .otherwise(lit(rem) - (length(bin(rest)) - 1))
+    df.select(col(group), bucket, rho.cast("long").as("__rho"))
+      .groupBy(col(group), col("bucket"))
+      .agg(max(col("__rho")).as("max_rho"))
+  }
+
   /** Standard HLL estimate from a register table (small-range linear
     * counting below 2.5·m, raw harmonic estimate otherwise; the
     * large-range correction is irrelevant at 60-bit hash width).

@@ -2930,6 +2930,76 @@ object TrainingData extends QueryPack {
       ORDER BY source, rank"""),
     covers = Seq("TD-vocab-head", "W2"))
 
+  /** As-of join, oracle-gated ([[graft.ops.AsofJoin.asofJoin]]):
+    * for each error event, the same user's most recent click at or
+    * before the error — the point-in-time diagnostic join. One
+    * union + one (key)-partitioned sort with last(ignoreNulls) carry
+    * — no range-join explosion; ties at equal ts break on the
+    * greatest click id (eventOrder), so the survivor is
+    * deterministic. Upgrades the op from spec-only to oracle-gated. */
+  val q147 = Q(
+    "q147_asof_error_click",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts"), col("ts").as("click_ts"))
+      graft.ops.AsofJoin.asofJoin(errors, clicks,
+          keys = Seq("user_id"), probeTs = "ts", eventTs = "ts",
+          eventValueCols = Seq("click_id", "click_ts"),
+          eventOrder = Seq("click_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'error'),
+      c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+            WHERE event_type = 'click'),
+      j AS (SELECT p.event_id, p.user_id, p.ts, c.click_id,
+              c.cts AS click_ts,
+              row_number() OVER (PARTITION BY p.event_id
+                ORDER BY c.cts DESC, c.click_id DESC) AS rn
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id AND c.cts <= p.ts)
+      SELECT event_id, user_id, ts, click_id AS evt_click_id,
+             click_ts AS evt_click_ts
+      FROM j WHERE rn = 1 ORDER BY event_id"""),
+    covers = Seq("TD-asof-join", "J13"))
+
+  /** Per-source HLL register sketches
+    * ([[graft.functions.HllSketch.registersBy]], p=6, distinct TOKENS
+    * per source): the grouped-sketch materialization a pipeline keeps
+    * per partition — roll up to any coarser grain by re-aggregating
+    * max; vocabulary-richness observability. Registers oracle-exact;
+    * per-group estimates spec-verified. */
+  val q148 = Q(
+    "q148_hll_by_source",
+    (s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+        .distinct()
+      graft.functions.HllSketch.registersBy(t, "source", col("tok"), p = 6)
+        .orderBy(col("source"), col("bucket"))
+    },
+    Some {
+      val mask = (1L << 54) - 1
+      s"""
+      WITH d AS (SELECT DISTINCT source, tok FROM
+             (SELECT source, unnest(string_split(text,' ')) AS tok
+              FROM documents)),
+      h AS (SELECT source, ${dkHash(0, "tok")} AS h FROM d),
+      r AS (SELECT source, h >> 54 AS bucket,
+              CAST(CASE WHEN (h & $mask) = 0 THEN 55
+                   ELSE 54 - (length(bin(h & $mask)) - 1) END AS BIGINT)
+                AS rho
+            FROM h)
+      SELECT source, bucket, max(rho) AS max_rho
+      FROM r GROUP BY source, bucket ORDER BY source, bucket"""
+    },
+    covers = Seq("TD-sketch-hll", "TD-source-drift"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -2937,5 +3007,6 @@ object TrainingData extends QueryPack {
       q103, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
+      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
+      q148)
 }

@@ -38,4 +38,23 @@ class HllSketchSpec extends SparkSpec {
     val est = HllSketch.estimate(HllSketch.registers(vs, col("v"), p = 8), 8)
     assert(math.abs(est - n) / n < 0.26, s"estimate $est vs true $n")
   }
+
+  test("registersBy: per-group sketches equal the per-group global sketch; " +
+      "roll-up re-aggregates to the ungrouped registers") {
+    val d = ((1 to 800).map(i => ("a", s"x$i")) ++
+      (1 to 300).map(i => ("b", s"y$i"))).toDF("g", "v")
+    val grouped = HllSketch.registersBy(d, "g", col("v"), p = 5)
+    val aOnly = HllSketch.registers(d.filter(col("g") === "a"), col("v"), p = 5)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val aGrouped = grouped.filter(col("g") === "a")
+      .select("bucket", "max_rho").orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(aOnly.sameElements(aGrouped))
+    // roll-up: max over groups == the ungrouped sketch
+    val rolled = grouped.groupBy("bucket").agg(max("max_rho").as("max_rho"))
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val global = HllSketch.registers(d, col("v"), p = 5)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rolled.sameElements(global), "grouped sketches must roll up")
+  }
 }
