@@ -3000,6 +3000,77 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-sketch-hll", "TD-source-drift"))
 
+  /** Interval (band) join, oracle-gated
+    * ([[graft.ops.IntervalJoin.intervalJoin]]): clicks within ±5 min
+    * of each error event of the same user — the banded rewrite of
+    * the non-equi time-range join (probe explodes to 3 adjacent
+    * radius buckets, equi-join on (key, bucket), exact |Δ| filter
+    * after); zero-match errors kept via the left join back. */
+  val q149 = Q(
+    "q149_interval_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      val pairs = graft.ops.IntervalJoin.intervalJoin(errors, clicks,
+        keys = Seq("user_id"), probeTs = "ts", eventTs = "cts",
+        radiusSec = 300L)
+      val counts = pairs.groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_nearby"))
+      errors.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'error'),
+      c AS (SELECT user_id, ts AS cts FROM events
+            WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id,
+             CAST(count(c.cts) AS BIGINT) AS n_nearby
+      FROM p LEFT JOIN c ON p.user_id = c.user_id
+        AND abs(epoch_us(p.ts) - epoch_us(c.cts)) <= 300000000
+      GROUP BY p.event_id, p.user_id ORDER BY p.event_id"""),
+    covers = Seq("TD-interval-join", "J13"))
+
+  /** Month-over-month order revenue growth: per-month counts +
+    * DECIMAL-channel revenue, lag window for the growth rate — the
+    * classic trend analytic; the window runs over #months rows
+    * (bounded by the time domain). */
+  val q150 = Q(
+    "q150_mom_growth",
+    (s, dir) => {
+      val m = Tables(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("revenue"))
+      // deliberate single-partition window: #months rows by domain
+      val w = Window.orderBy(col("month"))
+      m.withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("mom_growth",
+          when(col("prev_revenue").isNotNull,
+            (col("revenue") - col("prev_revenue")) / col("prev_revenue")))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+               AS month,
+               count(*) AS n_orders,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                 AS VARCHAR) AS DOUBLE) AS revenue
+             FROM orders GROUP BY 1)
+      SELECT month, n_orders, revenue,
+             lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+             CASE WHEN lag(revenue) OVER (ORDER BY month) IS NOT NULL
+                  THEN (revenue - lag(revenue) OVER (ORDER BY month))
+                    / lag(revenue) OVER (ORDER BY month) END AS mom_growth
+      FROM m ORDER BY month"""),
+    covers = Seq("A1", "W1"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3008,5 +3079,5 @@ object TrainingData extends QueryPack {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-      q148)
+      q148, q149, q150)
 }

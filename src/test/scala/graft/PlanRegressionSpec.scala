@@ -310,6 +310,15 @@ class PlanRegressionSpec extends SparkSpec {
       "64-row offsets must broadcast back:\n" + p.take(800))
   }
 
+  test("q149: interval join is a band equi-join on (key, bucket), " +
+      "never a nested-loop range scan") {
+    val p = plan("q149_interval_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "banded time join must stay an equi-join:\n" + p.take(800))
+    assert(p.contains("__b"), "expected the radius-bucket join key")
+  }
+
   /** CartesianProduct / BroadcastNestedLoopJoin sweep over the full
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
