@@ -3071,6 +3071,113 @@ object TrainingData extends QueryPack {
       FROM m ORDER BY month"""),
     covers = Seq("A1", "W1"))
 
+  /** JSON property extraction + per-type stats over the events
+    * stream (P11 parity on events): `props` is a JSON string column;
+    * extract `$.k`, aggregate exactly (integer sum, one division). */
+  val q151 = Q(
+    "q151_props_json_stats",
+    (s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+        .withColumn("avg_k",
+          col("sum_k").cast("double") / col("n_events").cast("double"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    covers = Seq("P11", "A1"))
+
+  /** Per-doc NOVELTY score — the inverse of duplication: the fraction
+    * of a doc's distinct 3-grams appearing in NO other document
+    * (corpus df = 1). The data-mixing signal that prioritizes docs
+    * contributing genuinely new content. One df aggregation on the
+    * gram hash + one equi-join back + one per-doc aggregation —
+    * cost ∝ grams, q94's machinery pointed the other way. */
+  val q152 = Q(
+    "q152_novelty_score",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pos = graft.ops.Compute.spread(
+          docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(array_distinct(T.shinglesOf(col("text"), 3))).as("g"))
+        .select(col("doc_id"), T.hash60(col("g"), 0).as("h"))
+      val df = pos.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("__df"))
+      val per = pos.join(df, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(col("n_novel").cast("double") /
+              col("n_grams").cast("double")).as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              ${dkHash(0, "sh")} AS h FROM
+              (SELECT doc_id,
+                 unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                         for i in generate_series(1, len(ws)-2)]) AS sh
+               FROM toks)),
+      df AS (SELECT h, count(DISTINCT doc_id) AS ddf FROM g GROUP BY h),
+      per AS (SELECT doc_id, count(*) AS n_grams,
+                sum(CASE WHEN ddf = 1 THEN 1 ELSE 0 END) AS n_novel
+              FROM g JOIN df USING (h) GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+             CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+                  ELSE CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             END AS novelty
+      FROM toks t LEFT JOIN per USING (doc_id) ORDER BY doc_id"""),
+    covers = Seq("TD-novelty", "TD-dup-span"))
+
+  /** Model-based quality filter through the driver contract
+    * ([[graft.ml.QualityClassifier]]): TF-IDF + logistic regression
+    * trained on the in-repo clean/garbage fixture corpus, fixture
+    * predictions frozen as a golden VALUES table (the q62 pattern) —
+    * the learned second pass behind the q116 heuristic rules. */
+  val q153 = Q(
+    "q153_quality_classifier",
+    (s, dir) => {
+      import s.implicits._
+      val model = graft.ml.QualityClassifier.defaultModel(s)
+      val fixtures = graft.ml.QualityClassifier.trainingData.zipWithIndex
+        .map { case ((text, label), i) => (i.toLong + 1L, text, label) }
+        .toDF("example_id", "text", "expected_label")
+      model.score(fixtures, "text")
+        .select($"example_id", $"expected_label",
+          $"quality_pred".as("predicted_label"))
+        .orderBy($"example_id")
+    },
+    Some {
+      val rows = graft.ml.QualityClassifier.trainingData.zipWithIndex
+        .map { case ((_, label), i) =>
+          // separable 12-example fixture set: exact fit, asserted by
+          // QualityClassifierSpec's golden test
+          s"(CAST(${i + 1} AS BIGINT), '$label', '$label')"
+        }.mkString(",\n        ")
+      s"""
+      SELECT * FROM (VALUES
+        $rows) AS t(example_id, expected_label, predicted_label)
+      ORDER BY example_id"""
+    },
+    covers = Seq("ML-classifier", "TD-quality-rules"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3079,5 +3186,5 @@ object TrainingData extends QueryPack {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-      q148, q149, q150)
+      q148, q149, q150, q151, q152, q153)
 }
