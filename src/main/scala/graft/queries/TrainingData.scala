@@ -3178,6 +3178,44 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("ML-classifier", "TD-quality-rules"))
 
+  /** Single-pass table profile ([[graft.ops.Profiler.profile]]) over
+    * lineitem — the ANALYZE/statistics surface: per-column null
+    * count, EXACT distinct count, numeric min/max, all from ONE
+    * aggregation pass + a constant-size unpivot (the per-column-scan
+    * formulation would read the table N times). */
+  val q154 = Q(
+    "q154_table_profile",
+    (s, dir) => {
+      graft.ops.Profiler.profile(Tables(s, dir, "lineitem"))
+        .orderBy(col("column_name"))
+    },
+    Some {
+      val cols = Seq(
+        ("l_orderkey", "bigint", true), ("l_partkey", "bigint", true),
+        ("l_suppkey", "bigint", true), ("l_linenumber", "int", true),
+        ("l_quantity", "double", true), ("l_extendedprice", "double", true),
+        ("l_discount", "double", true), ("l_tax", "double", true),
+        ("l_returnflag", "string", false), ("l_linestatus", "string", false),
+        ("l_shipdate", "timestamp_ntz", false))
+      val rows = cols.map { case (c, t, num) =>
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)"
+          else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)"
+          else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS column_name, '$t' AS data_type,
+            count(*) AS n_rows,
+            sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct,
+            $mn AS min_value, $mx AS max_value
+          FROM lineitem"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      SELECT * FROM (
+        $rows)
+      ORDER BY column_name"""
+    },
+    covers = Seq("TD-table-profile", "A1"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3186,5 +3224,5 @@ object TrainingData extends QueryPack {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-      q148, q149, q150, q151, q152, q153)
+      q148, q149, q150, q151, q152, q153, q154)
 }
