@@ -54,6 +54,23 @@ object CmsSketch {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** GROUPED register tables: one CMS per value of `group` (source /
+    * day / shard) — (group, row, col, cnt) rows, SPARSE (zero cells
+    * dropped; they are the merge identity). Roll up to any coarser
+    * grain by re-aggregating sum over the group subset — the same
+    * contract as [[HllSketch.registersBy]], for frequency instead of
+    * cardinality. */
+  def registersBy(df: DataFrame, group: String, value: Column,
+      depth: Int = 4, width: Int = 32, seedBase: Int = 100): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    df.select(col(group), posexplode(array((0 until depth).map(j =>
+        (TextFunctions.hash60(value, seedBase + j) % width).cast("int")
+      ): _*)).as(Seq("row", "col")))
+      .groupBy(col(group), col("row"), col("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** CMS point-frequency estimates for the keys of `keys` against a
     * register table: min over the d cells each key hashes to. Joins
     * the (broadcastable) register table — nothing is collected. */

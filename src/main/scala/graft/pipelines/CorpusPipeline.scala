@@ -1244,6 +1244,32 @@ object CorpusPipeline {
         col("n_subtokens").cast("double") / col("n_words").cast("double"))
   }
 
+  /** Per-source SCORECARD — the one-row-per-source dashboard joining
+    * the curation signals: document/token volume, quality-envelope
+    * survivors (the [[qualityFilter]] rule), exact-dup rate
+    * (1 − distinct fingerprints / docs), and tokenizer fertility —
+    * the table a mixing decision actually reads. Three per-source
+    * hash aggregations + two equi-joins on the source key; every
+    * ratio divides exact integers. */
+  def sourceScorecard(docs: DataFrame, source: String = "source",
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val base = withQuality(docs, text)
+    val agg1 = base.groupBy(col(source)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(when(col("n_tokens").between(5L, 10000L) &&
+        col("avg_token_len") <= 15.0, 1L).otherwise(0L)).as("n_quality"))
+    val fp = docs.select(col(source), T.fingerprint(col(text)).as("__fp"))
+      .groupBy(col(source)).agg(count_distinct(col("__fp")).as("n_distinct_fp"))
+    val fert = tokenizerFertility(docs, source, text)
+      .select(col(source), col("fertility"))
+    agg1.join(fp, Seq(source)).join(fert, Seq(source))
+      .withColumn("dup_rate", lit(1.0) -
+        col("n_distinct_fp").cast("double") / col("n_docs").cast("double"))
+      .select(col(source), col("n_docs"), col("n_tokens"), col("n_quality"),
+        col("n_distinct_fp"), col("dup_rate"), col("fertility"))
+  }
+
   /** Per-source distribution drift as TOTAL-VARIATION distance from
     * the corpus token distribution: TV(s) = ½ Σ_tok |p_s − p_corpus|
     * — the drift/contamination detector run when a new crawl lands

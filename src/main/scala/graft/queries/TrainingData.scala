@@ -3216,6 +3216,79 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-table-profile", "A1"))
 
+  /** Per-source CMS register sketches
+    * ([[graft.functions.CmsSketch.registersBy]], depth 4 × width 32,
+    * sparse): the grouped frequency-sketch materialization — rolls up
+    * to q129's corpus sketch by re-aggregating sum (spec-proven);
+    * per-source token-frequency observability at d·w integers per
+    * source. */
+  val q155 = Q(
+    "q155_cms_by_source",
+    (s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+      graft.functions.CmsSketch.registersBy(t, "source", col("tok"),
+          depth = 4, width = 32)
+        .orderBy(col("source"), col("row"), col("col"))
+    },
+    Some {
+      val cellRows = (0 until 4).map { j =>
+        s"""SELECT source, $j AS row, ${dkHash(100 + j, "tok")} % 32 AS col,
+               count(*) AS cnt FROM t GROUP BY source, 3"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH t AS (SELECT source, unnest(string_split(text,' ')) AS tok
+                 FROM documents)
+      SELECT source, CAST(row AS INTEGER) AS row, CAST(col AS INTEGER) AS col,
+             CAST(cnt AS BIGINT) AS cnt
+      FROM (
+        $cellRows)
+      ORDER BY source, row, col"""
+    },
+    covers = Seq("TD-sketch-cms", "TD-source-drift"))
+
+  /** Per-source curation SCORECARD
+    * ([[CorpusPipeline.sourceScorecard]]): volume, quality-envelope
+    * survivors, exact-dup rate, tokenizer fertility — one row per
+    * source, the table a mixing decision reads. */
+  val q156 = Q(
+    "q156_source_scorecard",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.sourceScorecard(Tables(s, dir, "documents"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH b AS (SELECT source, text,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+               CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                 / CAST(len(string_split(text,' ')) AS DOUBLE) AS avl
+             FROM documents),
+      a1 AS (SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+               sum(CASE WHEN nt BETWEEN 5 AND 10000 AND avl <= 15.0
+                   THEN 1 ELSE 0 END) AS n_quality
+             FROM b GROUP BY source),
+      fp AS (SELECT source, count(DISTINCT
+               md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))))
+               AS n_distinct_fp
+             FROM documents GROUP BY source),
+      fert AS (SELECT source,
+                 CAST(sum(s2) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility
+               FROM (SELECT source,
+                       CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+                       CAST(len(regexp_extract_all(lower(text),
+                         '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS s2
+                     FROM documents)
+               GROUP BY source)
+      SELECT a1.source, n_docs, n_tokens, n_quality, n_distinct_fp,
+             1.0 - CAST(n_distinct_fp AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               AS dup_rate,
+             fertility
+      FROM a1 JOIN fp ON a1.source = fp.source
+              JOIN fert ON a1.source = fert.source
+      ORDER BY a1.source"""),
+    covers = Seq("TD-source-drift", "TD-curation-funnel"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3224,5 +3297,5 @@ object TrainingData extends QueryPack {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-      q148, q149, q150, q151, q152, q153, q154)
+      q148, q149, q150, q151, q152, q153, q154, q155, q156)
 }

@@ -37,6 +37,19 @@ class QuotaCmsSpec extends SparkSpec {
     assert(est == Map("alpha" -> 40L, "beta" -> 10L, "gamma" -> 3L))
   }
 
+  test("CmsSketch.registersBy: per-group sketches roll up to the global grid") {
+    val d = (Seq.fill(12)(("a", "x")) ++ Seq.fill(5)(("b", "x")) ++
+      Seq.fill(3)(("b", "y"))).toDF("g", "tok")
+    val grouped = CmsSketch.registersBy(d, "g", col("tok"),
+      depth = 4, width = 8)
+    val rolled = grouped.groupBy("row", "col").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val global = CmsSketch.registers(d, col("tok"), depth = 4, width = 8)
+      .filter(col("cnt") =!= 0L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rolled == global, "grouped CMS must roll up by sum")
+  }
+
   test("quotaFill: kept prefix respects the budget; next doc would burst it") {
     val docs = (1L to 20L).map(i => (i, "src", "t " * 99 + "t"))
       .toDF("doc_id", "source", "text") // every doc = 100 tokens
