@@ -3289,6 +3289,123 @@ object TrainingData extends QueryPack {
       ORDER BY a1.source"""),
     covers = Seq("TD-source-drift", "TD-curation-funnel"))
 
+  /** MinHash ESTIMATOR error harness: on the LSH candidate pairs, the
+    * signature-agreement Jaccard estimate (matching components / k)
+    * vs the exact shingle Jaccard — the k-width tuning harness
+    * completing the MinHash theory loop (q112/q122 tune the BANDS;
+    * this measures the estimator itself). One-row summary through the
+    * DECIMAL channel. */
+  val q157 = Q(
+    "q157_minhash_estimate_error",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = K)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", k = K,
+        rows = BAND_ROWS).select(col("id_a"), col("id_b"))
+      val sa = sig.columns.filter(_.startsWith("mh")).map(c =>
+        col(c).as(s"a_$c"))
+      val sb = sig.columns.filter(_.startsWith("mh")).map(c =>
+        col(c).as(s"b_$c"))
+      val est = cand
+        .join(sig.select((col("doc_id").as("id_a") +: sa.toSeq): _*), "id_a")
+        .join(sig.select((col("doc_id").as("id_b") +: sb.toSeq): _*), "id_b")
+        .withColumn("est",
+          (0 until K).map(i =>
+            when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+            .reduce(_ + _).cast("double") / lit(K.toDouble))
+        .select(col("id_a"), col("id_b"), col("est"))
+      val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val exact = est
+        .join(idx.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+        .join(idx.select(col("doc_id").as("id_b"), col("sh")),
+          Seq("id_b", "sh"))
+        .groupBy(col("id_a"), col("id_b"), col("est"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")),
+          "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")),
+          "id_b")
+        .withColumn("exact", col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
+      exact.agg(
+        count(lit(1)).as("n_pairs"),
+        (sum(abs(col("est") - col("exact")).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)).cast("double")).as("mean_abs_err"))
+    },
+    Some {
+      val bandRows = (0 until K / BAND_ROWS).map { b =>
+        val key = (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      val agree = (0 until K).map(i =>
+        s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+      WITH $dkShingles,
+      $dkSig,
+      bands AS (
+        $bandRows),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b USING (band, band_key)
+               WHERE a.doc_id < b.doc_id),
+      est AS (SELECT id_a, id_b,
+                CAST($agree AS DOUBLE) / ${K}.0 AS est
+              FROM cand JOIN sig a ON cand.id_a = a.doc_id
+                        JOIN sig b ON cand.id_b = b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT e.id_a, e.id_b, e.est, count(*) AS n_inter
+                FROM est e JOIN sh a ON e.id_a = a.doc_id
+                           JOIN sh b ON e.id_b = b.doc_id AND a.sh = b.sh
+                GROUP BY e.id_a, e.id_b, e.est),
+      x AS (SELECT i.id_a, i.id_b, i.est,
+              CAST(n_inter AS DOUBLE)
+                / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS exact
+            FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+                         JOIN sizes sb ON i.id_b = sb.doc_id)
+      SELECT count(*) AS n_pairs,
+             CAST(CAST(sum(CAST(abs(est - exact) AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_abs_err
+      FROM x"""
+    },
+    covers = Seq("TD-dedup-quality", "TD-dedup-lsh"))
+
+  /** Rendezvous (HRW) sharding ([[graft.ops.Sharding]]): shard counts
+    * for the documents table at 8 and at 9 shards — the elastic
+    * resharding scheme for persistent dedup/sketch state where
+    * growing the fleet moves ONLY the keys whose argmax is the new
+    * shard (spec-pinned); `hash mod N` would move (N−1)/N of them. */
+  val q158 = Q(
+    "q158_rendezvous_shards",
+    (s, dir) => {
+      import graft.ops.Sharding
+      val docs = Tables(s, dir, "documents")
+      Sharding.shardCounts(docs, col("doc_id"), 8)
+        .unionByName(Sharding.shardCounts(docs, col("doc_id"), 9))
+        .orderBy(col("n_shards"), col("shard"))
+    },
+    Some {
+      def cfg(n: Int): String =
+        s"""SELECT $n AS n_shards, shard, count(*) AS n_docs FROM (
+             SELECT doc_id, s AS shard,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY ${dkHash(11, "CAST(doc_id AS VARCHAR)||'|'||CAST(s AS VARCHAR)")} DESC,
+                 s DESC) AS rn
+             FROM documents, generate_series(0, ${n - 1}) g(s))
+           WHERE rn = 1 GROUP BY shard"""
+      s"""
+      SELECT CAST(n_shards AS INTEGER) AS n_shards,
+             CAST(shard AS INTEGER) AS shard, n_docs
+      FROM (
+        ${cfg(8)}
+        UNION ALL
+        ${cfg(9)})
+      ORDER BY n_shards, shard"""
+    },
+    covers = Seq("TD-sharding", "TD-dedup-exact"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3297,5 +3414,5 @@ object TrainingData extends QueryPack {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-      q148, q149, q150, q151, q152, q153, q154, q155, q156)
+      q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
 }
