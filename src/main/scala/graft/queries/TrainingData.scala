@@ -3406,6 +3406,100 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-sharding", "TD-dedup-exact"))
 
+  /** CUBE grouping sets (all four combinations of status × priority)
+    * — completes the grouping-sets family next to q60's ROLLUP;
+    * grouping() flags disambiguate the total rows, revenue through
+    * the DECIMAL channel. */
+  val q159 = Q(
+    "q159_cube",
+    (s, dir) => {
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("revenue"),
+          (grouping(col("o_orderstatus")) === 1).as("is_status_total"),
+          (grouping(col("o_orderpriority")) === 1).as("is_priority_total"))
+        .orderBy(col("o_orderstatus").asc_nulls_last,
+          col("o_orderpriority").asc_nulls_last,
+          col("is_status_total"), col("is_priority_total"))
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+               AS DOUBLE) AS revenue,
+             grouping(o_orderstatus) = 1 AS is_status_total,
+             grouping(o_orderpriority) = 1 AS is_priority_total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS LAST,
+               o_orderpriority ASC NULLS LAST,
+               is_status_total, is_priority_total"""),
+    covers = Seq("A-grouping-sets", "A1"))
+
+  /** NTILE quartile bucketing of customers by account balance
+    * (deterministic total order: balance, then custkey) with
+    * per-bucket stats — the decile/quartile segmentation idiom.
+    * NOTE the global-sort shape: ntile is inherently a total order;
+    * at 100 TB this runs as a range-partitioned sort (Spark's global
+    * Window) or swaps to the q124 histogram quantiles when only the
+    * BOUNDARIES matter. */
+  val q160 = Q(
+    "q160_ntile_quartiles",
+    (s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir, "customer")
+        .withColumn("bucket", ntile(4).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_customers"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH b AS (SELECT c_acctbal,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+             FROM customer)
+      SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_customers,
+             min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+      FROM b GROUP BY bucket ORDER BY bucket"""),
+    covers = Seq("W2", "A1"))
+
+  /** Gaps-and-islands: longest consecutive-day activity streak per
+    * user over the events stream (day − row_number island key) — the
+    * classic retention idiom; windows partition by user over distinct
+    * active DAYS (bounded by the time domain). */
+  val q161 = Q(
+    "q161_activity_streaks",
+    (s, dir) => {
+      val days = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = days
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__grp", date_sub(col("day"), col("__rn")))
+        .groupBy(col("user_id"), col("__grp"))
+        .agg(count(lit(1)).as("__len"))
+      islands.groupBy(col("user_id"))
+        .agg(sum(col("__len")).as("n_active_days"),
+          max(col("__len")).as("longest_streak"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+      i AS (SELECT user_id, day,
+              day - CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY day) AS INTEGER) AS grp
+            FROM d),
+      l AS (SELECT user_id, grp, count(*) AS len
+            FROM i GROUP BY user_id, grp)
+      SELECT user_id, sum(len) AS n_active_days,
+             max(len) AS longest_streak
+      FROM l GROUP BY user_id ORDER BY user_id"""),
+    covers = Seq("W1", "TD-cohort-retention"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3414,5 +3508,5 @@ object TrainingData extends QueryPack {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-      q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
+      q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
 }
