@@ -3500,6 +3500,112 @@ object TrainingData extends QueryPack {
       FROM l GROUP BY user_id ORDER BY user_id"""),
     covers = Seq("W1", "TD-cohort-retention"))
 
+  /** Recall@5 of the TRAINED IVF path (q128's train→index→probe) vs
+    * the exact brute-force baseline — the q112 harness pointed at the
+    * trained quantizer, closing the evaluation loop for the
+    * k/iters/nProbe knobs. */
+  val q162 = Q(
+    "q162_ivf_recall",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+      val exact = Dedup.annTopK(emb, qs, "vec_id", "embedding", 5)
+        .select(col("id_q"), col("id_c"))
+      val approx = graft.ops.KMeans.ivfSearch(emb, qs, k = 4, iters = 1,
+          nProbe = 2, topK = 5)
+        .select(col("id_q"), col("id_c")).withColumn("__hit", lit(1))
+      exact.join(approx, Seq("id_q", "id_c"), "left")
+        .groupBy(col("id_q"))
+        .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_true"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("n_true").cast("double"))
+        .drop("n_true")
+        .orderBy(col("id_q"))
+    },
+    Some {
+      val dist =
+        s"""list_reduce([(CAST(a.qv[i] AS DOUBLE) - c.m[i]) *
+               (CAST(a.qv[i] AS DOUBLE) - c.m[i])
+               for i in generate_series(1,64)], (x, y) -> x + y)"""
+      s"""
+      WITH $dkQuantized,
+      $dkKmeansCtes,
+      ex AS (SELECT id_q, id_c FROM (
+          SELECT qs.vec_id AS id_q, cs.vec_id AS id_c,
+                 row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+                   ${dkDot("qs", "cs")} / (sqrt(qs.nsq) * sqrt(cs.nsq)) DESC,
+                   cs.vec_id ASC) AS rank
+          FROM n qs JOIN n cs ON qs.vec_id < 10 AND qs.vec_id <> cs.vec_id)
+        WHERE rank <= 5),
+      ca AS (SELECT vec_id, cid AS cluster FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist_sq, cid) AS rn FROM d2)
+             WHERE rn = 1),
+      pr AS (SELECT a.vec_id AS id_q, c.cid AS cluster,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY $dist, c.cid) AS prn
+             FROM q a CROSS JOIN c1 c WHERE a.vec_id < 10),
+      sc AS (SELECT p.id_q, ix.vec_id AS id_c,
+               ${dkDot("qq", "cc")} / (sqrt(qq.nsq) * sqrt(cc.nsq)) AS cosine
+             FROM (SELECT id_q, cluster FROM pr WHERE prn <= 2) p
+             JOIN ca ix USING (cluster)
+             JOIN n qq ON qq.vec_id = p.id_q
+             JOIN n cc ON cc.vec_id = ix.vec_id
+             WHERE ix.vec_id <> p.id_q),
+      ap AS (SELECT id_q, id_c FROM
+        (SELECT *, row_number() OVER (PARTITION BY id_q
+           ORDER BY cosine DESC, id_c) AS rank FROM sc)
+        WHERE rank <= 5)
+      SELECT ex.id_q, count(ap.id_c) AS n_hits,
+             CAST(count(ap.id_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS recall
+      FROM ex LEFT JOIN ap ON ex.id_q = ap.id_q AND ex.id_c = ap.id_c
+      GROUP BY ex.id_q ORDER BY ex.id_q"""
+    },
+    covers = Seq("TD-ann-recall", "TD-ann-ivf", "TD-kmeans"))
+
+  /** Per-DIMENSION embedding statistics: count, mean, variance per
+    * coordinate — the feature-QA table (dead dimensions, scale
+    * drift) read before quantization or projection. Variance via the
+    * exact-integer identity (n·Σv² − (Σv)²)/n² on the quantized
+    * values, dequantized by two final IEEE divisions — no float
+    * summation anywhere. One posexplode + one map-side-combined
+    * aggregation; 64 output rows. */
+  val q163 = Q(
+    "q163_dim_stats",
+    (s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      val u = graft.ops.Compute.spread(Tables(s, dir, "embeddings"))
+        .select(posexplode(V.quantize(col("embedding"))).as(Seq("pos", "v")))
+      u.groupBy((col("pos") + 1).as("dim"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("v")).as("__sv"),
+          sum(col("v") * col("v")).as("__svv"))
+        .select(col("dim"), col("n_vecs"),
+          (col("__sv").cast("double") / col("n_vecs").cast("double") /
+            lit(1000.0)).as("mean"),
+          ((col("n_vecs") * col("__svv") - col("__sv") * col("__sv"))
+            .cast("double") /
+            (col("n_vecs") * col("n_vecs")).cast("double") /
+            lit(1000000.0)).as("variance"))
+        .orderBy(col("dim"))
+    },
+    Some("""
+      WITH q2 AS (SELECT [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                          for x in embedding] AS qv FROM embeddings),
+      u AS (SELECT i AS dim, qv[i] AS v
+            FROM q2, generate_series(1,64) g(i)),
+      a AS (SELECT dim, count(*) AS n_vecs, sum(v) AS sv,
+              sum(v * v) AS svv
+            FROM u GROUP BY dim)
+      SELECT CAST(dim AS INTEGER) AS dim, n_vecs,
+             CAST(sv AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000.0 AS mean,
+             CAST(n_vecs * svv - sv * sv AS DOUBLE)
+               / CAST(n_vecs * n_vecs AS DOUBLE) / 1000000.0 AS variance
+      FROM a ORDER BY dim"""),
+    covers = Seq("TD-embedding-stats", "TD-quantization"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3508,5 +3614,5 @@ object TrainingData extends QueryPack {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-      q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
+      q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
 }

@@ -336,6 +336,8 @@ class PlanRegressionSpec extends SparkSpec {
       "q110_rarity_score",          // 1-row corpus-count crossJoin
       "q112_ann_recall",            // exact side IS the declared brute baseline
                                     // (recall harness runs on sampled queries)
+      "q162_ivf_recall",            // same declared brute baseline, vs the
+                                    // trained IVF path
       "q117_temperature_mix",       // two 1-row scalar attaches (total + normalizer)
       "q121_collocation_lift",      // two 1-row grand-total crossJoins over k rows
       "q122_lsh_dedup_quality",     // 1-row counts; truth side IS q21's declared
