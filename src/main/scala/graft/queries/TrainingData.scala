@@ -3606,6 +3606,62 @@ object TrainingData extends QueryPack {
       FROM a ORDER BY dim"""),
     covers = Seq("TD-embedding-stats", "TD-quantization"))
 
+  /** Edit-distance verification of the LSH candidates: Levenshtein
+    * distance + normalized similarity for every candidate pair — the
+    * character-level verify that catches small in-place edits n-gram
+    * Jaccard dilutes (and the third verify lens next to Jaccard and
+    * embedding cosine). Candidates come from the banded join as
+    * always; the quadratic-in-length distance runs ONLY on candidate
+    * pairs (never all-pairs), and both engines implement the same
+    * classic DP so the integers hash-match. */
+  val q164 = Q(
+    "q164_edit_distance_pairs",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = K)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", k = K,
+        rows = BAND_ROWS).select(col("id_a"), col("id_b"))
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")),
+          "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")),
+          "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"),
+          greatest(length(col("__ta")), length(col("__tb"))).cast("long")
+            .as("max_len"))
+        .withColumn("edit_sim",
+          lit(1.0) - col("edit_dist").cast("double") /
+            col("max_len").cast("double"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val bandRows = (0 until K / BAND_ROWS).map { b =>
+        val key = (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $dkShingles,
+      $dkSig,
+      bands AS (
+        $bandRows),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b USING (band, band_key)
+               WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+             CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+               AS max_len,
+             1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+               / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+               AS edit_sim
+      FROM cand JOIN documents da ON cand.id_a = da.doc_id
+                JOIN documents db ON cand.id_b = db.doc_id
+      ORDER BY id_a, id_b"""
+    },
+    covers = Seq("TD-dedup-edit", "TD-dedup-lsh"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3614,5 +3670,5 @@ object TrainingData extends QueryPack {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-      q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
+      q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164)
 }
