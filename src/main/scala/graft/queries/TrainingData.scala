@@ -3662,6 +3662,32 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-dedup-edit", "TD-dedup-lsh"))
 
+  /** Join-key SKEW report: the top-10 heaviest lineitem supplier keys
+    * with their share of all rows — the diagnostic that decides when
+    * a join needs salting ([[graft.ops.Skew]]) or AQE skew handling;
+    * one map-side-combined count agg + TakeOrdered + a 1-row total
+    * attach (declared). */
+  val q165 = Q(
+    "q165_skew_report",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      val total = li.agg(count(lit(1)).as("__t"))
+      counts.orderBy(col("n").desc, col("l_suppkey")).limit(10)
+        .crossJoin(broadcast(total))
+        .select(col("l_suppkey"), col("n"),
+          (col("n").cast("double") / col("__t").cast("double")).as("share"))
+        .orderBy(col("n").desc, col("l_suppkey"))
+    },
+    Some("""
+      WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem
+                 GROUP BY l_suppkey),
+      t AS (SELECT count(*) AS tt FROM lineitem)
+      SELECT l_suppkey, n, CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS share
+      FROM (SELECT * FROM c ORDER BY n DESC, l_suppkey LIMIT 10), t
+      ORDER BY n DESC, l_suppkey"""),
+    covers = Seq("TD-skew-report", "A1"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3670,5 +3696,5 @@ object TrainingData extends QueryPack {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-      q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164)
+      q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
 }

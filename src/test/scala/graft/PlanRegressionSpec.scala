@@ -346,6 +346,7 @@ class PlanRegressionSpec extends SparkSpec {
       "q139_length_quantiles_by_source", // same probe join, bounded by
                                     // |groups| x |ps| x |distinct lengths|
       "q125_source_divergence",     // 1-row grand-total crossJoin
+      "q165_skew_report",           // 1-row total crossJoin over 10 rows
       "q142_event_funnel",          // three 1-row stage-count crossJoins
       "q126_embedding_lsh_quality", // truth side IS q66's declared all-pairs
                                     // baseline; 1-row count crossJoin
