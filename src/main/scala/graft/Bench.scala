@@ -160,14 +160,24 @@ object Bench {
         s""""degraded":[${degraded.distinct.map(d => s"\"$d\"").mkString(",")}]"""
     // full ledger (per-iteration detail) — persisted to bench_history/
     val line = s"""{$common,"queries":$qs,"iterations":$allIters,"sf":"$sfDir"}"""
-    // stdout gets the COMPACT ledger only, as the program's LAST line:
-    // rounds 4–5 the driver recorded `"parsed": null` because its
-    // capture kept a bounded stdout tail and the full line (8 KB+ of
-    // per-iteration arrays) plus sbt's trailing chatter pushed the
-    // JSON head out of the window. The compact line carries the whole
-    // contract (metric/value/unit/failed/degraded/per-query minima/sf);
-    // the per-iteration spread stays machine-diffable in bench_history.
-    println(s"""{$common,"queries":$qs,"sf":"$sfDir"}""")
+    // stdout gets a SUMMARY line as the program's LAST line. The driver
+    // keeps only a 2000-char stdout tail (measured from BENCH_r06.json:
+    // `"tail"` is exactly 2000 chars and ends with ~75 chars of sbt
+    // `[success]` chatter), so the 165-entry per-query map (~6 KB) can
+    // never survive it — rounds 4–6 all recorded `"parsed": null` for
+    // this reason. The line below stays under ~900 chars: summary
+    // fields, the TOP-10 slowest queries (3-decimal, the regression-
+    // watch set), and the path of the full ledger in bench_history/
+    // (committed), where every per-query minimum and per-iteration
+    // sample lives machine-diffable.
+    val top10 = results
+      .flatMap { case (k, ts) => minOf(ts).map(k -> _) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => // locale-proof 3-decimal rendering
+        s""""$k":${math.round(v * 1000) / 1000.0}""" }
+      .mkString("{", ",", "}")
+    println(s"""{$common,"n_queries":${results.size},"slowest":$top10,""" +
+      s""""queries_file":"bench_history/bench_latest.json","sf":"$sfDir"}""")
     // per-round ledger: the driver's BENCH_r{N}.json can truncate in
     // logs — persist the full per-query JSON so round-over-round
     // regressions stay machine-diffable (bench_history/ is committed).

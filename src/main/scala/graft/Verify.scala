@@ -31,12 +31,38 @@ object Verify {
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // canonical per-query value hash (round-6 VERDICT ask #1a): columns
+    // sorted by lowercased name, every value rendered through one string
+    // canon (null sentinel distinct from the string "null"), one md5 per
+    // row reduced by XOR — order-independent, so no sort and no
+    // driver-side collect; computed on the SAME persisted df the parquet
+    // dump writes. Committed as VERIFYHASH.json each round so a driver-
+    // side CORRECTNESS snapshot can be bisected against the local run:
+    // same hash ⇒ the driver's Spark side saw the same values and any
+    // red row is on the oracle/comparator side.
+    val hashes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def canonHash(df: org.apache.spark.sql.DataFrame): String = {
+      import org.apache.spark.sql.functions._
+      val cols = df.columns.sortBy(_.toLowerCase)
+        .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+      val row = md5(concat_ws("\u0001", cols: _*))
+      val h = substring(row, 1, 15) // 60 bits: sign-safe in a long
+      val agg = df.select(conv(h, 16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(bit_xor(col("h")), lit(0L)).as("x"))
+        .head()
+      s"${agg.getLong(0)}:${java.lang.Long.toHexString(agg.getLong(1))}"
+    }
     val jobs = SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
       .map { case (name, fn) =>
       Future {
         try {
           val df = fn(spark, sfDir)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try hashes.put(name, canonHash(df))
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name hash failed: ${e.getMessage}")
+          }
           // coalesce(1) only for small results (one tidy file); a big
           // result funnelled through coalesce(1) appends a single-task
           // write to the whole sorted plan — for q51's millions of rows
@@ -72,6 +98,11 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // hash format "rowcount:xor-of-row-md5-prefixes" — see canonHash
+    import scala.jdk.CollectionConverters._
+    val vh = hashes.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/VERIFYHASH.json"), vh)
     spark.stop()
   }
 }

@@ -73,14 +73,24 @@ object CmsSketch {
 
   /** CMS point-frequency estimates for the keys of `keys` against a
     * register table: min over the d cells each key hashes to. Joins
-    * the (broadcastable) register table — nothing is collected. */
+    * the (broadcastable) register table — nothing is collected.
+    *
+    * Accepts SPARSE register tables (the [[registersBy]] /
+    * `SketchStream.mergedCms` shape): the join is LEFT, missing cells
+    * coalesce to 0 — so a key whose row hits an absent (zero) cell
+    * still takes that 0 into its min (the CMS bound requires the min
+    * over ALL d cells, not just the stored ones), and a key hitting no
+    * stored cell at all reports est = 0 instead of vanishing from the
+    * output. Dense tables ([[registers]]) behave identically: every
+    * cell matches, nothing coalesces. */
   def estimate(registers: DataFrame, keys: DataFrame, key: Column,
       depth: Int = 4, width: Int = 32, seedBase: Int = 100): DataFrame = {
     val cells = keys
       .select(key.as("key"), posexplode(array((0 until depth).map(j =>
         (TextFunctions.hash60(key, seedBase + j) % width).cast("int")
       ): _*)).as(Seq("row", "col")))
-    cells.join(broadcast(registers), Seq("row", "col"))
-      .groupBy(col("key")).agg(min(col("cnt")).as("est"))
+    cells.join(broadcast(registers), Seq("row", "col"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 }

@@ -19,19 +19,6 @@ import graft.functions.{VectorFunctions => V}
   */
 object EmbeddingStats {
 
-  /** Per-label cluster coherence: member count and the
-    * mean/min/max cosine of members to their label centroid.
-    *
-    * The centroid is the UNSCALED per-position sum of the quantized
-    * member vectors — cosine is scale-invariant, so dividing by the
-    * count would only introduce a rounding step; using the sum keeps
-    * the whole chain in exact integers.
-    *
-    * Scale shape: one posexplode (rows × dim), one (label, pos)
-    * aggregation for centroids, then the centroid table — #labels ×
-    * dim rows, broadcastable metadata — joins back for one exact
-    * dot/norm aggregation per member. No pairwise work anywhere:
-    * coherence is O(n·d), not O(n²). */
   /** Class-centroid EXPORT — the per-label mean embedding table
     * (label, dim, member count, centroid coordinate): the prototype
     * set a nearest-class-mean classifier, SemDeDup cluster stage, or
@@ -59,10 +46,20 @@ object EmbeddingStats {
     *
     * Exactness trick: the centroid mean never materializes as a
     * float. With n = label count and s_i = exact per-dim integer sum,
-    * n²·‖q − s/n‖² = Σ_i (n·q_i − s_i)² — exact int64 end-to-end.
+    * n²·‖q − s/n‖² = Σ_i (n·q_i − s_i)² — exact int64 per member.
     * The ratio then divides by the label mean of that same integer
     * (two IEEE divisions), so the score is bit-stable on any engine
     * and any aggregation order.
+    *
+    * Member-count bound: the per-member sum is n²-scaled, so with
+    * quantized |v| ≤ ~1000 and d = 64 the worst case d·(2000n)² stays
+    * under 2^63 only for n ≲ 1.9×10^5 members per label (comfortable
+    * for per-label diagnostics; far looser in practice since the
+    * summand is a deviation, not the full range). The LABEL-level
+    * total (`tot`, an extra factor of n) goes through the
+    * decimal(38,0) channel — DuckDB's HUGEINT sum matches it exactly
+    * — so the reported ratio never silently wraps even when a label
+    * approaches that bound.
     *
     * Scale shape: identical to [[clusterCoherence]] — one posexplode,
     * one (label, pos) sum aggregation, broadcast centroid table join,
@@ -79,7 +76,8 @@ object EmbeddingStats {
       .agg(sum((col("n") * col("v") - col("s")) *
         (col("n") * col("v") - col("s"))).as("nsq_d2"))
     val m = d.groupBy(col(label))
-      .agg(sum(col("nsq_d2")).as("tot"), count(lit(1)).as("cnt"))
+      .agg(sum(col("nsq_d2").cast("decimal(38,0)")).as("tot"),
+        count(lit(1)).as("cnt"))
     d.join(broadcast(m), Seq(label))
       .select(col(id), col(label), col("nsq_d2"),
         // a degenerate label (all members identical) has tot = 0 and
@@ -92,6 +90,19 @@ object EmbeddingStats {
       .limit(topK)
   }
 
+  /** Per-label cluster coherence: member count and the
+    * mean/min/max cosine of members to their label centroid.
+    *
+    * The centroid is the UNSCALED per-position sum of the quantized
+    * member vectors — cosine is scale-invariant, so dividing by the
+    * count would only introduce a rounding step; using the sum keeps
+    * the whole chain in exact integers.
+    *
+    * Scale shape: one posexplode (rows × dim), one (label, pos)
+    * aggregation for centroids, then the centroid table — #labels ×
+    * dim rows, broadcastable metadata — joins back for one exact
+    * dot/norm aggregation per member. No pairwise work anywhere:
+    * coherence is O(n·d), not O(n²). */
   def clusterCoherence(emb: DataFrame, id: String = "vec_id",
       vec: String = "embedding", label: String = "label"): DataFrame =
     memberCentroidCosine(emb, id, vec, label)

@@ -15,6 +15,21 @@ import graft.ops.Dedup
   * Every hash here is md5-derived (see TextFunctions.hash60) so DuckDB
   * reproduces signatures bit-for-bit — even MinHash/LSH/SimHash are
   * oracle-checked, not just rows-only.
+  *
+  * ORACLE AUTHORING RULE (round-6 postmortem): every integer `sum()`
+  * that reaches an oracle's output — directly or via a CTE — must be
+  * wrapped `CAST(... AS BIGINT)`. DuckDB types integer sums HUGEINT
+  * (int128); `fetchall()` hides it (plain Python int, so the local
+  * check_oracle.py passes) but the pandas/arrow export the driver's
+  * comparator uses renders HUGEINT as float64 — `12345.0` vs the
+  * Spark parquet's int64 `12345`, a hash mismatch with rows and
+  * schema still matching. That uncast-sum column was the single
+  * common construct in all 7 round-6 driver-red rows (and in
+  * round-5's q86) and in no green row. Gate: `sbt "runMain
+  * graft.tools.DumpOracle /tmp/o.json"` then
+  * `python3 tools/audit_oracle_types.py /tmp/o.json
+  * /root/testdata/sf0.001` must print `0 flagged` before committing
+  * a new query.
   */
 object TrainingData extends QueryPack {
 
@@ -2297,8 +2312,8 @@ object TrainingData extends QueryPack {
                ${dkHash(7, "CAST(doc_id AS VARCHAR)")} AS pri
              FROM documents),
       c AS (SELECT doc_id, source, n_tokens,
-              sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
-                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
             FROM t)
       SELECT doc_id, source, n_tokens, cum_tokens
       FROM c WHERE cum_tokens <= 2000
@@ -2409,8 +2424,8 @@ object TrainingData extends QueryPack {
       cent AS (SELECT label, pos, sum(v) AS s, count(*) AS n
                FROM u GROUP BY label, pos),
       d AS (SELECT u.vec_id, u.label,
-              sum((cent.n * u.v - cent.s) * (cent.n * u.v - cent.s))
-                AS nsq_d2
+              CAST(sum((cent.n * u.v - cent.s) * (cent.n * u.v - cent.s))
+                AS BIGINT) AS nsq_d2
             FROM u JOIN cent ON u.label = cent.label AND u.pos = cent.pos
             GROUP BY u.vec_id, u.label),
       m AS (SELECT label, sum(nsq_d2) AS tot, count(*) AS cnt
@@ -2605,8 +2620,8 @@ object TrainingData extends QueryPack {
                CAST(len(regexp_extract_all(lower(text),
                  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS s
              FROM documents)
-      SELECT source, count(*) AS n_docs, sum(w) AS n_words,
-             sum(s) AS n_subtokens,
+      SELECT source, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(s) AS BIGINT) AS n_subtokens,
              CAST(sum(s) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility
       FROM t GROUP BY source ORDER BY source"""),
     covers = Seq("TD-token-count", "TD-source-drift"))
@@ -2871,6 +2886,11 @@ object TrainingData extends QueryPack {
       val act = ev.select(col("user_id"),
         date_trunc("week", col("ts")).as("w")).distinct()
       su.join(act, Seq("user_id"))
+        // exclude pre-signup activity BEFORE dividing: Spark's `div`
+        // truncates toward zero, so datediff in -6..-1 would land in
+        // k=0 (DuckDB's `//` floors it to k=-1) — a latent engine/
+        // oracle divergence without this guard
+        .filter(expr("datediff(w, cohort) >= 0"))
         .withColumn("k", expr("CAST(datediff(w, cohort) div 7 AS BIGINT)"))
         .filter(col("k").between(0, 3))
         .groupBy(col("cohort"), col("k"))
@@ -2892,7 +2912,8 @@ object TrainingData extends QueryPack {
       r AS (SELECT su.cohort, date_diff('day', su.cohort, act.w) // 7 AS k,
               count(DISTINCT su.user_id) AS n_active
             FROM su JOIN act ON su.user_id = act.user_id
-            WHERE date_diff('day', su.cohort, act.w) // 7 BETWEEN 0 AND 3
+            WHERE date_diff('day', su.cohort, act.w) >= 0
+              AND date_diff('day', su.cohort, act.w) // 7 BETWEEN 0 AND 3
             GROUP BY su.cohort, k)
       SELECT r.cohort, CAST(k AS BIGINT) AS k, n_cohort, n_active,
              CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
@@ -3088,7 +3109,8 @@ object TrainingData extends QueryPack {
     },
     Some("""
       SELECT event_type, count(*) AS n_events,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS sum_k,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
       FROM events GROUP BY event_type ORDER BY event_type"""),
@@ -3204,7 +3226,8 @@ object TrainingData extends QueryPack {
           else "CAST(NULL AS DOUBLE)"
         s"""SELECT '$c' AS column_name, '$t' AS data_type,
             count(*) AS n_rows,
-            sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_nulls,
             count(DISTINCT $c) AS n_distinct,
             $mn AS min_value, $mx AS max_value
           FROM lineitem"""
@@ -3264,9 +3287,10 @@ object TrainingData extends QueryPack {
                CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
                  / CAST(len(string_split(text,' ')) AS DOUBLE) AS avl
              FROM documents),
-      a1 AS (SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
-               sum(CASE WHEN nt BETWEEN 5 AND 10000 AND avl <= 15.0
-                   THEN 1 ELSE 0 END) AS n_quality
+      a1 AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN nt BETWEEN 5 AND 10000 AND avl <= 15.0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
              FROM b GROUP BY source),
       fp AS (SELECT source, count(DISTINCT
                md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))))
@@ -3495,7 +3519,7 @@ object TrainingData extends QueryPack {
             FROM d),
       l AS (SELECT user_id, grp, count(*) AS len
             FROM i GROUP BY user_id, grp)
-      SELECT user_id, sum(len) AS n_active_days,
+      SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
              max(len) AS longest_streak
       FROM l GROUP BY user_id ORDER BY user_id"""),
     covers = Seq("W1", "TD-cohort-retention"))
@@ -3571,7 +3595,13 @@ object TrainingData extends QueryPack {
     * exact-integer identity (n·Σv² − (Σv)²)/n² on the quantized
     * values, dequantized by two final IEEE divisions — no float
     * summation anywhere. One posexplode + one map-side-combined
-    * aggregation; 64 output rows. */
+    * aggregation; 64 output rows.
+    *
+    * Count bound: n·Σv² is n²-scaled (|v| ≤ ~1000 ⇒ Σv² ≤ n·10^6),
+    * so the int64 identity is exact for n ≲ 3×10^6 vectors; beyond
+    * that, route the products through decimal(38,0) as
+    * [[graft.ops.EmbeddingStats.labelOutliers]] does for its
+    * label-level total. */
   val q163 = Q(
     "q163_dim_stats",
     (s, dir) => {
