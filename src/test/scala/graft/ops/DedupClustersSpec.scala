@@ -24,7 +24,9 @@ class DedupClustersSpec extends SparkSpec {
     val ids = ((0L to 50L) ++ (101L to 300L)).toDF("doc_id")
     val pairs = ((0L until 50L).map(i => (i, i + 1)) ++
       (101L until 300L).map(i => (i, i + 1))).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(ids, "doc_id", pairs)
+    // localEdgeCap = 0 forces the distributed loop — this test pins
+    // pointer-jumping itself, not the small-graph union-find path
+    val got = Dedup.duplicateClusters(ids, "doc_id", pairs, localEdgeCap = 0)
       .as[(Long, Long)].collect().toMap
     assert((0L to 50L).forall(got(_) == 0L), "50-path must collapse to 0")
     assert((101L to 300L).forall(got(_) == 101L), "200-path must collapse to 101")
@@ -40,11 +42,36 @@ class DedupClustersSpec extends SparkSpec {
     // rounds fails here loudly, long before it shows in a bench).
     val ids = (0L to 200L).toDF("doc_id")
     val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(ids, "doc_id", pairs)
+    val got = Dedup.duplicateClusters(ids, "doc_id", pairs, localEdgeCap = 0)
       .as[(Long, Long)].collect().toMap
     assert((0L to 200L).forall(got(_) == 0L), "200-path must collapse to 0")
+    assert(Dedup.lastClusterRounds >= 1,
+      "localEdgeCap=0 must route through the distributed loop")
     assert(Dedup.lastClusterRounds <= 10,
       s"expected <=10 pointer-jump rounds, got ${Dedup.lastClusterRounds}")
+  }
+
+  test("small-graph union-find path matches the distributed fixpoint") {
+    // same graph through both paths — deep chains both id directions,
+    // a star, a singleton; string ids exercise the Comparable ordering
+    val ids = ((0L to 50L) ++ (101L to 300L) :+ 400L).toDF("doc_id")
+    val pairs = ((0L until 50L).map(i => (i, i + 1)) ++
+      (101L until 300L).map(i => (i, i + 1)) ++
+      Seq((400L, 300L))).toDF("id_a", "id_b")
+    val local = Dedup.duplicateClusters(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Dedup.lastClusterRounds == 0,
+      "graph under the cap must take the union-find path")
+    val dist = Dedup.duplicateClusters(ids, "doc_id", pairs, localEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    // string ids through the local path
+    val sids = Seq("d", "b", "a", "c", "z").toDF("doc_id")
+    val spairs = Seq(("d", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val sgot = Dedup.duplicateClusters(sids, "doc_id", spairs)
+      .as[(String, String)].collect().toMap
+    assert(sgot == Map("a" -> "a", "b" -> "b", "c" -> "b", "d" -> "b",
+      "z" -> "z"))
   }
 
   test("dedupDecision keeps exactly one doc per cluster") {
