@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch-UDF pattern.
   *
   * IMAGES decode for real through the JDK's `javax.imageio`
-  * (PNG/BMP/JPEG readers ship with the JVM) — see [[ImageCodec]].
-  * The container ships no audio/video codecs (builder brief), so for
-  * those [[StubCodec]] remains a clearly-marked deterministic fake;
-  * everything around it — schema, batch iteration, partition
-  * parallelism, typed Encoders — is the real pipeline a production
-  * codec would drop into. [[decodeAuto]] routes by `kind`.
+  * (PNG/BMP/JPEG readers ship with the JVM) — see [[ImageCodec]] —
+  * and AUDIO decodes for real through `javax.sound.sampled`
+  * (WAV/AIFF/AU + PCM, also in the JDK) — see [[AudioCodec]]. Only
+  * VIDEO remains on the clearly-marked deterministic [[StubCodec]]
+  * (the JVM ships no video codec); everything around it — schema,
+  * batch iteration, partition parallelism, typed Encoders — is the
+  * real pipeline a production codec would drop into. [[decodeAuto]]
+  * routes by `kind`.
   */
 object Multimodal {
 
@@ -145,6 +147,107 @@ object Multimodal {
     def syntheticPng(id: Long): Array[Byte] =
       encodeGrayPng((8 + id % 9).toInt, (8 + id % 7).toInt,
         (x, y) => ((x * 7 + y * 13 + id) % 256).toInt)
+  }
+
+  /** Decoded audio statistics — the real-codec output row. Amplitude
+    * stats are over the signed 16-bit samples: exact integer sum /
+    * sum-of-squares, then one IEEE division each (and one correctly-
+    * rounded sqrt for rms) — the q76 exactness contract on sound. */
+  final case class AudioStats(
+      media_id: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      bits: Int,
+      n_samples: Long,
+      peak: Long,
+      mean_amplitude: Double,
+      rms: Double)
+
+  /** REAL audio codec over `javax.sound.sampled` (ships with the JDK:
+    * WAV/AIFF/AU containers, PCM codecs, fully headless — the same
+    * move as [[ImageCodec]]'s imageio). Covers `kind == "audio"`;
+    * only VIDEO remains on [[StubCodec]] (the JVM genuinely lacks a
+    * video codec). */
+  object AudioCodec {
+
+    /** Decode a WAV/AIFF/AU payload and compute sample statistics.
+      * Format fields (rate/channels/bits) come from the REAL parsed
+      * header; samples stream through the frame reader — 16-bit
+      * signed PCM little-endian is asserted because that is what
+      * [[encodeWavPcm16]] writes and what the closed-form oracle
+      * recomputes. */
+    def decodeStats(id: Long, payload: Array[Byte]): AudioStats = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"expected 16-bit signed little-endian PCM, got $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var i = 0
+        var sum = 0L
+        var sumSq = 0L
+        var peak = 0L
+        while (i < n) {
+          // little-endian int16
+          val v = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong
+          sum += v
+          sumSq += v * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioStats(id, fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, n.toLong, peak,
+          if (n == 0) 0.0 else sum.toDouble / n,
+          if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+      } finally ais.close()
+    }
+
+    /** Encode signed 16-bit mono PCM samples as a WAV container via
+      * `AudioSystem.write` — a REAL file a desktop player opens.
+      * PCM16 round-trips bit-exactly through write→read, which is
+      * what lets the SQL oracle recompute decoded statistics in
+      * closed form (the [[ImageCodec.encodeGrayPng]] argument). */
+    def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) { // little-endian int16
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Synthetic test clip for media id: n = 1000 + 100·(id mod 7)
+      * samples at 8 kHz, sample(t) = ((37t + 13·id) mod 65536) −
+      * 32768 — full int16 range, every decoded statistic closed-form
+      * recomputable from the id alone (the [[ImageCodec.syntheticPng]]
+      * pattern). */
+    def syntheticWav(id: Long): Array[Byte] = {
+      val n = (1000 + (id % 7) * 100).toInt
+      val samples = Array.tabulate(n)(t =>
+        (((t.toLong * 37 + id * 13) % 65536) - 32768).toShort)
+      encodeWavPcm16(samples, 8000)
+    }
+  }
+
+  /** Partition-parallel REAL audio decode → per-clip statistics. */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    Compute.spread(media)
+      .mapPartitions(_.map(r => AudioCodec.decodeStats(r.media_id, r.payload)))
   }
 
   /** Codec router: images decode for REAL (JDK imageio); other kinds

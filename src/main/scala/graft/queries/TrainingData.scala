@@ -3718,6 +3718,40 @@ object TrainingData extends QueryPack {
       ORDER BY n DESC, l_suppkey"""),
     covers = Seq("TD-skew-report", "A1"))
 
+  /** REAL audio decode end to end ([[graft.ops.Multimodal.AudioCodec]],
+    * `javax.sound.sampled` — in the JDK, the q76 move for sound):
+    * synthetic 8 kHz PCM16 WAVs encoded per doc id, decoded through
+    * the real WAV parser partition-parallel, per-clip amplitude
+    * statistics vs the closed-form oracle (samples are a pure
+    * function of (id, t), so DuckDB regenerates them with a range
+    * join — no codec needed on the oracle side). */
+  val q166 = Q(
+    "q166_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+        .map(id => Multimodal.MediaRow(id, "audio",
+          Multimodal.AudioCodec.syntheticWav(id)))
+      Multimodal.audioStats(media).toDF().orderBy($"media_id")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id,
+                   CAST(1000 + (doc_id % 7) * 100 AS BIGINT) AS n
+                 FROM documents),
+      s AS (SELECT m.doc_id, ((t.t * 37 + m.doc_id * 13) % 65536) - 32768 AS v
+            FROM m, range(0, 1600) t(t) WHERE t.t < m.n)
+      SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+             CAST(1 AS INTEGER) AS n_channels, CAST(16 AS INTEGER) AS bits,
+             count(*) AS n_samples,
+             CAST(max(abs(v)) AS BIGINT) AS peak,
+             CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_amplitude,
+             sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               AS rms
+      FROM s GROUP BY doc_id ORDER BY media_id"""),
+    covers = Seq("TD-multimodal"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3726,5 +3760,6 @@ object TrainingData extends QueryPack {
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
-      q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
+      q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
+      q159, q160, q161, q162, q163, q164, q165, q166)
 }

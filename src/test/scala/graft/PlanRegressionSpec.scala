@@ -319,6 +319,44 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("__b"), "expected the radius-bucket join key")
   }
 
+  test("q147: as-of join is the union-sort pass — no join operator, " +
+      "one keyed shuffle, no range explosion") {
+    val p = plan("q147_asof_error_click")
+    assert(!p.contains("Join"),
+      "as-of must stay the union trick, never a range join:\n" + p.take(800))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "events∪probes must shuffle exactly once on the key:\n" + p.take(800))
+    assert(p.contains("Union"), "expected the tagged union:\n" + p.take(400))
+  }
+
+  test("q154: table profile is ONE scan — single-pass multi-column " +
+      "aggregation, no join, no per-column re-read") {
+    val p = plan("q154_table_profile")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "profile must read lineitem exactly once for all 11 columns:\n" +
+        p.take(800))
+    assert(!p.contains("Join"), "profile must not join:\n" + p.take(600))
+    assert(p.contains("Expand"),
+      "exact multi-column distinct must go through the Expand rewrite " +
+        "(the single-pass shape), not per-column subplans:\n" + p.take(600))
+  }
+
+  test("q164: Levenshtein DP runs ABOVE the candidate equi-join — " +
+      "quadratic work only on candidate pairs, never all-pairs") {
+    val p = plan("q164_edit_distance_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "edit-distance verify must stay LSH-candidate-bucketed:\n" + p.take(800))
+    val lines = p.linesIterator.toSeq
+    val lev = lines.indexWhere(_.toLowerCase.contains("levenshtein"))
+    assert(lev >= 0, "expected a levenshtein projection in the plan")
+    // plans print root-first: operators BELOW the projection (its
+    // inputs) appear later — the candidate join must be one of them
+    assert(lines.drop(lev + 1).exists(_.contains("Join")),
+      "the DP projection must consume the candidate join's output " +
+        "(join below it in the tree), not a pre-join row set:\n" + p.take(800))
+  }
+
   /** CartesianProduct / BroadcastNestedLoopJoin sweep over the full
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
