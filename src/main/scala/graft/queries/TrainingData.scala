@@ -3752,6 +3752,141 @@ object TrainingData extends QueryPack {
       FROM s GROUP BY doc_id ORDER BY media_id"""),
     covers = Seq("TD-multimodal"))
 
+  /** Bigram-LM QUALITY score ([[graft.ops.NgramLm.bigramScore]]) —
+    * the CCNet perplexity-filter signal: avg log-prob of each doc's
+    * token transitions under the corpus' own add-one bigram model.
+    * Each ln rides the DECIMAL(18,6) channel before the (exact)
+    * decimal sum, so the score is engine-stable; perplexity =
+    * e^(−avg_logp) stays with the consumer. */
+  val q167 = Q(
+    "q167_lm_score",
+    (s, dir) => graft.ops.NgramLm.bigramScore(Tables(s, dir, "documents")),
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+      bgp AS (SELECT doc_id, ws[i]||' '||ws[i+1] AS bg, ws[i] AS w1
+              FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws)-1)) AS i
+                    FROM toks WHERE len(ws) >= 2)),
+      bi AS (SELECT bg, count(*) AS c_bi FROM bgp GROUP BY bg),
+      uni AS (SELECT tok, count(*) AS c_uni FROM
+                (SELECT unnest(ws) AS tok FROM toks) GROUP BY tok),
+      v AS (SELECT count(*) AS vv FROM uni),
+      inst AS (SELECT doc_id,
+                 CAST(ln((CAST(c_bi AS DOUBLE) + 1.0)
+                   / (CAST(c_uni AS DOUBLE) + CAST(vv AS DOUBLE)))
+                   AS DECIMAL(18,6)) AS lp
+               FROM bgp JOIN bi USING (bg)
+                        JOIN uni ON bgp.w1 = uni.tok, v),
+      per AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp
+              FROM inst GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+             CASE WHEN coalesce(nb, 0) = 0 THEN 0.0
+                  ELSE CAST(CAST(slp AS VARCHAR) AS DOUBLE)
+                    / CAST(nb AS DOUBLE) END AS avg_logp
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""),
+    covers = Seq("TD-lm-score", "TD-text-quality"))
+
+  /** PRODUCT QUANTIZATION codes ([[graft.ops.ProductQuantizer]]):
+    * 64 dims → 4 subspaces of 16, a k=4 exact-integer Lloyd codebook
+    * per subspace (one update round), every vector encoded to its 4
+    * nearest-centroid codes + per-subspace reconstruction error —
+    * the IVF-PQ compression stage, oracle-gated through the same
+    * kmeans parity the q127/q128/q162 family proved. */
+  val q168 = Q(
+    "q168_pq_codes",
+    (s, dir) => {
+      graft.ops.ProductQuantizer.encode(Tables(s, dir, "embeddings"),
+          dim = 64, m = 4, k = 4, iters = 1)
+        .orderBy(col("vec_id"), col("sub"))
+    },
+    Some {
+      val subCtes = (0 until 4).map { sb =>
+        val lo = sb * 16
+        val dist =
+          s"""list_reduce([(CAST(a.qv[$lo + j] AS DOUBLE) - c.m[j]) *
+                 (CAST(a.qv[$lo + j] AS DOUBLE) - c.m[j])
+                 for j in generate_series(1,16)], (x, y) -> x + y)"""
+        s"""init$sb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                     AS BIGINT) AS cid,
+                     [CAST(qv[$lo + j] AS DOUBLE)
+                      for j in generate_series(1,16)] AS m
+                   FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
+      d1$sb AS (SELECT a.vec_id, c.cid, $dist AS dist_sq
+             FROM q a CROSS JOIN init$sb c),
+      a1$sb AS (SELECT vec_id, cid FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist_sq, cid) AS rn FROM d1$sb)
+             WHERE rn = 1),
+      s1$sb AS (SELECT a1$sb.cid, j, sum(q.qv[$lo + j]) AS sm, count(*) AS n
+             FROM a1$sb JOIN q USING (vec_id)
+             CROSS JOIN generate_series(1,16) g(j)
+             GROUP BY a1$sb.cid, j),
+      u1$sb AS (SELECT cid, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+                              ORDER BY j) AS m
+             FROM s1$sb GROUP BY cid),
+      c1$sb AS (SELECT init$sb.cid, coalesce(u1$sb.m, init$sb.m) AS m
+             FROM init$sb LEFT JOIN u1$sb USING (cid)),
+      d2$sb AS (SELECT a.vec_id, c.cid, $dist AS dist_sq
+             FROM q a CROSS JOIN c1$sb c),
+      a2$sb AS (SELECT vec_id, $sb AS sub, cid AS code, dist_sq FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist_sq, cid) AS rn FROM d2$sb)
+             WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      val union = (0 until 4).map(sb => s"SELECT * FROM a2$sb")
+        .mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $dkQuantized,
+      $subCtes
+      SELECT vec_id, CAST(sub AS INTEGER) AS sub,
+             CAST(code AS BIGINT) AS code, dist_sq
+      FROM (
+        $union)
+      ORDER BY vec_id, sub"""
+    },
+    covers = Seq("TD-pq", "TD-quantization", "TD-kmeans"))
+
+  /** Language-ID CONFUSION MATRIX — q20's per-doc agreement rolled up
+    * to the (labeled lang × predicted lang) eval table with per-label
+    * shares: the classifier-eval harness for the heuristic langid
+    * (which cells leak which languages into 'und'). Two tiny aggs +
+    * one broadcast join on a ≤#langs-row table. */
+  val q169 = Q(
+    "q169_langid_confusion",
+    (s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("lang"), T.langId(col("text")).as("lang_pred"))
+      val m = scored.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val tot = scored.groupBy(col("lang")).agg(count(lit(1)).as("__t"))
+      m.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          (col("n").cast("double") / col("__t").cast("double")).as("share"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+    Some {
+      val hits = T.lexicons.map { case (lang, ws) =>
+        s"len([t for t in string_split(text,' ') if t IN (${ws.map(w => s"'$w'").mkString(",")})]) AS h_$lang"
+      }.mkString(",\n               ")
+      val langs = T.lexicons.map(_._1)
+      val mx = s"greatest(${langs.map("h_" + _).mkString(",")})"
+      val cases = langs.map(l => s"WHEN h_$l = $mx AND $mx > 0 THEN '$l'")
+        .mkString(" ")
+      s"""
+      WITH scored AS (SELECT lang,
+               CASE $cases ELSE 'und' END AS lang_pred
+             FROM (SELECT lang, text, $hits FROM documents)),
+      m AS (SELECT lang, lang_pred, count(*) AS n
+            FROM scored GROUP BY lang, lang_pred),
+      tot AS (SELECT lang, count(*) AS t FROM scored GROUP BY lang)
+      SELECT m.lang, lang_pred, n,
+             CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+      FROM m JOIN tot ON m.lang = tot.lang
+      ORDER BY m.lang, lang_pred"""
+    },
+    covers = Seq("TD-langid", "TD-model-eval"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3761,5 +3896,5 @@ object TrainingData extends QueryPack {
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-      q159, q160, q161, q162, q163, q164, q165, q166)
+      q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
 }

@@ -390,7 +390,10 @@ class PlanRegressionSpec extends SparkSpec {
                                     // baseline; 1-row count crossJoin
       "q127_kmeans_train",          // k-row centroid table rides as a collected
                                     // 1-row broadcast array (per-row argmin HOF)
-      "q128_ivf_trained")           // same k-row centroid broadcast in train+probe
+      "q128_ivf_trained",           // same k-row centroid broadcast in train+probe
+      "q167_lm_score",              // 1-row vocabulary-size crossJoin
+      "q168_pq_codes")              // q127's k-row centroid broadcast, one per
+                                    // PQ subspace
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramScore: hand-checked add-one model on a 3-doc corpus") {
+    // corpus: "a b a b", "a b", "c"
+    //   bigrams: "a b" x3 ("a b a b" has a b, b a, a b), "b a" x1
+    //   unigrams: a x3? -> a:3 (doc1 a,a + doc2 a), b:3, c:1; V = 3
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.bigramScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def lp(cBi: Long, cUni: Long, v: Long): Double =
+      BigDecimal(math.log((cBi + 1.0) / (cUni + v.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val v = 3L
+    // doc1: (a b):3, (b a):1, (a b):3 over prefixes a:3, b:3, a:3
+    val d1 = Seq(lp(3, 3, v), lp(1, 3, v), lp(3, 3, v))
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - d1.sum / 3) < 1e-12)
+    // doc2: one transition (a b):3 / a:3
+    assert(got(2L) == ((1L, lp(3, 3, v))))
+    // doc3: single token -> no transitions, score 0
+    assert(got(3L) == ((0L, 0.0)))
+  }
+
+  test("bigramScore: repeated phrasing scores higher than novel phrasing") {
+    // template docs share all transitions; the odd doc's transitions
+    // are unique -> lower (more negative) average log-probability
+    val tmpl = (1L to 8L).map(i => (i, "the quick brown fox jumps"))
+    val novel = Seq((99L, "zebra quartz vivid jolt wax"))
+    val docs = (tmpl ++ novel).toDF("doc_id", "text")
+    val got = NgramLm.bigramScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(99L),
+      s"template ${got(1L)} must outscore novel ${got(99L)}")
+    assert(got.values.forall(_ < 0.0), "log-probs are negative")
+  }
+
+  test("bigramScore on real documents: every doc scored, finite") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val got = NgramLm.bigramScore(docs)
+    assert(got.count() == docs.count())
+    assert(got.filter(col("avg_logp").isNull ||
+      col("avg_logp").isNaN).count() == 0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("encode: m codes per vector, codes in [0,k), deterministic") {
+    val vecs = (0L until 8L).map(i =>
+      i -> Seq.tabulate(8)(d => (i * 8 + d).toFloat / 100f))
+    val codes = ProductQuantizer.encode(emb(vecs: _*), dim = 8, m = 2,
+      k = 2, iters = 1).collect()
+    assert(codes.length == 16) // 8 vectors x 2 subspaces
+    assert(codes.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 2))
+    assert(codes.map(r => (r.getLong(0), r.getInt(1))).distinct.length == 16)
+    // deterministic across runs
+    val again = ProductQuantizer.encode(emb(vecs: _*), dim = 8, m = 2,
+      k = 2, iters = 1).collect()
+    assert(codes.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("encode: a vector sitting ON a centroid has zero subspace error") {
+    // 4 well-separated clusters in each subspace; iters=0 keeps the
+    // init centroids = the 4 smallest-id vectors, so those vectors
+    // must encode to themselves with dist_sq == 0 in every subspace
+    val vecs = (0L until 6L).map(i =>
+      i -> Seq.tabulate(4)(d => (i * 10 + d).toFloat))
+    val codes = ProductQuantizer.encode(emb(vecs: _*), dim = 4, m = 2,
+      k = 4, iters = 0)
+      .filter(col("vec_id") < 4).collect()
+    assert(codes.forall(_.getDouble(3) == 0.0),
+      s"init vectors must reconstruct exactly: ${codes.mkString(", ")}")
+  }
+
+  test("reconstructionError = fixed-order sum of subspace errors") {
+    val vecs = (0L until 8L).map(i =>
+      i -> Seq.tabulate(8)(d => ((i * 13 + d * 7) % 50).toFloat / 10f))
+    val codes = ProductQuantizer.encode(emb(vecs: _*), dim = 8, m = 2,
+      k = 2, iters = 1)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(3))
+        .foldLeft(0.0)(_ + _)).toMap
+    val recon = ProductQuantizer.reconstructionError(emb(vecs: _*), dim = 8,
+      m = 2, k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(recon == codes)
+  }
+
+  test("subspace independence: per-subspace codes equal a standalone " +
+      "k-means on the sliced vectors") {
+    val vecs = (0L until 10L).map(i =>
+      i -> Seq.tabulate(8)(d => ((i * 31 + d * 17) % 40).toFloat / 4f))
+    val df = emb(vecs: _*)
+    val pq = ProductQuantizer.encode(df, dim = 8, m = 2, k = 3, iters = 1)
+      .filter(col("sub") === 1)
+      .select(col("vec_id"), col("code")).as[(Long, Long)].collect().toMap
+    val standalone = KMeans.assign(
+        df.select(col("vec_id"), slice(col("embedding"), 5, 4).as("embedding")),
+        k = 3, iters = 1)
+      .select(col("vec_id"), col("cluster")).as[(Long, Long)].collect().toMap
+    assert(pq == standalone)
+  }
+}
