@@ -32,13 +32,16 @@ import graft.functions.{VectorFunctions => V}
   */
 object KMeans {
 
-  private def prep(emb: DataFrame, id: String, vec: String): DataFrame =
+  private[ops] def prep(emb: DataFrame, id: String, vec: String): DataFrame =
     emb.select(col(id), V.quantize(col(vec)).as("__q"))
       .withColumn("__qd", transform(col("__q"), _.cast("double")))
 
   /** Per-row squared distance of the quantized-double vector `qd` to
-    * a centroid mean — fixed index-order fold, the determinism pin. */
-  private def distSq(qd: org.apache.spark.sql.Column,
+    * a centroid mean — fixed index-order fold, the determinism pin.
+    * `private[ops]`: [[ProductQuantizer]] reuses the exact same fold
+    * so ADC lookup entries carry identical bits to assignment
+    * distances. */
+  private[ops] def distSq(qd: org.apache.spark.sql.Column,
       mean: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(zip_with(qd, mean, (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
@@ -95,6 +98,14 @@ object KMeans {
       vec: String = "embedding"): DataFrame =
     assignPrepped(prep(emb, id, vec), centroids(emb, k, iters, id, vec), id)
       .drop("__q")
+
+  /** Assignments against an ALREADY-TRAINED centroid table (cid,
+    * mean) — the encode-with-frozen-codebook path ([[ProductQuantizer]]
+    * trains once, encodes corpus and queries against the same
+    * codebook). Same broadcast argmin as [[assign]]. */
+  def assignWith(emb: DataFrame, cents: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame =
+    assignPrepped(prep(emb, id, vec), cents, id).drop("__q")
 
   /** IVF ANN over TRAINED centroids — q79's probe pattern with this
     * op's Lloyd-trained coarse quantizer instead of fixed seed

@@ -31,6 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantizer {
 
+  private def sliced(emb: DataFrame, s: Int, w: Int, id: String,
+      vec: String): DataFrame =
+    emb.select(col(id), slice(col(vec), s * w + 1, w).as(vec))
+
+  /** Trained PQ codebooks: (sub, cid, mean) — one k-row
+    * [[KMeans.centroids]] table per subspace, means over the d/m
+    * sliced dims. k·m rows total, broadcastable by construction. */
+  def codebooks(emb: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val w = dim / m
+    (0 until m).map { s =>
+      KMeans.centroids(sliced(emb, s, w, id, vec), k, iters, id, vec)
+        .select(lit(s).as("sub"), col("cid"), col("mean"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** PQ-encode every vector: (id, sub, code, dist_sq) — `m` rows per
     * vector, `code` = the subspace's nearest trained centroid id,
     * `dist_sq` = exact squared distance of the quantized sub-vector
@@ -40,11 +57,76 @@ object ProductQuantizer {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val w = dim / m
     (0 until m).map { s =>
-      val sliced = emb.select(col(id), slice(col(vec), s * w + 1, w).as(vec))
-      KMeans.assign(sliced, k, iters, id, vec)
+      KMeans.assign(sliced(emb, s, w, id, vec), k, iters, id, vec)
         .select(col(id), lit(s).as("sub"),
           col("cluster").as("code"), col("dist_sq"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** ADC top-k search (the paper's Asymmetric Distance Computation —
+    * the QUERY path of an IVF-PQ index): corpus vectors live only as
+    * their m PQ codes; each query computes its exact squared distance
+    * to every codebook centroid once (a k·m-entry lookup table, NOT a
+    * per-candidate computation), and a candidate's estimated distance
+    * is the sum of its m code lookups. Approximate by construction —
+    * the estimate is the distance to the candidate's reconstruction —
+    * and exactly reproducible: LUT entries use [[KMeans.distSq]]'s
+    * fixed-order fold, and the per-candidate sum folds the m terms in
+    * sub order (sorted collect, never shuffle order).
+    *
+    * Returns (id_q, rank, id_c, dist_est), topK per query, ties on
+    * (dist_est, id_c). Self-matches are excluded.
+    *
+    * Scale shape: training + encoding as [[codebooks]]/[[encode]];
+    * the LUT is #queries·k·m rows and BROADCASTS; the only shuffle of
+    * corpus-sized data is the (sub, code) equi-join of the code table
+    * against the LUT and the per-(query, candidate) regroup — n·m
+    * rows each, never n·#queries·d. Per-query top-k is a rank window
+    * partitioned by query. */
+  def adcSearch(emb: DataFrame, queries: DataFrame, dim: Int, m: Int,
+      k: Int, iters: Int, topK: Int, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val w = dim / m
+    // one shared codebook: train per subspace, encode corpus and
+    // build the query LUT against the SAME frozen centroids
+    val perSub = (0 until m).map { s =>
+      val cents = KMeans.centroids(sliced(emb, s, w, id, vec), k, iters,
+        id, vec)
+      val codes = KMeans.assignWith(sliced(emb, s, w, id, vec), cents,
+          id, vec)
+        .select(col(id).as("id_c"), lit(s).as("sub"),
+          col("cluster").as("code"))
+      val cArr = cents.agg(
+        sort_array(collect_list(struct(col("cid"), col("mean"))))
+          .as("__cs"))
+      val lut = KMeans.prep(sliced(queries, s, w, id, vec), id, vec)
+        .crossJoin(broadcast(cArr)) // k-row codebook as a 1-row array
+        .select(col(id).as("id_q"), lit(s).as("sub"),
+          explode(transform(col("__cs"), c =>
+            struct(c("cid").as("code"),
+              KMeans.distSq(col("__qd"), c("mean")).as("d")))).as("__l"))
+        .select(col("id_q"), col("sub"), col("__l.code").as("code"),
+          col("__l.d").as("d"))
+      codes.join(broadcast(lut), Seq("sub", "code"))
+        .select(col("id_q"), col("id_c"), col("sub"), col("d"))
+    }
+    val terms = perSub.reduce(_.unionByName(_))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_q"))
+      .orderBy(col("dist_est").asc, col("id_c").asc)
+    terms.filter(col("id_q") =!= col("id_c"))
+      .groupBy(col("id_q"), col("id_c"))
+      // fixed-order sum: fold the m per-sub terms in sub order
+      .agg(sort_array(collect_list(struct(col("sub"), col("d"))))
+        .as("__t"))
+      .select(col("id_q"), col("id_c"),
+        aggregate(col("__t"), lit(0.0), (acc, x) => acc + x("d"))
+          .as("dist_est"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topK)
+      .select(col("id_q"), col("rank"), col("id_c"), col("dist_est"))
   }
 
   /** Per-vector total reconstruction error: sum of the m subspace

@@ -3847,6 +3847,81 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-pq", "TD-quantization", "TD-kmeans"))
 
+  /** ADC top-k search over the q168 PQ codes
+    * ([[graft.ops.ProductQuantizer.adcSearch]]) — the IVF-PQ QUERY
+    * path: corpus vectors live only as their 4 codes, each query
+    * computes one k·m lookup table against the frozen codebooks, and
+    * candidate distances are code-lookup sums (sub-order fold). The
+    * oracle replays codebook training, corpus encoding, the LUT, and
+    * the ranked lookup-sum end to end. */
+  val q170 = Q(
+    "q170_pq_adc_search",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      graft.ops.ProductQuantizer.adcSearch(emb,
+          emb.filter($"vec_id" < 10), dim = 64, m = 4, k = 4, iters = 1,
+          topK = 5)
+        .orderBy(col("id_q"), col("rank"))
+    },
+    Some {
+      val subCtes = (0 until 4).map { sb =>
+        val lo = sb * 16
+        val dist =
+          s"""list_reduce([(CAST(a.qv[$lo + j] AS DOUBLE) - c.m[j]) *
+                 (CAST(a.qv[$lo + j] AS DOUBLE) - c.m[j])
+                 for j in generate_series(1,16)], (x, y) -> x + y)"""
+        s"""init$sb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                     AS BIGINT) AS cid,
+                     [CAST(qv[$lo + j] AS DOUBLE)
+                      for j in generate_series(1,16)] AS m
+                   FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
+      d1$sb AS (SELECT a.vec_id, c.cid, $dist AS dist_sq
+             FROM q a CROSS JOIN init$sb c),
+      a1$sb AS (SELECT vec_id, cid FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist_sq, cid) AS rn FROM d1$sb)
+             WHERE rn = 1),
+      s1$sb AS (SELECT a1$sb.cid, j, sum(q.qv[$lo + j]) AS sm, count(*) AS n
+             FROM a1$sb JOIN q USING (vec_id)
+             CROSS JOIN generate_series(1,16) g(j)
+             GROUP BY a1$sb.cid, j),
+      u1$sb AS (SELECT cid, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+                              ORDER BY j) AS m
+             FROM s1$sb GROUP BY cid),
+      c1$sb AS (SELECT init$sb.cid, coalesce(u1$sb.m, init$sb.m) AS m
+             FROM init$sb LEFT JOIN u1$sb USING (cid)),
+      cd$sb AS (SELECT vec_id AS id_c, cid AS code FROM
+               (SELECT a.vec_id, c.cid, $dist AS dist_sq,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY $dist, c.cid) AS rn
+                FROM q a CROSS JOIN c1$sb c)
+             WHERE rn = 1),
+      lut$sb AS (SELECT a.vec_id AS id_q, c.cid AS code, $dist AS d
+             FROM q a CROSS JOIN c1$sb c WHERE a.vec_id < 10),
+      t$sb AS (SELECT l.id_q, cd$sb.id_c, $sb AS sub, l.d
+             FROM cd$sb JOIN lut$sb l USING (code))"""
+      }.mkString(",\n      ")
+      val union = (0 until 4).map(sb => s"SELECT * FROM t$sb")
+        .mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $dkQuantized,
+      $subCtes,
+      terms AS (
+        $union),
+      ag AS (SELECT id_q, id_c,
+               list_reduce(list(d ORDER BY sub), (x, y) -> x + y)
+                 AS dist_est
+             FROM terms WHERE id_q <> id_c GROUP BY id_q, id_c),
+      rk AS (SELECT id_q, id_c, dist_est,
+               row_number() OVER (PARTITION BY id_q
+                 ORDER BY dist_est, id_c) AS rn
+             FROM ag)
+      SELECT id_q, CAST(rn AS INTEGER) AS rank, id_c, dist_est
+      FROM rk WHERE rn <= 5 ORDER BY id_q, rank"""
+    },
+    covers = Seq("TD-pq", "TD-ann-ivf"))
+
   /** Language-ID CONFUSION MATRIX — q20's per-doc agreement rolled up
     * to the (labeled lang × predicted lang) eval table with per-label
     * shares: the classifier-eval harness for the heuristic langid
@@ -3896,5 +3971,6 @@ object TrainingData extends QueryPack {
       q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-      q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
+      q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
+      q170)
 }

@@ -392,8 +392,11 @@ class PlanRegressionSpec extends SparkSpec {
                                     // 1-row broadcast array (per-row argmin HOF)
       "q128_ivf_trained",           // same k-row centroid broadcast in train+probe
       "q167_lm_score",              // 1-row vocabulary-size crossJoin
-      "q168_pq_codes")              // q127's k-row centroid broadcast, one per
+      "q168_pq_codes",              // q127's k-row centroid broadcast, one per
                                     // PQ subspace
+      "q170_pq_adc_search")         // same centroid broadcasts; candidate
+                                    // scoring itself is the (sub, code)
+                                    // equi-join
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>

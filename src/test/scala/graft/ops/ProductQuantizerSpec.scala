@@ -50,6 +50,43 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(recon == codes)
   }
 
+  test("adcSearch: estimate against an on-centroid candidate equals the " +
+      "exact quantized distance (reconstruction identity)") {
+    // iters=0 keeps codebooks = the 4 smallest-id sub-vectors, so
+    // candidates 0..3 reconstruct exactly; the ADC estimate to them
+    // must be the TRUE quantized squared distance
+    val vecs = (0L until 8L).map(i =>
+      i -> Seq.tabulate(8)(d => ((i * 11 + d * 3) % 20).toFloat / 5f))
+    val df = emb(vecs: _*)
+    val got = ProductQuantizer.adcSearch(df, df.filter(col("vec_id") === 7L),
+        dim = 8, m = 2, k = 4, iters = 0, topK = 7)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    def quant(x: Float): Double = BigDecimal(x.toDouble * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q7 = vecs(7)._2.map(quant)
+    (0L until 4L).foreach { c =>
+      val qc = vecs(c.toInt)._2.map(quant)
+      val exact = q7.zip(qc).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(got(c) == exact,
+        s"candidate $c: ADC ${got(c)} != exact $exact")
+    }
+    // no self-match, ranked ascending
+    assert(!got.contains(7L))
+  }
+
+  test("adcSearch: ranks ascend in dist_est with id tie-break, topK bound") {
+    val vecs = (0L until 12L).map(i =>
+      i -> Seq.tabulate(8)(d => ((i * 7 + d * 5) % 30).toFloat / 6f))
+    val rows = ProductQuantizer.adcSearch(emb(vecs: _*),
+        emb(vecs.take(2): _*), dim = 8, m = 2, k = 3, iters = 1, topK = 4)
+      .orderBy(col("id_q"), col("rank")).collect()
+    assert(rows.length == 8) // 2 queries x topK 4
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ds = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ds.sameElements(ds.sorted), "dist_est must ascend with rank")
+    }
+  }
+
   test("subspace independence: per-subspace codes equal a standalone " +
       "k-means on the sliced vectors") {
     val vecs = (0L until 10L).map(i =>
