@@ -34,37 +34,84 @@ import graft.functions.{TextFunctions => T}
   */
 object NgramLm {
 
-  /** Per-doc bigram-LM score: (doc_id, n_bigrams, avg_logp). Docs
-    * with < 2 tokens score 0.0 with n_bigrams = 0 (no transitions to
-    * judge — the caller's length filter owns those). */
-  def bigramScore(docs: DataFrame, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
-    val spread = Compute.spread(docs.select(col(id), col(text)))
-    // transition instances WITH multiplicity (shinglesOf keeps dups)
-    val inst = spread
+  /** Transition instances (id, bg, w1) with multiplicity. */
+  private def instances(docs: DataFrame, id: String,
+      text: String): DataFrame =
+    Compute.spread(docs.select(col(id), col(text)))
       .select(col(id), explode(T.shinglesOf(col(text), 2)).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
+
+  /** Add-one bigram model of `train`: bigram counts, prefix unigram
+    * counts, and the 1-row vocabulary size. */
+  private def model(train: DataFrame, id: String, text: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val inst = instances(train, id, text)
     val bi = inst.groupBy(col("bg")).agg(count(lit(1)).as("c_bi"))
-    val uni = spread
+    val uni = Compute.spread(train.select(col(text)))
       .select(explode(T.tokens(col(text))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
-    val v = uni.agg(count(lit(1)).as("__v"))
+    (bi, uni, uni.agg(count(lit(1)).as("__v")))
+  }
+
+  /** Per-doc avg transition log-prob of `score` docs under the model
+    * trained on `train` — LEFT joins, so transitions unseen in
+    * training back off to the add-one floor 1/(0+V) (prefix unseen)
+    * or 1/(c_uni+V) (prefix seen, continuation unseen): the standard
+    * Laplace treatment, no silent row drop. */
+  def crossScore(train: DataFrame, score: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val (bi, uni, v) = model(train, id, text)
+    val inst = instances(score, id, text)
     val scored = inst
-      .join(bi, Seq("bg"))
-      .join(uni, inst("w1") === uni("tok"))
+      .join(bi, Seq("bg"), "left")
+      .join(uni, inst("w1") === uni("tok"), "left")
       .crossJoin(broadcast(v)) // declared 1-row scalar attach
       .select(col(id),
-        log((col("c_bi").cast("double") + lit(1.0)) /
-          (col("c_uni").cast("double") + col("__v").cast("double")))
+        log((coalesce(col("c_bi"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("c_uni"), lit(0L)).cast("double") +
+            col("__v").cast("double")))
           .cast("decimal(18,6)").as("__lp"))
     val per = scored.groupBy(col(id))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__slp"))
-    docs.select(col(id)).join(per, Seq(id), "left")
+    score.select(col(id)).join(per, Seq(id), "left")
       .select(col(id),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0.0))
           .otherwise(col("__slp").cast("double") /
             col("n_bigrams").cast("double")).as("avg_logp"))
+      .orderBy(col(id))
+  }
+
+  /** Per-doc bigram-LM score: (doc_id, n_bigrams, avg_logp) under the
+    * corpus' OWN model. Docs with < 2 tokens score 0.0 with
+    * n_bigrams = 0 (no transitions to judge — the caller's length
+    * filter owns those). */
+  def bigramScore(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    crossScore(docs, docs, id, text)
+
+  /** DSIR-style IMPORTANCE WEIGHT (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per doc,
+    * avg_logp under a TARGET-domain model minus avg_logp under the
+    * general corpus model — positive means the doc looks more like
+    * the target than like the average corpus, the ranking key
+    * importance resampling draws by. Both scores ride the same
+    * decimal-channel LM, so the weight is engine-stable.
+    *
+    * Scale shape: two [[crossScore]] passes (each vocabulary-grain
+    * shuffles) + one id equi-join. The target model's tables are
+    * usually tiny (a hand-curated target set) and broadcast
+    * naturally. */
+  def importanceWeights(target: DataFrame, corpus: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val t = crossScore(target, corpus, id, text)
+      .select(col(id), col("avg_logp").as("target_logp"))
+    val c = crossScore(corpus, corpus, id, text)
+      .select(col(id), col("n_bigrams"), col("avg_logp").as("corpus_logp"))
+    t.join(c, Seq(id))
+      .select(col(id), col("n_bigrams"), col("target_logp"),
+        col("corpus_logp"),
+        (col("target_logp") - col("corpus_logp")).as("importance"))
       .orderBy(col(id))
   }
 }

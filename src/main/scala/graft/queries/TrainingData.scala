@@ -3962,6 +3962,147 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-langid", "TD-model-eval"))
 
+  /** DSIR importance weights ([[graft.ops.NgramLm.importanceWeights]],
+    * Xie et al. 2023): every doc scored under the src0 TARGET bigram
+    * model and the general corpus model; importance = target_logp −
+    * corpus_logp, the importance-resampling ranking key. Unseen
+    * transitions back off to the add-one floor via LEFT joins. */
+  val q171 = Q(
+    "q171_importance_weights",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.NgramLm.importanceWeights(
+        docs.filter(col("source") === "src0"), docs)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+      bgp AS (SELECT doc_id, ws[i]||' '||ws[i+1] AS bg, ws[i] AS w1
+              FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws)-1)) AS i
+                    FROM toks WHERE len(ws) >= 2)),
+      tdoc AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+      tbgp AS (SELECT bgp.* FROM bgp JOIN tdoc USING (doc_id)),
+      tbi AS (SELECT bg, count(*) AS c_bi FROM tbgp GROUP BY bg),
+      tuni AS (SELECT tok, count(*) AS c_uni FROM
+                (SELECT unnest(ws) AS tok FROM toks JOIN tdoc USING (doc_id))
+               GROUP BY tok),
+      tv AS (SELECT count(*) AS vv FROM tuni),
+      cbi AS (SELECT bg, count(*) AS c_bi FROM bgp GROUP BY bg),
+      cuni AS (SELECT tok, count(*) AS c_uni FROM
+                (SELECT unnest(ws) AS tok FROM toks) GROUP BY tok),
+      cv AS (SELECT count(*) AS vv FROM cuni),
+      tin AS (SELECT doc_id,
+                CAST(ln((CAST(coalesce(c_bi, 0) AS DOUBLE) + 1.0)
+                  / (CAST(coalesce(c_uni, 0) AS DOUBLE)
+                     + CAST(vv AS DOUBLE)))
+                  AS DECIMAL(18,6)) AS lp
+              FROM bgp LEFT JOIN tbi USING (bg)
+                       LEFT JOIN tuni ON bgp.w1 = tuni.tok, tv),
+      tper AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp
+               FROM tin GROUP BY doc_id),
+      cin AS (SELECT doc_id,
+                CAST(ln((CAST(c_bi AS DOUBLE) + 1.0)
+                  / (CAST(c_uni AS DOUBLE) + CAST(vv AS DOUBLE)))
+                  AS DECIMAL(18,6)) AS lp
+              FROM bgp JOIN cbi USING (bg)
+                       JOIN cuni ON bgp.w1 = cuni.tok, cv),
+      cper AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp
+               FROM cin GROUP BY doc_id),
+      sc AS (SELECT d.doc_id,
+               CAST(coalesce(cper.nb, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN coalesce(tper.nb, 0) = 0 THEN 0.0
+                    ELSE CAST(CAST(tper.slp AS VARCHAR) AS DOUBLE)
+                      / CAST(tper.nb AS DOUBLE) END AS target_logp,
+               CASE WHEN coalesce(cper.nb, 0) = 0 THEN 0.0
+                    ELSE CAST(CAST(cper.slp AS VARCHAR) AS DOUBLE)
+                      / CAST(cper.nb AS DOUBLE) END AS corpus_logp
+             FROM documents d LEFT JOIN tper USING (doc_id)
+                              LEFT JOIN cper USING (doc_id))
+      SELECT doc_id, n_bigrams, target_logp, corpus_logp,
+             target_logp - corpus_logp AS importance
+      FROM sc ORDER BY doc_id"""),
+    covers = Seq("TD-importance-sampling", "TD-lm-score"))
+
+  /** Oracle fragment: the BPE training chain — word-type counts,
+    * char-level segmentation, then `n` unrolled find-best-pair /
+    * merge-everywhere rounds (kept in lockstep with
+    * [[graft.ops.BpeTrainer.merges]]: '|'-wrapped symbols, literal
+    * replace, (count DESC, l, r) winner). */
+  private def dkBpeChain(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""s$i AS (SELECT wc, s, unnest(generate_series(1, len(s)-1)) AS j
+             FROM (SELECT wc, string_split(substr(ws, 2, length(ws)-2),
+                     '||') AS s
+                   FROM v${i - 1})
+             WHERE len(s) >= 2),
+      p$i AS (SELECT s[j] AS l, s[j+1] AS r,
+               CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM s$i GROUP BY 1, 2),
+      b$i AS (SELECT $i AS iteration, l, r, pair_count FROM p$i
+             ORDER BY pair_count DESC, l, r LIMIT 1),
+      v$i AS (SELECT w, wc,
+               replace(ws, '|'||l||'||'||r||'|', '|'||l||r||'|') AS ws
+             FROM v${i - 1}, b$i)"""
+    }.mkString(",\n      ")
+    s"""w0 AS (SELECT w, count(*) AS wc FROM
+             (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+             WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY w),
+      v0 AS (SELECT w, wc, regexp_replace(w, '(.)', '|\\1|', 'g') AS ws
+             FROM w0),
+      $rounds"""
+  }
+
+  /** BPE merge LEARNING ([[graft.ops.BpeTrainer.merges]], Sennrich et
+    * al. 2016) — the real tokenizer-training loop: 5 rounds of
+    * most-frequent-adjacent-pair merging over the corpus' word types,
+    * each round's winner + count as the learned merge table. Training
+    * is vocabulary-bounded (the corpus is touched once); integers and
+    * string rewrites only — no floats anywhere. */
+  val q172 = Q(
+    "q172_bpe_merges",
+    (s, dir) => graft.ops.BpeTrainer.merges(
+      Tables(s, dir, "documents"), nMerges = 5),
+    Some(s"""
+      WITH ${dkBpeChain(5)}
+      SELECT CAST(iteration AS INTEGER) AS iteration, l AS merge_left,
+             r AS merge_right, pair_count
+      FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+            UNION ALL SELECT * FROM b3 UNION ALL SELECT * FROM b4
+            UNION ALL SELECT * FROM b5)
+      ORDER BY iteration"""),
+    covers = Seq("TD-bpe-train", "TD-token-count"))
+
+  /** Fertility under the LEARNED tokenizer
+    * ([[graft.ops.BpeTrainer.segmentCounts]]): apply q172's 5 merges
+    * in learn order to every word, per-doc subword counts — q138's
+    * diagnostic with the trained BPE instead of the fixed alphabet
+    * proxy, closing the tokenizer loop train → segment → measure. */
+  val q173 = Q(
+    "q173_bpe_fertility",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.BpeTrainer.segmentCounts(docs,
+        graft.ops.BpeTrainer.merges(docs, nMerges = 5))
+    },
+    Some(s"""
+      WITH ${dkBpeChain(5)},
+      seg AS (SELECT w, CAST(len(string_split(substr(ws, 2,
+                length(ws)-2), '||')) AS BIGINT) AS n_sub
+              FROM v5),
+      dtoks AS (SELECT doc_id, w FROM
+                 (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                  FROM documents)
+                WHERE w <> '' AND w NOT LIKE '%|%'),
+      per AS (SELECT doc_id, count(*) AS n_words,
+                CAST(sum(n_sub) AS BIGINT) AS n_subwords
+              FROM dtoks JOIN seg USING (w) GROUP BY doc_id)
+      SELECT doc_id, n_words, n_subwords,
+             CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS fertility
+      FROM per ORDER BY doc_id"""),
+    covers = Seq("TD-bpe-train", "TD-token-count"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -3972,5 +4113,5 @@ object TrainingData extends QueryPack {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-      q170)
+      q170, q171, q172, q173)
 }

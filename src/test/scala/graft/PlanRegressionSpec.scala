@@ -394,9 +394,14 @@ class PlanRegressionSpec extends SparkSpec {
       "q167_lm_score",              // 1-row vocabulary-size crossJoin
       "q168_pq_codes",              // q127's k-row centroid broadcast, one per
                                     // PQ subspace
-      "q170_pq_adc_search")         // same centroid broadcasts; candidate
+      "q170_pq_adc_search",         // same centroid broadcasts; candidate
                                     // scoring itself is the (sub, code)
                                     // equi-join
+      "q171_importance_weights",    // two 1-row vocabulary-size crossJoins
+                                    // (target + corpus LM)
+      "q172_bpe_merges",            // 1-row best-pair crossJoin per round
+                                    // (the merge everywhere rewrite)
+      "q173_bpe_fertility")         // same chain feeding segmentation
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>

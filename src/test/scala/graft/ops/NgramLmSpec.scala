@@ -41,6 +41,35 @@ class NgramLmSpec extends SparkSpec {
     assert(got.values.forall(_ < 0.0), "log-probs are negative")
   }
 
+  test("crossScore: unseen transitions back off to the add-one floor") {
+    // model trained on "a b"; scoring "x y" hits prefix-unseen floor
+    // ln(1 / (0 + V)) with V = 2 (a, b)
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val score = Seq((9L, "x y")).toDF("doc_id", "text")
+    val got = NgramLm.crossScore(train, score).collect().head
+    val floor = BigDecimal(math.log(1.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) == 1L && got.getDouble(2) == floor)
+  }
+
+  test("importanceWeights: target-domain docs rank above off-domain") {
+    // target = docs repeating one phrase; corpus also carries an
+    // off-domain phrase family — target-like docs must get higher
+    // importance than off-domain ones
+    val target = (1L to 4L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val corpus = ((1L to 4L).map(i => (i, "alpha beta gamma delta")) ++
+      (11L to 14L).map(i => (i, "omega psi chi phi")))
+      .toDF("doc_id", "text")
+    val got = NgramLm.importanceWeights(target, corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got(1L) > got(11L),
+      s"on-target ${got(1L)} must exceed off-target ${got(11L)}")
+    // importance = target_logp - corpus_logp exactly
+    val row = NgramLm.importanceWeights(target, corpus).collect().head
+    assert(row.getDouble(4) == row.getDouble(2) - row.getDouble(3))
+  }
+
   test("bigramScore on real documents: every doc scored, finite") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val got = NgramLm.bigramScore(docs)
