@@ -36,9 +36,23 @@ object BpeTrainer {
 
   /** Learn `nMerges` merges: (iteration, merge_left, merge_right,
     * pair_count), iteration 1-based in learn order. Stops early if no
-    * adjacent pair remains (every word fused to one symbol). */
-  def merges(docs: DataFrame, nMerges: Int,
-      text: String = "text"): DataFrame = {
+    * adjacent pair remains (every word fused to one symbol).
+    *
+    * SMALL-VOCAB FAST PATH (the [[Dedup.duplicateClusters]] move):
+    * the merge loop runs over word TYPES, and when the type table
+    * fits under `localVocabCap` rows (probed with one
+    * limit(cap+1).collect() on the aggregated vocab — the
+    * distributed loop's first round would materialize the same
+    * table), the find-best/merge rounds run in memory on the driver —
+    * which is precisely how production BPE trainers work: count
+    * distributed, loop local. Identical semantics (Java
+    * String.replace is the same literal leftmost non-overlapping
+    * rewrite as SQL replace; winner ordering (count DESC, l, r)
+    * unchanged — spec-pinned against the distributed path). A vocab
+    * over the cap keeps the distributed rounds, so 100 TB behavior
+    * with a pathological vocabulary is unchanged. */
+  def merges(docs: DataFrame, nMerges: Int, text: String = "text",
+      localVocabCap: Int = 500000): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
     val spark = docs.sparkSession
     // corpus touched ONCE: word-type counts + initial char segmentation
@@ -49,6 +63,21 @@ object BpeTrainer {
       .select(col("wc"), regexp_replace(col("w"), "(.)", "|$1|").as("ws"))
       .localCheckpoint()
     graft.CacheTracker.trackCheckpoint(vocab)
+    if (localVocabCap > 0) {
+      val sample = vocab.limit(localVocabCap + 1).collect()
+      if (sample.length <= localVocabCap) {
+        graft.CacheTracker.releaseCheckpoint(vocab)
+        val out = mergesLocal(sample.map(r => (r.getLong(0), r.getString(1))),
+          nMerges)
+        import spark.implicits._
+        return (if (out.isEmpty)
+            Seq.empty[(Int, String, String, Long)].toDF(
+              "iteration", "merge_left", "merge_right", "pair_count")
+          else out.toSeq.toDF(
+            "iteration", "merge_left", "merge_right", "pair_count"))
+          .orderBy(col("iteration"))
+      }
+    }
     val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var done = false
     var i = 1
@@ -87,6 +116,44 @@ object BpeTrainer {
       .reduceOption(_.unionByName(_))
       .getOrElse(spark.emptyDataFrame)
       .orderBy(col("iteration"))
+  }
+
+  /** In-memory merge loop over the collected (wc, ws) type table —
+    * byte-identical semantics to the distributed rounds. */
+  private def mergesLocal(types: Array[(Long, String)],
+      nMerges: Int): Array[(Int, String, String, Long)] = {
+    var vocab = types
+    val found = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var i = 1
+    var done = false
+    while (i <= nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (wc, ws) =>
+        val syms = ws.substring(1, ws.length - 1).split("\\|\\|", -1)
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts.merge(k, wc, _ + _)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        import scala.jdk.CollectionConverters._
+        // winner: count DESC, left ASC, right ASC — the same total
+        // order as the distributed orderBy
+        val ((l, r), cnt) = counts.asScala.minBy { case ((a, b), c) =>
+          (-c, a, b)
+        }
+        found += ((i, l, r, cnt))
+        val find = s"|$l||$r|"
+        val repl = s"|$l$r|"
+        vocab = vocab.map { case (wc, ws) => (wc, ws.replace(find, repl)) }
+        i += 1
+      }
+    }
+    found.toArray
   }
 
   /** Segment text with a learned merge table: apply the merges IN

@@ -41,6 +41,14 @@ class BpeTrainerSpec extends SparkSpec {
     assert(m(1).getString(1) == "aa" && m(1).getString(2) == "a")
   }
 
+  test("local fast path matches the distributed rounds exactly") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val local = BpeTrainer.merges(docs, nMerges = 5).collect().map(_.toSeq)
+    val dist = BpeTrainer.merges(docs, nMerges = 5, localVocabCap = 0)
+      .collect().map(_.toSeq)
+    assert(local.toSeq == dist.toSeq)
+  }
+
   test("segmentCounts: learned merges segment; fertility drops with more merges") {
     val docs = Seq((1L, "low low lower"), (2L, "low wore")).toDF("doc_id", "text")
     val m0 = BpeTrainer.segmentCounts(docs,
