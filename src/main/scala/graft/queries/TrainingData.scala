@@ -4103,6 +4103,68 @@ object TrainingData extends QueryPack {
       FROM per ORDER BY doc_id"""),
     covers = Seq("TD-bpe-train", "TD-token-count"))
 
+  /** Training-order materialization ([[graft.ops.MixtureOrder]]):
+    * equal-epoch stride interleave — doc r of n from each source at
+    * integer virtual time r·10^6 div n, read order (vt, source,
+    * doc_id); the deterministic, resumable "shuffle the sources
+    * together" between a mixing recipe (q117/q130) and the loader. */
+  val q174 = Q(
+    "q174_mixture_order",
+    (s, dir) => graft.ops.MixtureOrder.interleave(
+      Tables(s, dir, "documents")),
+    Some("""
+      WITH r AS (SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY doc_id) AS BIGINT) AS src_rank
+             FROM documents),
+      c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+      SELECT doc_id, r.source, src_rank,
+             CAST((src_rank * 1000000) // n AS BIGINT) AS vt
+      FROM r JOIN c ON r.source = c.source
+      ORDER BY vt, r.source, doc_id"""),
+    covers = Seq("TD-mixture-order", "TD-mixture-temperature"))
+
+  /** Hard-negative mining ([[graft.ops.ContrastiveMining.hardPairs]]):
+    * per sampled anchor, the most-similar same-label member (the
+    * positive) and most-similar different-label member (the hard
+    * negative) — the triplet-building step of contrastive embedding
+    * training, on the shared exact-cosine channel. Anchors broadcast
+    * (the q112 sampled protocol); full-corpus mining swaps the
+    * candidate source to banded LSH. */
+  val q175 = Q(
+    "q175_hard_negatives",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      graft.ops.ContrastiveMining.hardPairs(emb, emb.filter($"vec_id" < 20))
+    },
+    Some(s"""
+      WITH q2 AS (SELECT vec_id, label,
+               [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                for x in embedding] AS qv FROM embeddings),
+      n2 AS (SELECT vec_id, label, qv,
+               list_aggregate([qv[i]*qv[i]
+                 for i in generate_series(1,64)],'sum') AS nsq
+             FROM q2),
+      sc AS (SELECT a.vec_id AS id_q, a.label AS lab_q,
+               b.vec_id AS id_c, b.label AS lab_c,
+               ${dkDot("a", "b")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+             FROM n2 a JOIN n2 b ON a.vec_id <> b.vec_id
+             WHERE a.vec_id < 20),
+      pos AS (SELECT id_q, lab_q AS label, id_c AS id_pos,
+                cosine AS cos_pos
+              FROM (SELECT *, row_number() OVER (PARTITION BY id_q
+                      ORDER BY cosine DESC, id_c) AS rn
+                    FROM sc WHERE lab_q = lab_c) WHERE rn = 1),
+      neg AS (SELECT id_q, id_c AS id_neg, cosine AS cos_neg
+              FROM (SELECT *, row_number() OVER (PARTITION BY id_q
+                      ORDER BY cosine DESC, id_c) AS rn
+                    FROM sc WHERE lab_q <> lab_c) WHERE rn = 1)
+      SELECT pos.id_q, label, id_pos, cos_pos, id_neg, cos_neg
+      FROM pos JOIN neg ON pos.id_q = neg.id_q
+      ORDER BY pos.id_q"""),
+    covers = Seq("TD-hard-negatives", "TD-embedding-stats"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4113,5 +4175,5 @@ object TrainingData extends QueryPack {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-      q170, q171, q172, q173)
+      q170, q171, q172, q173, q174, q175)
 }

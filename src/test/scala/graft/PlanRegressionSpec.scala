@@ -401,7 +401,10 @@ class PlanRegressionSpec extends SparkSpec {
                                     // (target + corpus LM)
       "q172_bpe_merges",            // 1-row best-pair crossJoin per round
                                     // (the merge everywhere rewrite)
-      "q173_bpe_fertility")         // same chain feeding segmentation
+      "q173_bpe_fertility",         // same chain feeding segmentation
+      "q175_hard_negatives")        // sampled-anchor broadcast brute (the
+                                    // q112 protocol; full-corpus mining is
+                                    // the banded-LSH path)
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
