@@ -114,6 +114,52 @@ object EmbeddingStats {
         min(col("cos")).as("min_cos"),
         max(col("cos")).as("max_cos"))
 
+  /** Exact COVARIANCE MATRIX of the embedding columns — the
+    * whitening/PCA preparation step (dead-dimension and correlated-
+    * dimension detection before quantization or projection; an eigen
+    * solver consumes this table). Upper triangle only (dim_i ≤ dim_j),
+    * d(d+1)/2 rows.
+    *
+    * Exactness: cov = (n·Σxy − Σx·Σy) / n² on the quantized integer
+    * grid — every sum is exact int64 (cell bound |Σxy| ≤ n·10^6 ⇒
+    * safe to ~9×10^12 rows), then ONE IEEE division and the 10^6
+    * dequantization. No float summation anywhere, so any engine and
+    * any aggregation order reproduce the same bits.
+    *
+    * Scale shape: one double-posexplode pass emits n·d(d+1)/2 narrow
+    * (i, j, x·y) rows that map-side combine into d(d+1)/2 cells — the
+    * classic distributed Gram-matrix build; nothing data-sized
+    * survives the aggregation. The n²-scaled numerator goes through
+    * decimal(38,0) (the [[labelOutliers]] rule) so the op is safe at
+    * any n. */
+  def covarianceMatrix(emb: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    // (i, j ≥ i, x_i, x_j) stream: explode the quantized vector, then
+    // re-explode each row's TAIL slice so pairs stay row-aligned
+    val pairs = Compute.spread(emb)
+      .select(V.quantize(col(vec)).as("__q"))
+      .select(posexplode(col("__q")).as(Seq("__i", "__x")), col("__q"))
+      .select(col("__i"), col("__x"),
+        posexplode(slice(col("__q"), col("__i") + 1,
+          greatest(size(col("__q")) - col("__i"), lit(0)))).as(Seq("__dj", "__y")))
+      .select((col("__i") + 1).as("dim_i"),
+        (col("__i") + 1 + col("__dj")).as("dim_j"),
+        col("__x"), col("__y"))
+    pairs
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col("dim_i").cast("int").as("dim_i"),
+        col("dim_j").cast("int").as("dim_j"), col("n"),
+        ((col("n").cast("decimal(38,0)") * col("__sxy") -
+          col("__sx").cast("decimal(38,0)") * col("__sy"))
+          .cast("double") /
+          (col("n").cast("double") * col("n").cast("double")) /
+          lit(1000000.0)).as("cov"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
   /** Per-member cosine to its label centroid — [[clusterCoherence]]'s
     * inner quantity kept at member grain (the signal SemDeDup-style
     * semantic dedup ranks keepers by). Same exact-integer chain and

@@ -4165,6 +4165,35 @@ object TrainingData extends QueryPack {
       ORDER BY pos.id_q"""),
     covers = Seq("TD-hard-negatives", "TD-embedding-stats"))
 
+  /** Exact embedding COVARIANCE matrix
+    * ([[graft.ops.EmbeddingStats.covarianceMatrix]]): upper-triangle
+    * (dim_i, dim_j, n, cov) via the integer identity
+    * (n·Σxy − Σx·Σy)/n² on the quantized grid — the whitening/PCA
+    * prep an eigen solver consumes; q163's per-dim variance is this
+    * table's diagonal. Distributed Gram build: one double-explode
+    * pass map-side combines into d(d+1)/2 cells. */
+  val q176 = Q(
+    "q176_embedding_covariance",
+    (s, dir) => graft.ops.EmbeddingStats.covarianceMatrix(
+      Tables(s, dir, "embeddings")),
+    Some("""
+      WITH q2 AS (SELECT [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                          for x in embedding] AS qv FROM embeddings),
+      pairs AS (SELECT i, j, qv[i] AS x, qv[j] AS y
+                FROM q2, generate_series(1,64) g(i),
+                     generate_series(1,64) h(j)
+                WHERE j >= i),
+      a AS (SELECT i AS dim_i, j AS dim_j, count(*) AS n,
+              sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy
+            FROM pairs GROUP BY i, j)
+      SELECT CAST(dim_i AS INTEGER) AS dim_i,
+             CAST(dim_j AS INTEGER) AS dim_j, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000.0
+               AS cov
+      FROM a ORDER BY dim_i, dim_j"""),
+    covers = Seq("TD-embedding-stats", "TD-quantization"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4175,5 +4204,5 @@ object TrainingData extends QueryPack {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-      q170, q171, q172, q173, q174, q175)
+      q170, q171, q172, q173, q174, q175, q176)
 }

@@ -81,4 +81,22 @@ class LayoutLeakOutlierSpec extends SparkSpec {
     assert(out.head.getLong(0) == 10L)
     assert(out.head.getAs[Double]("outlier_ratio") > 1.0)
   }
+
+  test("covarianceMatrix: hand-checked 2-vector case; symmetric pairs " +
+      "carried once; diagonal = variance") {
+    // two 4-dim vectors (quantized: x1000): v1 = (1000, 0, 0, 0),
+    // v2 = (0, 1000, 0, 0); per-dim mean 500 for dims 1, 2
+    // cov(1,1) = E[x²]−E[x]² = 500000−250000 → /1e6 = 0.25
+    // cov(1,2) = E[xy]−E[x]E[y] = 0 − 0.25·1e6 → −0.25
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingStats.covarianceMatrix(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(got.size == 4 * 5 / 2) // upper triangle of 4x4
+    assert(got((1, 1)) == 0.25 && got((2, 2)) == 0.25)
+    assert(got((1, 2)) == -0.25)
+    assert(got((3, 4)) == 0.0 && got((3, 3)) == 0.0)
+    assert(!got.contains((2, 1)), "lower triangle must not be emitted")
+  }
 }
