@@ -4194,6 +4194,99 @@ object TrainingData extends QueryPack {
       FROM a ORDER BY dim_i, dim_j"""),
     covers = Seq("TD-embedding-stats", "TD-quantization"))
 
+  /** Recall@5 of the PQ/ADC path vs the exact cosine baseline — the
+    * q112/q162 harness pointed at q170's compressed-domain search:
+    * how much the m=4×k=4 codebook loses, the number an IVF-PQ
+    * deployment tunes (m, k) against. Exact side is the declared
+    * brute baseline on sampled queries (the ANN-benchmark protocol). */
+  val q177 = Q(
+    "q177_pq_recall",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+      val exact = Dedup.annTopK(emb, qs, "vec_id", "embedding", 5)
+        .select(col("id_q"), col("id_c"))
+      val approx = graft.ops.ProductQuantizer.adcSearch(emb, qs, dim = 64,
+          m = 4, k = 4, iters = 1, topK = 5)
+        .select(col("id_q"), col("id_c")).withColumn("__hit", lit(1))
+      exact.join(approx, Seq("id_q", "id_c"), "left")
+        .groupBy(col("id_q"))
+        .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_true"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("n_true").cast("double"))
+        .drop("n_true")
+        .orderBy(col("id_q"))
+    },
+    Some {
+      val subCtes = (0 until 4).map { sb =>
+        val lo = sb * 16
+        val dist =
+          s"""list_reduce([(CAST(a.qv[$lo + j] AS DOUBLE) - c.m[j]) *
+                 (CAST(a.qv[$lo + j] AS DOUBLE) - c.m[j])
+                 for j in generate_series(1,16)], (x, y) -> x + y)"""
+        s"""init$sb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                     AS BIGINT) AS cid,
+                     [CAST(qv[$lo + j] AS DOUBLE)
+                      for j in generate_series(1,16)] AS m
+                   FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
+      d1$sb AS (SELECT a.vec_id, c.cid, $dist AS dist_sq
+             FROM q a CROSS JOIN init$sb c),
+      a1$sb AS (SELECT vec_id, cid FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist_sq, cid) AS rn FROM d1$sb)
+             WHERE rn = 1),
+      s1$sb AS (SELECT a1$sb.cid, j, sum(q.qv[$lo + j]) AS sm, count(*) AS n
+             FROM a1$sb JOIN q USING (vec_id)
+             CROSS JOIN generate_series(1,16) g(j)
+             GROUP BY a1$sb.cid, j),
+      u1$sb AS (SELECT cid, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+                              ORDER BY j) AS m
+             FROM s1$sb GROUP BY cid),
+      c1$sb AS (SELECT init$sb.cid, coalesce(u1$sb.m, init$sb.m) AS m
+             FROM init$sb LEFT JOIN u1$sb USING (cid)),
+      cd$sb AS (SELECT vec_id AS id_c, cid AS code FROM
+               (SELECT a.vec_id, c.cid, $dist AS dist_sq,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY $dist, c.cid) AS rn
+                FROM q a CROSS JOIN c1$sb c)
+             WHERE rn = 1),
+      lut$sb AS (SELECT a.vec_id AS id_q, c.cid AS code, $dist AS d
+             FROM q a CROSS JOIN c1$sb c WHERE a.vec_id < 10),
+      t$sb AS (SELECT l.id_q, cd$sb.id_c, $sb AS sub, l.d
+             FROM cd$sb JOIN lut$sb l USING (code))"""
+      }.mkString(",\n      ")
+      val union = (0 until 4).map(sb => s"SELECT * FROM t$sb")
+        .mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $dkQuantized,
+      $subCtes,
+      terms AS (
+        $union),
+      ag AS (SELECT id_q, id_c,
+               list_reduce(list(d ORDER BY sub), (x, y) -> x + y)
+                 AS dist_est
+             FROM terms WHERE id_q <> id_c GROUP BY id_q, id_c),
+      ap AS (SELECT id_q, id_c FROM
+               (SELECT id_q, id_c,
+                  row_number() OVER (PARTITION BY id_q
+                    ORDER BY dist_est, id_c) AS rn
+                FROM ag) WHERE rn <= 5),
+      ex AS (SELECT id_q, id_c FROM (
+          SELECT a.vec_id AS id_q, b.vec_id AS id_c,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${dkDot("a", "b")}
+                     / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rn
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 10) WHERE rn <= 5)
+      SELECT ex.id_q, CAST(count(ap.id_c) AS BIGINT) AS n_hits,
+             CAST(count(ap.id_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS recall
+      FROM ex LEFT JOIN ap ON ex.id_q = ap.id_q AND ex.id_c = ap.id_c
+      GROUP BY ex.id_q ORDER BY ex.id_q"""
+    },
+    covers = Seq("TD-pq", "TD-ann-recall"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4204,5 +4297,5 @@ object TrainingData extends QueryPack {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-      q170, q171, q172, q173, q174, q175, q176)
+      q170, q171, q172, q173, q174, q175, q176, q177)
 }

@@ -402,9 +402,11 @@ class PlanRegressionSpec extends SparkSpec {
       "q172_bpe_merges",            // 1-row best-pair crossJoin per round
                                     // (the merge everywhere rewrite)
       "q173_bpe_fertility",         // same chain feeding segmentation
-      "q175_hard_negatives")        // sampled-anchor broadcast brute (the
+      "q175_hard_negatives",        // sampled-anchor broadcast brute (the
                                     // q112 protocol; full-corpus mining is
                                     // the banded-LSH path)
+      "q177_pq_recall")             // exact side IS the declared brute
+                                    // baseline + PQ centroid broadcasts
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
