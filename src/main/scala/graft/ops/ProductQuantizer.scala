@@ -107,6 +107,16 @@ object ProductQuantizer {
     train(prepSubs(emb, dim, m, id, vec), emb, m, k, iters, id)
   }
 
+  /** The prepped sub-vector stream has several consumers (each Lloyd
+    * iteration's assign + update, the final encode, the LUT side) —
+    * persist it so the source is scanned once, not once per consumer;
+    * spill-safe (MEMORY_AND_DISK via CacheTracker) and swept at the
+    * query boundary. At 100 TB this is the difference between one
+    * corpus read and iters+2 of them. */
+  private def cachedPrep(emb: DataFrame, dim: Int, m: Int, id: String,
+      vec: String): DataFrame =
+    graft.CacheTracker.track(prepSubs(emb, dim, m, id, vec))
+
   /** PQ-encode every vector: (id, sub, code, dist_sq) — `m` rows per
     * vector, `code` = the subspace's nearest trained centroid id,
     * `dist_sq` = exact squared distance of the quantized sub-vector
@@ -114,7 +124,7 @@ object ProductQuantizer {
   def encode(emb: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val p = prepSubs(emb, dim, m, id, vec)
+    val p = cachedPrep(emb, dim, m, id, vec)
     assignSubs(p, train(p, emb, m, k, iters, id), id).drop("__q")
   }
 
@@ -160,7 +170,7 @@ object ProductQuantizer {
       vec: String = "embedding"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(topK >= 1, s"topK must be >= 1: $topK")
-    val p = prepSubs(emb, dim, m, id, vec)
+    val p = cachedPrep(emb, dim, m, id, vec)
     val cents = train(p, emb, m, k, iters, id)
     val codes = assignSubs(p, cents, id)
       .select(col(id).as("id_c"), col("sub"), col("code"))

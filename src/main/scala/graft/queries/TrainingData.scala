@@ -4287,6 +4287,71 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-pq", "TD-ann-recall"))
 
+  /** QUALITY-AWARE dedup keeper: q77's LSH near-dup clusters with the
+    * realistic keep policy — the LONGEST member survives (most
+    * content retained), ties on id — instead of min-id. The policy
+    * swap is a window re-rank over the same cluster table
+    * ([[Dedup.duplicateClusters]]), which is exactly how production
+    * dedup separates clustering from curation policy; any score
+    * column (q167's LM score, q153's classifier) drops into the same
+    * ORDER BY. */
+  val q178 = Q(
+    "q178_dedup_keep_best",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = K)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", k = K,
+        rows = BAND_ROWS).localCheckpoint()
+      val ids = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+      val clusters = Dedup.duplicateClusters(ids, "doc_id", pairs)
+      graft.CacheTracker.releaseCheckpoint(pairs)
+      val scored = clusters.join(
+        docs.select(col("doc_id"), T.tokenCount(col("text")).cast("long")
+          .as("n_tokens")), Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      scored.withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster"), col("n_tokens"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bandRows = (0 until K / BAND_ROWS).map { b =>
+        val key = (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH RECURSIVE $dkShingles,
+      $dkSig,
+      bands AS (
+        $bandRows),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING(band, band_key)
+        WHERE a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach AS (
+        SELECT node, node AS m FROM nodes
+        UNION
+        SELECT e.dst AS node, r.m
+        FROM reach r JOIN edges e ON e.src = r.node
+      ),
+      cl AS (SELECT node AS doc_id, MIN(m) AS cluster
+             FROM reach GROUP BY node),
+      sc AS (SELECT cl.doc_id, cluster,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+             FROM cl JOIN documents USING (doc_id))
+      SELECT doc_id, cluster, n_tokens,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY n_tokens DESC, doc_id) = 1 AS keep
+      FROM sc ORDER BY doc_id"""
+    },
+    covers = Seq("TD-dedup-clusters", "TD-curation-policy"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4297,5 +4362,5 @@ object TrainingData extends QueryPack {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-      q170, q171, q172, q173, q174, q175, q176, q177)
+      q170, q171, q172, q173, q174, q175, q176, q177, q178)
 }

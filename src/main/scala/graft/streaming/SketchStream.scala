@@ -45,6 +45,35 @@ object SketchStream {
       root, s"batch-$id")
   }
 
+  /** foreachBatch body maintaining the bigram/unigram COUNT tables of
+    * the [[graft.ops.NgramLm]] quality model over a document stream —
+    * exact counts are sum-mergeable exactly like CMS cells, so the
+    * add-one LM stays queryable mid-ingest without rescans (the
+    * streaming leg of the q167/q171 scoring family). Same append-only
+    * idempotence as the sketch sinks. Rows: (kind 'bi'|'uni', k, c). */
+  def lmCountSink(root: String, text: Column): (DataFrame, Long) => Unit = {
+    (batch, id) =>
+      import graft.functions.{TextFunctions => T}
+      val bi = batch.select(explode(T.shinglesOf(text, 2)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .select(lit("bi").as("kind"), col("k"), col("c"))
+      val uni = batch.select(explode(T.tokens(text)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .select(lit("uni").as("kind"), col("k"), col("c"))
+      Upsert.writeBatchState(bi.unionByName(uni), root, s"batch-$id")
+  }
+
+  /** Merged LM count tables over every completed batch: sum per
+    * (kind, key) — bit-identical to one-shot counting of the full
+    * stream (integer sums commute). */
+  def mergedLmCounts(spark: SparkSession, root: String): DataFrame =
+    Upsert.readBatchState(spark, root, excludeBatch = "",
+        schema = "kind STRING, k STRING, c BIGINT")
+      .map(_.groupBy(col("kind"), col("k")).agg(sum(col("c")).as("c")))
+      .getOrElse(spark.emptyDataFrame
+        .select(lit("").as("kind"), lit("").as("k"), lit(0L).as("c"))
+        .limit(0))
+
   /** Merged CMS registers over every completed batch (sparse; join
     * the dense grid if the zero cells are wanted). */
   def mergedCms(spark: SparkSession, root: String): DataFrame =

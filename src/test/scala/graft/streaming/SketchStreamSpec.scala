@@ -37,6 +37,32 @@ class SketchStreamSpec extends SparkSpec {
     assert(total == 4L * 9L) // depth x occurrences, counted once
   }
 
+  test("lmCountSink: merged counts equal one-shot counting; replay safe") {
+    val root = Files.createTempDirectory("graft_lm_").toString + "/state"
+    val sink = SketchStream.lmCountSink(root, col("text"))
+    val b0 = Seq("a b a b", "a b").toDF("text")
+    val b1 = Seq("b a c").toDF("text")
+    sink(b0, 0L); sink(b1, 1L); sink(b1, 1L) // batch 1 redelivered
+    val merged = SketchStream.mergedLmCounts(spark, root)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // bigrams: "a b" x4 (2 in doc1, 1 in doc2, ... doc1 "a b a b" has
+    // a b, b a, a b = 2; doc2 1; doc3 "b a c" has b a, a c)
+    assert(merged(("bi", "a b")) == 3L)
+    assert(merged(("bi", "b a")) == 2L)
+    assert(merged(("bi", "a c")) == 1L)
+    assert(merged(("uni", "a")) == 4L && merged(("uni", "b")) == 4L &&
+      merged(("uni", "c")) == 1L)
+    // exactly the one-shot counts of the full stream
+    val oneShotBi = Seq("a b a b", "a b", "b a c").toDF("text")
+      .select(explode(graft.functions.TextFunctions
+        .shinglesOf(col("text"), 2)).as("k"))
+      .groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.collect { case (("bi", k), c) => k -> c }.toMap ==
+      oneShotBi)
+  }
+
   test("hllSink: merged registers equal the one-shot sketch; estimate sane") {
     val root = Files.createTempDirectory("graft_hll_").toString + "/state"
     val sink = SketchStream.hllSink(root, col("v"), p = 6)
