@@ -357,6 +357,40 @@ class PlanRegressionSpec extends SparkSpec {
         "(join below it in the tree), not a pre-join row set:\n" + p.take(800))
   }
 
+  test("q167: LM counts aggregate with map-side partials; exactly one " +
+      "declared 1-row nested-loop (the vocabulary-size attach)") {
+    val p = plan("q167_lm_score")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      "bigram/unigram counts must keep partial aggregation:\n" + p.take(800))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the 1-row V attach may nest; count joins must stay hash:\n" +
+        p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q174: mixture order — within-source rank is a KEYED window; " +
+      "per-source counts broadcast back") {
+    val p = plan("q174_mixture_order")
+    assert(p.linesIterator.exists(l => l.contains("Window") ||
+      l.contains("WindowGroupLimit")), p.take(600))
+    assert(p.contains("Exchange hashpartitioning(source"),
+      "rank window must partition by source, never single-partition:\n" +
+        p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source counts must broadcast:\n" + p.take(600))
+    assert(!p.contains("Exchange SinglePartition"),
+      "no global row_number materialization:\n" + p.take(800))
+  }
+
+  test("q176: covariance is ONE scan, no join, map-side combined cells") {
+    val p = plan("q176_embedding_covariance")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "Gram build must read embeddings exactly once:\n" + p.take(800))
+    assert(!p.contains("Join"), p.take(600))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "cell sums must keep partial (map-side) aggregation:\n" + p.take(600))
+  }
+
   /** CartesianProduct / BroadcastNestedLoopJoin sweep over the full
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
