@@ -49,6 +49,41 @@ object ProductQuantizer {
       .withColumn("__qd", transform(col("__q"), _.cast("double")))
   }
 
+  /** Same shape over an ALREADY-integer vector column (the residual
+    * path — no re-quantization). */
+  private def prepSubsQ(d: DataFrame, dim: Int, m: Int, id: String,
+      qcol: String): DataFrame = {
+    val w = dim / m
+    val slices = array((0 until m).map(s =>
+      slice(col(qcol), s * w + 1, w)): _*)
+    d.select(col(id), posexplode(slices).as(Seq("sub", "__q")))
+      .withColumn("__qd", transform(col("__q"), _.cast("double")))
+  }
+
+  /** Integer RESIDUALS against a coarse centroid table: each vector's
+    * nearest cell (the [[KMeans]] argmin contract) and
+    * r_i = q_i − floor(mean_i + 0.5) — the cell mean re-quantized to
+    * the integer grid with the repo's floor-based half-up idiom, so
+    * the residual chain stays exact-integer end to end (classic
+    * IVF-PQ quantizes here anyway; the bias is folded into the
+    * codebook it trains). Returns (id, cell, __r: array<long>). */
+  private def residuals(emb: DataFrame, coarse: DataFrame, id: String,
+      vec: String): DataFrame = {
+    val p0 = KMeans.prep(Compute.spread(emb), id, vec)
+    val cArr = coarse.agg(
+      sort_array(collect_list(struct(col("cid"), col("mean")))).as("__cs"))
+    p0.crossJoin(broadcast(cArr))
+      .withColumn("__best", array_min(transform(col("__cs"), c =>
+        struct(KMeans.distSq(col("__qd"), c("mean")).as("dist_sq"),
+          c("cid").as("cid")))))
+      .select(col(id), col("__qd"), col("__best.cid").as("cell"))
+      .join(broadcast(coarse.select(col("cid").as("cell"), col("mean"))),
+        Seq("cell"))
+      .select(col(id), col("cell"),
+        zip_with(col("__qd"), col("mean"),
+          (a, b) => (a - floor(b + lit(0.5))).cast("long")).as("__r"))
+  }
+
   /** Per-sub centroid arrays (sub, __cs) for the broadcast argmin. */
   private def centArr(cents: DataFrame): DataFrame =
     cents.groupBy(col("sub")).agg(
@@ -165,6 +200,108 @@ object ProductQuantizer {
     * per-(query, candidate) regroup — n·m rows each, never
     * n·#queries·d. Per-query top-k is a rank window partitioned by
     * query. */
+  /** IVF-PQ ENCODE — the full index-build of the combined scheme
+    * (Jégou et al. §IV): a coarse [[KMeans]] quantizer splits the
+    * corpus into cells, and ONE global PQ codebook trains on the
+    * integer RESIDUALS (vector − its cell centroid, re-quantized to
+    * the grid — see `residuals`). A vector's index entry is (cell,
+    * m codes): the inverted-list id plus the compressed residual,
+    * which is what makes billion-vector indexes RAM-resident.
+    * Returns (id, cell, sub, code, dist_sq) — m rows per vector,
+    * dist_sq = per-subspace residual reconstruction error.
+    *
+    * Scale shape: coarse training/assignment as [[KMeans]] (kc-row
+    * broadcast state); residuals are a narrow projection; PQ training
+    * as [[encode]] on the residual stream. Residuals concentrate near
+    * zero by construction, which is WHY the same k buys more accuracy
+    * here than in raw-space PQ (q168) — measurable via [[adcSearch]]
+    * vs `ivfPqSearch` recall at equal budgets. */
+  def ivfPqEncode(emb: DataFrame, dim: Int, kc: Int, cIters: Int,
+      m: Int, k: Int, iters: Int, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val coarse = KMeans.centroids(emb, kc, cIters, id, vec)
+      .localCheckpoint() // two consumers: assignment + residual join
+    graft.CacheTracker.trackCheckpoint(coarse)
+    val res = graft.CacheTracker.track(residuals(emb, coarse, id, vec))
+    val p = prepSubsQ(res, dim, m, id, "__r")
+    assignSubs(p, train(p, res, m, k, iters, id), id)
+      .join(res.select(col(id), col("cell")), Seq(id))
+      .select(col(id), col("cell"), col("sub"), col("code"), col("dist_sq"))
+  }
+
+  /** IVF-PQ SEARCH — the combined query path: a query probes its
+    * `nProbe` nearest coarse cells; within each probed cell it forms
+    * the PER-CELL residual (query − that cell's centroid) and scores
+    * the cell's inverted list through the ADC lookup table of that
+    * residual. Candidates outside probed cells are never touched —
+    * the inverted-file pruning — and candidate distances come from
+    * the m code lookups, never the raw vectors.
+    *
+    * Returns (id_q, rank, id_c, dist_est), topK per query over the
+    * probed cells, ties (dist_est, id_c); self-matches excluded.
+    *
+    * Scale shape: the corpus appears only as its (cell, m codes)
+    * index entries; the per-(query, probed-cell) LUT is
+    * #queries·nProbe·k·m rows and broadcasts; the only corpus-sized
+    * work is the (cell, sub, code) equi-join and the per-(query,
+    * candidate) regroup. */
+  def ivfPqSearch(emb: DataFrame, queries: DataFrame, dim: Int, kc: Int,
+      cIters: Int, m: Int, k: Int, iters: Int, nProbe: Int, topK: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && topK >= 1, "need nProbe >= 1 and topK >= 1")
+    val coarse = KMeans.centroids(emb, kc, cIters, id, vec)
+      .localCheckpoint() // consumers: corpus residuals, probe explode,
+    graft.CacheTracker.trackCheckpoint(coarse) // query residuals
+    val res = graft.CacheTracker.track(residuals(emb, coarse, id, vec))
+    val p = prepSubsQ(res, dim, m, id, "__r")
+    val cents = train(p, res, m, k, iters, id)
+    val codes = assignSubs(p, cents, id)
+      .join(res.select(col(id), col("cell")), Seq(id))
+      .select(col(id).as("id_c"), col("cell"), col("sub"), col("code"))
+    // probe side: nProbe nearest cells per query (the q79/ivfSearch
+    // explode), then the PER-CELL residual query vector
+    val cArr = coarse.agg(
+      sort_array(collect_list(struct(col("cid"), col("mean")))).as("__cs"))
+    val probes = KMeans.prep(queries, id, vec).crossJoin(broadcast(cArr))
+      .select(col(id).as("id_q"), col("__qd"),
+        explode(slice(array_sort(transform(col("__cs"), c =>
+          struct(KMeans.distSq(col("__qd"), c("mean")).as("dist_sq"),
+            c("cid").as("cid")))), 1, nProbe)).as("__p"))
+      .select(col("id_q"), col("__qd"), col("__p.cid").as("cell"))
+      .join(broadcast(coarse.select(col("cid").as("cell"), col("mean"))),
+        Seq("cell"))
+      .select(col("id_q"), col("cell"),
+        zip_with(col("__qd"), col("mean"),
+          (a, b) => a - floor(b + lit(0.5))).as("__rq"))
+    // LUT per (query, probed cell, sub, code)
+    val lutPrep = prepSubsQ(
+      probes.select(concat_ws("#", col("id_q"), col("cell")).as("__qc"),
+        col("__rq")), dim, m, "__qc", "__rq")
+    val lut = lutPrep
+      .join(broadcast(centArr(cents)), Seq("sub"))
+      .select(col("__qc"), col("sub"),
+        explode(transform(col("__cs"), c =>
+          struct(c("cid").as("code"),
+            KMeans.distSq(col("__qd"), c("mean")).as("d")))).as("__l"))
+      .select(split(col("__qc"), "#").getItem(0).cast("long").as("id_q"),
+        split(col("__qc"), "#").getItem(1).cast("long").as("cell"),
+        col("sub"), col("__l.code").as("code"), col("__l.d").as("d"))
+    val w2 = Window.partitionBy(col("id_q"))
+      .orderBy(col("dist_est").asc, col("id_c").asc)
+    codes.join(broadcast(lut), Seq("cell", "sub", "code"))
+      .filter(col("id_q") =!= col("id_c"))
+      .groupBy(col("id_q"), col("id_c"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("d"))))
+        .as("__t"))
+      .select(col("id_q"), col("id_c"),
+        aggregate(col("__t"), lit(0.0), (acc, x) => acc + x("d"))
+          .as("dist_est"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topK)
+      .select(col("id_q"), col("rank"), col("id_c"), col("dist_est"))
+  }
+
   def adcSearch(emb: DataFrame, queries: DataFrame, dim: Int, m: Int,
       k: Int, iters: Int, topK: Int, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {

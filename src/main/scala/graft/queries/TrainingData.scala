@@ -2104,7 +2104,13 @@ object TrainingData extends QueryPack {
   val q126 = Q(
     "q126_embedding_lsh_quality",
     (s, dir) => {
+      // harness runs on a deterministic 1/4 modulus sample (round-6
+      // VERDICT ask: sample the truth side the way q112 does — the
+      // ANN-benchmark protocol): the truth side is all-pairs by
+      // definition, so the sample bounds its cost while measuring the
+      // same band-recall curve
       val emb = Tables(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(4)) === 0)
       val nTrue = Dedup.embeddingDupPairsExact(emb, "vec_id", "embedding",
           minCos = 0.4).agg(count(lit(1)).as("n_true"))
       val found = Seq(2, 4, 8).map { b =>
@@ -2126,7 +2132,7 @@ object TrainingData extends QueryPack {
           .mkString(",\n                ")
         s"""bkt$b AS (SELECT vec_id, qv, nsq,
                 $cols
-              FROM n)"""
+              FROM nf n)"""
       }
       def f(b: Int): String = {
         val anyMatch = (0 until b).map(t => s"x.band$t = y.band$t")
@@ -2139,11 +2145,12 @@ object TrainingData extends QueryPack {
       }
       s"""
       WITH $dkQuantized,
+      nf AS (SELECT * FROM n WHERE vec_id % 4 = 0),
       ${bkt(2)},
       ${bkt(4)},
       ${bkt(8)},
       tr AS (SELECT count(*) AS n_true
-             FROM (SELECT 1 FROM n x JOIN n y ON x.vec_id < y.vec_id
+             FROM (SELECT 1 FROM nf x JOIN nf y ON x.vec_id < y.vec_id
                    WHERE ${dkDot("x", "y")} / (sqrt(x.nsq) * sqrt(y.nsq))
                      >= 0.4)),
       ${f(2)},
@@ -4352,6 +4359,148 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-dedup-clusters", "TD-curation-policy"))
 
+  /** Oracle fragment: the residual-PQ chain over table `src` (must
+    * expose (vec_id, qv) with integer qv) — per-subspace k=4/iters=1
+    * Lloyd codebooks + final code assignment, kept in lockstep with
+    * [[graft.ops.ProductQuantizer]]'s grouped trainer. CTE names are
+    * prefixed `r` so the fragment composes with the coarse-kmeans
+    * CTEs in the same WITH. */
+  private def dkPqResChain(src: String): String =
+    (0 until 4).map { sb =>
+      val lo = sb * 16
+      val dist =
+        s"""list_reduce([(CAST(a.qv[$lo + j] AS DOUBLE) - c.m[j]) *
+               (CAST(a.qv[$lo + j] AS DOUBLE) - c.m[j])
+               for j in generate_series(1,16)], (x, y) -> x + y)"""
+      s"""rinit$sb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                   AS BIGINT) AS cid,
+                   [CAST(qv[$lo + j] AS DOUBLE)
+                    for j in generate_series(1,16)] AS m
+                 FROM (SELECT vec_id, qv FROM $src ORDER BY vec_id LIMIT 4)),
+      rd1$sb AS (SELECT a.vec_id, c.cid, $dist AS dist_sq
+             FROM $src a CROSS JOIN rinit$sb c),
+      ra1$sb AS (SELECT vec_id, cid FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist_sq, cid) AS rn FROM rd1$sb)
+             WHERE rn = 1),
+      rs1$sb AS (SELECT ra1$sb.cid, j, sum($src.qv[$lo + j]) AS sm,
+               count(*) AS n
+             FROM ra1$sb JOIN $src USING (vec_id)
+             CROSS JOIN generate_series(1,16) g(j)
+             GROUP BY ra1$sb.cid, j),
+      ru1$sb AS (SELECT cid, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+                              ORDER BY j) AS m
+             FROM rs1$sb GROUP BY cid),
+      rc1$sb AS (SELECT rinit$sb.cid, coalesce(ru1$sb.m, rinit$sb.m) AS m
+             FROM rinit$sb LEFT JOIN ru1$sb USING (cid)),
+      rcd$sb AS (SELECT vec_id, $sb AS sub, cid AS code, dist_sq FROM
+               (SELECT a.vec_id, c.cid, $dist AS dist_sq,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY $dist, c.cid) AS rn
+                FROM $src a CROSS JOIN rc1$sb c)
+             WHERE rn = 1)"""
+    }.mkString(",\n      ")
+
+  /** Oracle fragment: coarse cell assignment + integer residuals —
+    * requires dkKmeansCtes (c1/d2) in the same WITH. */
+  private val dkResiduals: String = s"""
+      ca AS (SELECT vec_id, cid AS cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist_sq, cid) AS rn FROM d2)
+             WHERE rn = 1),
+      rq AS (SELECT q.vec_id, ca.cell,
+               [CAST(q.qv[i] - floor(c1.m[i] + 0.5) AS BIGINT)
+                for i in generate_series(1,64)] AS qv
+             FROM q JOIN ca ON q.vec_id = ca.vec_id
+                    JOIN c1 ON ca.cell = c1.cid)"""
+
+  /** IVF-PQ index BUILD ([[graft.ops.ProductQuantizer.ivfPqEncode]],
+    * Jégou et al. §IV): coarse k=4 cells + ONE global PQ codebook on
+    * the integer residuals — each vector's index entry is (cell,
+    * 4 codes), the RAM-resident representation of a billion-vector
+    * index. Residuals re-quantize to the grid with the floor-based
+    * half-up idiom so the whole chain stays exact-integer. */
+  val q179 = Q(
+    "q179_ivfpq_encode",
+    (s, dir) => {
+      graft.ops.ProductQuantizer.ivfPqEncode(Tables(s, dir, "embeddings"),
+          dim = 64, kc = 4, cIters = 1, m = 4, k = 4, iters = 1)
+        .orderBy(col("vec_id"), col("sub"))
+    },
+    Some(s"""
+      WITH $dkQuantized,
+      $dkKmeansCtes,
+      $dkResiduals,
+      ${dkPqResChain("rq")}
+      SELECT r.vec_id, CAST(ca.cell AS BIGINT) AS cell,
+             CAST(sub AS INTEGER) AS sub, CAST(code AS BIGINT) AS code,
+             dist_sq
+      FROM (SELECT * FROM rcd0 UNION ALL SELECT * FROM rcd1
+            UNION ALL SELECT * FROM rcd2 UNION ALL SELECT * FROM rcd3) r
+      JOIN ca ON r.vec_id = ca.vec_id
+      ORDER BY r.vec_id, sub"""),
+    covers = Seq("TD-pq", "TD-ann-ivf", "TD-kmeans"))
+
+  /** IVF-PQ SEARCH ([[graft.ops.ProductQuantizer.ivfPqSearch]]): each
+    * query probes its 2 nearest coarse cells, forms the PER-CELL
+    * residual, and scores that cell's inverted list through the ADC
+    * lookup table — inverted-file pruning + compressed-domain
+    * scoring, the complete combined index query path. */
+  val q180 = Q(
+    "q180_ivfpq_search",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      graft.ops.ProductQuantizer.ivfPqSearch(emb,
+          emb.filter($"vec_id" < 10), dim = 64, kc = 4, cIters = 1,
+          m = 4, k = 4, iters = 1, nProbe = 2, topK = 5)
+        .orderBy(col("id_q"), col("rank"))
+    },
+    Some {
+      s"""
+      WITH $dkQuantized,
+      $dkKmeansCtes,
+      $dkResiduals,
+      ${dkPqResChain("rq")},
+      probes AS (SELECT vec_id AS id_q, cid AS cell FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist_sq, cid) AS rn FROM d2
+                   WHERE vec_id < 10)
+                 WHERE rn <= 2),
+      prq AS (SELECT p.id_q, p.cell,
+                [CAST(q.qv[i] - floor(c1.m[i] + 0.5) AS DOUBLE)
+                 for i in generate_series(1,64)] AS qv
+              FROM probes p JOIN q ON p.id_q = q.vec_id
+                   JOIN c1 ON p.cell = c1.cid),
+      luts AS (
+        ${(0 until 4).map { sb =>
+          s"""SELECT pr.id_q, pr.cell, $sb AS sub, c.cid AS code,
+               list_reduce([(pr.qv[${sb * 16} + j] - c.m[j]) *
+                   (pr.qv[${sb * 16} + j] - c.m[j])
+                   for j in generate_series(1,16)], (x, y) -> x + y) AS d
+             FROM prq pr CROSS JOIN rc1$sb c"""
+        }.mkString("\n        UNION ALL\n        ")}),
+      icodes AS (SELECT r.vec_id AS id_c, ca.cell, r.sub, r.code
+                 FROM (SELECT * FROM rcd0 UNION ALL SELECT * FROM rcd1
+                       UNION ALL SELECT * FROM rcd2
+                       UNION ALL SELECT * FROM rcd3) r
+                 JOIN ca ON r.vec_id = ca.vec_id),
+      terms AS (SELECT l.id_q, i.id_c, l.sub, l.d
+                FROM icodes i JOIN luts l
+                  ON i.cell = l.cell AND i.sub = l.sub AND i.code = l.code),
+      ag AS (SELECT id_q, id_c,
+               list_reduce(list(d ORDER BY sub), (x, y) -> x + y)
+                 AS dist_est
+             FROM terms WHERE id_q <> id_c GROUP BY id_q, id_c),
+      rk AS (SELECT id_q, id_c, dist_est,
+               row_number() OVER (PARTITION BY id_q
+                 ORDER BY dist_est, id_c) AS rn
+             FROM ag)
+      SELECT id_q, CAST(rn AS INTEGER) AS rank, id_c, dist_est
+      FROM rk WHERE rn <= 5 ORDER BY id_q, rank"""
+    },
+    covers = Seq("TD-pq", "TD-ann-ivf"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4362,5 +4511,5 @@ object TrainingData extends QueryPack {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-      q170, q171, q172, q173, q174, q175, q176, q177, q178)
+      q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
 }

@@ -439,8 +439,12 @@ class PlanRegressionSpec extends SparkSpec {
       "q175_hard_negatives",        // sampled-anchor broadcast brute (the
                                     // q112 protocol; full-corpus mining is
                                     // the banded-LSH path)
-      "q177_pq_recall")             // exact side IS the declared brute
+      "q177_pq_recall",             // exact side IS the declared brute
                                     // baseline + PQ centroid broadcasts
+      "q179_ivfpq_encode",          // coarse + PQ centroid broadcasts (the
+                                    // q127 1-row-array argmin pattern)
+      "q180_ivfpq_search")          // same broadcasts; candidate scoring is
+                                    // the (cell, sub, code) equi-join
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>

@@ -87,6 +87,37 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqEncode: m codes per vector, cells in [0,kc); init vectors' " +
+      "residuals reconstruct exactly at iters=0") {
+    val vecs = (0L until 8L).map(i =>
+      i -> Seq.tabulate(8)(d => ((i * 9 + d * 4) % 25).toFloat / 5f))
+    val codes = ProductQuantizer.ivfPqEncode(emb(vecs: _*), dim = 8,
+      kc = 3, cIters = 0, m = 2, k = 4, iters = 0).collect()
+    assert(codes.length == 16)
+    assert(codes.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 3))
+    assert(codes.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 4))
+    // coarse init = vectors 0..2 themselves, so their residual is the
+    // zero vector; PQ init (4 smallest ids) therefore contains the
+    // zero codeword and those vectors reconstruct exactly
+    assert(codes.filter(_.getLong(0) < 3).forall(_.getDouble(4) == 0.0),
+      codes.filter(_.getLong(0) < 3).mkString(", "))
+  }
+
+  test("ivfPqSearch: topK rows per query, dist ascends, no self-match") {
+    val vecs = (0L until 16L).map(i =>
+      i -> Seq.tabulate(8)(d => ((i * 5 + d * 11) % 40).toFloat / 8f))
+    val rows = ProductQuantizer.ivfPqSearch(emb(vecs: _*),
+        emb(vecs.take(3): _*), dim = 8, kc = 3, cIters = 1, m = 2, k = 3,
+        iters = 1, nProbe = 2, topK = 4)
+      .orderBy(col("id_q"), col("rank")).collect()
+    assert(rows.nonEmpty && rows.length <= 12)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(!rs.exists(_.getLong(2) == q), "self-match leaked")
+      val ds = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ds.sameElements(ds.sorted))
+    }
+  }
+
   test("subspace independence: per-subspace codes equal a standalone " +
       "k-means on the sliced vectors") {
     val vecs = (0L until 10L).map(i =>

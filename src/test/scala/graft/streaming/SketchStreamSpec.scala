@@ -78,6 +78,32 @@ class SketchStreamSpec extends SparkSpec {
     assert(est > 350 && est < 650, s"estimate $est for 500 distinct")
   }
 
+  test("end-to-end: file-drop stream maintains LM counts across two runs") {
+    val landing = Files.createTempDirectory("graft_lm_landing_")
+    val work = Files.createTempDirectory("graft_lm_work_")
+    val root = s"$work/lm"
+    val schema = StructType.fromDDL("text STRING")
+    def runOnce(): Unit = {
+      val q = IncrementalStream.fileDropJson(spark, landing.toString, schema)
+        .writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(SketchStream.lmCountSink(root, col("text")))
+        .start()
+      q.awaitTermination()
+    }
+    Files.writeString(landing.resolve("a.json"),
+      """{"text":"a b a b"}""" + "\n" + """{"text":"a b"}""")
+    runOnce()
+    Files.writeString(landing.resolve("b.json"), """{"text":"b a c"}""")
+    runOnce() // checkpoint: a.json must not re-count
+    val merged = SketchStream.mergedLmCounts(spark, root)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(merged(("bi", "a b")) == 3L && merged(("bi", "b a")) == 2L)
+    assert(merged(("uni", "c")) == 1L)
+  }
+
   test("end-to-end: file-drop stream maintains the CMS across two runs") {
     val landing = Files.createTempDirectory("graft_sk_landing_")
     val work = Files.createTempDirectory("graft_sk_work_")
