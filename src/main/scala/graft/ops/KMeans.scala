@@ -124,13 +124,15 @@ object KMeans {
       nProbe: Int, topK: Int, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {
     require(nProbe >= 1 && topK >= 1, "need nProbe >= 1 and topK >= 1")
-    // the trained table has TWO consumers here (probe-side centroid
-    // array + corpus assignment) — materialize the k rows once so the
-    // Lloyd chain doesn't run twice; registered for the end-of-query
-    // sweep. centroids() itself stays lazy: a single-consumer caller
-    // (assign/encode) keeps one fused DAG.
-    val cents = centroids(emb, k, iters, id, vec).localCheckpoint()
-    graft.CacheTracker.trackCheckpoint(cents)
+    // the trained table is consumed twice (probe-side centroid array +
+    // corpus assignment) and deliberately NOT checkpointed: one fused
+    // lazy DAG lets Spark overlap both subtrees, and an eager pin was
+    // MEASURED worse (q162 0.39→1.02 s at sf0.1, ledger
+    // 20260814_115955 — the blocking barrier costs more than the
+    // k-row recompute). A 100 TB caller reusing a trained quantizer
+    // across queries should train once via [[centroids]], persist the
+    // k rows itself, and probe with [[assignWith]].
+    val cents = centroids(emb, k, iters, id, vec)
     val cArr = cents.agg(
       sort_array(collect_list(struct(col("cid"), col("mean")))).as("__cs"))
     val corpus = assignPrepped(prep(emb, id, vec), cents, id)

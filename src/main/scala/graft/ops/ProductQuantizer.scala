@@ -220,8 +220,13 @@ object ProductQuantizer {
       m: Int, k: Int, iters: Int, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    // coarse IS eagerly pinned here — unlike ivfSearch (where the
+    // lazy form measured better), the residual stream is persisted
+    // and its materialization would otherwise run the coarse Lloyd
+    // chain once per consumer subtree: measured q179 2.2→4.4 s
+    // without the pin
     val coarse = KMeans.centroids(emb, kc, cIters, id, vec)
-      .localCheckpoint() // two consumers: assignment + residual join
+      .localCheckpoint()
     graft.CacheTracker.trackCheckpoint(coarse)
     val res = graft.CacheTracker.track(residuals(emb, coarse, id, vec))
     val p = prepSubsQ(res, dim, m, id, "__r")
@@ -250,9 +255,11 @@ object ProductQuantizer {
       cIters: Int, m: Int, k: Int, iters: Int, nProbe: Int, topK: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     require(nProbe >= 1 && topK >= 1, "need nProbe >= 1 and topK >= 1")
+    // eager for the same reason as ivfPqEncode's coarse (3 consumers
+    // + persisted residual stream)
     val coarse = KMeans.centroids(emb, kc, cIters, id, vec)
-      .localCheckpoint() // consumers: corpus residuals, probe explode,
-    graft.CacheTracker.trackCheckpoint(coarse) // query residuals
+      .localCheckpoint()
+    graft.CacheTracker.trackCheckpoint(coarse)
     val res = graft.CacheTracker.track(residuals(emb, coarse, id, vec))
     val p = prepSubsQ(res, dim, m, id, "__r")
     val cents = train(p, res, m, k, iters, id)
