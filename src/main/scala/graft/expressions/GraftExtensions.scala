@@ -34,6 +34,10 @@ object GraftExtensions {
       require(args.length == 1, "graft_md5prefix60(str)")
       Md5Prefix60(args.head)
     }),
+    ("graft_nfc", classOf[NfcNormalize], { args =>
+      require(args.length == 1, "graft_nfc(str)")
+      NfcNormalize(args.head)
+    }),
     ("graft_word_shingles", classOf[WordShingles], { args =>
       require(args.length == 2, "graft_word_shingles(text, n)")
       val n = args(1) match {

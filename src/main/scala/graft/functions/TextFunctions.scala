@@ -27,6 +27,17 @@ object TextFunctions {
     * the exact-dedup key. */
   def fingerprint(c: Column): Column = md5(normText(c).cast("binary"))
 
+  /** Unicode NFC normalization (native codegen'd expression
+    * [[graft.expressions.NfcNormalize]] over the JDK normalizer —
+    * Spark has no builtin): canonical composition, the first
+    * transform a multi-crawler corpus needs before fingerprints /
+    * tokenizers / regexes see the text. Zero-allocation on
+    * already-normalized input. */
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.expressions.NfcNormalize(Bridge.expression(c)))
+  }
+
   /** Seeded 60-bit hash: first 15 hex chars of md5("<seed>|<input>")
     * as a non-negative long. Chosen over xxhash64 because DuckDB can
     * reproduce it bit-for-bit (`CAST('0x'||substr(md5(..),1,15) AS

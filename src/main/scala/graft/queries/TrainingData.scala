@@ -4501,6 +4501,40 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-pq", "TD-ann-ivf"))
 
+  /** Unicode NFC normalization effect ([[graft.expressions.NfcNormalize]],
+    * the native codegen'd expression — Spark ships no normalizer):
+    * the corpus is ASCII, so each doc gets a deterministic decomposed
+    * suffix (" cafe" + U+0301 + " caf" + U+00E9) and the query
+    * reports raw vs normalized code-point counts + the changed flag —
+    * proving the composition actually ran (U+0065 U+0301 → U+00E9).
+    * Oracle = DuckDB's utf8proc `nfc_normalize`, the same Unicode
+    * algorithm as the JDK normalizer, so the normalized TEXT itself
+    * hash-matches, not just the lengths. */
+  val q181 = Q(
+    "q181_nfc_normalize",
+    (s, dir) => {
+      val raw = concat(col("text"), lit(" cafe\u0301 caf\u00e9"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(raw).cast("long").as("n_chars_raw"),
+          length(T.nfc(raw)).cast("long").as("n_chars_nfc"),
+          (T.nfc(raw) =!= raw).as("changed"),
+          substring(T.nfc(raw), -9, 9).as("norm_tail"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH r AS (SELECT doc_id,
+                   text || ' cafe' || chr(769) || ' caf' || chr(233) AS raw
+                 FROM documents)
+      SELECT doc_id,
+             CAST(length(raw) AS BIGINT) AS n_chars_raw,
+             CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
+             nfc_normalize(raw) <> raw AS changed,
+             substr(nfc_normalize(raw), length(nfc_normalize(raw)) - 8, 9)
+               AS norm_tail
+      FROM r ORDER BY doc_id"""),
+    covers = Seq("TD-unicode-normalize", "TD-text-quality"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4511,5 +4545,6 @@ object TrainingData extends QueryPack {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147,
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-      q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
+      q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
+      q181)
 }

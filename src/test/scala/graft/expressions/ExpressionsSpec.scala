@@ -63,6 +63,33 @@ class ExpressionsSpec extends AnyFunSuite {
       e.getMessage.contains("graft_word_shingles"))
   }
 
+  test("graft_nfc: composes decomposed sequences; idempotent; identity " +
+      "on ASCII returns the input unchanged") {
+    import graft.functions.{TextFunctions => T}
+    import spark.implicits._
+    val df = Seq(
+      ("cafe\u0301", "caf\u00e9"), // decomposed -> composed
+      ("caf\u00e9", "caf\u00e9"),  // already NFC
+      ("plain ascii", "plain ascii"))
+      .toDF("raw", "expected")
+      .select(col("raw"), col("expected"), T.nfc(col("raw")).as("got"))
+    assert(df.filter(col("got") =!= col("expected")).count() == 0)
+    // length collapses 2 code points to 1 on composition
+    val lens = df.select(length(col("raw")), length(col("got"))).collect()
+    assert(lens(0).getInt(0) == 5 && lens(0).getInt(1) == 4)
+    // idempotent
+    val idem = df.select((T.nfc(col("got")) === col("got")).as("ok"))
+    assert(idem.filter(!col("ok")).count() == 0)
+    // SQL surface
+    graft.expressions.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_nfc('cafe\u0301') AS s, " +
+      "length(graft_nfc('cafe\u0301')) AS n").collect().head
+    assert(r.getString(0) == "caf\u00e9" && r.getInt(1) == 4)
+    // null-safe
+    assert(spark.sql("SELECT graft_nfc(CAST(NULL AS STRING))")
+      .collect().head.isNullAt(0))
+  }
+
   test("null-safety: null array input yields null") {
     val r = spark.sql(
       "SELECT graft_dotq(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d")
