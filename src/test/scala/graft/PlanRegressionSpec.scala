@@ -391,6 +391,22 @@ class PlanRegressionSpec extends SparkSpec {
       "cell sums must keep partial (map-side) aggregation:\n" + p.take(600))
   }
 
+  test("q180: IVF-PQ search — candidate scoring is hash joins, top-k " +
+      "early-terminates via WindowGroupLimit, fold agg keeps partials") {
+    val p = plan("q180_ivfpq_search")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must plan as a group limit (early termination " +
+        "per partition), not a full rank materialization:\n" + p.take(800))
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      "the per-(query, candidate) sub-order fold must keep partial " +
+        "aggregation:\n" + p.take(600))
+    // the ONLY nested loop is the declared 1-row centroid-array attach
+    assert(p.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin")) <= 3,
+      "corpus-sized sides must never nest:\n" + p.take(800))
+  }
+
   /** CartesianProduct / BroadcastNestedLoopJoin sweep over the full
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
