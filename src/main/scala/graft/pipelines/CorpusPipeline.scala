@@ -210,10 +210,23 @@ object CorpusPipeline {
     * single-partition window, broadcast-joined back. Exactly the
     * per-date-partition packing a 100 TB export does. */
   def packShards(docs: DataFrame, budgetTokens: Long, bucket: Column,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    packShardsFromCounts(
+      docs.select(col(id),
+        T.tokenCount(col(text)).cast("long").as("n_tokens")),
+      budgetTokens, bucket, id)
+
+  /** [[packShards]] over a PRECOMPUTED per-doc token-count table —
+    * the budget column is pluggable, so shards can pack by whatever
+    * the trainer actually consumes: whitespace tokens (q86), LEARNED
+    * BPE subword counts (q182 via [[graft.ops.BpeTrainer]]), or any
+    * cost model. Same two-level prefix-sum shape. */
+  def packShardsFromCounts(counts: DataFrame, budgetTokens: Long,
+      bucket: Column, id: String = "doc_id",
+      tokens: String = "n_tokens"): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val t = docs.select(col(id), bucket.as("__b"),
-      T.tokenCount(col(text)).cast("long").as("n_tokens"))
+    val t = counts.select(col(id), bucket.as("__b"),
+      col(tokens).cast("long").as("n_tokens"))
     val inBucket = Window.partitionBy(col("__b")).orderBy(col(id))
     val run = t.withColumn("__run",
       sum(col("n_tokens")).over(inBucket) - col("n_tokens"))

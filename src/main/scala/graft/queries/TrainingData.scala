@@ -4535,6 +4535,42 @@ object TrainingData extends QueryPack {
       FROM r ORDER BY doc_id"""),
     covers = Seq("TD-unicode-normalize", "TD-text-quality"))
 
+  /** Shard packing by the LEARNED tokenizer's budget
+    * ([[CorpusPipeline.packShardsFromCounts]] over q173's BPE subword
+    * counts): the pack budget a trainer actually consumes is SUBWORD
+    * tokens, not whitespace words — q86's two-level prefix sum with
+    * the cost column swapped for the trained BPE segmentation, the
+    * full compose of train (q172) → segment (q173) → pack. */
+  val q182 = Q(
+    "q182_bpe_shard_pack",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val counts = graft.ops.BpeTrainer.segmentCounts(docs,
+          graft.ops.BpeTrainer.merges(docs, nMerges = 5))
+        .select(col("doc_id"), col("n_subwords").as("n_tokens"))
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.packShardsFromCounts(counts, budgetTokens = 4000,
+          bucket = expr("doc_id DIV 256"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${dkBpeChain(5)},
+      seg AS (SELECT w, CAST(len(string_split(substr(ws, 2,
+                length(ws)-2), '||')) AS BIGINT) AS n_sub
+              FROM v5),
+      dtoks AS (SELECT doc_id, w FROM
+                 (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                  FROM documents)
+                WHERE w <> '' AND w NOT LIKE '%|%'),
+      t AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_tokens
+            FROM dtoks JOIN seg USING (w) GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 4000.0) AS BIGINT) AS shard
+      FROM t ORDER BY doc_id"""),
+    covers = Seq("TD-shard-pack", "TD-bpe-train"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4546,5 +4582,5 @@ object TrainingData extends QueryPack {
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181)
+      q181, q182)
 }
