@@ -4571,6 +4571,88 @@ object TrainingData extends QueryPack {
       FROM t ORDER BY doc_id"""),
     covers = Seq("TD-shard-pack", "TD-bpe-train"))
 
+  /** Recall@5 of the COMBINED IVF-PQ path vs the exact cosine
+    * baseline — q177's harness pointed at q180, closing the
+    * compressed-ANN evaluation triangle (q162 trained-IVF, q177
+    * raw-space PQ, q183 residual IVF-PQ): the side-by-side numbers
+    * that show what inverted-file pruning + residual codebooks
+    * trade at equal (m, k) budgets. */
+  val q183 = Q(
+    "q183_ivfpq_recall",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter($"vec_id" < 10)
+      val exact = Dedup.annTopK(emb, qs, "vec_id", "embedding", 5)
+        .select(col("id_q"), col("id_c"))
+      val approx = graft.ops.ProductQuantizer.ivfPqSearch(emb, qs,
+          dim = 64, kc = 4, cIters = 1, m = 4, k = 4, iters = 1,
+          nProbe = 2, topK = 5)
+        .select(col("id_q"), col("id_c")).withColumn("__hit", lit(1))
+      exact.join(approx, Seq("id_q", "id_c"), "left")
+        .groupBy(col("id_q"))
+        .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_true"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("n_true").cast("double"))
+        .drop("n_true")
+        .orderBy(col("id_q"))
+    },
+    Some {
+      s"""
+      WITH $dkQuantized,
+      $dkKmeansCtes,
+      $dkResiduals,
+      ${dkPqResChain("rq")},
+      probes AS (SELECT vec_id AS id_q, cid AS cell FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist_sq, cid) AS rn FROM d2
+                   WHERE vec_id < 10)
+                 WHERE rn <= 2),
+      prq AS (SELECT p.id_q, p.cell,
+                [CAST(q.qv[i] - floor(c1.m[i] + 0.5) AS DOUBLE)
+                 for i in generate_series(1,64)] AS qv
+              FROM probes p JOIN q ON p.id_q = q.vec_id
+                   JOIN c1 ON p.cell = c1.cid),
+      luts AS (
+        ${(0 until 4).map { sb =>
+          s"""SELECT pr.id_q, pr.cell, $sb AS sub, c.cid AS code,
+               list_reduce([(pr.qv[${sb * 16} + j] - c.m[j]) *
+                   (pr.qv[${sb * 16} + j] - c.m[j])
+                   for j in generate_series(1,16)], (x, y) -> x + y) AS d
+             FROM prq pr CROSS JOIN rc1$sb c"""
+        }.mkString("\n        UNION ALL\n        ")}),
+      icodes AS (SELECT r.vec_id AS id_c, ca.cell, r.sub, r.code
+                 FROM (SELECT * FROM rcd0 UNION ALL SELECT * FROM rcd1
+                       UNION ALL SELECT * FROM rcd2
+                       UNION ALL SELECT * FROM rcd3) r
+                 JOIN ca ON r.vec_id = ca.vec_id),
+      terms AS (SELECT l.id_q, i.id_c, l.sub, l.d
+                FROM icodes i JOIN luts l
+                  ON i.cell = l.cell AND i.sub = l.sub AND i.code = l.code),
+      ag AS (SELECT id_q, id_c,
+               list_reduce(list(d ORDER BY sub), (x, y) -> x + y)
+                 AS dist_est
+             FROM terms WHERE id_q <> id_c GROUP BY id_q, id_c),
+      ap AS (SELECT id_q, id_c FROM
+               (SELECT id_q, id_c,
+                  row_number() OVER (PARTITION BY id_q
+                    ORDER BY dist_est, id_c) AS rn
+                FROM ag) WHERE rn <= 5),
+      ex AS (SELECT id_q, id_c FROM (
+          SELECT a.vec_id AS id_q, b.vec_id AS id_c,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${dkDot("a", "b")}
+                     / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rn
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 10) WHERE rn <= 5)
+      SELECT ex.id_q, CAST(count(ap.id_c) AS BIGINT) AS n_hits,
+             CAST(count(ap.id_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS recall
+      FROM ex LEFT JOIN ap ON ex.id_q = ap.id_q AND ex.id_c = ap.id_c
+      GROUP BY ex.id_q ORDER BY ex.id_q"""
+    },
+    covers = Seq("TD-pq", "TD-ann-recall"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4582,5 +4664,5 @@ object TrainingData extends QueryPack {
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182)
+      q181, q182, q183)
 }

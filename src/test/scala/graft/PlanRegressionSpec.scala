@@ -459,8 +459,10 @@ class PlanRegressionSpec extends SparkSpec {
                                     // baseline + PQ centroid broadcasts
       "q179_ivfpq_encode",          // coarse + PQ centroid broadcasts (the
                                     // q127 1-row-array argmin pattern)
-      "q180_ivfpq_search")          // same broadcasts; candidate scoring is
+      "q180_ivfpq_search",          // same broadcasts; candidate scoring is
                                     // the (cell, sub, code) equi-join
+      "q183_ivfpq_recall")          // exact side IS the declared brute
+                                    // baseline + the q180 broadcasts
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
