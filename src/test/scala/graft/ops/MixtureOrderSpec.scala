@@ -24,6 +24,18 @@ class MixtureOrderSpec extends SparkSpec {
       s"b's first doc must interleave into a's pass: $order")
   }
 
+  test("interleave on real documents: a permutation (no row gained or " +
+      "lost), vt within (0, strideScale], every source finishes together") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val out = MixtureOrder.interleave(docs).cache()
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    assert(out.filter(col("vt") <= 0 || col("vt") > 1000000L).count() == 0)
+    // equal-epoch: each source's LAST doc lands exactly at strideScale
+    val lastVt = out.groupBy("source").agg(max("vt").as("m"))
+    assert(lastVt.filter(col("m") =!= 1000000L).count() == 0)
+  }
+
   test("interleave: vt is integer floor division, ranks dense per source") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "source")
     val got = MixtureOrder.interleave(docs)

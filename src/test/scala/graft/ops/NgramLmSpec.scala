@@ -70,6 +70,14 @@ class NgramLmSpec extends SparkSpec {
     assert(row.getDouble(4) == row.getDouble(2) - row.getDouble(3))
   }
 
+  test("crossScore(train = score) is exactly bigramScore (self-score " +
+      "identity) on real documents") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val a = NgramLm.bigramScore(docs).collect().map(_.toSeq)
+    val b = NgramLm.crossScore(docs, docs).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("bigramScore on real documents: every doc scored, finite") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val got = NgramLm.bigramScore(docs)
