@@ -48,9 +48,11 @@ object BpeTrainer {
     * distributed, loop local. Identical semantics (Java
     * String.replace is the same literal leftmost non-overlapping
     * rewrite as SQL replace; winner ordering (count DESC, l, r)
-    * unchanged — spec-pinned against the distributed path). A vocab
-    * over the cap keeps the distributed rounds, so 100 TB behavior
-    * with a pathological vocabulary is unchanged. */
+    * unchanged — spec-pinned against the distributed path). The
+    * collect is bounded by the cap (500k (count, segmentation) rows ≈
+    * tens of MB — the working set every in-memory BPE trainer holds
+    * anyway); a vocab over the cap keeps the distributed rounds, so
+    * 100 TB behavior with a pathological vocabulary is unchanged. */
   def merges(docs: DataFrame, nMerges: Int, text: String = "text",
       localVocabCap: Int = 500000): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")

@@ -132,7 +132,7 @@ object EmbeddingStats {
     * survives the aggregation. The n²-scaled numerator goes through
     * decimal(38,0) (the [[labelOutliers]] rule) so the op is safe at
     * any n. */
-  def covarianceMatrix(emb: DataFrame, id: String = "vec_id",
+  def covarianceMatrix(emb: DataFrame,
       vec: String = "embedding"): DataFrame = {
     // (i, j ≥ i, x_i, x_j) stream: explode the quantized vector, then
     // re-explode each row's TAIL slice so pairs stay row-aligned

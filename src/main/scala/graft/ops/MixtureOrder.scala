@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * any integer weight for n — same op, different divisor column.
   *
   * Exactness: ranks and virtual times are pure integers (floor
-  * division, both engines agree on non-negative operands). The
+  * division, both engines agree on non-negative operands;
+  * src_rank·strideScale stays in int64 for up to ~9.2×10^12 docs per
+  * source at the default 10^6 scale). The
   * output carries (vt, source, doc_id) as the TOTAL order key — the
   * consumer sorts, which at scale is the one global sort any layout
   * step pays (range partition); no single-partition global
