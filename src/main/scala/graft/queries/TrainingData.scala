@@ -4653,6 +4653,49 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-pq", "TD-ann-recall"))
 
+  /** Small-cell SUPPRESSION — the k-anonymity-style aggregate-release
+    * rule every data-clearinghouse applies (next to q92's PII scrub):
+    * per-(event_type, day) counts publish only when the cell holds
+    * ≥ k users; smaller cells roll up into a per-day `__suppressed__`
+    * row so the release stays additive without exposing small
+    * populations. Two hash aggs + a CASE regroup — no row-level data
+    * leaves the engine. */
+  val q184 = Q(
+    "q184_small_cell_suppression",
+    (s, dir) => {
+      val k = 40L
+      val cells = Tables(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+      cells
+        .select(
+          when(col("n_users") >= k, col("event_type"))
+            .otherwise(lit("__suppressed__")).as("event_type"),
+          col("day"), col("n_users"), col("n_events"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n_users")).cast("long").as("n_users"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          count(lit(1)).cast("long").as("n_cells"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      WITH cells AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                       count(DISTINCT user_id) AS n_users,
+                       count(*) AS n_events
+                     FROM events GROUP BY event_type, day),
+      r AS (SELECT CASE WHEN n_users >= 40 THEN event_type
+                        ELSE '__suppressed__' END AS event_type,
+              day, n_users, n_events
+            FROM cells)
+      SELECT event_type, day, CAST(sum(n_users) AS BIGINT) AS n_users,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM r GROUP BY event_type, day ORDER BY day, event_type"""),
+    covers = Seq("TD-privacy-release", "A1"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4664,5 +4707,5 @@ object TrainingData extends QueryPack {
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183)
+      q181, q182, q183, q184)
 }
