@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's summary JSON must be the LAST stdout line the driver tails:
+// raw (unprefixed) forked-process output, and no `[success] Total
+// time` trailer after it. (Rounds 4–7 recorded `parsed: null` because
+// sbt's default LoggedOutput prefixed the line with `[info] ` and
+// appended the success banner.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint can't see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,9 +34,9 @@ object Verify {
     // canonical per-query value hash (round-6 VERDICT ask #1a): columns
     // sorted by lowercased name, every value rendered through one string
     // canon (null sentinel distinct from the string "null"), one md5 per
-    // row reduced by XOR — order-independent, so no sort and no
-    // driver-side collect; computed on the SAME persisted df the parquet
-    // dump writes. Committed as VERIFYHASH.json each round so a driver-
+    // DISTINCT row combined with its multiplicity, reduced by XOR —
+    // order-independent, so no sort and no driver-side collect; computed
+    // on the SAME persisted df the parquet dump writes. Committed as VERIFYHASH.json each round so a driver-
     // side CORRECTNESS snapshot can be bisected against the local run:
     // same hash ⇒ the driver's Spark side saw the same values and any
     // red row is on the oracle/comparator side.
@@ -46,10 +46,18 @@ object Verify {
       val cols = df.columns.sortBy(_.toLowerCase)
         .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
       val row = md5(concat_ws("\u0001", cols: _*))
-      val h = substring(row, 1, 15) // 60 bits: sign-safe in a long
-      val agg = df.select(conv(h, 16, 10).cast("long").as("h"))
-        .agg(count(lit(1)).as("n"),
-          coalesce(bit_xor(col("h")), lit(0L)).as("x"))
+      // XOR directly over per-row hashes is duplicate-blind (any pair
+      // of identical rows cancels to 0) — fold each DISTINCT row's
+      // COUNT into its digest first, then XOR over the distinct
+      // digests: still order-independent and thread-count-invariant,
+      // now multiplicity-sensitive. sum(c) recovers the row count.
+      val hc = substring(md5(concat_ws(":", col("h"), col("c"))), 1, 15)
+      val agg = df.select(row.as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).cast("string").as("c"))
+        .select(col("c").cast("long").as("n"),
+          conv(hc, 16, 10).cast("long").as("x")) // 60 bits: sign-safe
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+          coalesce(bit_xor(col("x")), lit(0L)).as("x"))
         .head()
       s"${agg.getLong(0)}:${java.lang.Long.toHexString(agg.getLong(1))}"
     }

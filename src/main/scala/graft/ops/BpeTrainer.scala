@@ -116,7 +116,15 @@ object BpeTrainer {
         col("l").as("merge_left"), col("r").as("merge_right"),
         col("pair_count")))
       .reduceOption(_.unionByName(_))
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse {
+        // no merge ever found (degenerate corpus reaching the
+        // distributed rounds): return the documented 4-column schema,
+        // exactly as the local fast path's caller does — a 0-column
+        // emptyDataFrame would throw on the orderBy below
+        import spark.implicits._
+        Seq.empty[(Int, String, String, Long)].toDF(
+          "iteration", "merge_left", "merge_right", "pair_count")
+      }
       .orderBy(col("iteration"))
   }
 
@@ -144,7 +152,12 @@ object BpeTrainer {
       else {
         import scala.jdk.CollectionConverters._
         // winner: count DESC, left ASC, right ASC — the same total
-        // order as the distributed orderBy
+        // order as the distributed orderBy. String ties break by CODE
+        // POINT (Compute.codePointOrdering), not Java's UTF-16 order:
+        // the distributed path and the DuckDB oracle both order
+        // strings by UTF-8 binary, and the two diverge for
+        // supplementary-plane symbols.
+        implicit val cp: Ordering[String] = Compute.codePointOrdering
         val ((l, r), cnt) = counts.asScala.minBy { case ((a, b), c) =>
           (-c, a, b)
         }

@@ -29,4 +29,30 @@ object Compute {
     if (ds.rdd.getNumPartitions >= target) ds
     else ds.repartition(target)
   }
+
+  /** Lexicographic string compare by Unicode CODE POINT — identical to
+    * UTF-8 binary order, which is what Spark's `min`/`orderBy` and the
+    * DuckDB oracle use. Java's natural `String` ordering compares
+    * UTF-16 code units instead, which sorts supplementary-plane code
+    * points (surrogate pairs, units 0xD800–0xDFFF) BELOW U+E000–U+FFFF
+    * — the two orders diverge exactly when a BMP-private-use/CJK-ext
+    * symbol ties against an emoji. Every driver-local fast path that
+    * must reproduce a distributed/oracle ordering decision (BPE merge
+    * tie-break, union-find min-id root) compares through this. */
+  def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** [[codePointCompare]] as an `Ordering` for use in `minBy`/`sorted`. */
+  val codePointOrdering: Ordering[String] =
+    (x: String, y: String) => codePointCompare(x, y)
 }

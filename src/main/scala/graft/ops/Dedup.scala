@@ -415,10 +415,15 @@ object Dedup {
       val sample = edges.limit(localEdgeCap + 1).collect()
       if (sample.length <= localEdgeCap) {
         // union-find with path compression; component label = min id
-        // (same contract as the distributed fixpoint). Ids are Long or
-        // String — both Comparable.
-        def lt(a: Any, b: Any): Boolean =
-          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        // (same contract as the distributed fixpoint). String ids
+        // compare by CODE POINT (= UTF-8 binary, what Spark min() and
+        // the oracle use) — Java's natural String order diverges for
+        // supplementary-plane ids. Long and other Comparable ids are
+        // unaffected.
+        def lt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: String, y: String) => Compute.codePointCompare(x, y) < 0
+          case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        }
         val parent = new java.util.HashMap[Any, Any]()
         def find(x: Any): Any = {
           var r = x

@@ -281,9 +281,13 @@ object ProductQuantizer {
       .select(col("id_q"), col("cell"),
         zip_with(col("__qd"), col("mean"),
           (a, b) => a - floor(b + lit(0.5))).as("__rq"))
-    // LUT per (query, probed cell, sub, code)
+    // LUT per (query, probed cell, sub, code). The (id_q, cell) key
+    // rides through prepSubsQ as a STRUCT — a string concat_ws/split
+    // round-trip would silently null out non-numeric ids or ids
+    // containing the separator; the struct preserves the caller's id
+    // type exactly.
     val lutPrep = prepSubsQ(
-      probes.select(concat_ws("#", col("id_q"), col("cell")).as("__qc"),
+      probes.select(struct(col("id_q"), col("cell")).as("__qc"),
         col("__rq")), dim, m, "__qc", "__rq")
     val lut = lutPrep
       .join(broadcast(centArr(cents)), Seq("sub"))
@@ -291,8 +295,7 @@ object ProductQuantizer {
         explode(transform(col("__cs"), c =>
           struct(c("cid").as("code"),
             KMeans.distSq(col("__qd"), c("mean")).as("d")))).as("__l"))
-      .select(split(col("__qc"), "#").getItem(0).cast("long").as("id_q"),
-        split(col("__qc"), "#").getItem(1).cast("long").as("cell"),
+      .select(col("__qc.id_q").as("id_q"), col("__qc.cell").as("cell"),
         col("sub"), col("__l.code").as("code"), col("__l.d").as("d"))
     val w2 = Window.partitionBy(col("id_q"))
       .orderBy(col("dist_est").asc, col("id_c").asc)
