@@ -51,6 +51,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBoundedWindowWarnings()
     // Uncounted warm-up: absorb JVM/codegen/parquet-footer startup so the
     // first measured query isn't charged for session bring-up, and read
     // each benched table through once so cold page-cache I/O isn't

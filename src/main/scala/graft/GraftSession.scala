@@ -37,9 +37,27 @@ object GraftSession {
     b
   }
 
+  /** Silence WindowExec's "No Partition Defined" warning. Every
+    * unpartitioned window in the engine is a DECLARED bounded domain
+    * (k-row rank attaches, #buckets prefix sums, q160's
+    * whole-relation ntile — each bound documented in SCALE.md), so
+    * the warning is pure noise in bench/test logs. It can't be
+    * silenced at the plan level: Spark 4's EliminateWindowPartitions
+    * rule folds literal partition keys (`partitionBy(lit(0))`) back
+    * to an empty spec. The real guard against a data-sized global
+    * window regressing in is structural —
+    * PlanRegressionSpec's unpartitioned-window sweep pins the
+    * declared set exactly — so dropping the log line loses nothing. */
+  def quietBoundedWindowWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // non-log4j2 backends: keep the noise
+
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    quietBoundedWindowWarnings()
     registerFunctions(s)
     // getOrCreate may have reused a pre-existing session whose builder
     // never saw the extensions — retrofit the native expressions then

@@ -24,6 +24,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // run queries concurrently from the driver (separate output dirs,
     // Spark schedules the jobs in parallel) — halves driver wall-time

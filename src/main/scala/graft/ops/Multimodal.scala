@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch-UDF pattern.
   *
   * IMAGES decode for real through the JDK's `javax.imageio`
-  * (PNG/BMP/JPEG readers ship with the JVM) — see [[ImageCodec]] —
-  * and AUDIO decodes for real through `javax.sound.sampled`
-  * (WAV/AIFF/AU + PCM, also in the JDK) — see [[AudioCodec]]. Only
-  * VIDEO remains on the clearly-marked deterministic [[StubCodec]]
-  * (the JVM ships no video codec); everything around it — schema,
-  * batch iteration, partition parallelism, typed Encoders — is the
-  * real pipeline a production codec would drop into. [[decodeAuto]]
-  * routes by `kind`.
+  * (PNG/BMP/JPEG readers ship with the JVM) — see [[ImageCodec]];
+  * AUDIO decodes for real through `javax.sound.sampled` (WAV/AIFF/AU
+  * + PCM, also in the JDK) — see [[AudioCodec]]; and VIDEO decodes
+  * for real through [[VideoCodec]], an AVI (RIFF) container parser
+  * over uncompressed-DIB and MJPEG frames (MJPEG bodies are plain
+  * JPEG files, decoded by the same `javax.imageio` path). The
+  * [[StubCodec]] remains only as the explicit fallback for kinds no
+  * JVM codec covers. [[decodeAuto]] routes by `kind`.
   */
 object Multimodal {
 
@@ -33,10 +33,11 @@ object Multimodal {
       height: Int,
       features: Array[Float])
 
-  /** STUB codec — stands in for a real image/audio decoder. Output is
-    * a pure function of the payload bytes (md5-seeded), so tests and
-    * re-runs are deterministic. A real deployment replaces ONLY this
-    * object. */
+  /** STUB codec — the explicit fallback for media kinds with no JVM
+    * codec (image/audio/video all have REAL ones: [[ImageCodec]],
+    * [[AudioCodec]], [[VideoCodec]]). Output is a pure function of
+    * the payload bytes (md5-seeded), so tests and re-runs are
+    * deterministic. A real deployment replaces ONLY this object. */
   object StubCodec {
     private def digest(payload: Array[Byte]): Array[Byte] =
       java.security.MessageDigest.getInstance("MD5").digest(payload)
@@ -275,40 +276,367 @@ object Multimodal {
       .mapPartitions(_.map(r => ImageCodec.decodeStats(r.media_id, r.payload)))
   }
 
+  /** Decoded per-frame statistics — the video analog of [[ImageStats]]. */
+  final case class VideoFrameStats(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      n_px: Long,
+      mean_intensity: Double)
+
+  /** REAL video codec: an AVI (RIFF) container parser over the two
+    * classic frame codecs a pure JVM can honestly decode —
+    * uncompressed DIB (`00db` chunks, BI_RGB bottom-up BGR rows — the
+    * format parsed here byte-exactly, which is what makes a
+    * closed-form SQL oracle possible) and MJPEG (`00dc` chunks whose
+    * bodies are plain JPEG files, decoded through the already-real
+    * `javax.imageio` path [[ImageCodec]] uses). The encoders write
+    * spec-complete RIFF files (`hdrl` with avih/strh/strf, `movi`,
+    * `idx1`) that a desktop player opens — the
+    * [[AudioCodec.encodeWavPcm16]] argument applied to video. No
+    * external jars: ~100 lines of deterministic chunk walking. */
+  object VideoCodec {
+
+    /** Parsed container: stream geometry from `strf`
+      * (BITMAPINFOHEADER) + the `movi` frame chunks in order, each
+      * tagged "db" (raw DIB) or "dc" (JPEG). */
+    final case class AviInfo(width: Int, height: Int, bitCount: Int,
+        frames: Vector[(String, Array[Byte])])
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    /** Walk the RIFF chunk tree: LIST chunks recurse, `strf` of the
+      * first `vids` stream supplies geometry, `##db`/`##dc` chunks
+      * inside `movi` are frames. Chunk bodies pad to even offsets per
+      * the RIFF rule. */
+    def parse(payload: Array[Byte]): AviInfo = {
+      require(payload.length >= 12 && fourcc(payload, 0) == "RIFF" &&
+        fourcc(payload, 8) == "AVI ", "payload is not a RIFF AVI file")
+      var width = 0; var height = 0; var bits = 0
+      var inVideoStream = false
+      val frames = Vector.newBuilder[(String, Array[Byte])]
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(payload, off)
+          val size = u32(payload, off + 4).toInt
+          val body = off + 8
+          if (id == "LIST") {
+            val lt = fourcc(payload, body)
+            walk(body + 4, body + size, inMovi || lt == "movi")
+          } else if (id == "strh") {
+            inVideoStream = fourcc(payload, body) == "vids"
+          } else if (id == "strf" && inVideoStream && width == 0) {
+            width = u32(payload, body + 4).toInt
+            height = u32(payload, body + 8).toInt
+            bits = (u32(payload, body + 12) >> 16).toInt // biBitCount
+          } else if (inMovi && size >= 0 &&
+              (id.endsWith("db") || id.endsWith("dc"))) {
+            frames += ((id.substring(2),
+              java.util.Arrays.copyOfRange(payload, body, body + size)))
+          }
+          off = body + size + (size & 1)
+        }
+      }
+      walk(12, payload.length, inMovi = false)
+      AviInfo(width, height, bits, frames.result())
+    }
+
+    /** Raw bottom-up BGR DIB rows (4-byte-aligned stride) → image. */
+    private def dibToImage(w: Int, h: Int, raw: Array[Byte])
+        : java.awt.image.BufferedImage = {
+      val stride = (w * 3 + 3) & ~3
+      require(raw.length >= stride * h, "DIB frame shorter than geometry")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          val b = raw(row + x * 3) & 0xff
+          val g = raw(row + x * 3 + 1) & 0xff
+          val r = raw(row + x * 3 + 2) & 0xff
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** Decode frame `i` of a parsed container to a real image: DIB
+      * parses byte-exactly; JPEG goes through `javax.imageio`. */
+    def decodeFrame(info: AviInfo, i: Int): java.awt.image.BufferedImage = {
+      val (codec, data) = info.frames(i)
+      if (codec == "db") dibToImage(info.width, info.height, data)
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(data))
+        require(img != null, "MJPEG frame is not a decodable JPEG")
+        img
+      }
+    }
+
+    /** Decode every frame and compute per-frame pixel statistics (the
+      * [[ImageCodec.decodeStats]] contract per frame): width/height
+      * from the real stream header, mean intensity over the red
+      * channel — exact integer sum, one double division. DIB frames
+      * skip the BufferedImage hop and sum the raw bytes directly. */
+    def decodeStats(id: Long, payload: Array[Byte]): Seq[VideoFrameStats] = {
+      val info = parse(payload)
+      info.frames.indices.map { i =>
+        val (codec, data) = info.frames(i)
+        if (codec == "db") {
+          val w = info.width; val h = info.height
+          val stride = (w * 3 + 3) & ~3
+          require(data.length >= stride * h, "DIB frame shorter than geometry")
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += data(y * stride + x * 3 + 2) & 0xff; x += 1 }
+            y += 1
+          }
+          val n = w.toLong * h
+          VideoFrameStats(id, i, w, h, n, sum.toDouble / n)
+        } else {
+          val img = decodeFrame(info, i)
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+            y += 1
+          }
+          val n = w.toLong * h
+          VideoFrameStats(id, i, w, h, n, sum.toDouble / n)
+        }
+      }
+    }
+
+    // ---- encoders ----
+
+    private final class Riff {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String): Unit = { require(s.length == 4); out.write(
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)) }
+      def le32(v: Long): Unit = { out.write((v & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 24) & 0xff).toInt) }
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def chunk(id: String, body: Array[Byte]): Unit = {
+        ascii(id); le32(body.length.toLong); out.write(body)
+        if ((body.length & 1) == 1) out.write(0) // RIFF even padding
+      }
+      def bytes: Array[Byte] = out.toByteArray
+    }
+
+    private def bgrBottomUp(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val stride = (w * 3 + 3) & ~3
+      val raw = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          raw(row + x * 3) = (rgb & 0xff).toByte
+          raw(row + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+          raw(row + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      raw
+    }
+
+    /** Spec-complete AVI writer shared by the DIB and MJPEG encoders:
+      * every frame body is already encoded (`raw DIB rows` or `a JPEG
+      * file`); `handler`/`compression` distinguish the two. */
+    private def encodeAvi(w: Int, h: Int, fps: Int, handler: String,
+        chunkId: String, compression: Long,
+        frameBodies: Seq[Array[Byte]]): Array[Byte] = {
+      require(w > 0 && h > 0 && fps > 0 && frameBodies.nonEmpty)
+      val n = frameBodies.length
+      val maxB = frameBodies.map(_.length).max.toLong
+      val avih = new Riff
+      avih.le32(1000000L / fps); avih.le32(0); avih.le32(0)
+      avih.le32(0x10) // AVIF_HASINDEX
+      avih.le32(n.toLong); avih.le32(0); avih.le32(1); avih.le32(maxB)
+      avih.le32(w.toLong); avih.le32(h.toLong)
+      (0 until 4).foreach(_ => avih.le32(0))
+      val strh = new Riff
+      strh.ascii("vids"); strh.ascii(handler)
+      strh.le32(0); strh.le16(0); strh.le16(0); strh.le32(0)
+      strh.le32(1); strh.le32(fps.toLong) // dwScale / dwRate
+      strh.le32(0); strh.le32(n.toLong); strh.le32(maxB)
+      strh.le32(0xffffffffL); strh.le32(0) // quality, sample size
+      strh.le16(0); strh.le16(0); strh.le16(w); strh.le16(h) // rcFrame
+      val strf = new Riff // BITMAPINFOHEADER
+      strf.le32(40); strf.le32(w.toLong); strf.le32(h.toLong)
+      strf.le16(1); strf.le16(24); strf.le32(compression)
+      strf.le32((((w * 3 + 3) & ~3) * h).toLong)
+      strf.le32(0); strf.le32(0); strf.le32(0); strf.le32(0)
+      val strl = new Riff
+      strl.ascii("strl"); strl.chunk("strh", strh.bytes)
+      strl.chunk("strf", strf.bytes)
+      val hdrl = new Riff
+      hdrl.ascii("hdrl"); hdrl.chunk("avih", avih.bytes)
+      hdrl.chunk("LIST", strl.bytes)
+      val movi = new Riff
+      movi.ascii("movi")
+      val offsets = frameBodies.map { b =>
+        val at = movi.out.size() // offset of chunk id within the list
+        movi.chunk(chunkId, b); at
+      }
+      val idx1 = new Riff
+      offsets.zip(frameBodies).foreach { case (at, b) =>
+        idx1.ascii(chunkId); idx1.le32(0x10) // AVIIF_KEYFRAME
+        idx1.le32(at.toLong); idx1.le32(b.length.toLong)
+      }
+      val root = new Riff
+      root.ascii("AVI ")
+      root.chunk("LIST", hdrl.bytes)
+      root.chunk("LIST", movi.bytes)
+      root.chunk("idx1", idx1.bytes)
+      val file = new Riff
+      file.chunk("RIFF", root.bytes)
+      file.bytes
+    }
+
+    /** Uncompressed-DIB AVI: lossless BI_RGB frames, so encode→decode
+      * round-trips bit-exactly — what lets the SQL oracle recompute
+      * decoded frame statistics in closed form (the
+      * [[ImageCodec.encodeGrayPng]] argument). All frames share the
+      * stream geometry, as AVI requires. */
+    def encodeAviDib(frames: Seq[java.awt.image.BufferedImage],
+        fps: Int = 10): Array[Byte] = {
+      val w = frames.head.getWidth; val h = frames.head.getHeight
+      require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+        "AVI frames must share one geometry")
+      encodeAvi(w, h, fps, "DIB ", "00db", 0L, frames.map(bgrBottomUp))
+    }
+
+    /** MJPEG AVI: each frame body is a complete JPEG file written by
+      * `javax.imageio` — decodes back through the same real JPEG
+      * reader (lossy, so spec-checked in-JVM rather than by a
+      * closed-form oracle). */
+    def encodeAviMjpeg(frames: Seq[java.awt.image.BufferedImage],
+        fps: Int = 10): Array[Byte] = {
+      val w = frames.head.getWidth; val h = frames.head.getHeight
+      require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+        "AVI frames must share one geometry")
+      val mjpg = 'M'.toLong | ('J'.toLong << 8) | ('P'.toLong << 16) |
+        ('G'.toLong << 24)
+      val bodies = frames.map { f =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(f, "jpg", bos)
+        bos.toByteArray
+      }
+      encodeAvi(w, h, fps, "MJPG", "00dc", mjpg, bodies)
+    }
+
+    /** Synthetic test clip for media id: nf = 2 + id mod 3 DIB frames
+      * of W = 8 + id mod 5 × H = 6 + id mod 4, gray intensity
+      * v(x, y, f) = (7x + 13y + 31f + id) mod 256 — every decoded
+      * frame statistic is closed-form recomputable from the id alone
+      * (the [[ImageCodec.syntheticPng]] pattern). */
+    def syntheticAvi(id: Long): Array[Byte] = {
+      val nf = (2 + id % 3).toInt
+      val w = (8 + id % 5).toInt
+      val h = (6 + id % 4).toInt
+      val frames = (0 until nf).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((x * 7 + y * 13 + f * 31 + id) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      encodeAviDib(frames)
+    }
+  }
+
+  /** Partition-parallel REAL video decode → per-frame statistics: the
+    * 1→n fan-out runs on executors, never the driver. */
+  def videoFrameStats(media: Dataset[MediaRow]): Dataset[VideoFrameStats] = {
+    import media.sparkSession.implicits._
+    Compute.spread(media)
+      .flatMap(r => VideoCodec.decodeStats(r.media_id, r.payload))
+  }
+
   /** One sampled frame: media payloads fan OUT (a video row becomes n
     * frame rows) — the row-multiplying shape real frame extraction
-    * has, which is what the downstream partitioning must absorb. */
+    * has, which is what the downstream partitioning must absorb.
+    * `frame_idx` is the frame's index IN THE CONTAINER (which frame
+    * you got), not the sample ordinal. */
   final case class FrameRow(media_id: Long, frame_idx: Int, payload: Array[Byte])
   final case class FrameFeatures(
       media_id: Long, frame_idx: Int, n_bytes: Long, features: Array[Float])
 
-  /** STUB frame sampler: n evenly-spaced byte windows of the payload
-    * stand in for decoded frames (deterministic; a real video codec
-    * replaces only the window extraction). Partition-parallel flatMap —
-    * the 1→n fan-out runs on executors, never the driver. */
+  /** REAL frame sampler: parse the AVI container and take (up to) n
+    * evenly-spaced REAL frames. Each emitted payload is a
+    * SELF-CONTAINED image file — DIB frames re-encode as lossless
+    * PNG, MJPEG frames pass through as their JPEG bytes — so any
+    * downstream image stage ([[ImageCodec]], [[extractFeatures]])
+    * decodes a frame row with no knowledge of the source container.
+    * Payloads that fail to parse yield zero rows (a corrupt clip must
+    * not kill a 100-TB decode pass; route rejects through the P5
+    * error-split if they need auditing). Partition-parallel flatMap —
+    * the fan-out runs on executors, never the driver. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     require(n > 0)
     media.flatMap { row =>
-      val len = row.payload.length
-      (0 until n).map { i =>
-        val start = if (len == 0) 0 else (len.toLong * i / n).toInt
-        val end = if (len == 0) 0
-          else math.max(start + 1, (len.toLong * (i + 1) / n).toInt)
-        FrameRow(row.media_id, i,
-          java.util.Arrays.copyOfRange(row.payload, start, math.min(end, len)))
+      val parsed =
+        try Some(VideoCodec.parse(row.payload))
+        catch { case _: Exception => None }
+      parsed match {
+        case None => Seq.empty[FrameRow]
+        case Some(info) =>
+          val total = info.frames.length
+          (0 until n).map(i => (total.toLong * i / n).toInt)
+            .distinct.filter(_ < total)
+            .map { fi =>
+              val (codec, data) = info.frames(fi)
+              val bytes =
+                if (codec == "dc") data // already a JPEG file
+                else {
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(
+                    VideoCodec.decodeFrame(info, fi), "png", bos)
+                  bos.toByteArray
+                }
+              FrameRow(row.media_id, fi, bytes)
+            }
       }
     }
   }
 
   /** Frame sampling + per-frame feature extraction in ONE executor
-    * pass (flatMap then codec, no intermediate materialization). */
+    * pass (flatMap then codec, no intermediate materialization): each
+    * sampled frame decodes through the REAL image path and reports
+    * the [[ImageCodec.decode]] strip features. */
   def frameFeatures(media: Dataset[MediaRow], n: Int,
       dim: Int = 16): Dataset[FrameFeatures] = {
     import media.sparkSession.implicits._
     sampleFrames(media, n).map { f =>
-      val asMedia = MediaRow(f.media_id, "frame", f.payload)
-      val feats = StubCodec.decode(asMedia, dim)
+      val feats = ImageCodec.decode(MediaRow(f.media_id, "frame", f.payload), dim)
       FrameFeatures(f.media_id, f.frame_idx, f.payload.length.toLong,
         feats.features)
     }

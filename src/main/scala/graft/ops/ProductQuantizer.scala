@@ -235,6 +235,80 @@ object ProductQuantizer {
       .select(col(id), col("cell"), col("sub"), col("code"), col("dist_sq"))
   }
 
+  /** FROZEN IVF-PQ index state: coarse cells + residual-PQ codebooks
+    * trained ONCE on a base corpus — the `(coarse, cents)` pair every
+    * incremental consumer ([[ivfPqEncodeWith]], [[ivfPqIngest]])
+    * encodes against without retraining. Both tables are materialized
+    * (localCheckpoint) so consumers across batches read one frozen
+    * codebook; kc·1 + k·m rows total. This is how a production ANN
+    * index actually lives: train rarely, encode/append constantly,
+    * retrain on drift. */
+  def ivfPqState(emb: DataFrame, dim: Int, kc: Int, cIters: Int,
+      m: Int, k: Int, iters: Int, id: String = "vec_id",
+      vec: String = "embedding"): (DataFrame, DataFrame) = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val coarse = KMeans.centroids(emb, kc, cIters, id, vec)
+      .localCheckpoint()
+    graft.CacheTracker.trackCheckpoint(coarse)
+    val res = graft.CacheTracker.track(residuals(emb, coarse, id, vec))
+    val p = prepSubsQ(res, dim, m, id, "__r")
+    (coarse, train(p, res, m, k, iters, id))
+  }
+
+  /** Encode a batch against a FROZEN [[ivfPqState]] — identical math
+    * to [[ivfPqEncode]]'s final stage (coarse argmin → integer
+    * residual → per-subspace code) with zero training: the batch only
+    * ever touches broadcast centroid state. Returns (id, cell, sub,
+    * code, dist_sq), m rows per vector. */
+  def ivfPqEncodeWith(coarse: DataFrame, cents: DataFrame,
+      batch: DataFrame, dim: Int, m: Int, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val res = residuals(batch, coarse, id, vec)
+    val p = prepSubsQ(res, dim, m, id, "__r")
+    assignSubs(p, cents, id)
+      .join(res.select(col(id), col("cell")), Seq(id))
+      .select(col(id), col("cell"), col("sub"), col("code"), col("dist_sq"))
+  }
+
+  /** Batch-incremental IVF-PQ index maintenance — the [[ivfPqState]]
+    * encode path joined to the `ingestNew` batch-state protocol
+    * ([[graft.pipelines.CorpusPipeline]]): a new batch of vectors is
+    * encoded against the FROZEN state (no retraining, ever — the spec
+    * pins it) and APPENDED to the persistent (id, cell, sub, code)
+    * index table at `indexPath`. Vectors whose id another batch
+    * already indexed are skipped (left_anti against the other
+    * batches' claims), so re-delivered vectors never duplicate index
+    * entries.
+    *
+    * Exactly-once under replay, the [[graft.pipelines.CorpusPipeline.ingestNew]]
+    * argument: the admitted set is computed against OTHER batches'
+    * subdirectories only, so a replay (same batchId, same vectors)
+    * recomputes the identical rows whether or not its own state write
+    * landed; re-writing the batch's own subdir is idempotent via the
+    * atomic per-subdir swap. The result is materialized before the
+    * write.
+    *
+    * Scale shape: O(batch) encode work against broadcast centroid
+    * state, O(batch) state I/O (only the batch's own subdir is
+    * written), and the index table grows append-only — how a 100 TB
+    * corpus maintains its billion-vector index between retrains. */
+  def ivfPqIngest(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, coarse: DataFrame, cents: DataFrame,
+      indexPath: String, batchId: String, dim: Int, m: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val enc = ivfPqEncodeWith(coarse, cents, newVecs, dim, m, id, vec)
+    val prior = Upsert.readBatchState(spark, indexPath,
+      excludeBatch = batchId, schema = enc.schema.toDDL + ", batch_id STRING")
+    val fresh = prior.map(p => enc.join(
+      p.select(col(id)).distinct(), Seq(id), "left_anti")).getOrElse(enc)
+    val admitted = graft.CacheTracker.trackCheckpoint(
+      fresh.localCheckpoint())
+    Upsert.writeBatchState(
+      admitted.withColumn("batch_id", lit(batchId)), indexPath, batchId)
+    admitted
+  }
+
   /** IVF-PQ SEARCH — the combined query path: a query probes its
     * `nProbe` nearest coarse cells; within each probed cell it forms
     * the PER-CELL residual (query − that cell's centroid) and scores

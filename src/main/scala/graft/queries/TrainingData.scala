@@ -42,12 +42,19 @@ object TrainingData extends QueryPack {
   private def dkHash(seed: Int, e: String) =
     s"CAST(('0x'||substr(md5('$seed|'||$e),1,15)) AS BIGINT)"
 
-  private val dkShingles = """
-      toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+  /** The 3-shingle CTE chain over an arbitrary source relation — the
+    * harness queries (q122/q157) run it over a deterministic modulus
+    * SAMPLE of documents (the q112/q126 protocol: exact truth on the
+    * sample bounds the all-pairs cost without losing the
+    * precision/recall signal). */
+  private def dkShinglesFrom(src: String) = s"""
+      toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM $src),
       sh AS (SELECT DISTINCT doc_id, sh FROM
         (SELECT doc_id, unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
                                 for i in generate_series(1, len(ws)-2)]) AS sh
          FROM toks WHERE len(ws) >= 3))"""
+
+  private val dkShingles = dkShinglesFrom("documents")
 
   private val dkSig = {
     // mirrors TextFunctions.hash31/minhashPerm: one md5 base hash per
@@ -1955,17 +1962,29 @@ object TrainingData extends QueryPack {
   val q122 = Q(
     "q122_lsh_dedup_quality",
     (s, dir) => {
+      // deterministic 1/2 modulus sample (round-7 VERDICT ask #5, the
+      // q112/q126 protocol): the truth side is a declared all-pairs
+      // baseline, so the sample bounds its every-sweep cost while
+      // measuring the same precision/recall curve (67 of 256 planted
+      // pairs survive at sf0.1, 6 of 25 at the sf0.01 gate)
       val docs = Tables(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
       val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
           minJ = 0.5).select(col("id_a"), col("id_b"))
       val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = K)
       val cand = Dedup.lshCandidatePairs(sig, "doc_id", k = K,
           rows = BAND_ROWS).select(col("id_a"), col("id_b"))
-      val t = truth.agg(count(lit(1)).as("n_true"))
-      val c = cand.agg(count(lit(1)).as("n_cand"))
-      val h = truth.join(cand, Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_hits"))
-      t.crossJoin(c).crossJoin(h)
+      // one full-outer join + one aggregate: truth and cand each
+      // evaluate ONCE (the previous three-aggregate crossJoin ran the
+      // all-pairs truth and the LSH chain twice each)
+      truth.withColumn("__t", lit(1L))
+        .join(cand.withColumn("__c", lit(1L)), Seq("id_a", "id_b"),
+          "full_outer")
+        .agg(
+          coalesce(sum(col("__t")), lit(0L)).cast("long").as("n_true"),
+          coalesce(sum(col("__c")), lit(0L)).cast("long").as("n_cand"),
+          coalesce(sum(col("__t") * col("__c")), lit(0L)).cast("long")
+            .as("n_hits"))
         .select(col("n_true"), col("n_cand"), col("n_hits"),
           (col("n_hits").cast("double") / col("n_cand").cast("double"))
             .as("pair_precision"),
@@ -1979,7 +1998,7 @@ object TrainingData extends QueryPack {
         s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
       }.mkString("\n        UNION ALL\n        ")
       s"""
-      WITH $dkShingles,
+      WITH ${dkShinglesFrom("(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
       $dkSig,
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -2104,13 +2123,13 @@ object TrainingData extends QueryPack {
   val q126 = Q(
     "q126_embedding_lsh_quality",
     (s, dir) => {
-      // harness runs on a deterministic 1/4 modulus sample (round-6
-      // VERDICT ask: sample the truth side the way q112 does — the
+      // harness runs on a deterministic 1/6 modulus sample (round-6/7
+      // VERDICT asks: sample the truth side the way q112 does — the
       // ANN-benchmark protocol): the truth side is all-pairs by
       // definition, so the sample bounds its cost while measuring the
-      // same band-recall curve
-      val emb = Tables(s, dir, "embeddings")
-        .filter(pmod(col("vec_id"), lit(4)) === 0)
+      // same band-recall curve (24 true pairs at sf0.1, 6 at sf0.01)
+      val emb = graft.CacheTracker.track(Tables(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(6)) === 0))
       val nTrue = Dedup.embeddingDupPairsExact(emb, "vec_id", "embedding",
           minCos = 0.4).agg(count(lit(1)).as("n_true"))
       val found = Seq(2, 4, 8).map { b =>
@@ -2145,7 +2164,7 @@ object TrainingData extends QueryPack {
       }
       s"""
       WITH $dkQuantized,
-      nf AS (SELECT * FROM n WHERE vec_id % 4 = 0),
+      nf AS (SELECT * FROM n WHERE vec_id % 6 = 0),
       ${bkt(2)},
       ${bkt(4)},
       ${bkt(8)},
@@ -2169,7 +2188,11 @@ object TrainingData extends QueryPack {
     * fixed-order distance folds, exact integer per-dim sums, means by
     * one division, empty clusters carry the previous mean, `d2` =
     * distances to the trained centroids. Used by q127 and q128. */
-  private val dkKmeansCtes: String = {
+  /** Lloyd-k-means oracle CTE chain, split by TRAIN relation (init +
+    * assign/update rounds → c1) and ENCODE relation (final d2 distance
+    * table) — identical when both are `q`; q186 trains on a batch-0
+    * view and assigns everything. */
+  private def dkKmeansCtesSrc(train: String, enc: String): String = {
     val dist =
       s"""list_reduce([(CAST(a.qv[i] AS DOUBLE) - c.m[i]) *
              (CAST(a.qv[i] AS DOUBLE) - c.m[i])
@@ -2177,15 +2200,15 @@ object TrainingData extends QueryPack {
     s"""init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                  AS cid,
                  [CAST(v AS DOUBLE) for v in qv] AS m
-               FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
+               FROM (SELECT vec_id, qv FROM $train ORDER BY vec_id LIMIT 4)),
       d1 AS (SELECT a.vec_id, c.cid, $dist AS dist_sq
-             FROM q a CROSS JOIN init c),
+             FROM $train a CROSS JOIN init c),
       a1 AS (SELECT vec_id, cid FROM
                (SELECT *, row_number() OVER (PARTITION BY vec_id
                   ORDER BY dist_sq, cid) AS rn FROM d1)
              WHERE rn = 1),
-      s1 AS (SELECT a1.cid, i, sum(q.qv[i]) AS s, count(*) AS n
-             FROM a1 JOIN q USING (vec_id)
+      s1 AS (SELECT a1.cid, i, sum($train.qv[i]) AS s, count(*) AS n
+             FROM a1 JOIN $train USING (vec_id)
              CROSS JOIN generate_series(1,64) g(i)
              GROUP BY a1.cid, i),
       u1 AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
@@ -2194,8 +2217,10 @@ object TrainingData extends QueryPack {
       c1 AS (SELECT init.cid, coalesce(u1.m, init.m) AS m
              FROM init LEFT JOIN u1 USING (cid)),
       d2 AS (SELECT a.vec_id, c.cid, $dist AS dist_sq
-             FROM q a CROSS JOIN c1 c)"""
+             FROM $enc a CROSS JOIN c1 c)"""
   }
+
+  private val dkKmeansCtes: String = dkKmeansCtesSrc("q", "q")
 
   /** Distributed Lloyd k-means training ([[graft.ops.KMeans.assign]],
     * k=4, one full update round): the TRAINING side of the IVF path —
@@ -3329,8 +3354,17 @@ object TrainingData extends QueryPack {
   val q157 = Q(
     "q157_minhash_estimate_error",
     (s, dir) => {
+      // same 1/2 modulus sample as q122 (round-7 VERDICT ask #5): the
+      // estimate-error statistic is over candidate pairs, and the
+      // sampled candidate set carries the same error distribution at
+      // a quarter of the signature/shingle-index cost
       val docs = Tables(s, dir, "documents")
-      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = K)
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+      // sig feeds candidate generation AND both per-side signature
+      // attaches; idx feeds the intersection join and the size table —
+      // persist both (sample-sized) so each computes once
+      val sig = graft.CacheTracker.track(
+        Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = K))
       val cand = Dedup.lshCandidatePairs(sig, "doc_id", k = K,
         rows = BAND_ROWS).select(col("id_a"), col("id_b"))
       val sa = sig.columns.filter(_.startsWith("mh")).map(c =>
@@ -3345,8 +3379,9 @@ object TrainingData extends QueryPack {
             when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
             .reduce(_ + _).cast("double") / lit(K.toDouble))
         .select(col("id_a"), col("id_b"), col("est"))
-      val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3)
-        .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      val idx = graft.CacheTracker.track(
+        Dedup.shingleIndex(docs, "doc_id", "text", 3)
+          .select(col("doc_id"), xxhash64(col("sh")).as("sh")))
       val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val exact = est
         .join(idx.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
@@ -3374,7 +3409,7 @@ object TrainingData extends QueryPack {
       val agree = (0 until K).map(i =>
         s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
       s"""
-      WITH $dkShingles,
+      WITH ${dkShinglesFrom("(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
       $dkSig,
       bands AS (
         $bandRows),
@@ -4365,7 +4400,12 @@ object TrainingData extends QueryPack {
     * [[graft.ops.ProductQuantizer]]'s grouped trainer. CTE names are
     * prefixed `r` so the fragment composes with the coarse-kmeans
     * CTEs in the same WITH. */
-  private def dkPqResChain(src: String): String =
+  /** Per-subspace residual-PQ oracle chain, split by TRAIN relation
+    * (codebook Lloyd rounds → rc1*) and ENCODE relation (final rcd*
+    * code assignment) — identical when both are the same; q186 trains
+    * on batch-0 residuals and encodes every residual. Both must be
+    * CTE names. */
+  private def dkPqResChainSrc(train: String, enc: String): String =
     (0 until 4).map { sb =>
       val lo = sb * 16
       val dist =
@@ -4376,16 +4416,16 @@ object TrainingData extends QueryPack {
                    AS BIGINT) AS cid,
                    [CAST(qv[$lo + j] AS DOUBLE)
                     for j in generate_series(1,16)] AS m
-                 FROM (SELECT vec_id, qv FROM $src ORDER BY vec_id LIMIT 4)),
+                 FROM (SELECT vec_id, qv FROM $train ORDER BY vec_id LIMIT 4)),
       rd1$sb AS (SELECT a.vec_id, c.cid, $dist AS dist_sq
-             FROM $src a CROSS JOIN rinit$sb c),
+             FROM $train a CROSS JOIN rinit$sb c),
       ra1$sb AS (SELECT vec_id, cid FROM
                (SELECT *, row_number() OVER (PARTITION BY vec_id
                   ORDER BY dist_sq, cid) AS rn FROM rd1$sb)
              WHERE rn = 1),
-      rs1$sb AS (SELECT ra1$sb.cid, j, sum($src.qv[$lo + j]) AS sm,
+      rs1$sb AS (SELECT ra1$sb.cid, j, sum($train.qv[$lo + j]) AS sm,
                count(*) AS n
-             FROM ra1$sb JOIN $src USING (vec_id)
+             FROM ra1$sb JOIN $train USING (vec_id)
              CROSS JOIN generate_series(1,16) g(j)
              GROUP BY ra1$sb.cid, j),
       ru1$sb AS (SELECT cid, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
@@ -4397,9 +4437,11 @@ object TrainingData extends QueryPack {
                (SELECT a.vec_id, c.cid, $dist AS dist_sq,
                   row_number() OVER (PARTITION BY a.vec_id
                     ORDER BY $dist, c.cid) AS rn
-                FROM $src a CROSS JOIN rc1$sb c)
+                FROM $enc a CROSS JOIN rc1$sb c)
              WHERE rn = 1)"""
     }.mkString(",\n      ")
+
+  private def dkPqResChain(src: String): String = dkPqResChainSrc(src, src)
 
   /** Oracle fragment: coarse cell assignment + integer residuals —
     * requires dkKmeansCtes (c1/d2) in the same WITH. */
@@ -4696,6 +4738,86 @@ object TrainingData extends QueryPack {
       FROM r GROUP BY event_type, day ORDER BY day, event_type"""),
     covers = Seq("TD-privacy-release", "A1"))
 
+  /** REAL video decode ([[graft.ops.Multimodal.VideoCodec]]): each doc
+    * id becomes a synthetic uncompressed-DIB AVI (a spec-complete RIFF
+    * file), the container parser extracts every frame, and per-frame
+    * pixel statistics come off the decoded bytes. DIB is lossless, so
+    * the oracle recomputes each frame's mean intensity in closed form
+    * from the id — the q76 (PNG) / q166 (WAV) exactness pattern
+    * completing the multimodal triple. The 1→n frame fan-out runs
+    * partition-parallel on executors. */
+  val q185 = Q(
+    "q185_video_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+        .map(id => Multimodal.MediaRow(id, "video",
+          Multimodal.VideoCodec.syntheticAvi(id)))
+      Multimodal.videoFrameStats(media).toDF()
+        .orderBy($"media_id", $"frame_idx")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 8 + doc_id % 5 AS w,
+                   6 + doc_id % 4 AS h
+                 FROM documents),
+      px AS (SELECT m.doc_id, f.f, m.w, m.h,
+               (x.x * 7 + y.y * 13 + f.f * 31 + m.doc_id) % 256 AS v
+             FROM m, range(0, 4) f(f), range(0, 12) x(x), range(0, 9) y(y)
+             WHERE f.f < m.nf AND x.x < m.w AND y.y < m.h)
+      SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             count(*) AS n_px,
+             CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_intensity
+      FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id, frame_idx"""),
+    covers = Seq("TD-multimodal"))
+
+  /** Batch-incremental IVF-PQ index maintenance
+    * ([[graft.ops.ProductQuantizer.ivfPqIngest]]): the index state
+    * (coarse cells + residual-PQ codebooks) trains ONCE on batch 0;
+    * batch 0 then batch 1 encode against the FROZEN state and append
+    * to a persistent per-batch index table — how a 100 TB corpus
+    * maintains its ANN index between retrains. The oracle trains the
+    * same state on the even-id half only (dkKmeansCtesSrc /
+    * dkPqResChainSrc train/encode split) and encodes everything, so
+    * every ingested (cell, code) row is oracle-exact; the spec pins
+    * replay-stability and that batch 1 never retrains. */
+  val q186 = Q(
+    "q186_ivfpq_ingest",
+    (s, dir) => {
+      import graft.ops.ProductQuantizer
+      val emb = Tables(s, dir, "embeddings")
+      val b0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val b1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q186_").toString + "/index"
+      val (coarse, cents) = ProductQuantizer.ivfPqState(b0,
+        dim = 64, kc = 4, cIters = 1, m = 4, k = 4, iters = 1)
+      val r0 = ProductQuantizer.ivfPqIngest(s, b0, coarse, cents,
+        idx, "b0", dim = 64, m = 4)
+      val r1 = ProductQuantizer.ivfPqIngest(s, b1, coarse, cents,
+        idx, "b1", dim = 64, m = 4)
+      r0.withColumn("batch", lit(0))
+        .unionByName(r1.withColumn("batch", lit(1)))
+        .orderBy(col("vec_id"), col("sub"))
+    },
+    Some(s"""
+      WITH $dkQuantized,
+      tr AS (SELECT * FROM q WHERE vec_id % 2 = 0),
+      ${dkKmeansCtesSrc("tr", "q")},
+      $dkResiduals,
+      rtr AS (SELECT * FROM rq WHERE vec_id % 2 = 0),
+      ${dkPqResChainSrc("rtr", "rq")}
+      SELECT r.vec_id, CAST(ca.cell AS BIGINT) AS cell,
+             CAST(sub AS INTEGER) AS sub, CAST(code AS BIGINT) AS code,
+             dist_sq, CAST(r.vec_id % 2 AS INTEGER) AS batch
+      FROM (SELECT * FROM rcd0 UNION ALL SELECT * FROM rcd1
+            UNION ALL SELECT * FROM rcd2 UNION ALL SELECT * FROM rcd3) r
+      JOIN ca ON r.vec_id = ca.vec_id
+      ORDER BY r.vec_id, sub"""),
+    covers = Seq("TD-pq", "TD-ann-ivf", "TD-incremental-ingest"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4707,5 +4829,5 @@ object TrainingData extends QueryPack {
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184)
+      q181, q182, q183, q184, q185, q186)
 }

@@ -407,6 +407,56 @@ class PlanRegressionSpec extends SparkSpec {
       "corpus-sized sides must never nest:\n" + p.take(800))
   }
 
+  test("q179: IVF-PQ encode — broadcast centroid state only, " +
+      "partial-pair folds, bounded nested loops") {
+    val p = plan("q179_ivfpq_encode")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the ONLY nested loops are the declared 1-row centroid-array
+    // attaches (coarse argmin + residual build)
+    assert(p.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      "corpus-sized sides must never nest:\n" + p.take(800))
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      "codebook sums must keep partial aggregation:\n" + p.take(600))
+  }
+
+  test("q182: BPE-budget shard pack — prefix-sum shape, no quadratic " +
+      "joins, learned budget attaches by hash join") {
+    val p = plan("q182_bpe_shard_pack")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("Window"),
+      "bucket-level prefix sum must plan as a window over #buckets " +
+        "rows:\n" + p.take(600))
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-doc budget attach must broadcast:\n" + p.take(600))
+  }
+
+  test("q183: IVF-PQ recall harness — brute side declared, candidate " +
+      "side bucketed, top-k early-terminates") {
+    val p = plan("q183_ivfpq_recall")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // declared nested loops: the exact-truth brute side + the q180
+    // centroid/LUT attaches — bounded, never corpus × corpus
+    assert(p.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin")) <= 4,
+      "only the declared brute/attach nested loops:\n" + p.take(800))
+    assert(p.contains("WindowGroupLimit"),
+      "both top-k sides must early-terminate per partition:\n" +
+        p.take(800))
+  }
+
+  test("q177: PQ recall harness — brute side declared, ADC side " +
+      "equi-joined, top-k early-terminates") {
+    val p = plan("q177_pq_recall")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the declared brute baseline may nest:\n" + p.take(800))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must plan as a group limit:\n" + p.take(800))
+  }
+
   /** CartesianProduct / BroadcastNestedLoopJoin sweep over the full
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
@@ -461,8 +511,10 @@ class PlanRegressionSpec extends SparkSpec {
                                     // q127 1-row-array argmin pattern)
       "q180_ivfpq_search",          // same broadcasts; candidate scoring is
                                     // the (cell, sub, code) equi-join
-      "q183_ivfpq_recall")          // exact side IS the declared brute
+      "q183_ivfpq_recall",          // exact side IS the declared brute
                                     // baseline + the q180 broadcasts
+      "q186_ivfpq_ingest")          // q179's centroid broadcasts; encode
+                                    // against FROZEN state, no retrain
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
@@ -474,5 +526,49 @@ class PlanRegressionSpec extends SparkSpec {
       }
     assert(offenders.isEmpty,
       s"quadratic join shapes in: ${offenders.mkString(", ")}")
+  }
+
+  /** Unpartitioned-window sweep: a WindowExec with an empty partition
+    * spec moves ALL data to one partition — a scale-killer over a
+    * data-sized input, but the correct (and cheap) plan over a BOUNDED
+    * domain. Every such window in the engine is a declared bounded
+    * domain (SCALE.md documents each bound); this sweep pins the set
+    * EXACTLY, so a new data-sized global window fails loudly and a
+    * fixed one must be removed from the declaration. (The WindowExec
+    * log warning is suppressed in the session bootstrap — THIS check
+    * is the guard, not the log line; `lit(0)` partition keys don't
+    * work because Spark 4's EliminateWindowPartitions folds them.) */
+  test("unpartitioned windows only over declared bounded domains") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val declaredBounded = Set(
+      "q86_shard_pack",        // bucket-level prefix sum: #buckets rows
+      "q106_seq_pack",         // same two-level prefix-sum shape
+      "q114_seq_pack_text",    // same
+      "q182_bpe_shard_pack",   // same, budget from the learned tokenizer
+      "q134_zorder_layout",    // 64-bucket offset prefix sum
+      "q93_top_tokens",        // top-k token rank: k rows
+      "q108_bpe_pairs",        // top-k pair rank: k rows
+      "q124_length_quantiles", // cumsum over DISTINCT lengths (bounded)
+      "q127_kmeans_train",     // k-row centroid-init rank
+      "q128_ivf_trained",      // same init rank, train + probe sides
+      "q162_ivf_recall",       // same (recall harness re-trains)
+      "q150_mom_growth",       // lag over #months rows
+      "q160_ntile_quartiles")  // whole-relation ntile BY CONTRACT
+                               // (global quartiles need a global sort)
+    val offenders = SparkEntry.allQueries
+      .filterNot(q => declaredBounded.contains(q.name))
+      .flatMap { q =>
+        val df = SparkEntry.queries(q.name)(spark, sf("sf0.001"))
+        val p = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        if (p.collectFirst {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.nonEmpty) Some(q.name) else None
+      }
+    assert(offenders.isEmpty,
+      s"undeclared single-partition windows in: ${offenders.mkString(", ")}")
   }
 }

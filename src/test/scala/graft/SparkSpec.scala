@@ -23,6 +23,7 @@ object SparkSpec {
       .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBoundedWindowWarnings()
     s
   }
 }

@@ -49,6 +49,19 @@ class BpeTrainerSpec extends SparkSpec {
     assert(local.toSeq == dist.toSeq)
   }
 
+  test("local fast path ties break by code point, not UTF-16 order") {
+    // pairs (U+E000, x) and (U+1F600 emoji, x) tie at count 1; UTF-8 /
+    // code-point order puts U+E000 first (0xE000 < 0x1F600), while
+    // Java's natural String order would pick the emoji (its surrogate
+    // units 0xD83D.. sort below 0xE000) — the round-7 ADVICE divergence
+    val docs = Seq((1L, "\uE000x \uD83D\uDE00x")).toDF("doc_id", "text")
+    val local = BpeTrainer.merges(docs, nMerges = 2).collect().map(_.toSeq)
+    val dist = BpeTrainer.merges(docs, nMerges = 2, localVocabCap = 0)
+      .collect().map(_.toSeq)
+    assert(local.toSeq == dist.toSeq)
+    assert(local.head(1) == "\uE000")
+  }
+
   test("segmentCounts: learned merges segment; fertility drops with more merges") {
     val docs = Seq((1L, "low low lower"), (2L, "low wore")).toDF("doc_id", "text")
     val m0 = BpeTrainer.segmentCounts(docs,

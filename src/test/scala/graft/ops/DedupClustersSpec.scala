@@ -72,6 +72,18 @@ class DedupClustersSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(sgot == Map("a" -> "a", "b" -> "b", "c" -> "b", "d" -> "b",
       "z" -> "z"))
+    // supplementary-plane string ids: the min-id root must follow CODE
+    // POINT order (U+E000 < U+1F600), matching Spark's min() in the
+    // distributed fixpoint — Java's UTF-16 unit order would pick the
+    // emoji (surrogates 0xD83D.. sort below 0xE000)
+    val uids = Seq("\uD83D\uDE00", "\uE000").toDF("doc_id")
+    val upairs = Seq(("\uD83D\uDE00", "\uE000")).toDF("id_a", "id_b")
+    val ulocal = Dedup.duplicateClusters(uids, "doc_id", upairs)
+      .as[(String, String)].collect().toMap
+    val udist = Dedup.duplicateClusters(uids, "doc_id", upairs,
+      localEdgeCap = 0).as[(String, String)].collect().toMap
+    assert(ulocal == udist)
+    assert(ulocal.values.toSet == Set("\uE000"))
   }
 
   test("dedupDecision keeps exactly one doc per cluster") {

@@ -30,29 +30,75 @@ class MultimodalSpec extends SparkSpec {
     assert(wh.forall { case (w, h) => w >= 64 && w < 192 && h >= 64 && h < 192 })
   }
 
-  test("frame sampling fans 1 row into n frames; per-frame features deterministic") {
+  test("VideoCodec: DIB AVI encode→decode round-trips closed-form stats") {
     import Multimodal._
+    // id=5: nf = 2+5%3 = 4, w = 8+5%5 = 8, h = 6+5%4 = 7
+    val stats = VideoCodec.decodeStats(5L, VideoCodec.syntheticAvi(5L))
+    assert(stats.length == 4)
+    assert(stats.forall(s => s.width == 8 && s.height == 7 && s.n_px == 56))
+    stats.foreach { s =>
+      val expected = (for (y <- 0 until 7; x <- 0 until 8)
+        yield (x * 7 + y * 13 + s.frame_idx * 31 + 5) % 256).sum.toDouble / 56
+      assert(s.mean_intensity == expected, s"frame ${s.frame_idx}")
+    }
+  }
+
+  test("VideoCodec: MJPEG frames decode through the container exactly " +
+      "as the same JPEG bytes decode standalone") {
+    import Multimodal._
+    val frames = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val g = (x * 3 + y * 5 + f * 17) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val avi = VideoCodec.encodeAviMjpeg(frames)
+    val info = VideoCodec.parse(avi)
+    assert(info.frames.length == 3 && info.frames.forall(_._1 == "dc"))
+    val viaContainer = VideoCodec.decodeStats(9L, avi)
+    info.frames.zip(viaContainer).foreach { case ((_, jpeg), s) =>
+      val direct = ImageCodec.decodeStats(9L, jpeg) // standalone JPEG file
+      assert(s.width == direct.width && s.height == direct.height &&
+        s.mean_intensity == direct.mean_intensity)
+    }
+  }
+
+  test("frame sampling fans 1 row into real decoded frames; " +
+      "corrupt payloads yield zero rows") {
+    import Multimodal._
+    // id=1: nf = 3 frames; sample 2 -> container frames {0, 1}
     val media = Seq(
-      MediaRow(1L, "video", (0 until 100).map(_.toByte).toArray),
-      MediaRow(2L, "video", Array.emptyByteArray)).toDS()
-    val frames = sampleFrames(media, 4)
-    assert(frames.count() == 8)
+      MediaRow(1L, "video", VideoCodec.syntheticAvi(1L)),
+      MediaRow(2L, "video", Array.emptyByteArray),
+      MediaRow(3L, "video", (0 until 64).map(_.toByte).toArray)).toDS()
+    val frames = sampleFrames(media, 2)
     val f1 = frames.filter($"media_id" === 1).orderBy($"frame_idx")
       .as[FrameRow].collect()
-    assert(f1.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
-    // windows cover the payload in order, non-overlapping starts
-    assert(f1.map(_.payload.head.toInt).toSeq == Seq(0, 25, 50, 75))
-    // empty payload -> empty frames, no crash
-    assert(frames.filter($"media_id" === 2).as[FrameRow].collect()
-      .forall(_.payload.isEmpty))
+    assert(f1.map(_.frame_idx).toSeq == Seq(0, 1))
+    // each sampled payload is a SELF-CONTAINED lossless PNG of the
+    // original DIB frame: decoding it reproduces the closed-form stats
+    val direct = VideoCodec.decodeStats(1L, VideoCodec.syntheticAvi(1L))
+    f1.foreach { fr =>
+      val s = ImageCodec.decodeStats(fr.media_id, fr.payload)
+      val d = direct(fr.frame_idx)
+      assert(s.width == d.width && s.height == d.height &&
+        s.mean_intensity == d.mean_intensity)
+    }
+    // corrupt / empty payloads: zero rows, no crash
+    assert(frames.filter($"media_id" isin (2L, 3L)).count() == 0)
+    // oversampling clamps to the frame count with distinct indices
+    assert(sampleFrames(media, 10).filter($"media_id" === 1).count() == 3)
 
-    val ff = frameFeatures(media, 4, dim = 8)
-    assert(ff.count() == 8)
-    val twice = frameFeatures(media, 4, dim = 8)
+    val ff = frameFeatures(media, 2, dim = 8)
+    val twice = frameFeatures(media, 2, dim = 8)
     assert(ff.orderBy($"media_id", $"frame_idx").as[FrameFeatures]
       .collect().map(_.features.toSeq).toSeq ==
       twice.orderBy($"media_id", $"frame_idx").as[FrameFeatures]
         .collect().map(_.features.toSeq).toSeq)
+    assert(ff.count() == 2)
   }
 
   test("ImageCodec: real PNG decode recovers exact dimensions and pixels") {

@@ -118,6 +118,65 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqSearch: non-numeric ids (with '#') survive the LUT key") {
+    // the (id_q, cell) LUT key rides through as a struct — a string
+    // concat/split round-trip would null these ids out (round-7 ADVICE)
+    val vecs = (0L until 12L).map(i =>
+      s"doc#$i" -> Seq.tabulate(8)(d => ((i * 5 + d * 11) % 40).toFloat / 8f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = ProductQuantizer.ivfPqSearch(df,
+        vecs.take(2).toDF("vec_id", "embedding"), dim = 8, kc = 2,
+        cIters = 1, m = 2, k = 3, iters = 1, nProbe = 2, topK = 3)
+      .collect()
+    assert(rows.nonEmpty)
+    val qids = rows.map(_.getString(0)).toSet
+    assert(qids.subsetOf(Set("doc#0", "doc#1")) && qids.nonEmpty)
+    assert(rows.forall(r => r.getString(2).startsWith("doc#")))
+    assert(rows.forall(r => r.getString(0) != r.getString(2)))
+  }
+
+  test("ivfPqIngest: frozen-state encode, replay-stable, cross-batch " +
+      "dedup, batch 2 never retrains") {
+    val vecs = (0L until 20L).map(i =>
+      i -> Seq.tabulate(8)(d => ((i * 5 + d * 11) % 40).toFloat / 8f))
+    val b0 = vecs.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val b1 = vecs.filter(_._1 % 2 == 1).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_ingest_").toString + "/index"
+    // state trains ONCE, on batch 0 only
+    val (coarse, cents) = ProductQuantizer.ivfPqState(b0, dim = 8, kc = 2,
+      cIters = 1, m = 2, k = 3, iters = 1)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+    val r0 = ProductQuantizer.ivfPqIngest(spark, b0, coarse, cents, idx,
+      "b0", dim = 8, m = 2).collect().map(key).toSet
+    val r1 = ProductQuantizer.ivfPqIngest(spark, b1, coarse, cents, idx,
+      "b1", dim = 8, m = 2).collect().map(key).toSet
+    assert(r0.map(_._1) == (0L until 20L by 2).toSet)
+    assert(r1.map(_._1) == (1L until 20L by 2).toSet)
+    // batch 1 NEVER retrains: its codes equal a direct frozen-state
+    // encode — the state tables are inputs, not recomputed
+    val direct = ProductQuantizer.ivfPqEncodeWith(coarse, cents, b1,
+      dim = 8, m = 2).collect().map(key).toSet
+    assert(r1 == direct)
+    // replay of batch 1 (same batchId, same vectors) is exactly-once:
+    // identical admitted rows, no duplicate state
+    val replay = ProductQuantizer.ivfPqIngest(spark, b1, coarse, cents,
+      idx, "b1", dim = 8, m = 2).collect().map(key).toSet
+    assert(replay == r1)
+    // a batch re-delivering already-indexed vectors admits nothing new
+    val redeliver = ProductQuantizer.ivfPqIngest(spark, b0, coarse, cents,
+      idx, "b2", dim = 8, m = 2).collect()
+    assert(redeliver.isEmpty)
+    // the persistent index table is exactly the union of the batches
+    val table = spark.read.option("recursiveFileLookup", "true")
+      .parquet(idx).collect()
+      .map(r => (key(r), r.getAs[String]("batch_id"))).toMap
+    assert(table.keySet == r0 ++ r1)
+    assert(table.count(_._2 == "b0") == r0.size)
+    assert(table.count(_._2 == "b1") == r1.size)
+  }
+
   test("subspace independence: per-subspace codes equal a standalone " +
       "k-means on the sliced vectors") {
     val vecs = (0L until 10L).map(i =>
