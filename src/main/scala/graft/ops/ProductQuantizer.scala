@@ -386,6 +386,43 @@ object ProductQuantizer {
       .select(col("id_q"), col("rank"), col("id_c"), col("dist_est"))
   }
 
+  /** IVF-PQ search + EXACT RE-RANK — the refinement stage every
+    * production PQ deployment runs (Jégou et al. §VI): the compressed
+    * index shortlists `shortlist` candidates per query (ADC distances,
+    * cheap but approximate), then ONLY those candidates' raw vectors
+    * are fetched and exact distances re-rank the shortlist to `topK`.
+    * Returns (id_q, rank, id_c, dist_exact) with ADC's `dist_est`
+    * carried for diagnostics; ties (dist_exact, id_c).
+    *
+    * Scale shape: the corpus-sized work is exactly [[ivfPqSearch]]'s;
+    * refinement touches #queries·shortlist raw vectors via ONE hash
+    * join on id (at 100 TB: a point-lookup-shaped join against the
+    * vector store, never a scan), and the exact fold reuses the
+    * quantized-integer channel so the re-ranked order is
+    * oracle-exact. */
+  def ivfPqRefine(emb: DataFrame, queries: DataFrame, dim: Int, kc: Int,
+      cIters: Int, m: Int, k: Int, iters: Int, nProbe: Int,
+      shortlist: Int, topK: Int, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(shortlist >= topK && topK >= 1,
+      s"need shortlist >= topK >= 1, got shortlist=$shortlist topK=$topK")
+    val cand = ivfPqSearch(emb, queries, dim, kc, cIters, m, k, iters,
+      nProbe, shortlist, id, vec)
+    val qv = KMeans.prep(queries, id, vec)
+      .select(col(id).as("id_q"), col("__qd").as("__qq"))
+    val cv = KMeans.prep(emb, id, vec)
+      .select(col(id).as("id_c"), col("__qd").as("__qc"))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("dist_exact").asc, col("id_c").asc)
+    cand.join(broadcast(qv), Seq("id_q"))
+      .join(cv, Seq("id_c")) // shortlist-sized probe into the store
+      .withColumn("dist_exact", KMeans.distSq(col("__qq"), col("__qc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("id_q"), col("rank"), col("id_c"),
+        col("dist_exact"), col("dist_est"))
+  }
+
   def adcSearch(emb: DataFrame, queries: DataFrame, dim: Int, m: Int,
       k: Int, iters: Int, topK: Int, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {

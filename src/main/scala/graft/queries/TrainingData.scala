@@ -4456,6 +4456,48 @@ object TrainingData extends QueryPack {
              FROM q JOIN ca ON q.vec_id = ca.vec_id
                     JOIN c1 ON ca.cell = c1.cid)"""
 
+  /** Oracle fragment: the q180 combined-index search chain (probes →
+    * per-cell residual queries → ADC LUTs → inverted-list terms →
+    * fixed-order fold → dist_est rank `rk`) — assumes dkQuantized +
+    * dkKmeansCtes + dkResiduals + dkPqResChain("rq") in the same
+    * WITH. Shared by q180 (top-k select) and q188 (exact re-rank of
+    * the rk shortlist). */
+  private val dkIvfPqSearchChain: String = s"""
+      probes AS (SELECT vec_id AS id_q, cid AS cell FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist_sq, cid) AS rn FROM d2
+                   WHERE vec_id < 10)
+                 WHERE rn <= 2),
+      prq AS (SELECT p.id_q, p.cell,
+                [CAST(q.qv[i] - floor(c1.m[i] + 0.5) AS DOUBLE)
+                 for i in generate_series(1,64)] AS qv
+              FROM probes p JOIN q ON p.id_q = q.vec_id
+                   JOIN c1 ON p.cell = c1.cid),
+      luts AS (
+        ${(0 until 4).map { sb =>
+          s"""SELECT pr.id_q, pr.cell, $sb AS sub, c.cid AS code,
+               list_reduce([(pr.qv[${sb * 16} + j] - c.m[j]) *
+                   (pr.qv[${sb * 16} + j] - c.m[j])
+                   for j in generate_series(1,16)], (x, y) -> x + y) AS d
+             FROM prq pr CROSS JOIN rc1$sb c"""
+        }.mkString("\n        UNION ALL\n        ")}),
+      icodes AS (SELECT r.vec_id AS id_c, ca.cell, r.sub, r.code
+                 FROM (SELECT * FROM rcd0 UNION ALL SELECT * FROM rcd1
+                       UNION ALL SELECT * FROM rcd2
+                       UNION ALL SELECT * FROM rcd3) r
+                 JOIN ca ON r.vec_id = ca.vec_id),
+      terms AS (SELECT l.id_q, i.id_c, l.sub, l.d
+                FROM icodes i JOIN luts l
+                  ON i.cell = l.cell AND i.sub = l.sub AND i.code = l.code),
+      ag AS (SELECT id_q, id_c,
+               list_reduce(list(d ORDER BY sub), (x, y) -> x + y)
+                 AS dist_est
+             FROM terms WHERE id_q <> id_c GROUP BY id_q, id_c),
+      rk AS (SELECT id_q, id_c, dist_est,
+               row_number() OVER (PARTITION BY id_q
+                 ORDER BY dist_est, id_c) AS rn
+             FROM ag)"""
+
   /** IVF-PQ index BUILD ([[graft.ops.ProductQuantizer.ivfPqEncode]],
     * Jégou et al. §IV): coarse k=4 cells + ONE global PQ codebook on
     * the integer residuals — each vector's index entry is (cell,
@@ -4504,40 +4546,7 @@ object TrainingData extends QueryPack {
       $dkKmeansCtes,
       $dkResiduals,
       ${dkPqResChain("rq")},
-      probes AS (SELECT vec_id AS id_q, cid AS cell FROM
-                  (SELECT *, row_number() OVER (PARTITION BY vec_id
-                     ORDER BY dist_sq, cid) AS rn FROM d2
-                   WHERE vec_id < 10)
-                 WHERE rn <= 2),
-      prq AS (SELECT p.id_q, p.cell,
-                [CAST(q.qv[i] - floor(c1.m[i] + 0.5) AS DOUBLE)
-                 for i in generate_series(1,64)] AS qv
-              FROM probes p JOIN q ON p.id_q = q.vec_id
-                   JOIN c1 ON p.cell = c1.cid),
-      luts AS (
-        ${(0 until 4).map { sb =>
-          s"""SELECT pr.id_q, pr.cell, $sb AS sub, c.cid AS code,
-               list_reduce([(pr.qv[${sb * 16} + j] - c.m[j]) *
-                   (pr.qv[${sb * 16} + j] - c.m[j])
-                   for j in generate_series(1,16)], (x, y) -> x + y) AS d
-             FROM prq pr CROSS JOIN rc1$sb c"""
-        }.mkString("\n        UNION ALL\n        ")}),
-      icodes AS (SELECT r.vec_id AS id_c, ca.cell, r.sub, r.code
-                 FROM (SELECT * FROM rcd0 UNION ALL SELECT * FROM rcd1
-                       UNION ALL SELECT * FROM rcd2
-                       UNION ALL SELECT * FROM rcd3) r
-                 JOIN ca ON r.vec_id = ca.vec_id),
-      terms AS (SELECT l.id_q, i.id_c, l.sub, l.d
-                FROM icodes i JOIN luts l
-                  ON i.cell = l.cell AND i.sub = l.sub AND i.code = l.code),
-      ag AS (SELECT id_q, id_c,
-               list_reduce(list(d ORDER BY sub), (x, y) -> x + y)
-                 AS dist_est
-             FROM terms WHERE id_q <> id_c GROUP BY id_q, id_c),
-      rk AS (SELECT id_q, id_c, dist_est,
-               row_number() OVER (PARTITION BY id_q
-                 ORDER BY dist_est, id_c) AS rn
-             FROM ag)
+      $dkIvfPqSearchChain
       SELECT id_q, CAST(rn AS INTEGER) AS rank, id_c, dist_est
       FROM rk WHERE rn <= 5 ORDER BY id_q, rank"""
     },
@@ -4818,6 +4827,86 @@ object TrainingData extends QueryPack {
       ORDER BY r.vec_id, sub"""),
     covers = Seq("TD-pq", "TD-ann-ivf", "TD-incremental-ingest"))
 
+  /** REAL frame sampling ([[graft.ops.Multimodal.sampleFrames]]): each
+    * clip's container parses once, 2 evenly-spaced REAL frames come
+    * out as self-contained lossless PNGs, and each sampled payload
+    * decodes through the IMAGE codec — the container → frame → image
+    * composition a multimodal curation pipeline runs, all
+    * partition-parallel. Sampling picks container indices
+    * {⌊nf·i/2⌋} = {0, nf div 2}, and PNG losslessness keeps every
+    * decoded statistic closed-form (the q185 oracle restricted to the
+    * sampled frames). */
+  val q187 = Q(
+    "q187_video_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+        .map(id => Multimodal.MediaRow(id, "video",
+          Multimodal.VideoCodec.syntheticAvi(id)))
+      Multimodal.sampleFrames(media, 2).map { f =>
+        val st = Multimodal.ImageCodec.decodeStats(f.media_id, f.payload)
+        (f.media_id, f.frame_idx, st.width, st.height, st.mean_intensity)
+      }.toDF("media_id", "frame_idx", "width", "height", "mean_intensity")
+        .orderBy($"media_id", $"frame_idx")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 8 + doc_id % 5 AS w,
+                   6 + doc_id % 4 AS h
+                 FROM documents),
+      sel AS (SELECT doc_id, w, h, unnest([CAST(0 AS BIGINT), nf // 2]) AS f
+              FROM m),
+      px AS (SELECT sel.doc_id, sel.f, sel.w, sel.h,
+               (x.x * 7 + y.y * 13 + sel.f * 31 + sel.doc_id) % 256 AS v
+             FROM sel, range(0, 12) x(x), range(0, 9) y(y)
+             WHERE x.x < sel.w AND y.y < sel.h)
+      SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_intensity
+      FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id, frame_idx"""),
+    covers = Seq("TD-multimodal"))
+
+  /** IVF-PQ search + EXACT RE-RANK
+    * ([[graft.ops.ProductQuantizer.ivfPqRefine]], Jégou et al. §VI):
+    * the compressed index shortlists 8 candidates per query (ADC
+    * distances), then ONLY those candidates' raw vectors re-rank to
+    * top-5 by exact quantized-integer distance — the
+    * approximate-shortlist → exact-refine pipeline every production
+    * PQ deployment runs. The refinement join touches
+    * #queries·shortlist vectors (a point-lookup shape), and the exact
+    * fold reuses the engine's fixed-order distance, so the re-ranked
+    * order is oracle-exact. */
+  val q188 = Q(
+    "q188_ivfpq_refine",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      graft.ops.ProductQuantizer.ivfPqRefine(emb,
+          emb.filter($"vec_id" < 10), dim = 64, kc = 4, cIters = 1,
+          m = 4, k = 4, iters = 1, nProbe = 2, shortlist = 8, topK = 5)
+        .orderBy(col("id_q"), col("rank"))
+    },
+    Some(s"""
+      WITH $dkQuantized,
+      $dkKmeansCtes,
+      $dkResiduals,
+      ${dkPqResChain("rq")},
+      $dkIvfPqSearchChain,
+      sl AS (SELECT id_q, id_c, dist_est FROM rk WHERE rn <= 8),
+      ex AS (SELECT s.id_q, s.id_c, s.dist_est,
+               list_reduce([(CAST(a.qv[i] AS DOUBLE) - CAST(b.qv[i] AS DOUBLE)) *
+                   (CAST(a.qv[i] AS DOUBLE) - CAST(b.qv[i] AS DOUBLE))
+                   for i in generate_series(1,64)], (x, y) -> x + y)
+                 AS dist_exact
+             FROM sl s JOIN q a ON s.id_q = a.vec_id
+                       JOIN q b ON s.id_c = b.vec_id),
+      rr AS (SELECT *, row_number() OVER (PARTITION BY id_q
+               ORDER BY dist_exact, id_c) AS rn2 FROM ex)
+      SELECT id_q, CAST(rn2 AS INTEGER) AS rank, id_c, dist_exact, dist_est
+      FROM rr WHERE rn2 <= 5 ORDER BY id_q, rank"""),
+    covers = Seq("TD-pq", "TD-ann-ivf", "TD-ann-recall"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4829,5 +4918,5 @@ object TrainingData extends QueryPack {
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184, q185, q186)
+      q181, q182, q183, q184, q185, q186, q187, q188)
 }

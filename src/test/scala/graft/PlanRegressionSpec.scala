@@ -513,8 +513,10 @@ class PlanRegressionSpec extends SparkSpec {
                                     // the (cell, sub, code) equi-join
       "q183_ivfpq_recall",          // exact side IS the declared brute
                                     // baseline + the q180 broadcasts
-      "q186_ivfpq_ingest")          // q179's centroid broadcasts; encode
+      "q186_ivfpq_ingest",          // q179's centroid broadcasts; encode
                                     // against FROZEN state, no retrain
+      "q188_ivfpq_refine")          // q180's broadcasts; the refine join
+                                    // itself is a hash join on id
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>

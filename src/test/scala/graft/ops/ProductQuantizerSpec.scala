@@ -135,6 +135,29 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(rows.forall(r => r.getString(0) != r.getString(2)))
   }
 
+  test("ivfPqRefine: exact re-rank of the ADC shortlist") {
+    val vecs = (0L until 16L).map(i =>
+      i -> Seq.tabulate(8)(d => ((i * 5 + d * 11) % 40).toFloat / 8f))
+    val df = emb(vecs: _*)
+    val qs = emb(vecs.take(3): _*)
+    val shortlist = ProductQuantizer.ivfPqSearch(df, qs, dim = 8, kc = 3,
+        cIters = 1, m = 2, k = 3, iters = 1, nProbe = 2, topK = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refined = ProductQuantizer.ivfPqRefine(df, qs, dim = 8, kc = 3,
+        cIters = 1, m = 2, k = 3, iters = 1, nProbe = 2, shortlist = 6,
+        topK = 3).orderBy(col("id_q"), col("rank")).collect()
+    assert(refined.nonEmpty)
+    refined.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(!rs.exists(_.getLong(2) == q), "self-match leaked")
+      // exact distances ascend with rank; every refined id came from
+      // the ADC shortlist (refinement reorders, never re-discovers)
+      val ds = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ds.sameElements(ds.sorted))
+      rs.foreach(r => assert(shortlist((q, r.getLong(2)))))
+    }
+  }
+
   test("ivfPqIngest: frozen-state encode, replay-stable, cross-batch " +
       "dedup, batch 2 never retrains") {
     val vecs = (0L until 20L).map(i =>
