@@ -74,7 +74,11 @@ object Bench {
     // queries whose min-of-N recovers instantly, not the tail whose
     // single contended iteration dominated the round-4 official total.
     val heavyFirst = Seq("q100_source_overlap", "q77_dedup_clusters",
-      "q75_incremental_ingest", "q82_neardup_ingest", "q76_image_decode")
+      "q75_incremental_ingest", "q82_neardup_ingest", "q76_image_decode",
+      // the IVF-PQ train/search tail (each rebuilds state per run by
+      // harness design) joined the >2.5 s club in round 8
+      "q188_ivfpq_refine", "q186_ivfpq_ingest", "q180_ivfpq_search",
+      "q179_ivfpq_encode", "q183_ivfpq_recall")
     val rank = heavyFirst.zipWithIndex.toMap
     // one measured iteration: run, time, release tracked storage
     def timeIter(name: String,
@@ -237,13 +241,23 @@ object Bench {
     // speedup in the committed ledgers
     val failed = results.collect { case (k, ts) if minOf(ts).isEmpty => k }
     val total = results.flatMap { case (_, ts) => minOf(ts) }.sum
-    val common =
-      s""""metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
-        s""""failed":[${failed.map(f => s"\"$f\"").mkString(",")}],""" +
-        s""""degraded":[${degraded.distinct.map(d => s"\"$d\"").mkString(",")}],""" +
-        s""""remeasured":[${remeasured.map(r => s"\"$r\"").mkString(",")}]"""
+    val head =
+      s""""metric":"total","value":$total,"unit":"sec","iters":$iters"""
+    def names(l: Seq[String]): String = l.map(n => s"\"$n\"").mkString(",")
+    // FULL name lists (failed / degraded / remeasured) go in the
+    // persisted ledger ONLY: under a broad contention wave the
+    // re-measured list ran to 86 names (~4 KB) and a deadline breach
+    // could degrade 100+ — any of them would push the stdout summary
+    // past the driver's 2000-char tail, the exact parsed-null failure
+    // rounds 4–7 kept hitting. The summary carries counts plus the
+    // first few failed names (failures are the thing a human must see
+    // first; the rest live in bench_history).
+    val degradedL = degraded.distinct.toList
     // full ledger (per-iteration detail) — persisted to bench_history/
-    val line = s"""{$common,"queries":$qs,"iterations":$allIters,"sf":"$sfDir"}"""
+    val line = s"""{$head,"failed":[${names(failed)}],""" +
+      s""""degraded":[${names(degradedL)}],""" +
+      s""""remeasured":[${names(remeasured.toList)}],"queries":$qs,""" +
+      s""""iterations":$allIters,"sf":"$sfDir"}"""
     // stdout gets a SUMMARY line as the program's LAST line. The driver
     // keeps only a 2000-char stdout tail (measured from BENCH_r06.json:
     // `"tail"` is exactly 2000 chars and ends with ~75 chars of sbt
@@ -261,7 +275,11 @@ object Bench {
         s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
     val summary =
-      s"""{$common,"n_queries":${results.size},"slowest":$top10,""" +
+      s"""{$head,"n_failed":${failed.size},""" +
+        s""""failed_head":[${names(failed.take(5))}],""" +
+        s""""n_degraded":${degradedL.size},""" +
+        s""""n_remeasured":${remeasured.size},""" +
+        s""""n_queries":${results.size},"slowest":$top10,""" +
         s""""queries_file":"bench_history/bench_latest.json","sf":"$sfDir"}"""
     // per-round ledger: the driver's BENCH_r{N}.json can truncate in
     // logs — persist the full per-query JSON so round-over-round

@@ -602,7 +602,9 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     require(n > 0)
-    media.flatMap { row =>
+    // decode cost ∝ pixels, not payload bytes: widen a narrow scan
+    // before the parser so one small file doesn't serialize the burn
+    Compute.spread(media).flatMap { row =>
       val parsed =
         try Some(VideoCodec.parse(row.payload))
         catch { case _: Exception => None }
