@@ -42,33 +42,13 @@ object Verify {
     // same hash ⇒ the driver's Spark side saw the same values and any
     // red row is on the oracle/comparator side.
     val hashes = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    def canonHash(df: org.apache.spark.sql.DataFrame): String = {
-      import org.apache.spark.sql.functions._
-      val cols = df.columns.sortBy(_.toLowerCase)
-        .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
-      val row = md5(concat_ws("\u0001", cols: _*))
-      // XOR directly over per-row hashes is duplicate-blind (any pair
-      // of identical rows cancels to 0) — fold each DISTINCT row's
-      // COUNT into its digest first, then XOR over the distinct
-      // digests: still order-independent and thread-count-invariant,
-      // now multiplicity-sensitive. sum(c) recovers the row count.
-      val hc = substring(md5(concat_ws(":", col("h"), col("c"))), 1, 15)
-      val agg = df.select(row.as("h"))
-        .groupBy(col("h")).agg(count(lit(1)).cast("string").as("c"))
-        .select(col("c").cast("long").as("n"),
-          conv(hc, 16, 10).cast("long").as("x")) // 60 bits: sign-safe
-        .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
-          coalesce(bit_xor(col("x")), lit(0L)).as("x"))
-        .head()
-      s"${agg.getLong(0)}:${java.lang.Long.toHexString(agg.getLong(1))}"
-    }
     val jobs = SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
       .map { case (name, fn) =>
       Future {
         try {
           val df = fn(spark, sfDir)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try hashes.put(name, canonHash(df))
+          try hashes.put(name, Verify.canonHash(df))
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name hash failed: ${e.getMessage}")
           }
@@ -113,5 +93,31 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/VERIFYHASH.json"), vh)
     spark.stop()
+  }
+
+  /** Canonical order-independent value digest of a result set —
+    * columns sorted by lowercased name, each value rendered through
+    * one string canon (null sentinel distinct from the string
+    * "null"), one md5 per DISTINCT row combined with its COUNT, XOR
+    * over the distinct digests. Order-independent (no sort, no
+    * driver-side collect of data) and thread-count-invariant, and —
+    * unlike a plain XOR of per-row hashes, whose identical-row pairs
+    * cancel to 0 — sensitive to duplicate-row multiplicity
+    * (round-7 ADVICE). sum of the counts recovers the row count.
+    * Format: "rowcount:xor-hex". Spec-pinned by `VerifyHashSpec`. */
+  def canonHash(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val cols = df.columns.sortBy(_.toLowerCase)
+      .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    val row = md5(concat_ws("\u0001", cols: _*))
+    val hc = substring(md5(concat_ws(":", col("h"), col("c"))), 1, 15)
+    val agg = df.select(row.as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).cast("string").as("c"))
+      .select(col("c").cast("long").as("n"),
+        conv(hc, 16, 10).cast("long").as("x")) // 60 bits: sign-safe
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(bit_xor(col("x")), lit(0L)).as("x"))
+      .head()
+    s"${agg.getLong(0)}:${java.lang.Long.toHexString(agg.getLong(1))}"
   }
 }
