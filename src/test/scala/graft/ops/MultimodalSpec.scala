@@ -92,6 +92,23 @@ class MultimodalSpec extends SparkSpec {
     // oversampling clamps to the frame count with distinct indices
     assert(sampleFrames(media, 10).filter($"media_id" === 1).count() == 3)
 
+    // MJPEG containers: the sampled payload is the container's JPEG
+    // chunk VERBATIM (passthrough, no re-encode)
+    val mj = VideoCodec.encodeAviMjpeg((0 until 2).map { f =>
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8)
+        img.setRGB(x, y, (x * 11 + y * 29 + f * 41) % 256 * 0x010101)
+      img
+    })
+    val mjFrames = sampleFrames(Seq(MediaRow(7L, "video", mj)).toDS(), 2)
+      .orderBy($"frame_idx").as[FrameRow].collect()
+    val mjChunks = VideoCodec.parse(mj).frames
+    assert(mjFrames.length == 2)
+    mjFrames.foreach(fr =>
+      assert(java.util.Arrays.equals(fr.payload, mjChunks(fr.frame_idx)._2),
+        s"frame ${fr.frame_idx} must pass through verbatim"))
+
     val ff = frameFeatures(media, 2, dim = 8)
     val twice = frameFeatures(media, 2, dim = 8)
     assert(ff.orderBy($"media_id", $"frame_idx").as[FrameFeatures]
