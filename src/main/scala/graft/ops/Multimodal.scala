@@ -326,6 +326,12 @@ object Multimodal {
           val id = fourcc(payload, off)
           val size = u32(payload, off + 4).toInt
           val body = off + 8
+          // a corrupt size (negative after the u32→int cast, or past
+          // the buffer) must FAIL, not walk: a negative size moves the
+          // offset BACKWARD — an infinite loop on an executor, the one
+          // failure mode worse than an exception in a 100-TB pass
+          require(size >= 0 && body + size <= payload.length,
+            s"malformed RIFF chunk '$id' at offset $off (size $size)")
           if (id == "LIST") {
             val lt = fourcc(payload, body)
             walk(body + 4, body + size, inMovi || lt == "movi")
@@ -335,8 +341,10 @@ object Multimodal {
             width = u32(payload, body + 4).toInt
             height = u32(payload, body + 8).toInt
             bits = (u32(payload, body + 12) >> 16).toInt // biBitCount
-          } else if (inMovi && size >= 0 &&
-              (id.endsWith("db") || id.endsWith("dc"))) {
+            require(width > 0 && width <= 65535 &&
+              height > 0 && height <= 65535,
+              s"implausible stream geometry ${width}x$height")
+          } else if (inMovi && (id.endsWith("db") || id.endsWith("dc"))) {
             frames += ((id.substring(2),
               java.util.Arrays.copyOfRange(payload, body, body + size)))
           }

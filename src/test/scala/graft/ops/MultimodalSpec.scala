@@ -89,6 +89,15 @@ class MultimodalSpec extends SparkSpec {
     }
     // corrupt / empty payloads: zero rows, no crash
     assert(frames.filter($"media_id" isin (2L, 3L)).count() == 0)
+    // a chunk with size 0xFFFFFFFF (negative after the int cast) must
+    // THROW in parse, not walk backward into an infinite loop — and
+    // sampleFrames must therefore drop it, promptly
+    val evil = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++
+      "AVI ".getBytes ++ "JUNK".getBytes ++
+      Array[Byte](-1, -1, -1, -1) ++ new Array[Byte](64)
+    intercept[IllegalArgumentException](VideoCodec.parse(evil))
+    assert(sampleFrames(Seq(MediaRow(9L, "video", evil)).toDS(), 2)
+      .count() == 0)
     // oversampling clamps to the frame count with distinct indices
     assert(sampleFrames(media, 10).filter($"media_id" === 1).count() == 3)
 
