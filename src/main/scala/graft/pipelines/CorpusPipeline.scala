@@ -1501,6 +1501,64 @@ object CorpusPipeline {
     graft.ops.Upsert.readBatchState(spark, bucketPath, excludeBatch,
       schema = "band INT, band_key STRING, batch_id STRING")
 
+  /** T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4, the masked
+    * denoising objective every encoder-decoder pretraining run feeds
+    * on): noise spans are cut out of the token stream, the INPUT keeps
+    * the surviving tokens with each span replaced by one sentinel, and
+    * the TARGET is the sentinels followed by the tokens they hid.
+    *
+    * Deterministic variant (the repo's seeded-hash discipline — no RNG
+    * state, byte-stable under replay and partitioning): positions
+    * partition into fixed blocks of `blockLen`; in each block a seeded
+    * hash of (doc_id, block) picks the span start offset in
+    * [0, blockLen − spanLen], masking `spanLen` tokens — giving exactly
+    * spanLen/blockLen noise density and fixed span length (T5 defaults
+    * 3/20 = 15% density, mean span 3). Sentinels carry the BLOCK index
+    * (`<extra_id_b>`), not a per-doc dense rank — ids can skip where a
+    * block's span falls past the doc's end, a documented simplification
+    * that keeps the construction one pure projection.
+    *
+    * Scale shape: one explode over the token stream, codegen'd span
+    * arithmetic per row, ONE doc-keyed aggregation with fixed-order
+    * assembly (sort_array over (pos, token) structs) — no window over
+    * data-sized input, no join, shuffle carries the token stream once
+    * (the same floor as any re-segmentation).
+    *
+    * Returns (doc_id, n_tokens, n_masked, input_text, target_text),
+    * oracle-exact (q189). */
+  def spanCorruption(docs: DataFrame, blockLen: Int = 20,
+      spanLen: Int = 3, seed: Int = 0, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(blockLen >= 1 && spanLen >= 1 && spanLen <= blockLen,
+      s"need 1 <= spanLen <= blockLen, got $spanLen/$blockLen")
+    val t = graft.ops.Compute.spread(docs.select(col(id), col(text)))
+      .select(col(id), posexplode(T.tokens(col(text))).as(Seq("i0", "tok")))
+    val b = floor(col("i0") / lit(blockLen)).cast("long")
+    val off = pmod(
+      T.hash60(concat_ws("#", col(id), b), seed),
+      lit((blockLen - spanLen + 1).toLong))
+    val inBlockPos = col("i0") % lit(blockLen)
+    val inSpan = inBlockPos >= off && inBlockPos < off + lit(spanLen)
+    val spanStart = inSpan && inBlockPos === off
+    val sentinel = concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+    val marked = t
+      .withColumn("__in", when(!inSpan, col("tok"))
+        .when(spanStart, sentinel))            // else null → dropped
+      .withColumn("__tg", when(spanStart, concat_ws(" ", sentinel, col("tok")))
+        .when(inSpan, col("tok")))             // else null → dropped
+      .withColumn("__m", when(inSpan, 1L).otherwise(0L))
+    def assemble(c: String): Column =
+      array_join(transform(
+        sort_array(collect_list(when(col(c).isNotNull,
+          struct(col("i0"), col(c).as("t"))))),
+        x => x("t")), " ")
+    marked.groupBy(col(id))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("__m")).cast("long").as("n_masked"),
+        assemble("__in").as("input_text"),
+        assemble("__tg").as("target_text"))
+  }
+
   /** Fixed-size training shards: bounded rows per output file (the
     * shape downstream training loaders consume), writers spread across
     * the cluster. `maxRecordsPerFile` does the bounding; the

@@ -4907,6 +4907,56 @@ object TrainingData extends QueryPack {
       FROM rr WHERE rn2 <= 5 ORDER BY id_q, rank"""),
     covers = Seq("TD-pq", "TD-ann-ivf", "TD-ann-recall"))
 
+  /** T5-style span corruption ([[graft.pipelines.CorpusPipeline
+    * .spanCorruption]], Raffel et al. 2020 §3.1.4): deterministic
+    * masked-denoising pair construction — fixed 20-token blocks, a
+    * seeded hash of (doc_id, block) places each 3-token noise span
+    * (15% density), input keeps survivors with one `<extra_id_b>`
+    * sentinel per span, target is each sentinel followed by the tokens
+    * it hid. Every output string is a pure function of (doc_id, text,
+    * seed), so the full input/target TEXTS hash-match the oracle. */
+  val q189 = Q(
+    "q189_span_corruption",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.spanCorruption(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val h = dkHash(0, "doc_id||'#'||CAST(b AS VARCHAR)")
+      s"""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+      t AS (SELECT doc_id, i - 1 AS i0, ws[i] AS tok
+            FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, len(ws))) AS i
+                  FROM toks)),
+      x AS (SELECT doc_id, i0, tok, b, $h % 18 AS off, i0 % 20 AS p
+            FROM (SELECT doc_id, i0, tok, i0 // 20 AS b FROM t)),
+      m AS (SELECT doc_id, i0, tok, b, off, p,
+              (p >= off AND p < off + 3) AS in_span,
+              (p = off) AS span_start
+            FROM x),
+      agg AS (SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN in_span THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_masked,
+                coalesce(string_agg(
+                  CASE WHEN NOT in_span THEN tok
+                       WHEN span_start THEN
+                         '<extra_id_'||CAST(b AS VARCHAR)||'>' END,
+                  ' ' ORDER BY i0), '') AS input_text,
+                coalesce(string_agg(
+                  CASE WHEN in_span AND span_start THEN
+                         '<extra_id_'||CAST(b AS VARCHAR)||'> '||tok
+                       WHEN in_span THEN tok END,
+                  ' ' ORDER BY i0), '') AS target_text
+              FROM m GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_masked, input_text, target_text
+      FROM agg ORDER BY doc_id"""
+    },
+    covers = Seq("TD-span-corruption", "TD-seq-pack"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4918,5 +4968,5 @@ object TrainingData extends QueryPack {
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184, q185, q186, q187, q188)
+      q181, q182, q183, q184, q185, q186, q187, q188, q189)
 }

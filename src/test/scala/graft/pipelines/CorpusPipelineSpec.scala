@@ -201,4 +201,49 @@ class CorpusPipelineSpec extends SparkSpec {
     // doc 4: [a b]x5, [b a]x4 -> 5/9
     assert(got(4L)._2 == 5L && got(4L)._3 == 9L)
   }
+
+  test("spanCorruption: denoising round-trip, exact density, determinism") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val out = CorpusPipeline.spanCorruption(docs).cache()
+    val orig = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    val rows = out.select($"doc_id", $"n_tokens", $"n_masked",
+      $"input_text", $"target_text")
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(rows.length == orig.size)
+    val sentinel = "<extra_id_(\\d+)>".r
+    rows.foreach { case (id, nTok, nMask, input, target) =>
+      val toks = orig(id).split(" ", -1)
+      assert(nTok == toks.length)
+      // exact density: each complete 20-token block masks exactly 3;
+      // the final partial block masks between 0 and 3
+      val full = toks.length / 20
+      assert(nMask >= full * 3 && nMask <= full * 3 + 3,
+        s"doc $id: $nMask masked of ${toks.length}")
+      // ROUND-TRIP: splice each target span back over its sentinel in
+      // the input -> the original text, exactly (the denoising
+      // objective's defining property)
+      val spans = sentinel.findAllMatchIn(target).toList
+      val spanTok = spans.zip(spans.map(_.end).zip(
+          spans.drop(1).map(_.start) :+ target.length))
+        .map { case (m, (from, to)) =>
+          m.group(1) -> target.substring(from, to).trim }.toMap
+      val rebuilt = input.split(" ", -1).flatMap { t =>
+        sentinel.findFirstMatchIn(t) match {
+          case Some(m) => spanTok(m.group(1)).split(" ", -1)
+          case None => Array(t)
+        }
+      }
+      assert(rebuilt.sameElements(toks),
+        s"doc $id: splice must rebuild the original")
+    }
+    // deterministic under re-run; a different seed moves the spans
+    val again = CorpusPipeline.spanCorruption(docs)
+      .select($"doc_id", $"input_text").as[(Long, String)].collect().toMap
+    val seeded = CorpusPipeline.spanCorruption(docs, seed = 7)
+      .select($"doc_id", $"input_text").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, _, _, input, _) => assert(again(id) == input) }
+    assert(rows.exists { case (id, _, _, input, _) => seeded(id) != input })
+    out.unpersist()
+  }
 }
