@@ -39,8 +39,17 @@ object CacheTracker {
   private val checkpointed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Dataset[_]]()
 
-  /** Register a persisted intermediate; returns it unchanged. */
+  /** Register an intermediate for end-of-query unpersist; returns it.
+    * If the caller did not persist it already, persist it here
+    * (MEMORY_AND_DISK, the Dedup.cached convention) — round-8 ADVICE:
+    * several call sites passed unpersisted frames, so each
+    * intermediate silently recomputed per consumer and the later
+    * unpersist was a no-op. Persisting internally makes "tracked"
+    * and "persisted" the same set by construction; an
+    * already-persisted frame keeps its caller-chosen level. */
   def track[T](d: Dataset[T]): Dataset[T] = {
+    if (d.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tracked.add(d)
     d
   }

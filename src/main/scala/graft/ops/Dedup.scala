@@ -249,26 +249,36 @@ object Dedup {
     * coarse chunks and fatter buckets; at extreme corpus sizes pick a
     * tighter maxDist or recurse the construction (split each chunk
     * collision group again). AQE skew-join splits oversized buckets. */
-  def simhashNearPairs(sh: DataFrame, id: String, maxDist: Int): DataFrame = {
+  def simhashNearPairs(sh: DataFrame, id: String, maxDist: Int): DataFrame =
+    hammingNearPairs(sh, id, maxDist, bits = 60, hashCol = "simhash")
+
+  /** The pigeonhole construction generalized to any hash width ≤ 64 —
+    * the same machinery serves the 60-bit text SimHash (above) and the
+    * 64-bit image dHash (q190). `bits = 64` is safe: the top chunk's
+    * arithmetic shiftright sign-extends, but the width mask cuts the
+    * extension back off, and `bit_count(xor)` is sign-agnostic. */
+  def hammingNearPairs(sh: DataFrame, id: String, maxDist: Int,
+      bits: Int, hashCol: String): DataFrame = {
     val nChunks = maxDist + 1
-    require(nChunks <= 60, "maxDist must be < 60")
-    val base = 60 / nChunks
-    val extra = 60 % nChunks
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64]: $bits")
+    require(nChunks <= bits, s"maxDist must be < $bits")
+    val base = bits / nChunks
+    val extra = bits % nChunks
     val widths = (0 until nChunks).map(c => base + (if (c < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     def chunkOf(h: Column, c: Int): Column =
       shiftright(h, offsets(c)).bitwiseAND(lit((1L << widths(c)) - 1))
-    val chunks = array((0 until nChunks).map(c => chunkOf(col("simhash"), c)): _*)
+    val chunks = array((0 until nChunks).map(c => chunkOf(col(hashCol), c)): _*)
     // pinned: the chunk index feeds BOTH sides of the self-join, and the
     // broadcast side's exchange type differs from the probe side's, so
     // exchange reuse can never kick in — without the pin the entire
     // upstream simhash aggregation (token explode + 60 conditional sums)
     // runs twice
-    val idx = cached(sh.select(col(id), col("simhash"),
+    val idx = cached(sh.select(col(id), col(hashCol),
       posexplode(chunks).as(Seq("chunk", "cv"))))
-    val a = idx.select(col(id).as("id_a"), col("simhash").as("sh_a"),
+    val a = idx.select(col(id).as("id_a"), col(hashCol).as("sh_a"),
       col("chunk"), col("cv"))
-    val b = idx.select(col(id).as("id_b"), col("simhash").as("sh_b"),
+    val b = idx.select(col(id).as("id_b"), col(hashCol).as("sh_b"),
       col("chunk"), col("cv"))
     // canonical-chunk dedup, all inside the codegen'd join stage: a
     // pair is emitted ONLY from its first matching chunk (all earlier

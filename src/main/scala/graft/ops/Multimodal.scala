@@ -148,6 +148,39 @@ object Multimodal {
     def syntheticPng(id: Long): Array[Byte] =
       encodeGrayPng((8 + id % 9).toInt, (8 + id % 7).toInt,
         (x, y) => ((x * 7 + y * 13 + id) % 256).toInt)
+
+    /** 64-bit dHash perceptual fingerprint over the REAL decoded
+      * pixels (difference hash — the standard crawl-scale image-dedup
+      * fingerprint): resample the red channel to a 9×8 grid by
+      * nearest-neighbor at integer coordinates (sx = x·w/9,
+      * sy = y·h/8 — integer floor, so the whole fingerprint is
+      * closed-form recomputable by an SQL oracle, the q76 exactness
+      * move; production dHash uses area-average resize, which changes
+      * the constants but not the construction), then bit y·8+x is set
+      * iff the right neighbor is strictly brighter. Near-identical
+      * images — recompressed, slightly recolored — land within a few
+      * bits; Hamming-≤k pairs come from the SimHash pigeonhole
+      * machinery ([[graft.ops.Dedup.hammingNearPairs]]), never an
+      * all-pairs compare. */
+    def dHash64(payload: Array[Byte]): Long = {
+      val img = read(payload)
+      val w = img.getWidth
+      val h = img.getHeight
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        val sy = y * h / 8
+        var x = 0
+        while (x < 8) {
+          val g0 = (img.getRGB(x * w / 9, sy) >> 16) & 0xff
+          val g1 = (img.getRGB((x + 1) * w / 9, sy) >> 16) & 0xff
+          if (g1 > g0) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
   }
 
   /** Decoded audio statistics — the real-codec output row. Amplitude
@@ -332,12 +365,23 @@ object Multimodal {
           // failure mode worse than an exception in a 100-TB pass
           require(size >= 0 && body + size <= payload.length,
             s"malformed RIFF chunk '$id' at offset $off (size $size)")
+          // the declared size must also COVER the fixed-offset fields
+          // read below — a truncated trailing chunk must fail with the
+          // guarded message, not an ArrayIndexOutOfBoundsException
+          // (round-8 ADVICE: LIST needs 4 bytes of list type, strh 4
+          // bytes of stream type, strf 16 bytes of BITMAPINFOHEADER
+          // geometry)
+          def covers(n: Int): Unit = require(size >= n,
+            s"malformed RIFF chunk '$id' at offset $off (size $size)")
           if (id == "LIST") {
+            covers(4)
             val lt = fourcc(payload, body)
             walk(body + 4, body + size, inMovi || lt == "movi")
           } else if (id == "strh") {
+            covers(4)
             inVideoStream = fourcc(payload, body) == "vids"
           } else if (id == "strf" && inVideoStream && width == 0) {
+            covers(16)
             width = u32(payload, body + 4).toInt
             height = u32(payload, body + 8).toInt
             bits = (u32(payload, body + 12) >> 16).toInt // biBitCount

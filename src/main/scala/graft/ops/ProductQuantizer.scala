@@ -103,7 +103,7 @@ object ProductQuantizer {
     * the MATERIALIZED (sub, cid, mean) table — k·m rows, checkpointed
     * so every consumer reads one frozen codebook. */
   private def train(p: DataFrame, emb: DataFrame, m: Int, k: Int,
-      iters: Int, id: String): DataFrame = {
+      iters: Int, id: String, track: Boolean = true): DataFrame = {
     // init: the k smallest-id vectors seed every subspace (the q79/
     // KMeans convention), cid = rank within those ids
     val initIds = emb.select(col(id)).orderBy(col(id)).limit(k)
@@ -131,7 +131,7 @@ object ProductQuantizer {
           coalesce(col("mean"), col("__prev")).as("mean"))
     }
     val out = cents.localCheckpoint() // k·m rows by contract
-    graft.CacheTracker.trackCheckpoint(out)
+    if (track) graft.CacheTracker.trackCheckpoint(out)
     out
   }
 
@@ -340,6 +340,18 @@ object ProductQuantizer {
     val codes = assignSubs(p, cents, id)
       .join(res.select(col(id), col("cell")), Seq(id))
       .select(col(id).as("id_c"), col("cell"), col("sub"), col("code"))
+    searchCore(coarse, cents, codes, queries, dim, m, nProbe, topK, id,
+      vec)
+  }
+
+  /** The query-time half of [[ivfPqSearch]] against an ALREADY-BUILT
+    * index: probes, per-(query, cell) residual LUT, inverted-list
+    * equi-join, per-query top-k. `codes` columns: (id_c, cell, sub,
+    * code). No corpus-sized work happens here beyond the (cell, sub,
+    * code) equi-join of the index table against the broadcast LUT. */
+  private def searchCore(coarse: DataFrame, cents: DataFrame,
+      codes: DataFrame, queries: DataFrame, dim: Int, m: Int,
+      nProbe: Int, topK: Int, id: String, vec: String): DataFrame = {
     // probe side: nProbe nearest cells per query (the q79/ivfSearch
     // explode), then the PER-CELL residual query vector
     val cArr = coarse.agg(
@@ -408,6 +420,15 @@ object ProductQuantizer {
       s"need shortlist >= topK >= 1, got shortlist=$shortlist topK=$topK")
     val cand = ivfPqSearch(emb, queries, dim, kc, cIters, m, k, iters,
       nProbe, shortlist, id, vec)
+    refineCore(cand, emb, queries, topK, id, vec)
+  }
+
+  /** Exact re-rank of an ADC shortlist: one broadcast of the query
+    * vectors + one id-equi hash join into the raw vector store
+    * (#queries·shortlist rows — a point-lookup shape at 100 TB). */
+  private def refineCore(cand: DataFrame, emb: DataFrame,
+      queries: DataFrame, topK: Int, id: String, vec: String)
+      : DataFrame = {
     val qv = KMeans.prep(queries, id, vec)
       .select(col(id).as("id_q"), col("__qd").as("__qq"))
     val cv = KMeans.prep(emb, id, vec)
@@ -421,6 +442,75 @@ object ProductQuantizer {
       .filter(col("rank") <= topK)
       .select(col("id_q"), col("rank"), col("id_c"),
         col("dist_exact"), col("dist_est"))
+  }
+
+  /** A fully-built, session-shared IVF-PQ index: frozen coarse cells,
+    * frozen residual-PQ codebooks, and the ENCODED corpus — (id, cell,
+    * sub, code, dist_sq), m rows per vector. All three frames are
+    * materialized (localCheckpoint) and deliberately NOT registered
+    * with [[graft.CacheTracker]]: like `EdwQueries.star`, the index
+    * models a MATERIALIZED artifact that outlives query boundaries. */
+  final case class IvfPqIndex(coarse: DataFrame, cents: DataFrame,
+      codes: DataFrame)
+
+  private val indexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
+
+  /** Train + encode ONCE per (session, corpus, params) and share the
+    * frozen index across every consumer — the round-8 VERDICT's
+    * materialize-once ask. In production this is how IVF-PQ actually
+    * lives: the index is built rarely and served constantly; a query
+    * never retrains. `corpusKey` must uniquely name the corpus (e.g.
+    * the sf dir plus any filter); the memo key adds the session UUID
+    * so a new session can never read another session's frames.
+    * Training math is IDENTICAL to [[ivfPqEncode]]/[[ivfPqState]]
+    * (deterministic Lloyd), so results are bit-equal to the
+    * train-per-call paths and the oracles are untouched. */
+  def ivfPqIndexShared(emb: DataFrame, corpusKey: String, dim: Int,
+      kc: Int, cIters: Int, m: Int, k: Int, iters: Int,
+      id: String = "vec_id", vec: String = "embedding"): IvfPqIndex = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val key = Seq(System.identityHashCode(emb.sparkSession), corpusKey,
+      dim, kc, cIters, m, k, iters, id, vec).mkString("|")
+    indexMemo.computeIfAbsent(key, _ => {
+      val coarse = KMeans.centroids(emb, kc, cIters, id, vec)
+        .localCheckpoint() // untracked: survives query boundaries
+      val res = graft.CacheTracker.track(residuals(emb, coarse, id, vec))
+      val p = prepSubsQ(res, dim, m, id, "__r")
+      val cents = train(p, res, m, k, iters, id, track = false)
+      val codes = assignSubs(p, cents, id)
+        .join(res.select(col(id), col("cell")), Seq(id))
+        .select(col(id), col("cell"), col("sub"), col("code"),
+          col("dist_sq"))
+        .localCheckpoint() // n·m small rows: the inverted lists
+      IvfPqIndex(coarse, cents, codes)
+    })
+  }
+
+  /** [[ivfPqSearch]] against a shared [[IvfPqIndex]]: zero training,
+    * zero corpus encode — probes + broadcast LUT + inverted-list
+    * equi-join only, the actual serving path. */
+  def ivfPqSearchIndexed(idx: IvfPqIndex, queries: DataFrame, dim: Int,
+      m: Int, nProbe: Int, topK: Int, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && topK >= 1, "need nProbe >= 1 and topK >= 1")
+    searchCore(idx.coarse, idx.cents,
+      idx.codes.select(col(id).as("id_c"), col("cell"), col("sub"),
+        col("code")),
+      queries, dim, m, nProbe, topK, id, vec)
+  }
+
+  /** [[ivfPqRefine]] against a shared [[IvfPqIndex]]. */
+  def ivfPqRefineIndexed(idx: IvfPqIndex, emb: DataFrame,
+      queries: DataFrame, dim: Int, m: Int, nProbe: Int, shortlist: Int,
+      topK: Int, id: String = "vec_id", vec: String = "embedding")
+      : DataFrame = {
+    require(shortlist >= topK && topK >= 1,
+      s"need shortlist >= topK >= 1, got shortlist=$shortlist topK=$topK")
+    refineCore(
+      ivfPqSearchIndexed(idx, queries, dim, m, nProbe, shortlist, id,
+        vec),
+      emb, queries, topK, id, vec)
   }
 
   def adcSearch(emb: DataFrame, queries: DataFrame, dim: Int, m: Int,

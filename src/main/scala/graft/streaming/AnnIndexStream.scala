@@ -28,17 +28,38 @@ import graft.ops.ProductQuantizer
 object AnnIndexStream {
 
   /** Start the index-ingest sink. `coarse`/`cents` are a materialized
-    * [[graft.ops.ProductQuantizer.ivfPqState]]. */
+    * [[graft.ops.ProductQuantizer.ivfPqState]].
+    *
+    * Batch-id namespacing (round-8 ADVICE): Spark's micro-batch
+    * counter restarts at 0 under a NEW checkpoint dir, so a bare
+    * `stream-$bid` id against an EXISTING indexPath would silently
+    * overwrite the old run's `stream-0` subdirectory via the atomic
+    * per-subdir swap — dropping previously indexed vectors with no
+    * error. Batch ids therefore carry a namespace derived from the
+    * CHECKPOINT path: replays of the same checkpoint keep the same
+    * (namespace, bid) — exactly-once is untouched — while a fresh
+    * checkpoint gets a fresh namespace and can never collide with a
+    * prior run's subdirs. Corollary: checkpoint and indexPath
+    * lifetimes are coupled — resuming an index MUST reuse its
+    * checkpoint; pointing a new checkpoint at an old indexPath
+    * APPENDS a new namespace (re-delivered vectors are still
+    * deduplicated by the left_anti claim check in ivfPqIngest). */
   def runIngestSink(vecs: DataFrame, coarse: DataFrame, cents: DataFrame,
       indexPath: String, checkpoint: String, dim: Int, m: Int,
-      id: String = "vec_id", vec: String = "embedding"): StreamingQuery =
+      id: String = "vec_id", vec: String = "embedding"): StreamingQuery = {
+    val ns = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpoint.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ProductQuantizer.ivfPqIngest(batch.sparkSession, batch, coarse,
-          cents, indexPath, s"stream-$bid", dim, m, id, vec)
+          cents, indexPath, s"stream-$ns-$bid", dim, m, id, vec)
         ()
       }
       .start()
+  }
 }

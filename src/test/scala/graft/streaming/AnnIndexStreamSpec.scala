@@ -55,12 +55,20 @@ class AnnIndexStreamSpec extends SparkSpec {
       .parquet(idx)
     // every distinct vector indexed exactly once (m=2 rows each)
     assert(table.count() == 16 * 2)
-    assert(table.select("batch_id").distinct().as[String].collect().toSet
-      == Set("stream-0", "stream-1"))
+    // batch ids are namespaced by the checkpoint (round-8 ADVICE: a
+    // NEW checkpoint must never collide with a prior run's subdirs);
+    // the same checkpoint across both runOnce() calls keeps one
+    // namespace with consecutive micro-batch counters
+    val ids = table.select("batch_id").distinct().as[String]
+      .collect().toSet
+    assert(ids.size == 2)
+    val ns = ids.map(_.split("-")(1))
+    assert(ns.size == 1 && ns.head.matches("[0-9a-f]{8}"))
+    assert(ids.map(_.split("-")(2)) == Set("0", "1"))
     // re-delivered ids live only in their FIRST batch
     assert(table.filter(col("vec_id").isin(8L, 9L))
       .select("batch_id").distinct().as[String].collect().toSeq
-      == Seq("stream-0"))
+      == Seq(s"stream-${ns.head}-0"))
     // streamed index == one-shot frozen-state encode of the distinct set
     val direct = ProductQuantizer.ivfPqEncodeWith(coarse, cents,
       emb(0L until 16L), dim = 8, m = 2).collect()
