@@ -149,6 +149,31 @@ object Multimodal {
       encodeGrayPng((8 + id % 9).toInt, (8 + id % 7).toInt,
         (x, y) => ((x * 7 + y * 13 + id) % 256).toInt)
 
+    /** The q190 image family: textured, id-keyed pixels. A LINEAR
+      * gradient ([[syntheticPng]]) is adversarial for dHash — its
+      * horizontal deltas are constant, so every bit reduces to "did
+      * the row wrap here", the whole corpus collapses into a handful
+      * of fingerprint classes, and near-dup search degenerates into
+      * everything-matches-everything. The quadratic + cross terms give
+      * each id pseudo-random comparison signs (well-separated hashes —
+      * what real photographs look like to a dHash) while every pixel
+      * stays a closed-form polynomial in (x, y, id) that an SQL oracle
+      * recomputes exactly. `pert = true` is the near-duplicate
+      * variant: identical except pixel (0, 0) is forced to 255 — a
+      * single-pixel retouch. Pixel (0, 0) sits on the dHash sampling
+      * grid (sx = 0 at x = 0, and again at x = 1 when w = 8; sy = 0
+      * at y = 0), so the variant lands within hamming distance ≤ 2 of
+      * its original. */
+    def syntheticPngTextured(id: Long, pert: Boolean): Array[Byte] = {
+      val a = 3 + id % 13
+      val b = 5 + id % 11
+      encodeGrayPng((8 + id % 9).toInt, (8 + id % 7).toInt,
+        (x, y) =>
+          if (pert && x == 0 && y == 0) 255
+          else ((x.toLong * x * 3 + y.toLong * y * 5 + x.toLong * y * 7
+            + x * a + y * b + id) % 256).toInt)
+    }
+
     /** 64-bit dHash perceptual fingerprint over the REAL decoded
       * pixels (difference hash — the standard crawl-scale image-dedup
       * fingerprint): resample the red channel to a 9×8 grid by
@@ -307,6 +332,20 @@ object Multimodal {
     import media.sparkSession.implicits._
     Compute.spread(media)
       .mapPartitions(_.map(r => ImageCodec.decodeStats(r.media_id, r.payload)))
+  }
+
+  /** One perceptual fingerprint per image. */
+  final case class MediaHash(media_id: Long, dhash: Long)
+
+  /** Partition-parallel REAL image decode → 64-bit dHash fingerprints
+    * ([[ImageCodec.dHash64]]): the candidate-generation input for
+    * image near-dup (q190). Decode cost dominates, so the narrow scan
+    * widens first — same shape as [[imageStats]]. */
+  def imageDHashes(media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    Compute.spread(media)
+      .mapPartitions(_.map(r =>
+        MediaHash(r.media_id, ImageCodec.dHash64(r.payload))))
   }
 
   /** Decoded per-frame statistics — the video analog of [[ImageStats]]. */

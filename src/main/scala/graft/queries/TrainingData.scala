@@ -4972,6 +4972,81 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-span-corruption", "TD-seq-pack"))
 
+  /** Perceptual-hash image near-dup — the modality the dedup matrix
+    * was missing (text q21–q25, embeddings q26/q111, now pixels): each
+    * doc id renders to a REAL PNG, every fourth doc also gets a
+    * single-pixel-retouched variant (ImageCodec.syntheticPngNearDup —
+    * the recompressed/slightly-recolored crawl case), the engine
+    * decodes the actual bytes and fingerprints them with the 64-bit
+    * dHash (difference hash over the REAL decoded pixels), and
+    * Hamming-≤2 pairs come from the SimHash pigeonhole machinery
+    * (Dedup.hammingNearPairs) — an equi-join on (chunk, value), never
+    * an all-pairs compare. The oracle recomputes every fingerprint bit
+    * from the closed-form pixel function (nearest-neighbor 9×8 grid,
+    * integer division) and scores pairs with DuckDB's string hamming —
+    * so a codec or hash that mis-decodes one sampled pixel hash-fails. */
+  val q190 = Q(
+    "q190_image_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+        .flatMap { id =>
+          val orig = Multimodal.MediaRow(id, "image",
+            Multimodal.ImageCodec.syntheticPngTextured(id, pert = false))
+          if (id % 4 == 0)
+            Seq(orig, Multimodal.MediaRow(id + 10000000L, "image",
+              Multimodal.ImageCodec.syntheticPngTextured(id, pert = true)))
+          else Seq(orig)
+        }
+      val hashes = Multimodal.imageDHashes(media).toDF()
+      Dedup.hammingNearPairs(hashes, "media_id", maxDist = 2,
+          bits = 64, hashCol = "dhash")
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
+               CAST(8 + doc_id % 9 AS INT) AS w,
+               CAST(8 + doc_id % 7 AS INT) AS h,
+               CAST(3 + doc_id % 13 AS INT) AS sa,
+               CAST(5 + doc_id % 11 AS INT) AS sb
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id, TRUE,
+               CAST(8 + doc_id % 9 AS INT), CAST(8 + doc_id % 7 AS INT),
+               CAST(3 + doc_id % 13 AS INT), CAST(5 + doc_id % 11 AS INT)
+        FROM documents WHERE doc_id % 4 = 0),
+      g AS (
+        SELECT media_id, y.j * 8 + x.i AS bitpos,
+               CASE WHEN
+                 (CASE WHEN pert AND ((x.i+1) * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE (((x.i+1) * w // 9) * ((x.i+1) * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + ((x.i+1) * w // 9) * (y.j * h // 8) * 7
+                             + ((x.i+1) * w // 9) * sa
+                             + (y.j * h // 8) * sb + base) % 256 END)
+                 >
+                 (CASE WHEN pert AND (x.i * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE ((x.i * w // 9) * (x.i * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + (x.i * w // 9) * (y.j * h // 8) * 7
+                             + (x.i * w // 9) * sa
+                             + (y.j * h // 8) * sb + base) % 256 END)
+                 THEN '1' ELSE '0' END AS b
+        FROM m, range(0, 8) x(i), range(0, 8) y(j)),
+      hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
+             FROM g GROUP BY media_id)
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(hamming(a.hstr, b.hstr) AS BIGINT) AS hamming
+      FROM hs a JOIN hs b ON a.media_id < b.media_id
+      WHERE hamming(a.hstr, b.hstr) <= 2
+      ORDER BY id_a, id_b"""),
+    covers = Seq("TD-dedup-image", "TD-multimodal"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -4983,5 +5058,5 @@ object TrainingData extends QueryPack {
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184, q185, q186, q187, q188, q189)
+      q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
 }

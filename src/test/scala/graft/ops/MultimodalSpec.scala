@@ -192,6 +192,65 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash64: closed-form over the textured family; retouch stays " +
+      "within hamming 2; unrelated ids are far") {
+    import Multimodal._
+    // the hash equals the bit-by-bit recompute from the pixel formula
+    def expected(id: Long, pert: Boolean): Long = {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val a = 3 + id % 13; val b = 5 + id % 11
+      def v(sx: Int, sy: Int): Long =
+        if (pert && sx == 0 && sy == 0) 255
+        else (sx.toLong * sx * 3 + sy.toLong * sy * 5 + sx.toLong * sy * 7
+          + sx * a + sy * b + id) % 256
+      (for { y <- 0 until 8; x <- 0 until 8
+             if v((x + 1) * w / 9, y * h / 8) > v(x * w / 9, y * h / 8) }
+        yield 1L << (y * 8 + x)).foldLeft(0L)(_ | _)
+    }
+    for (id <- Seq(0L, 7L, 63L, 255L, 256L, 1000L)) {
+      val orig = ImageCodec.dHash64(ImageCodec.syntheticPngTextured(id, pert = false))
+      assert(orig == expected(id, pert = false), s"id=$id")
+      val variant = ImageCodec.dHash64(ImageCodec.syntheticPngTextured(id, pert = true))
+      assert(variant == expected(id, pert = true), s"id=$id variant")
+      // single-pixel retouch: the perturbed pixel sits on ≤2 sampled
+      // grid comparisons, so the fingerprints stay within hamming 2
+      assert(java.lang.Long.bitCount(orig ^ variant) <= 2, s"id=$id dist")
+    }
+    // the family is non-degenerate: distinct ids separate
+    val hs = (0L until 64L).map(id =>
+      ImageCodec.dHash64(ImageCodec.syntheticPngTextured(id, pert = false)))
+    val near = (for { i <- hs.indices; j <- i + 1 until hs.size
+                      if java.lang.Long.bitCount(hs(i) ^ hs(j)) <= 2 } yield 1).size
+    assert(near <= 3, s"textured corpus collapsed: $near near pairs in 64")
+  }
+
+  test("imageDHashes + hammingNearPairs: pairs equal the brute-force " +
+      "hamming-≤2 set, via the pigeonhole equi-join") {
+    import Multimodal._
+    val ids = (0L until 40L)
+    val media = ids.flatMap { id =>
+      val orig = MediaRow(id, "image", ImageCodec.syntheticPngTextured(id, pert = false))
+      if (id % 4 == 0)
+        Seq(orig, MediaRow(id + 1000L, "image",
+          ImageCodec.syntheticPngTextured(id, pert = true)))
+      else Seq(orig)
+    }.toDS()
+    val hashes = imageDHashes(media)
+    val hs = hashes.collect().map(h => h.media_id -> h.dhash).toMap
+    val expect = (for {
+      a <- hs.keys; b <- hs.keys; if a < b
+      if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 2
+    } yield (a, b)).toSet
+    val got = graft.ops.Dedup.hammingNearPairs(hashes.toDF(), "media_id",
+        maxDist = 2, bits = 64, hashCol = "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    // every retouched variant is recovered as a near-dup of its original
+    ids.filter(_ % 4 == 0).foreach { id =>
+      assert(got.contains((id, id + 1000L)), s"variant pair $id missing")
+    }
+  }
+
   test("resize: deterministic fixed-budget payloads, metadata re-derivable") {
     import Multimodal._
     val media = Seq(MediaRow(1L, "image", Array[Byte](1, 2, 3))).toDS()
