@@ -639,6 +639,59 @@ object CorpusPipeline {
         array_join(col("__kept"), " ").as("text_clean"))
   }
 
+  /** ExactSubstr duplicated-span detection (Lee et al. 2021 §3, the
+    * suffix-array companion to [[removeDupSpans]]'s fixed-gram rule):
+    * report every MAXIMAL run of tokens covered by some substring of
+    * ≥ k tokens that occurs at least twice in the corpus — including
+    * a verbatim repeat inside a single document, which the df-based
+    * [[removeDupSpans]] deliberately ignores. The suffix-array
+    * construction reduces exactly to k-gram coverage: a substring of
+    * length m ≥ k repeats iff each of its k-token windows repeats at
+    * the matching offsets, and conversely any position inside a
+    * window whose k-gram occurs twice lies in a repeated k-token
+    * substring — so covered positions = union of [st, st+k) over
+    * start positions whose k-gram has global OCCURRENCE count ≥ 2,
+    * and the variable-length duplicates q94/q107 miss fall out as the
+    * merged intervals, reported with their actual lengths.
+    *
+    * Scale shape: positional shingle pass (explode), one hash agg on
+    * the 60-bit gram hash for occurrence counts, equi-join back, then
+    * interval-merge inside a doc-partitioned window (lag + running
+    * sum — never an unpartitioned window) and a per-span aggregation.
+    * Two gram-hash shuffles + one doc-id shuffle; cost ∝ total grams,
+    * the same floor as [[dupSpanFraction]] — no suffix ARRAY is ever
+    * materialized, which is what makes the published algorithm
+    * cluster-shaped here. */
+  def exactSubstrSpans(docs: DataFrame, k: Int = 8, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    // occurrence counts via a gram-hash-partitioned window, not
+    // agg + join-back: the count and the per-position filter happen in
+    // ONE pass over one exchange, so the shingle+md5 scan — the cost
+    // floor — runs exactly once
+    val pos = graft.ops.Compute.spread(docs.select(col(id), col(text)))
+      .select(col(id),
+        posexplode(T.shinglesOf(col(text), k)).as(Seq("st", "g")))
+      .select(col(id), col("st"), T.hash60(col("g"), 0).as("h"))
+    val starts = pos
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__n") >= 2)
+      .select(col(id), col("st"))
+    val w = Window.partitionBy(col(id)).orderBy(col("st"))
+    // a start opens a NEW span iff its window [st, st+k) leaves a hole
+    // after the previous one; span ids are the running count of opens
+    val flagged = starts
+      .withColumn("__prev", lag(col("st"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("st") > col("__prev") + k, 1)
+          .otherwise(0))
+      .withColumn("__span", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col(id), col("__span"))
+      .agg(min(col("st")).as("__s"), max(col("st")).as("__e"))
+      .select(col(id), col("__s").cast("long").as("span_start"),
+        (col("__e") + k - col("__s")).cast("long").as("span_len"))
+  }
+
   /** Epoch-weighted mixture UPSAMPLING — the data-recipe complement
     * of [[mixtureSample]]: there the acceptance rate is capped at 1
     * (pure downsampling); here a stratum whose target share exceeds

@@ -5047,6 +5047,44 @@ object TrainingData extends QueryPack {
       ORDER BY id_a, id_b"""),
     covers = Seq("TD-dedup-image", "TD-multimodal"))
 
+  /** ExactSubstr duplicated spans (Lee et al. 2021 §3): maximal runs
+    * of tokens covered by a ≥8-token substring occurring at least
+    * twice ANYWHERE in the corpus (occurrence count, not document
+    * frequency — a within-doc verbatim repeat duplicates too), with
+    * their actual variable lengths — the long duplicates the fixed
+    * 5-gram machinery (q94/q107) cannot see. The oracle restates the
+    * interval merge declaratively with window functions over the same
+    * dup-start sets. */
+  val q191 = Q(
+    "q191_exact_substr",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.exactSubstrSpans(Tables(s, dir, "documents"), k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+      g AS (
+        SELECT doc_id, st,
+               ${dkHash(0, "array_to_string(ws[st:st+7], ' ')")} AS h
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-7)) AS st
+              FROM toks WHERE len(ws) >= 8)),
+      f AS (SELECT h FROM (SELECT h, count(*) AS c FROM g GROUP BY 1)
+            WHERE c >= 2),
+      d AS (SELECT doc_id, st - 1 AS st FROM g JOIN f USING (h)),
+      s AS (SELECT doc_id, st,
+              CASE WHEN lag(st) OVER w IS NULL
+                     OR st > lag(st) OVER w + 8 THEN 1 ELSE 0 END AS nw
+            FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY st)),
+      r AS (SELECT doc_id, st,
+              sum(nw) OVER (PARTITION BY doc_id ORDER BY st) AS span
+            FROM s)
+      SELECT doc_id, CAST(min(st) AS BIGINT) AS span_start,
+             CAST(max(st) + 8 - min(st) AS BIGINT) AS span_len
+      FROM r GROUP BY doc_id, span ORDER BY doc_id, span_start"""),
+    covers = Seq("TD-exact-substr", "TD-dup-span-removal"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -5058,5 +5096,5 @@ object TrainingData extends QueryPack {
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
+      q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
 }

@@ -246,4 +246,62 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(rows.exists { case (id, _, _, input, _) => seeded(id) != input })
     out.unpersist()
   }
+
+  test("exactSubstrSpans: known duplicates — cross-doc span, within-doc " +
+      "repeat, merged maximal run, sub-k repeats invisible") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("dup", 10) // 10-token verbatim duplicate
+    val docs = Seq(
+      // doc 0 and 1 share a 10-token substring at different offsets
+      (0L, words("a", 5) + " " + shared + " " + words("b", 4)),
+      (1L, shared + " " + words("c", 7)),
+      // doc 2 repeats an 8-token phrase WITHIN itself (occurrence
+      // count semantics: no second document involved)
+      (2L, words("x", 8) + " " + words("z", 3) + " " + words("x", 8)),
+      // doc 3 repeats only a 7-token phrase — below k, invisible
+      (3L, words("q", 7) + " " + words("r", 5) + " " + words("q", 7)),
+      // doc 4: unique prose
+      (4L, words("u", 30))
+    ).toDF("doc_id", "text")
+    val spans = CorpusPipeline.exactSubstrSpans(docs, k = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // 10-token shared substring => dup 8-gram starts {st, st+1, st+2}
+    // merge into one maximal span of length 10 at each occurrence
+    assert(spans.contains((0L, 5L, 10L)), spans.toString)
+    assert(spans.contains((1L, 0L, 10L)))
+    // within-doc repeat: both copies of the 8-token phrase reported
+    assert(spans.contains((2L, 0L, 8L)) && spans.contains((2L, 11L, 8L)))
+    // nothing from doc 3 (sub-k) or doc 4 (unique)
+    assert(!spans.exists(s => s._1 == 3L || s._1 == 4L))
+    assert(spans.size == 4)
+  }
+
+  test("exactSubstrSpans: adjacent distinct duplicates merge into one " +
+      "covered run; spans never overlap within a doc") {
+    val p1 = (0 until 8).map(i => s"p$i").mkString(" ")
+    val p2 = (0 until 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      // doc 0 carries p1 then p2 back-to-back; docs 1/2 carry them
+      // separately — the [p1 p2] run in doc 0 is covered end to end
+      (0L, p1 + " " + p2),
+      (1L, p1 + " " + (0 until 6).map(i => s"f$i").mkString(" ")),
+      (2L, (0 until 6).map(i => s"g$i").mkString(" ") + " " + p2)
+    ).toDF("doc_id", "text")
+    val spans = CorpusPipeline.exactSubstrSpans(docs, k = 8)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = spans.groupBy(_._1)
+    // doc 0: one merged 16-token run, not two 8-token spans
+    assert(byDoc(0L).toSet == Set((0L, 0L, 16L)), spans.mkString(","))
+    assert(byDoc(1L).toSet == Set((1L, 0L, 8L)))
+    assert(byDoc(2L).toSet == Set((2L, 6L, 8L)))
+    // invariant: within a doc, maximal spans are disjoint with gaps
+    byDoc.values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, s1, l1), (_, s2, _)) => assert(s2 > s1 + l1)
+        case _ =>
+      }
+    }
+  }
 }
