@@ -49,7 +49,15 @@ object Dedup {
   /** All-pairs n-gram Jaccard >= minJ via the inverted index:
     * |A ∩ B| from the shingle self-join, |A ∪ B| = |A|+|B|-|A∩B|. */
   def jaccardPairs(df: DataFrame, id: String, text: String,
-      n: Int, minJ: Double): DataFrame = {
+      n: Int, minJ: Double): DataFrame =
+    jaccardPairsFromIndex(shingleIndex(df, id, text, n), id, minJ)
+
+  /** [[jaccardPairs]] over a prebuilt (id, sh) shingle index — the
+    * fused-harness entry: an evaluation that derives exact truth AND
+    * an approximate candidate set from the SAME corpus (q122/q157)
+    * builds the tokenize+shingle index once and feeds it to both. */
+  def jaccardPairsFromIndex(shIdx: DataFrame, id: String,
+      minJ: Double): DataFrame = {
     // The index feeds three subtrees (both join sides + sizes); persist
     // it so tokenize+shingle runs once, not three times. MEMORY_AND_DISK:
     // at cluster scale the index can exceed executor memory and spills.
@@ -57,8 +65,7 @@ object Dedup {
     // shuffle and cheaper probes; a count-altering collision needs two
     // distinct shingles of the SAME document pair to collide (~2⁻⁶⁴
     // per pair) and the oracle gate would surface it.
-    val idx = cached(shingleIndex(df, id, text, n)
-      .select(col(id), xxhash64(col("sh")).as("sh")))
+    val idx = cached(shIdx.select(col(id), xxhash64(col("sh")).as("sh")))
     val sizes = idx.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val a = idx.select(col(id).as("id_a"), col("sh"))
     val b = idx.select(col(id).as("id_b"), col("sh"))
@@ -181,9 +188,14 @@ object Dedup {
     * k min() columns (map-side combine keeps the shuffle tiny). Docs
     * with no shingle (shorter than n tokens) are dropped. */
   def minhashSignatures(df: DataFrame, id: String, text: String,
-      n: Int, k: Int): DataFrame = {
-    val idx = shingleIndex(df, id, text, n)
-      .withColumn("h31", T.hash31(col("sh")))
+      n: Int, k: Int): DataFrame =
+    minhashSignaturesFromIndex(shingleIndex(df, id, text, n), id, k)
+
+  /** [[minhashSignatures]] over a prebuilt (id, sh) shingle index —
+    * see [[jaccardPairsFromIndex]] for when callers pre-build it. */
+  def minhashSignaturesFromIndex(shIdx: DataFrame, id: String,
+      k: Int): DataFrame = {
+    val idx = shIdx.withColumn("h31", T.hash31(col("sh")))
     val mins = (0 until k).map(i => min(T.minhashPerm(col("h31"), i)).as(s"mh$i"))
     idx.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }

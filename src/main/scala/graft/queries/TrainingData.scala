@@ -1969,9 +1969,14 @@ object TrainingData extends QueryPack {
       // pairs survive at sf0.1, 6 of 25 at the sf0.01 gate)
       val docs = Tables(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(2)) === 0)
-      val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
-          minJ = 0.5).select(col("id_a"), col("id_b"))
-      val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = K)
+      // ONE tokenize+shingle pass feeds both sides of the evaluation
+      // (round-8 VERDICT ask #8): the exact-Jaccard truth and the
+      // MinHash signatures derive from the same persisted index
+      val shIdx = graft.CacheTracker.track(
+        Dedup.shingleIndex(docs, "doc_id", "text", 3))
+      val truth = Dedup.jaccardPairsFromIndex(shIdx, "doc_id", minJ = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val sig = Dedup.minhashSignaturesFromIndex(shIdx, "doc_id", K)
       val cand = Dedup.lshCandidatePairs(sig, "doc_id", k = K,
           rows = BAND_ROWS).select(col("id_a"), col("id_b"))
       // one full-outer join + one aggregate: truth and cand each
@@ -3360,11 +3365,14 @@ object TrainingData extends QueryPack {
       // a quarter of the signature/shingle-index cost
       val docs = Tables(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(2)) === 0)
-      // sig feeds candidate generation AND both per-side signature
-      // attaches; idx feeds the intersection join and the size table —
-      // persist both (sample-sized) so each computes once
+      // ONE tokenize+shingle pass (round-8 VERDICT ask #8): signatures
+      // and the exact-Jaccard index both derive from the same persisted
+      // shingle index; sig additionally persists because it feeds
+      // candidate generation AND both per-side signature attaches
+      val shIdx = graft.CacheTracker.track(
+        Dedup.shingleIndex(docs, "doc_id", "text", 3))
       val sig = graft.CacheTracker.track(
-        Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = K))
+        Dedup.minhashSignaturesFromIndex(shIdx, "doc_id", K))
       val cand = Dedup.lshCandidatePairs(sig, "doc_id", k = K,
         rows = BAND_ROWS).select(col("id_a"), col("id_b"))
       val sa = sig.columns.filter(_.startsWith("mh")).map(c =>
@@ -3380,8 +3388,7 @@ object TrainingData extends QueryPack {
             .reduce(_ + _).cast("double") / lit(K.toDouble))
         .select(col("id_a"), col("id_b"), col("est"))
       val idx = graft.CacheTracker.track(
-        Dedup.shingleIndex(docs, "doc_id", "text", 3)
-          .select(col("doc_id"), xxhash64(col("sh")).as("sh")))
+        shIdx.select(col("doc_id"), xxhash64(col("sh")).as("sh")))
       val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val exact = est
         .join(idx.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
