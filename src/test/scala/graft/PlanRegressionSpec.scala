@@ -520,6 +520,67 @@ class PlanRegressionSpec extends SparkSpec {
     * surface, except the DECLARED all-pairs baselines and the 1-row
     * control-table crossJoin (GoldModels — broadcast of one literal
     * config row, constant cost). */
+  test("q185/q187: video decode + frame sampling are pure narrow " +
+      "fan-outs — no join, no window, no aggregation") {
+    for (q <- Seq("q185_video_decode", "q187_video_frame_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window") &&
+        !p.contains("Aggregate"),
+        s"$q must stay a narrow decode pipeline:\n" + p.take(600))
+      // the ONLY exchanges: the declared Compute.spread repartition
+      // (decode cost ∝ pixels, not file bytes) and the final sort
+      assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+        s"$q grew an undeclared shuffle:\n" + p.take(600))
+    }
+  }
+
+  test("q188: exact re-rank — shared-index serve, ADC shortlist, " +
+      "hash-join point lookups, WindowGroupLimit top-ks") {
+    val p = plan("q188_ivfpq_refine")
+    assert(p.contains("Scan ExistingRDD"),
+      "must serve the session-shared materialized index:\n" + p.take(600))
+    // both ranks (ADC shortlist and the exact re-rank) early-terminate
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      "top-ks must plan as rank limits:\n" + p.take(600))
+    // the refine step attaches raw vectors by equi-join: hash joins
+    // only; the single declared nested loop is the 1-row
+    // query-centroid-array attach
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the declared 1-row centroid attach may nest:\n" + p.take(800))
+  }
+
+  test("q189: span corruption — one corpus explode, doc-keyed " +
+      "assembly, no window, no join") {
+    val p = plan("q189_span_corruption")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "assembly must stay keyed, never a global window:\n" + p.take(600))
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      "exactly one token explode:\n" + p.take(600))
+  }
+
+  test("q190: image near-dup — decode+hash cached once, one " +
+      "pigeonhole equi-join, no nested loops") {
+    val p = plan("q190_image_neardup")
+    assert(p.contains("InMemoryTableScan"),
+      "the chunk index must be cached (it feeds both join sides):\n" +
+        p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the chunk equi-join:\n" + p.take(600))
+    assert(p.linesIterator.count(_.contains("Join")) == 1,
+      "one canonical-chunk self-join, nothing else:\n" + p.take(600))
+  }
+
+  test("q191: ExactSubstr — the shingle+md5 pass runs exactly once; " +
+      "no join; windows stay partitioned") {
+    val p = plan("q191_exact_substr")
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      "occurrence counts must come from the windowed single pass, " +
+        "not an agg + join-back re-shingle:\n" + p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+  }
+
   test("no CartesianProduct/BroadcastNestedLoopJoin outside declared baselines") {
     val declared = Set(
       "q21_jaccard_pairs",          // all-pairs OUTPUT by definition (inverted-index join); plan may nest small side
