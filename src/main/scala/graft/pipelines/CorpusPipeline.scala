@@ -692,6 +692,43 @@ object CorpusPipeline {
         (col("__e") + k - col("__s")).cast("long").as("span_len"))
   }
 
+  /** ExactSubstr REMOVAL — [[exactSubstrSpans]] applied as a cleaning
+    * op (Lee et al. 2021 §3.2): every token covered by a ≥ k-token
+    * substring occurring ≥ 2 times anywhere in the corpus is cut and
+    * the survivors re-joined — the released tool's behavior (every
+    * occurrence goes; the paper notes keeping one copy changes
+    * little). Differs from [[removeDupSpans]] exactly as q191 differs
+    * from q94: occurrence count (within-doc repeats duplicate too),
+    * not cross-document frequency.
+    *
+    * Scale shape: the dup-start side is [[exactSubstrSpans]]'s
+    * one-pass windowed count; starts then aggregate per doc
+    * (`collect_set`, bounded by grams-per-doc) and the cleanup is
+    * [[removeDupSpans]]'s narrow per-row array pass. */
+  def exactSubstrRemove(docs: DataFrame, k: Int = 8, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val pos = graft.ops.Compute.spread(docs.select(col(id), col(text)))
+      .select(col(id),
+        posexplode(T.shinglesOf(col(text), k)).as(Seq("st", "g")))
+      .select(col(id), col("st"), T.hash60(col("g"), 0).as("h"))
+    val dupStarts = pos
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__n") >= 2)
+      .groupBy(col(id)).agg(collect_set(col("st")).as("__dup"))
+    docs.select(col(id), col(text))
+      .join(dupStarts, Seq(id), "left")
+      .withColumn("__toks", split(col(text), " "))
+      .withColumn("__dup",
+        coalesce(col("__dup"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(col("__dup"), s => s <= i && i <= s + (k - 1))))
+      .select(col(id),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        array_join(col("__kept"), " ").as("text_clean"))
+  }
+
   /** Epoch-weighted mixture UPSAMPLING — the data-recipe complement
     * of [[mixtureSample]]: there the acceptance rate is capped at 1
     * (pure downsampling); here a stratum whose target share exceeds

@@ -5092,6 +5092,46 @@ object TrainingData extends QueryPack {
       FROM r GROUP BY doc_id, span ORDER BY doc_id, span_start"""),
     covers = Seq("TD-exact-substr", "TD-dup-span-removal"))
 
+  /** ExactSubstr removal — q191's coverage applied as cleaning: every
+    * token inside a ≥8-token substring occurring ≥2 times anywhere is
+    * cut, survivors re-joined (Lee et al. 2021 §3.2 released-tool
+    * semantics: all occurrences go). The q107 output shape so the two
+    * cleaning rules (cross-doc 5-gram df vs corpus-wide 8-gram
+    * occurrence) compare row for row. */
+  val q192 = Q(
+    "q192_exact_substr_removal",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.exactSubstrRemove(Tables(s, dir, "documents"), k = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+      g AS (
+        SELECT doc_id, st,
+               ${dkHash(0, "array_to_string(ws[st:st+7], ' ')")} AS h
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-7)) AS st
+              FROM toks WHERE len(ws) >= 8)),
+      f AS (SELECT h FROM (SELECT h, count(*) AS c FROM g GROUP BY 1)
+            WHERE c >= 2),
+      d AS (SELECT doc_id, list(st) AS dups FROM g JOIN f USING (h)
+            GROUP BY 1),
+      sel AS (SELECT t.doc_id, t.ws,
+                     coalesce(d.dups, CAST([] AS BIGINT[])) AS dups
+              FROM toks t LEFT JOIN d USING (doc_id)),
+      fin AS (
+        SELECT doc_id, ws,
+          [ws[i] for i in generate_series(1, len(ws))
+             if len(list_filter(dups, s -> s <= i AND i <= s + 7)) = 0]
+            AS kept
+        FROM sel)
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+             coalesce(array_to_string(kept, ' '), '') AS text_clean
+      FROM fin ORDER BY doc_id"""),
+    covers = Seq("TD-exact-substr", "TD-dup-span-removal"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -5103,5 +5143,6 @@ object TrainingData extends QueryPack {
       q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-      q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
+      q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
+      q192)
 }

@@ -277,6 +277,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(spans.size == 4)
   }
 
+  test("exactSubstrRemove: covered tokens cut everywhere (all " +
+      "occurrences), survivors re-joined, untouched docs intact") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("dup", 10)
+    val docs = Seq(
+      (0L, words("a", 5) + " " + shared + " " + words("b", 4)),
+      (1L, shared + " " + words("c", 7)),
+      (2L, words("u", 30))
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.exactSubstrRemove(docs, k = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // BOTH occurrences of the shared 10-token substring are removed
+    assert(out(0L) == ((0L, 19L, 10L,
+      words("a", 5) + " " + words("b", 4))))
+    assert(out(1L) == ((1L, 17L, 10L, words("c", 7))))
+    assert(out(2L) == ((2L, 30L, 0L, words("u", 30))))
+  }
+
   test("exactSubstrSpans: adjacent distinct duplicates merge into one " +
       "covered run; spans never overlap within a doc") {
     val p1 = (0 until 8).map(i => s"p$i").mkString(" ")
