@@ -48,16 +48,22 @@ object ManifestTable {
       : org.apache.hadoop.fs.FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest committed version, None if never committed. */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+  /** All commit-marker names (`v<N>` or `v<N>-b<batchKey>`). */
+  private def markerNames(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)
     val commits = new Path(root, "_commits")
-    if (!fs.exists(commits)) None
-    else {
-      val vs = fs.listStatus(commits).map(_.getPath.getName)
-        .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+    if (!fs.exists(commits)) Seq.empty
+    else fs.listStatus(commits).map(_.getPath.getName)
+      .filter(_.matches("v\\d+(-b.+)?")).toSeq
+  }
+
+  private def versionOf(marker: String): Long =
+    marker.drop(1).takeWhile(_.isDigit).toLong
+
+  /** Highest committed version, None if never committed. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val vs = markerNames(spark, root).map(versionOf)
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
   /** Read the current committed version; None if never committed. */
@@ -66,8 +72,7 @@ object ManifestTable {
 
   /** Time travel: read a specific committed version. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
-    val fs = fsOf(spark, root)
-    require(fs.exists(new Path(root, s"_commits/v$v")),
+    require(markerNames(spark, root).exists(versionOf(_) == v),
       s"version $v of $root was never committed")
     spark.read.parquet(s"$root/v$v")
   }
@@ -89,16 +94,24 @@ object ManifestTable {
       v: Long): Unit =
     Upsert.overwriteAtomic(df, s"$root/v$v")
 
-  /** Step 2 of [[commit]] — the atomic commit point. */
+  /** Step 2 of [[commit]] — the atomic commit point. `suffix` carries
+    * the streaming batch key (`-b<key>`) for [[mergeBatch]]'s replay
+    * detection; a plain commit writes the bare `v<N>` marker. The
+    * rename stays the single atomic operation either way, and two
+    * markers of the same VERSION still conflict (the concurrent-commit
+    * guard checks version, not full name). */
   private[graft] def writeMarker(spark: SparkSession, root: String,
-      v: Long): Unit = {
+      v: Long, suffix: String = ""): Unit = {
     val fs = fsOf(spark, root)
     val commits = new Path(root, "_commits")
     fs.mkdirs(commits)
-    val tmp = new Path(commits, s".v$v.tmp")
+    if (markerNames(spark, root).exists(versionOf(_) == v))
+      throw new java.io.IOException(
+        s"concurrent commit detected: $root version $v already exists")
+    val tmp = new Path(commits, s".v$v$suffix.tmp")
     val out = fs.create(tmp, true)
     out.close()
-    if (!fs.rename(tmp, new Path(commits, s"v$v"))) {
+    if (!fs.rename(tmp, new Path(commits, s"v$v$suffix"))) {
       fs.delete(tmp, false)
       throw new java.io.IOException(
         s"concurrent commit detected: $root version $v already exists")
@@ -121,6 +134,38 @@ object ManifestTable {
     read(spark, root).get
   }
 
+  /** Has a [[mergeBatch]] with this batch key already committed? */
+  def batchApplied(spark: SparkSession, root: String,
+      batchKey: String): Boolean =
+    markerNames(spark, root).exists(_.endsWith(s"-b$batchKey"))
+
+  /** [[merge]] for streaming `foreachBatch`: EXACTLY-ONCE under
+    * micro-batch replay. The commit marker carries the batch key
+    * (`v<N>-b<key>`), so a replayed batch whose key is already
+    * committed is a no-op — whether the original attempt crashed
+    * before the data write (nothing exists), between data write and
+    * marker (the orphan `v<N>` directory is absorbed by the staging
+    * swap on re-run), or after the marker (replay skips). The marker
+    * rename remains the single atomic commit point.
+    *
+    * Batch keys must be namespaced per stream run (the
+    * [[graft.streaming.TransactionalStream]] caller derives the
+    * namespace from the checkpoint path) — Spark's micro-batch counter
+    * restarts at 0 under a new checkpoint, and a bare id would make a
+    * NEW stream's first batch look like a replay of the old one. */
+  def mergeBatch(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], batchKey: String,
+      updateCols: Option[Seq[String]] = None): Unit = {
+    if (batchApplied(spark, root, batchKey)) return
+    val result = read(spark, root) match {
+      case Some(target) => Upsert.upsert(target, source, keys, updateCols)
+      case None => source
+    }
+    val next = currentVersion(spark, root).getOrElse(0L) + 1
+    writeVersionData(result, root, next)
+    writeMarker(spark, root, next, s"-b$batchKey")
+  }
+
   /** Drop all data directories and markers older than the newest
     * `keepLast` versions. Never touches the current version. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Unit = {
@@ -129,12 +174,10 @@ object ManifestTable {
     currentVersion(spark, root).foreach { cur =>
       val cutoff = cur - keepLast + 1
       val commits = new Path(root, "_commits")
-      fs.listStatus(commits).map(_.getPath.getName)
-        .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
-        .filter(_ < cutoff).foreach { v =>
-          fs.delete(new Path(root, s"v$v"), true)
-          fs.delete(new Path(commits, s"v$v"), false)
-        }
+      markerNames(spark, root).filter(versionOf(_) < cutoff).foreach { m =>
+        fs.delete(new Path(root, s"v${versionOf(m)}"), true)
+        fs.delete(new Path(commits, m), false)
+      }
     }
   }
 }

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.ops.{ManifestTable, Upsert}
+
+/** Streaming MERGE into a transactional [[graft.ops.ManifestTable]] —
+  * the manifest-commit analog of [[IncrementalStream]]'s swap-based
+  * sink: each micro-batch upserts into the versioned table through
+  * [[ManifestTable.mergeBatch]], so readers always see a fully
+  * committed version (torn tables unrepresentable), every batch
+  * becomes a time-travelable version, and replays are EXACTLY-ONCE
+  * (the commit marker carries the batch key; a replayed batch whose
+  * key is committed is a no-op).
+  *
+  * Batch keys are namespaced by a digest of the CHECKPOINT path (the
+  * round-8 ADVICE pattern, same as [[AnnIndexStream]]): replays under
+  * the same checkpoint keep the same key, while a fresh checkpoint
+  * pointed at an existing table gets a fresh namespace and can never
+  * mistake its first batch for an old run's replay.
+  *
+  * 100-TB shape: per micro-batch cost is one MERGE (the single
+  * full-outer-join kernel) + one version write + one marker rename;
+  * history growth is bounded by [[ManifestTable.vacuum]] on a
+  * schedule. */
+object TransactionalStream {
+
+  /** `dedupOrder`: the MERGE kernel (like SQL MERGE) requires unique
+    * source keys, but one micro-batch can carry several rows per key
+    * (a burst of CDC updates, a multi-file trigger) — when set, the
+    * batch pre-dedups last-writer-wins by these ordering columns
+    * ([[Upsert.dedupLatest]], the CDC `updated_at` idiom). Left unset,
+    * the caller guarantees per-batch key uniqueness. */
+  def runMergeSink(source: DataFrame, root: String, keys: Seq[String],
+      checkpoint: String, updateCols: Option[Seq[String]] = None,
+      dedupOrder: Option[Seq[Column]] = None): StreamingQuery = {
+    val ns = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpoint.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val src = dedupOrder match {
+          case Some(ord) => Upsert.dedupLatest(batch, keys, ord)
+          case None => batch
+        }
+        ManifestTable.mergeBatch(batch.sparkSession, root, src, keys,
+          s"$ns-$bid", updateCols)
+        ()
+      }
+      .start()
+  }
+}

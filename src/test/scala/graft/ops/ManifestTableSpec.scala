@@ -81,6 +81,51 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("mergeBatch: exactly-once under replay — a committed batch key " +
+      "is a no-op; distinct keys advance versions") {
+    val root = freshRoot()
+    ManifestTable.mergeBatch(spark, root,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), "ns-0")
+    assert(ManifestTable.currentVersion(spark, root).contains(1L))
+    // replay of the SAME batch (crash after marker): no new version,
+    // no data change
+    ManifestTable.mergeBatch(spark, root,
+      Seq((1L, "REPLAYED-DIFFERENTLY")).toDF("k", "v"), Seq("k"), "ns-0")
+    assert(ManifestTable.currentVersion(spark, root).contains(1L))
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // the next batch merges and commits v2
+    ManifestTable.mergeBatch(spark, root,
+      Seq((1L, "a2"), (2L, "b")).toDF("k", "v"), Seq("k"), "ns-1")
+    assert(ManifestTable.currentVersion(spark, root).contains(2L))
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a2"), (2L, "b")))
+    assert(ManifestTable.batchApplied(spark, root, "ns-0"))
+    assert(ManifestTable.batchApplied(spark, root, "ns-1"))
+    assert(!ManifestTable.batchApplied(spark, root, "other-0"))
+  }
+
+  test("mergeBatch: crash between data write and marker — the replay " +
+      "re-lands the same batch, readers never torn") {
+    val root = freshRoot()
+    ManifestTable.mergeBatch(spark, root,
+      Seq((1L, "v1")).toDF("k", "v"), Seq("k"), "ns-0")
+    // crash mid-commit of batch 1: orphan v2 data, no marker
+    ManifestTable.writeVersionData(Seq((1L, "TORN")).toDF("k", "v"),
+      root, 2L)
+    assert(!ManifestTable.batchApplied(spark, root, "ns-1"))
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().toSeq == Seq((1L, "v1")))
+    // Spark replays batch 1 with the same key: absorbs the orphan
+    ManifestTable.mergeBatch(spark, root,
+      Seq((1L, "v2"), (2L, "n")).toDF("k", "v"), Seq("k"), "ns-1")
+    assert(ManifestTable.currentVersion(spark, root).contains(2L))
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "v2"), (2L, "n")))
+  }
+
   test("vacuum keeps the newest versions, drops the rest") {
     val root = freshRoot()
     (1 to 4).foreach(i =>
