@@ -107,6 +107,39 @@ object KMeans {
       vec: String = "embedding"): DataFrame =
     assignPrepped(prep(emb, id, vec), cents, id).drop("__q")
 
+  /** Cluster-BALANCED sampling — the semantic-diversity recipe step:
+    * train k clusters ([[assign]]), then draw so no semantic cluster
+    * contributes more than `perCluster` vectors in expectation —
+    * acceptance rate min(1, perCluster / |cluster|), decided by the
+    * seeded 60-bit hash on the id (the mixtureSample draw idiom:
+    * deterministic, replayable, identical in the oracle). Dominant
+    * topics stop drowning the mixture; rare ones pass whole — the
+    * embedding-space analog of per-source quota fill (q130) and
+    * temperature flattening (q117), keyed by LEARNED structure instead
+    * of a metadata column.
+    *
+    * Scale shape: training as [[centroids]]; the rate table is k rows
+    * (broadcast); the draw is one codegen'd hash compare per row — no
+    * shuffle beyond the assignment argmin's broadcast attach. */
+  def clusterBalancedSample(emb: DataFrame, k: Int, iters: Int,
+      perCluster: Long, seed: Int, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val assigned = assign(emb, k, iters, id, vec)
+    val rates = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("cluster"),
+        least(lit(1.0),
+          lit(perCluster.toDouble) / col("__n").cast("double"))
+          .as("accept_rate"))
+      .withColumn("__thresh",
+        floor(col("accept_rate") * lit(1152921504606846976.0)) // 2^60
+          .cast("long"))
+    assigned.join(broadcast(rates), Seq("cluster"))
+      .filter(T.hash60(col(id).cast("string"), seed) < col("__thresh"))
+      .select(col(id), col("cluster"), col("accept_rate"))
+  }
+
   /** IVF ANN over TRAINED centroids — q79's probe pattern with this
     * op's Lloyd-trained coarse quantizer instead of fixed seed
     * vectors, end-to-end in-plan (the centroid table is never

