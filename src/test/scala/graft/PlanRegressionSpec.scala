@@ -611,6 +611,8 @@ class PlanRegressionSpec extends SparkSpec {
       "q127_kmeans_train",          // k-row centroid table rides as a collected
                                     // 1-row broadcast array (per-row argmin HOF)
       "q128_ivf_trained",           // same k-row centroid broadcast in train+probe
+      "q194_cluster_balanced_sample", // q127's centroid broadcast inside the
+                                    // contained Lloyd train; the draw adds none
       "q167_lm_score",              // 1-row vocabulary-size crossJoin
       "q168_pq_codes",              // q127's k-row centroid broadcast, one per
                                     // PQ subspace
@@ -674,6 +676,7 @@ class PlanRegressionSpec extends SparkSpec {
       "q127_kmeans_train",     // k-row centroid-init rank
       "q128_ivf_trained",      // same init rank, train + probe sides
       "q162_ivf_recall",       // same (recall harness re-trains)
+      "q194_cluster_balanced_sample", // same init rank (contains q127's train)
       "q150_mom_growth",       // lag over #months rows
       "q160_ntile_quartiles")  // whole-relation ntile BY CONTRACT
                                // (global quartiles need a global sort)
