@@ -235,7 +235,11 @@ object Multimodal {
       * signed PCM little-endian is asserted because that is what
       * [[encodeWavPcm16]] writes and what the closed-form oracle
       * recomputes. */
-    def decodeStats(id: Long, payload: Array[Byte]): AudioStats = {
+    /** Parse the container with the REAL codec and return the format
+      * header plus raw PCM bytes (the shared decode behind
+      * [[decodeStats]] and [[bandHash64]]). */
+    private def pcm16(payload: Array[Byte]
+        ): (javax.sound.sampled.AudioFormat, Array[Byte]) = {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -244,7 +248,13 @@ object Multimodal {
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
           fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
           s"expected 16-bit signed little-endian PCM, got $fmt")
-        val bytes = ais.readAllBytes()
+        (fmt, ais.readAllBytes())
+      } finally ais.close()
+    }
+
+    def decodeStats(id: Long, payload: Array[Byte]): AudioStats = {
+      val (fmt, bytes) = pcm16(payload)
+      locally {
         val n = bytes.length / 2
         var i = 0
         var sum = 0L
@@ -263,7 +273,36 @@ object Multimodal {
           fmt.getSampleSizeInBits, n.toLong, peak,
           if (n == 0) 0.0 else sum.toDouble / n,
           if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
-      } finally ais.close()
+      }
+    }
+
+    /** 64-bit BAND-ENERGY fingerprint over the REAL decoded samples —
+      * the audio analog of [[ImageCodec.dHash64]]: the clip splits
+      * into 65 equal time windows (window of sample t = ⌊t·65/n⌋),
+      * each window's energy is the EXACT integer sum of |sample|, and
+      * bit i is set iff energy(i+1) > energy(i). A difference hash
+      * over energy envelopes is level-robust in the same way dHash is
+      * brightness-robust: re-mastering that scales every window alike
+      * preserves every comparison. All-integer, so the SQL oracle
+      * recomputes every bit from the closed-form sample function. */
+    def bandHash64(payload: Array[Byte]): Long = {
+      val (_, bytes) = pcm16(payload)
+      val n = bytes.length / 2
+      require(n >= 65, s"clip too short to fingerprint ($n samples < 65)")
+      val sums = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val v = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+        sums((i.toLong * 65 / n).toInt) += math.abs(v).toLong
+        i += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (sums(b + 1) > sums(b)) h |= (1L << b)
+        b += 1
+      }
+      h
     }
 
     /** Encode signed 16-bit mono PCM samples as a WAV container via
@@ -300,6 +339,27 @@ object Multimodal {
         (((t.toLong * 37 + id * 13) % 65536) - 32768).toShort)
       encodeWavPcm16(samples, 8000)
     }
+
+    /** Textured synthetic clip — the audio analog of
+      * [[ImageCodec.syntheticPngTextured]]: a quadratic sample
+      * texture ((31t² + 17t·id + 7id²) mod 65536 − 32768) makes the
+      * 65 band energies pseudo-random, so distinct clips land ~32
+      * fingerprint bits apart while the `pert` variant (first four
+      * samples pinned to +32767 — a re-mastered intro transient)
+      * touches only window 0 and therefore only fingerprint bit 0:
+      * orig and pert sit within Hamming ≤ 1. */
+    def syntheticWavTextured(id: Long, pert: Boolean): Array[Byte] = {
+      val n = (1000 + (id % 7) * 100).toInt
+      val samples = Array.tabulate(n) { t =>
+        if (pert && t < 4) 32767.toShort
+        else {
+          val tl = t.toLong
+          (((tl * tl * 31 + tl * id * 17 + id * id * 7) % 65536)
+            - 32768).toShort
+        }
+      }
+      encodeWavPcm16(samples, 8000)
+    }
   }
 
   /** Partition-parallel REAL audio decode → per-clip statistics. */
@@ -307,6 +367,21 @@ object Multimodal {
     import media.sparkSession.implicits._
     Compute.spread(media)
       .mapPartitions(_.map(r => AudioCodec.decodeStats(r.media_id, r.payload)))
+  }
+
+  /** One band-energy fingerprint per clip. */
+  final case class AudioHash(media_id: Long, bhash: Long)
+
+  /** Partition-parallel REAL audio decode → 64-bit band-energy
+    * fingerprints ([[AudioCodec.bandHash64]]): the candidate-generation
+    * input for audio near-dup (q195) — same shape as
+    * [[imageDHashes]], decode cost dominating so the narrow scan
+    * widens first. */
+  def audioBandHashes(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    Compute.spread(media)
+      .mapPartitions(_.map(r =>
+        AudioHash(r.media_id, AudioCodec.bandHash64(r.payload))))
   }
 
   /** Codec router: images decode for REAL (JDK imageio); other kinds

@@ -5248,6 +5248,136 @@ object TrainingData extends QueryPack {
       ORDER BY vec_id"""),
     covers = Seq("TD-cluster-balance", "TD-kmeans", "TD-sampling"))
 
+  /** Audio near-dup — the LAST dedup modality (text q21–q25,
+    * embeddings q26/q111, pixels q190, now sound): each doc id
+    * renders to a REAL WAV ([[graft.ops.Multimodal.AudioCodec
+    * .syntheticWavTextured]] — quadratic PCM16 texture), every fourth
+    * doc also gets a retouched-intro variant (first four samples
+    * pinned — the re-mastered-upload crawl case), the engine decodes
+    * the actual bytes through `javax.sound.sampled` and fingerprints
+    * the 65 band energies with a 64-bit difference hash
+    * ([[graft.ops.Multimodal.AudioCodec.bandHash64]] — exact integer
+    * |sample| sums, bit i = energy(i+1) > energy(i)), and Hamming-≤2
+    * pairs come from the SimHash pigeonhole machinery — an equi-join
+    * on (chunk, value), never an all-pairs compare. The oracle
+    * recomputes every energy sum and fingerprint bit from the
+    * closed-form sample function (a range join regenerates the PCM),
+    * so a codec that mis-decodes one sample hash-fails. */
+  val q195 = Q(
+    "q195_audio_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
+        .flatMap { id =>
+          val orig = Multimodal.MediaRow(id, "audio",
+            Multimodal.AudioCodec.syntheticWavTextured(id, pert = false))
+          if (id % 4 == 0)
+            Seq(orig, Multimodal.MediaRow(id + 10000000L, "audio",
+              Multimodal.AudioCodec.syntheticWavTextured(id, pert = true)))
+          else Seq(orig)
+        }
+      val hashes = Multimodal.audioBandHashes(media).toDF()
+      Dedup.hammingNearPairs(hashes, "media_id", maxDist = 2,
+          bits = 64, hashCol = "bhash")
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
+               CAST(1000 + (doc_id % 7) * 100 AS BIGINT) AS n
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id, TRUE,
+               CAST(1000 + (doc_id % 7) * 100 AS BIGINT)
+        FROM documents WHERE doc_id % 4 = 0),
+      s AS (SELECT media_id,
+              t.t * 65 // n AS win,
+              abs(CASE WHEN pert AND t.t < 4 THEN 32767
+                   ELSE ((t.t * t.t * 31 + t.t * base * 17
+                          + base * base * 7) % 65536) - 32768 END) AS av
+            FROM m, range(0, 1600) t(t) WHERE t.t < n),
+      e AS (SELECT media_id, win, sum(av) AS s FROM s
+            GROUP BY media_id, win),
+      b AS (SELECT lo.media_id, lo.win AS bitpos,
+              CASE WHEN hi.s > lo.s THEN '1' ELSE '0' END AS b
+            FROM e lo JOIN e hi ON lo.media_id = hi.media_id
+                                AND hi.win = lo.win + 1
+            WHERE lo.win < 64),
+      hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
+             FROM b GROUP BY media_id)
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(hamming(a.hstr, b.hstr) AS BIGINT) AS hamming
+      FROM hs a JOIN hs b ON a.media_id < b.media_id
+      WHERE hamming(a.hstr, b.hstr) <= 2
+      ORDER BY id_a, id_b"""),
+    covers = Seq("TD-dedup-audio", "TD-multimodal"))
+
+  /** Int8 ADC recall — q105's codes taken to SERVING
+    * ([[graft.ops.Quantization.adcTopK]]): both sides of the search
+    * live as int8 codes only, similarity is the exact int64 code dot
+    * over the exact int code norms (one IEEE division — bit-stable in
+    * any engine), and recall@5 is scored against the exact
+    * integer-cosine truth the q27 family pinned. The quality harness
+    * that decides whether 4× embedding compression costs retrieval —
+    * the int8 analog of q177's PQ recall. */
+  val q196 = Q(
+    "q196_int8_adc_recall",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      graft.ops.Quantization.adcRecall(emb, emb.filter($"vec_id" < 10),
+          k = 5)
+        .orderBy(col("id_q"))
+    },
+    Some(s"""
+      WITH $dkQuantized,
+      i8 AS (SELECT vec_id, q8,
+               list_aggregate([q8[i]*q8[i] for i in generate_series(1,64)],
+                 'sum') AS qn
+             FROM (SELECT vec_id,
+                     CASE WHEN amax = 0
+                          THEN [CAST(0 AS BIGINT) for x in xd]
+                          ELSE [CAST(GREATEST(-127, LEAST(127,
+                                 FLOOR(x / (amax / 127.0) + 0.5)))
+                                 AS BIGINT) for x in xd]
+                     END AS q8
+                   FROM (SELECT vec_id,
+                           [CAST(x AS DOUBLE) for x in embedding] AS xd,
+                           list_max([abs(CAST(x AS DOUBLE))
+                                     for x in embedding]) AS amax
+                         FROM embeddings))),
+      ex AS (SELECT id_q, id_c FROM (
+               SELECT qs.vec_id AS id_q, cs.vec_id AS id_c,
+                 row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+                   ${dkDot("qs", "cs")} / (sqrt(qs.nsq) * sqrt(cs.nsq))
+                     DESC, cs.vec_id ASC) AS rnk
+               FROM n qs JOIN n cs
+                 ON qs.vec_id < 10 AND qs.vec_id <> cs.vec_id)
+             WHERE rnk <= 5),
+      ap AS (SELECT id_q, id_c FROM (
+               SELECT qs.vec_id AS id_q, cs.vec_id AS id_c,
+                 row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+                   CASE WHEN qs.qn = 0 OR cs.qn = 0 THEN 0.0
+                        ELSE CAST(list_aggregate([qs.q8[i]*cs.q8[i]
+                               for i in generate_series(1,64)], 'sum')
+                               AS DOUBLE)
+                             / (sqrt(CAST(qs.qn AS DOUBLE))
+                                * sqrt(CAST(cs.qn AS DOUBLE))) END
+                     DESC, cs.vec_id ASC) AS rnk
+               FROM i8 qs JOIN i8 cs
+                 ON qs.vec_id < 10 AND qs.vec_id <> cs.vec_id)
+             WHERE rnk <= 5)
+      SELECT ex.id_q,
+             CAST(count(ap.id_c) AS BIGINT) AS n_hits,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(count(ap.id_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS recall
+      FROM ex LEFT JOIN ap ON ex.id_q = ap.id_q AND ex.id_c = ap.id_c
+      GROUP BY ex.id_q ORDER BY ex.id_q"""),
+    covers = Seq("TD-int8-quant", "TD-ann-recall"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -5260,5 +5390,5 @@ object TrainingData extends QueryPack {
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
-      q192, q193, q194)
+      q192, q193, q194, q195, q196)
 }

@@ -572,6 +572,31 @@ class PlanRegressionSpec extends SparkSpec {
       "one canonical-chunk self-join, nothing else:\n" + p.take(600))
   }
 
+  test("q195: audio near-dup — decode+hash cached once, one " +
+      "pigeonhole equi-join, no nested loops") {
+    val p = plan("q195_audio_neardup")
+    assert(p.contains("InMemoryTableScan"),
+      "the chunk index must be cached (it feeds both join sides):\n" +
+        p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the chunk equi-join:\n" + p.take(600))
+    assert(p.linesIterator.count(_.contains("Join")) == 1,
+      "one canonical-chunk self-join, nothing else:\n" + p.take(600))
+  }
+
+  test("q196: int8 ADC recall — query sides broadcast, top-ks " +
+      "early-terminate as rank limits") {
+    val p = plan("q196_int8_adc_recall")
+    // both the ADC side and the exact truth side broadcast the ≤10-row
+    // sampled query set; the corpus never moves
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2,
+      "query sides must broadcast:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      "top-ks must plan as rank limits:\n" + p.take(600))
+  }
+
   test("q191: ExactSubstr — the shingle+md5 pass runs exactly once; " +
       "no join; windows stay partitioned") {
     val p = plan("q191_exact_substr")
@@ -637,8 +662,12 @@ class PlanRegressionSpec extends SparkSpec {
                                     // baseline + the q180 broadcasts
       "q186_ivfpq_ingest",          // q179's centroid broadcasts; encode
                                     // against FROZEN state, no retrain
-      "q188_ivfpq_refine")          // q180's broadcasts; the refine join
+      "q188_ivfpq_refine",          // q180's broadcasts; the refine join
                                     // itself is a hash join on id
+      "q196_int8_adc_recall")       // harness: BOTH sides run the sampled-
+                                    // query broadcast brute protocol (exact
+                                    // truth = the declared q27 baseline; the
+                                    // ADC side serves from an index at scale)
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>

@@ -251,6 +251,87 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bandHash64: closed-form over the textured WAV family; retouch " +
+      "stays within hamming 1; unrelated ids are far") {
+    import Multimodal._
+    // the hash equals the bit-by-bit recompute from the sample formula
+    def expected(id: Long, pert: Boolean): Long = {
+      val n = (1000 + (id % 7) * 100).toInt
+      val sums = new Array[Long](65)
+      for (t <- 0 until n) {
+        val v =
+          if (pert && t < 4) 32767L
+          else ((t.toLong * t * 31 + t.toLong * id * 17 + id * id * 7)
+            % 65536) - 32768
+        sums((t.toLong * 65 / n).toInt) += math.abs(v)
+      }
+      (0 until 64).foldLeft(0L)((h, b) =>
+        if (sums(b + 1) > sums(b)) h | (1L << b) else h)
+    }
+    for (id <- Seq(0L, 3L, 7L, 63L, 255L, 1000L)) {
+      val orig = AudioCodec.bandHash64(
+        AudioCodec.syntheticWavTextured(id, pert = false))
+      assert(orig == expected(id, pert = false), s"id=$id")
+      val variant = AudioCodec.bandHash64(
+        AudioCodec.syntheticWavTextured(id, pert = true))
+      assert(variant == expected(id, pert = true), s"id=$id variant")
+      // the retouched intro lives in window 0 only → only bit 0 can flip
+      assert(java.lang.Long.bitCount(orig ^ variant) <= 1, s"id=$id dist")
+    }
+    // the family is non-degenerate: distinct ids separate
+    val hs = (0L until 64L).map(id =>
+      AudioCodec.bandHash64(AudioCodec.syntheticWavTextured(id, pert = false)))
+    val near = (for { i <- hs.indices; j <- i + 1 until hs.size
+                      if java.lang.Long.bitCount(hs(i) ^ hs(j)) <= 2 } yield 1).size
+    assert(near == 0, s"textured WAV corpus collapsed: $near near pairs in 64")
+  }
+
+  test("bandHash64: monotone energy envelopes pin the bit convention; " +
+      "short clips are rejected") {
+    import Multimodal._
+    // 130 samples → 65 windows of exactly 2; strictly rising |sample|
+    // energies set every comparison bit, strictly falling clear them
+    val rising = Array.tabulate(130)(t => (t * 25).toShort)
+    assert(AudioCodec.bandHash64(
+      AudioCodec.encodeWavPcm16(rising, 8000)) == -1L)
+    val falling = Array.tabulate(130)(t => ((129 - t) * 25).toShort)
+    assert(AudioCodec.bandHash64(
+      AudioCodec.encodeWavPcm16(falling, 8000)) == 0L)
+    val short = Array.tabulate(64)(t => t.toShort)
+    val e = intercept[IllegalArgumentException] {
+      AudioCodec.bandHash64(AudioCodec.encodeWavPcm16(short, 8000))
+    }
+    assert(e.getMessage.contains("too short"))
+  }
+
+  test("audioBandHashes + hammingNearPairs: pairs equal the brute-force " +
+      "hamming-≤2 set, via the pigeonhole equi-join") {
+    import Multimodal._
+    val ids = (0L until 40L)
+    val media = ids.flatMap { id =>
+      val orig = MediaRow(id, "audio",
+        AudioCodec.syntheticWavTextured(id, pert = false))
+      if (id % 4 == 0)
+        Seq(orig, MediaRow(id + 1000L, "audio",
+          AudioCodec.syntheticWavTextured(id, pert = true)))
+      else Seq(orig)
+    }.toDS()
+    val hashes = audioBandHashes(media)
+    val hs = hashes.collect().map(h => h.media_id -> h.bhash).toMap
+    val expect = (for {
+      a <- hs.keys; b <- hs.keys; if a < b
+      if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 2
+    } yield (a, b)).toSet
+    val got = graft.ops.Dedup.hammingNearPairs(hashes.toDF(), "media_id",
+        maxDist = 2, bits = 64, hashCol = "bhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    // every retouched variant is recovered as a near-dup of its original
+    ids.filter(_ % 4 == 0).foreach { id =>
+      assert(got.contains((id, id + 1000L)), s"variant pair $id missing")
+    }
+  }
+
   test("resize: deterministic fixed-budget payloads, metadata re-derivable") {
     import Multimodal._
     val media = Seq(MediaRow(1L, "image", Array[Byte](1, 2, 3))).toDS()

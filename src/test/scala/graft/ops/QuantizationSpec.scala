@@ -76,4 +76,41 @@ class QuantizationSpec extends SparkSpec {
       }
     }
   }
+
+  test("adcTopK: exactly-representable vectors rank by true cosine; " +
+      "zero vectors score 0 everywhere") {
+    import spark.implicits._
+    // components in {-1, 0, 1}: amax = 1, scale = 1/127, every code
+    // lands exactly on ±127/0 — int8 similarity EQUALS float cosine
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // cos with q = 1/√2
+      (2L, Seq(1.0f, 1.0f, 0.0f)),   // cos with q = 1
+      (3L, Seq(-1.0f, -1.0f, 0.0f)), // cos with q = −1
+      (4L, Seq(0.0f, 0.0f, 0.0f)),   // zero vector → similarity 0
+      (10L, Seq(1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Quantization.adcTopK(corpus,
+        corpus.filter($"vec_id" === 10L), k = 4)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("id_c")).toSeq == Seq(2L, 1L, 4L, 3L))
+    assert(out(0).getAs[Double]("acos") == 1.0)
+    assert(out(2).getAs[Double]("acos") == 0.0) // the zero vector
+    assert(out(3).getAs[Double]("acos") == -1.0)
+  }
+
+  test("adcRecall over real embeddings: valid denominators, recall in " +
+      "[0,1], and codes lose little at k=5") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val r = Quantization.adcRecall(emb, emb.filter($"vec_id" < 10), k = 5)
+      .collect()
+    assert(r.length == 10)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_true") == 5)
+      val rec = row.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // int8 at 64 dims keeps most of the true top-5 (macro recall ≥ 0.8)
+    val macroR = r.map(_.getAs[Double]("recall")).sum / r.length
+    assert(macroR >= 0.8, s"int8 recall collapsed: $macroR")
+  }
 }
