@@ -90,6 +90,116 @@ object NgramLm {
       text: String = "text"): DataFrame =
     crossScore(docs, docs, id, text)
 
+  /** Per-doc avg transition log-prob under an INTERPOLATED KNESER-NEY
+    * bigram model (Kneser & Ney 1995; the modified-KN family is what
+    * KenLM — and therefore the actual CCNet filter — ships): absolute
+    * discount D = 3/4 moves mass from observed bigrams to a
+    * CONTINUATION distribution p_cont(w2) ∝ "how many distinct
+    * prefixes w2 follows" — the fix for add-one's overestimate of
+    * frequent-but-contextually-rigid words.
+    *
+    *   p(w2|w1) = (max(c(w1w2) − D, 0) + D·N1+(w1·)·p'(w2)) / c(w1·)
+    *   p'(w2)   = (N1+(·w2) + 1) / (N1+(··) + V)     (add-one floor,
+    *              so unseen continuations stay positive and the model
+    *              still sums to 1 over the V-word vocabulary)
+    *
+    * Exactness: D = 3/4 makes every probability a ratio of exact
+    * int64 products — multiply through by 4·(N1+(··) + V):
+    *   p = (max(4c−3, 0)·(nt+V) + 3·N1+(w1·)·(N1+(·w2)+1))
+    *       / (4·c(w1·)·(nt+V))
+    * — ONE IEEE division of exact integers, then the ln rides the
+    * proven DECIMAL(18,6) channel. Exact while c·(nt+V) < 2⁶¹ (≈10⁹
+    * occurrences of one bigram × 10⁹ types); past that the products
+    * lift to the DECIMAL(38,0) channel unchanged.
+    *
+    * Scale shape: the count tables all live at VOCABULARY grain
+    * (bigram types, prefix types, continuation types), built by
+    * map-side-combined aggregations; the token stream joins them on
+    * their keys exactly as [[crossScore]] does, plus one declared
+    * 1-row (nt, V) broadcast attach. Unseen-prefix transitions back
+    * off to p'(w2) (only reachable when scoring ≠ training corpus). */
+  def kneserNeyScore(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val inst = instances(docs, id, text)
+    val bi = inst.groupBy(col("bg")).agg(count(lit(1)).as("c_bi"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val pre = bi.groupBy(col("w1"))
+      .agg(sum(col("c_bi")).as("c_pre"), count(lit(1)).as("n1"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n2"))
+    val uni = Compute.spread(docs.select(col(text)))
+      .select(explode(T.tokens(col(text))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    val totals = bi.agg(count(lit(1)).as("__nt"))
+      .crossJoin(uni.agg(count(lit(1)).as("__v"))) // declared 1-row×1-row
+    val scored = inst
+      .join(bi.select(col("bg"), col("c_bi")), Seq("bg"), "left")
+      .join(pre, Seq("w1"), "left")
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totals)) // declared 1-row scalar attach
+      .select(col(id), {
+        val c = coalesce(col("c_bi"), lit(0L))
+        val cpre = coalesce(col("c_pre"), lit(0L))
+        val n1 = coalesce(col("n1"), lit(0L))
+        val contNum = coalesce(col("n2"), lit(0L)) + lit(1L)
+        val contDen = col("__nt") + col("__v")
+        val p = when(cpre === 0L,
+            contNum.cast("double") / contDen.cast("double"))
+          .otherwise(
+            (greatest(lit(4L) * c - lit(3L), lit(0L)) * contDen
+              + lit(3L) * n1 * contNum).cast("double")
+              / (lit(4L) * cpre * contDen).cast("double"))
+        log(p).cast("decimal(18,6)").as("__lp")
+      })
+    val per = scored.groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__slp"))
+    docs.select(col(id)).join(per, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("__slp").cast("double") /
+            col("n_bigrams").cast("double")).as("avg_logp"))
+      .orderBy(col(id))
+  }
+
+  /** CCNet's HEAD/MIDDLE/TAIL split (Wenzek et al. 2020 §4.3): within
+    * each source, rank documents by LM score and cut at the terciles —
+    * head = most fluent third, tail = the third a perplexity filter
+    * drops; CCNet trains on head+middle (`kept`). Docs with no
+    * transitions (n_bigrams = 0) are unrankable and come back with a
+    * NULL bucket and kept = false — the length filter owns them, and
+    * their defined-but-meaningless 0.0 score must not crowd the head.
+    *
+    * Exactness: ntile is pure rank arithmetic over the total order
+    * (avg_logp DESC, doc_id) — engine-identical given the
+    * decimal-channel scores. Scale shape: ONE window partitioned by
+    * source (CCNet's own per-language-shard sort); if a single source
+    * outgrows a partition, the cut swaps to sampled boundary
+    * estimation — the rank semantics here are the exactness-preserving
+    * form. */
+  def perplexityBuckets(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", source: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = bigramScore(docs, id, text)
+    val base = docs.select(col(id), col(source)).join(scores, Seq(id))
+    val w = Window.partitionBy(col(source))
+      .orderBy(desc("avg_logp"), col(id).asc)
+    val ranked = base.where(col("n_bigrams") > 0L)
+      .withColumn("bucket", ntile(3).over(w))
+    val unranked = base.where(col("n_bigrams") === 0L)
+      .withColumn("bucket", lit(null).cast("int"))
+    ranked.unionByName(unranked)
+      .select(col(id), col(source), col("n_bigrams"), col("avg_logp"),
+        col("bucket"),
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === 2, lit("middle"))
+          .when(col("bucket") === 3, lit("tail"))
+          .otherwise(lit("unscored")).as("label"),
+        coalesce(col("bucket") <= 2, lit(false)).as("kept"))
+      .orderBy(col(id))
+  }
+
   /** DSIR-style IMPORTANCE WEIGHT (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): per doc,
     * avg_logp under a TARGET-domain model minus avg_logp under the

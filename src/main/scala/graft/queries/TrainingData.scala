@@ -5378,6 +5378,313 @@ object TrainingData extends QueryPack {
       GROUP BY ex.id_q ORDER BY ex.id_q"""),
     covers = Seq("TD-int8-quant", "TD-ann-recall"))
 
+  /** Unrolled rescaled-power-iteration CTE chain (the
+    * [[graft.ops.Pca]] recurrence restated declaratively): per round,
+    * t = qv·v (per vector), w_j = Σ qv_j·t (per dimension), then the
+    * ≤1024 TRUNCATING rescale — DuckDB `//` and Spark DIV / JVM `/`
+    * all truncate toward zero, so the integer iterates agree exactly.
+    * Ends with `v{iters}` (the direction), `vv` (Σv²), and `tf` (the
+    * final per-vector projection). */
+  private def pcaCtes(iters: Int): String = {
+    val b = new StringBuilder
+    b ++= """qv AS (SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                  for x in embedding] AS qv FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1, 64)) AS j)"""
+    for (it <- 1 to iters) {
+      if (it == 1) {
+        b ++= s""",
+      t1 AS (SELECT vec_id, qv, list_aggregate(qv,'sum') AS t FROM qv),
+      w1 AS (SELECT j, sum(qv[j]*t) AS w FROM t1 CROSS JOIN dims GROUP BY j)"""
+      } else {
+        b ++= s""",
+      t$it AS (SELECT q.vec_id, sum(q.qv[v.j]*v.v) AS t
+               FROM qv q CROSS JOIN v${it - 1} v GROUP BY q.vec_id),
+      w$it AS (SELECT j, sum(q.qv[j]*t$it.t) AS w
+               FROM qv q JOIN t$it ON q.vec_id = t$it.vec_id
+               CROSS JOIN dims GROUP BY j)"""
+      }
+      b ++= s""",
+      v$it AS (SELECT j, (w*1024)//s AS v FROM w$it CROSS JOIN
+               (SELECT greatest(1, max(abs(w))) AS s FROM w$it))"""
+    }
+    b ++= s""",
+      vv AS (SELECT sum(v*v) AS vv FROM v$iters),
+      tf AS (SELECT q.vec_id, sum(q.qv[v.j]*v.v) AS t
+             FROM qv q CROSS JOIN v$iters v GROUP BY q.vec_id)"""
+    b.result()
+  }
+
+  /** Leading principal direction by rescaled power iteration
+    * ([[graft.ops.Pca.principalDirection]]) — exact-integer mat-vec
+    * via G·v = Xᵀ(X·v) (the Gram matrix never materializes), ≤1024
+    * truncating rescale per round, Rayleigh eigenvalue over the
+    * DECIMAL(38,0) channel. The direction an embedding pipeline
+    * estimates before all-but-the-top removal (q198). */
+  val q197 = Q(
+    "q197_principal_direction",
+    (s, dir) =>
+      graft.ops.Pca.principalDirection(Tables(s, dir, "embeddings"),
+        iters = 4),
+    Some(s"""
+      WITH ${pcaCtes(4)},
+      st2 AS (SELECT sum(CAST(t AS HUGEINT)*t) AS st2 FROM tf)
+      SELECT CAST(v.j AS INTEGER) AS dim,
+        CASE WHEN vv.vv = 0 THEN 0.0
+             ELSE CAST(v.v AS DOUBLE)/sqrt(CAST(vv.vv AS DOUBLE)) END AS u,
+        CASE WHEN vv.vv = 0 THEN 0.0
+             ELSE CAST(CAST(st2.st2 AS VARCHAR) AS DOUBLE)
+               / CAST(vv.vv AS DOUBLE) / 1000000.0 END AS lambda
+      FROM v4 v CROSS JOIN vv CROSS JOIN st2 ORDER BY dim"""),
+    covers = Seq("TD-pca", "TD-embedding-stats"))
+
+  /** All-but-the-top removal audit ([[graft.ops.Pca.removeTop]],
+    * Mu & Viswanath 2018): per vector the exact integer projection
+    * onto the iterated direction, the energy share the removal takes
+    * (cos², one exact-double division chain), and the residual norm
+    * computed as an exact integer sum over the DECIMAL(38,0)/HUGEINT
+    * channel — no float accumulation anywhere. */
+  val q198 = Q(
+    "q198_abtt_removal",
+    (s, dir) =>
+      graft.ops.Pca.removeTop(Tables(s, dir, "embeddings"), iters = 4)
+        .orderBy(col("vec_id")),
+    Some(s"""
+      WITH ${pcaCtes(4)},
+      qn AS (SELECT vec_id, list_aggregate([x*x for x in qv],'sum')
+               AS qnorm FROM qv),
+      rr AS (SELECT vec_id, sum(aa*aa) AS raw FROM
+               (SELECT q.vec_id,
+                  CAST(q.qv[v.j]*vv.vv - tf.t*v.v AS HUGEINT) AS aa
+                FROM qv q CROSS JOIN v4 v CROSS JOIN vv
+                JOIN tf ON q.vec_id = tf.vec_id) GROUP BY vec_id)
+      SELECT q.vec_id, CAST(tf.t AS BIGINT) AS dot,
+        CASE WHEN vv.vv = 0 OR qn.qnorm = 0 THEN 0.0
+             ELSE CAST(tf.t*tf.t AS DOUBLE) / CAST(vv.vv AS DOUBLE)
+               / CAST(qn.qnorm AS DOUBLE) END AS removed_share,
+        CASE WHEN vv.vv = 0 THEN CAST(qn.qnorm AS DOUBLE)/1000000.0
+             ELSE CAST(CAST(rr.raw AS VARCHAR) AS DOUBLE)
+               / CAST(vv.vv*vv.vv AS DOUBLE) / 1000000.0
+        END AS residual_norm_sq
+      FROM qv q JOIN tf ON q.vec_id = tf.vec_id
+        JOIN qn ON q.vec_id = qn.vec_id
+        JOIN rr ON q.vec_id = rr.vec_id
+        CROSS JOIN vv
+      ORDER BY q.vec_id"""),
+    covers = Seq("TD-pca", "TD-embedding-stats"))
+
+  /** Shared CTE prefix for the greedy-selection oracles: the quantized
+    * store plus per-vector exact squared norms. */
+  private val coresetBase = """
+      qv AS (SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                  for x in embedding] AS qv FROM embeddings),
+      nq AS (SELECT vec_id, qv,
+               CAST(list_sum([x*x for x in qv]) AS BIGINT) AS n FROM qv)"""
+
+  /** Exact integer ‖a−b‖² between a row's list and a 1-row center's. */
+  private def dist2(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), j -> ($a[j]-$b[j])*($a[j]-$b[j]))) AS BIGINT)"
+
+  /** Unrolled k-center greedy rounds ([[graft.ops.Coreset.kCenterGreedy]]
+    * restated declaratively): c1 = max-norm seed; mI carries the min
+    * distance to centers 1..I; cI+1 = argmax of that, ties on vec_id. */
+  private def kCenterCtes(k: Int): String = {
+    val b = new StringBuilder
+    b ++= coresetBase
+    b ++= """,
+      c1 AS (SELECT vec_id, qv FROM nq ORDER BY n DESC, vec_id LIMIT 1),
+      m1 AS (SELECT q.vec_id, q.qv, """ + dist2("q.qv", "c.qv") +
+      """ AS mind FROM qv q CROSS JOIN c1 c)"""
+    for (i <- 2 to k) {
+      b ++= s""",
+      c$i AS (SELECT vec_id, qv, mind FROM m${i - 1}
+              ORDER BY mind DESC, vec_id LIMIT 1)"""
+      if (i < k) b ++= s""",
+      m$i AS (SELECT m.vec_id, m.qv,
+                least(m.mind, ${dist2("m.qv", "c.qv")}) AS mind
+              FROM m${i - 1} m CROSS JOIN c$i c)"""
+    }
+    b.result()
+  }
+
+  /** k-Center greedy coreset selection ([[graft.ops.Coreset.kCenterGreedy]],
+    * Gonzalez 1985 / Sener & Savarese 2018) — farthest-point sampling
+    * with the coverage-radius curve: k bounded scans, exact integer
+    * distances, every argmax tie broken on vec_id. */
+  val q199 = Q(
+    "q199_kcenter_coreset",
+    (s, dir) =>
+      graft.ops.Coreset.kCenterGreedy(Tables(s, dir, "embeddings"), k = 8),
+    Some(s"""
+      WITH ${kCenterCtes(8)},
+      picks AS (
+        SELECT 1 AS rk, vec_id, CAST(NULL AS BIGINT) AS radius_sq FROM c1
+        ${(2 to 8).map(i =>
+          s"UNION ALL SELECT $i, vec_id, mind FROM c$i").mkString("\n        ")}
+      )
+      SELECT rk, vec_id, radius_sq,
+        sqrt(CAST(radius_sq AS DOUBLE))/1000.0 AS radius
+      FROM picks ORDER BY rk"""),
+    covers = Seq("TD-coreset", "TD-embedding-stats"))
+
+  /** Guarded exact-int cosine between a candidate row `c` and a 1-row
+    * selection `s` — the [[graft.functions.VectorFunctions.cosineFrom]]
+    * channel restated (zero-norm → 0.0, one IEEE division). */
+  private def cosSql(c: String, s: String): String =
+    s"""CASE WHEN $c.n = 0 OR $s.n = 0 THEN 0.0
+        ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+               j -> $c.qv[j]*$s.qv[j])) AS BIGINT) AS DOUBLE)
+          / (sqrt(CAST($c.n AS DOUBLE)) * sqrt(CAST($s.n AS DOUBLE)))
+        END"""
+
+  /** Unrolled MMR rounds ([[graft.ops.Coreset.mmrTopK]]): the min-id
+    * query vector, relevance cosines, then per round the running max
+    * similarity to the chosen set and the λ=1/2 argmax. */
+  private def mmrCtes(k: Int): String = {
+    val b = new StringBuilder
+    b ++= coresetBase
+    b ++= s""",
+      qr AS (SELECT vec_id, qv, n FROM nq ORDER BY vec_id LIMIT 1),
+      cand AS (SELECT d.vec_id, d.qv, d.n, ${cosSql("d", "q")} AS rel
+               FROM nq d CROSS JOIN qr q WHERE d.vec_id <> q.vec_id),
+      s1 AS (SELECT vec_id, qv, n, rel FROM cand
+             ORDER BY rel DESC, vec_id LIMIT 1),
+      p1 AS (SELECT c.vec_id, c.qv, c.n, c.rel, ${cosSql("c", "s")} AS pen
+             FROM cand c CROSS JOIN s1 s WHERE c.vec_id <> s.vec_id)"""
+    for (i <- 2 to k) {
+      b ++= s""",
+      s$i AS (SELECT vec_id, qv, n, rel, pen FROM p${i - 1}
+              ORDER BY 0.5*rel - 0.5*pen DESC, vec_id LIMIT 1)"""
+      if (i < k) b ++= s""",
+      p$i AS (SELECT c.vec_id, c.qv, c.n, c.rel,
+                greatest(c.pen, ${cosSql("c", "s")}) AS pen
+              FROM p${i - 1} c CROSS JOIN s$i s WHERE c.vec_id <> s.vec_id)"""
+    }
+    b.result()
+  }
+
+  /** MMR-diversified top-k ([[graft.ops.Coreset.mmrTopK]], Carbonell &
+    * Goldstein 1998) — λ=1/2 relevance-vs-redundancy greedy re-rank;
+    * the power-of-two λ keeps every score an exact IEEE composition of
+    * the integer-exact cosines, so the ranking is engine-stable. */
+  val q200 = Q(
+    "q200_mmr_diversified_topk",
+    (s, dir) =>
+      graft.ops.Coreset.mmrTopK(Tables(s, dir, "embeddings"), k = 6),
+    Some(s"""
+      WITH ${mmrCtes(6)},
+      picks AS (
+        SELECT 1 AS rk, vec_id, rel AS relevance,
+          CAST(NULL AS DOUBLE) AS penalty FROM s1
+        ${(2 to 6).map(i =>
+          s"UNION ALL SELECT $i, vec_id, rel, pen FROM s$i").mkString("\n        ")}
+      )
+      SELECT rk, vec_id, relevance, penalty,
+        0.5*relevance - 0.5*coalesce(penalty, 0.0) AS mmr_score
+      FROM picks ORDER BY rk"""),
+    covers = Seq("TD-coreset", "TD-mmr"))
+
+  /** The q167 add-one bigram-LM CTE chain (tokens → bigram instances →
+    * count tables → decimal-channel per-doc scores), shared by the
+    * bucketing oracle. */
+  private val lmScoreCtes = """
+      toks AS (SELECT doc_id, string_split(text,' ') AS ws
+               FROM documents),
+      bgp AS (SELECT doc_id, ws[i]||' '||ws[i+1] AS bg, ws[i] AS w1
+              FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws)-1)) AS i
+                    FROM toks WHERE len(ws) >= 2)),
+      bi AS (SELECT bg, count(*) AS c_bi FROM bgp GROUP BY bg),
+      uni AS (SELECT tok, count(*) AS c_uni FROM
+                (SELECT unnest(ws) AS tok FROM toks) GROUP BY tok),
+      v AS (SELECT count(*) AS vv FROM uni),
+      inst AS (SELECT doc_id,
+                 CAST(ln((CAST(c_bi AS DOUBLE) + 1.0)
+                   / (CAST(c_uni AS DOUBLE) + CAST(vv AS DOUBLE)))
+                   AS DECIMAL(18,6)) AS lp
+               FROM bgp JOIN bi USING (bg)
+                        JOIN uni ON bgp.w1 = uni.tok, v),
+      per AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp
+              FROM inst GROUP BY doc_id),
+      sc AS (SELECT d.doc_id, d.source,
+               CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN coalesce(nb, 0) = 0 THEN 0.0
+                    ELSE CAST(CAST(slp AS VARCHAR) AS DOUBLE)
+                      / CAST(nb AS DOUBLE) END AS avg_logp
+             FROM documents d LEFT JOIN per USING (doc_id))"""
+
+  /** CCNet head/middle/tail perplexity split
+    * ([[graft.ops.NgramLm.perplexityBuckets]], Wenzek et al. 2020
+    * §4.3) — per-source LM-score terciles over the q167 decimal-channel
+    * scores; head+middle is what CCNet keeps. Unrankable docs
+    * (n_bigrams = 0) get a NULL bucket and kept = false rather than
+    * crowding the head with their defined-but-meaningless 0.0. */
+  val q201 = Q(
+    "q201_ccnet_buckets",
+    (s, dir) =>
+      graft.ops.NgramLm.perplexityBuckets(Tables(s, dir, "documents")),
+    Some(s"""
+      WITH $lmScoreCtes,
+      rk AS (SELECT doc_id, source, n_bigrams, avg_logp,
+               CAST(ntile(3) OVER (PARTITION BY source
+                 ORDER BY avg_logp DESC, doc_id) AS INTEGER) AS bucket
+             FROM sc WHERE n_bigrams > 0
+             UNION ALL
+             SELECT doc_id, source, n_bigrams, avg_logp,
+               CAST(NULL AS INTEGER)
+             FROM sc WHERE n_bigrams = 0)
+      SELECT doc_id, source, n_bigrams, avg_logp, bucket,
+        CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle'
+             WHEN bucket = 3 THEN 'tail' ELSE 'unscored' END AS label,
+        coalesce(bucket <= 2, false) AS kept
+      FROM rk ORDER BY doc_id"""),
+    covers = Seq("TD-lm-score", "TD-curation-policy"))
+
+  /** Interpolated Kneser-Ney bigram scoring
+    * ([[graft.ops.NgramLm.kneserNeyScore]], Kneser & Ney 1995 — the
+    * KenLM statistic behind the real CCNet filter): absolute discount
+    * D = 3/4 interpolating toward the add-one-floored continuation
+    * distribution; every probability one IEEE division of exact int64
+    * products, every ln on the DECIMAL(18,6) channel. */
+  val q202 = Q(
+    "q202_kneser_ney_score",
+    (s, dir) =>
+      graft.ops.NgramLm.kneserNeyScore(Tables(s, dir, "documents")),
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws
+                    FROM documents),
+      bgp AS (SELECT doc_id, ws[i]||' '||ws[i+1] AS bg,
+                ws[i] AS w1, ws[i+1] AS w2
+              FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws)-1)) AS i
+                    FROM toks WHERE len(ws) >= 2)),
+      bi AS (SELECT bg, count(*) AS c_bi FROM bgp GROUP BY bg),
+      bw AS (SELECT bg, c_bi, string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2 FROM bi),
+      pre AS (SELECT w1, sum(c_bi) AS c_pre, count(*) AS n1
+              FROM bw GROUP BY w1),
+      cont AS (SELECT w2, count(*) AS n2 FROM bw GROUP BY w2),
+      uni AS (SELECT tok, count(*) AS c_uni FROM
+                (SELECT unnest(ws) AS tok FROM toks) GROUP BY tok),
+      tot AS (SELECT (SELECT count(*) FROM bi) AS nt,
+                     (SELECT count(*) FROM uni) AS vv),
+      inst AS (SELECT bgp.doc_id,
+                 CAST(ln(
+                   CAST(greatest(4*c_bi - 3, 0)*(nt + vv)
+                        + 3*n1*(n2 + 1) AS DOUBLE)
+                   / CAST(4*c_pre*(nt + vv) AS DOUBLE))
+                   AS DECIMAL(18,6)) AS lp
+               FROM bgp JOIN bi USING (bg)
+                        JOIN pre ON bgp.w1 = pre.w1
+                        JOIN cont ON bgp.w2 = cont.w2, tot),
+      per AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp
+              FROM inst GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        CASE WHEN coalesce(nb, 0) = 0 THEN 0.0
+             ELSE CAST(CAST(slp AS VARCHAR) AS DOUBLE)
+               / CAST(nb AS DOUBLE) END AS avg_logp
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""),
+    covers = Seq("TD-lm-score", "TD-kneser-ney"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -5390,5 +5697,5 @@ object TrainingData extends QueryPack {
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
-      q192, q193, q194, q195, q196)
+      q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 }

@@ -664,10 +664,16 @@ class PlanRegressionSpec extends SparkSpec {
                                     // against FROZEN state, no retrain
       "q188_ivfpq_refine",          // q180's broadcasts; the refine join
                                     // itself is a hash join on id
-      "q196_int8_adc_recall")       // harness: BOTH sides run the sampled-
+      "q196_int8_adc_recall",       // harness: BOTH sides run the sampled-
                                     // query broadcast brute protocol (exact
                                     // truth = the declared q27 baseline; the
                                     // ADC side serves from an index at scale)
+      "q197_principal_direction",   // 1-row Rayleigh-eigenvalue crossJoin
+                                    // onto the d-row local direction table
+      "q201_ccnet_buckets",         // q167's 1-row vocabulary-size crossJoin
+                                    // (scores feed the tercile window)
+      "q202_kneser_ney_score")      // 1-row (bigram-types, vocab) scalar
+                                    // attach — two 1-row crossJoins
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
