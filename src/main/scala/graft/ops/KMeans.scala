@@ -107,6 +107,50 @@ object KMeans {
       vec: String = "embedding"): DataFrame =
     assignPrepped(prep(emb, id, vec), cents, id).drop("__q")
 
+  /** Simplified (centroid-based) silhouette — the clustering-quality
+    * gate of the curation loop: a(i) = distance of vector i to its OWN
+    * trained centroid, b(i) = min distance to any OTHER centroid,
+    * s(i) = (b−a)/max(a,b) (0 when both distances are 0), reported as
+    * per-cluster member count + mean. The medoid-free variant
+    * (Hruschka et al. 2004) — the full silhouette's all-pairs a/b
+    * terms would be O(n²); against k centroids the whole metric is
+    * ONE broadcast argmin-shaped pass, so it survives corpus scale
+    * exactly like assignment does.
+    *
+    * Determinism: distances are the fixed-order folds every k-means
+    * op here shares, sqrt and the (b−a)/max ratio are single IEEE ops
+    * per row, each s(i) passes the repo-wide DECIMAL(18,6) channel so
+    * the per-cluster sum is order-free, and the mean is one division
+    * of exact operands. */
+  def silhouette(emb: DataFrame, k: Int, iters: Int, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val q = prep(emb, id, vec)
+    val cents = centroids(emb, k, iters, id, vec)
+    val cArr = cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("mean")))).as("__cs"))
+    val s = q.crossJoin(broadcast(cArr)) // declared 1-row centroid attach
+      .withColumn("__ds", transform(col("__cs"), c =>
+        struct(distSq(col("__qd"), c("mean")).as("dist_sq"),
+          c("cid").as("cid"))))
+      .withColumn("__own", array_min(col("__ds")))
+      .withColumn("__b", array_min(
+        filter(col("__ds"), d => d("cid") =!= col("__own").getField("cid"))))
+      .select(col("__own").getField("cid").as("cluster"), {
+        val a = sqrt(col("__own").getField("dist_sq"))
+        val b = sqrt(col("__b").getField("dist_sq"))
+        val m = greatest(a, b)
+        when(m === lit(0.0), lit(0.0)).otherwise((b - a) / m)
+          .cast("decimal(18,6)").as("__s")
+      })
+    s.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"))
+      .select(col("cluster"), col("n"),
+        (col("__ss").cast("double") / col("n").cast("double"))
+          .as("avg_sil"))
+      .orderBy(col("cluster"))
+  }
+
   /** Cluster-BALANCED sampling — the semantic-diversity recipe step:
     * train k clusters ([[assign]]), then draw so no semantic cluster
     * contributes more than `perCluster` vectors in expectation —

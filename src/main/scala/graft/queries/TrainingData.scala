@@ -4979,6 +4979,38 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-span-corruption", "TD-seq-pack"))
 
+  private val dHashMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.DataFrame]()
+
+  /** Session-shared 64-bit dHash table over the synthetic PNG corpus —
+    * decoded + fingerprinted ONCE per (session, sf dir) and
+    * materialized (localCheckpoint), the [[graft.ops.ProductQuantizer
+    * .ivfPqIndexShared]] pattern applied to the image modality. In a
+    * crawl pipeline the fingerprint table IS the persisted artifact:
+    * computed at ingest, consumed by both the pair query (q190) and
+    * the cluster/keeper resolution (q193) — neither re-decodes.
+    * Deliberately NOT CacheTracker-tracked: like `EdwQueries.star` it
+    * models a materialized table that outlives query boundaries. */
+  private def imageDHashTable(s: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : org.apache.spark.sql.DataFrame =
+    dHashMemo.computeIfAbsent(
+      System.identityHashCode(s) + "|" + dir, _ => {
+        import s.implicits._
+        import graft.ops.Multimodal
+        val media = Tables(s, dir, "documents").select($"doc_id")
+          .as[Long].flatMap { id =>
+            val orig = Multimodal.MediaRow(id, "image",
+              Multimodal.ImageCodec.syntheticPngTextured(id, pert = false))
+            if (id % 4 == 0)
+              Seq(orig, Multimodal.MediaRow(id + 10000000L, "image",
+                Multimodal.ImageCodec.syntheticPngTextured(id, pert = true)))
+            else Seq(orig)
+          }
+        Multimodal.imageDHashes(media).toDF().localCheckpoint()
+      })
+
   /** Perceptual-hash image near-dup — the modality the dedup matrix
     * was missing (text q21–q25, embeddings q26/q111, now pixels): each
     * doc id renders to a REAL PNG, every fourth doc also gets a
@@ -4996,17 +5028,7 @@ object TrainingData extends QueryPack {
     "q190_image_neardup",
     (s, dir) => {
       import s.implicits._
-      import graft.ops.Multimodal
-      val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
-        .flatMap { id =>
-          val orig = Multimodal.MediaRow(id, "image",
-            Multimodal.ImageCodec.syntheticPngTextured(id, pert = false))
-          if (id % 4 == 0)
-            Seq(orig, Multimodal.MediaRow(id + 10000000L, "image",
-              Multimodal.ImageCodec.syntheticPngTextured(id, pert = true)))
-          else Seq(orig)
-        }
-      val hashes = Multimodal.imageDHashes(media).toDF()
+      val hashes = imageDHashTable(s, dir)
       Dedup.hammingNearPairs(hashes, "media_id", maxDist = 2,
           bits = 64, hashCol = "dhash")
         .withColumn("hamming", col("hamming").cast("long"))
@@ -5143,18 +5165,7 @@ object TrainingData extends QueryPack {
   val q193 = Q(
     "q193_image_dedup_decision",
     (s, dir) => {
-      import s.implicits._
-      import graft.ops.Multimodal
-      val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
-        .flatMap { id =>
-          val orig = Multimodal.MediaRow(id, "image",
-            Multimodal.ImageCodec.syntheticPngTextured(id, pert = false))
-          if (id % 4 == 0)
-            Seq(orig, Multimodal.MediaRow(id + 10000000L, "image",
-              Multimodal.ImageCodec.syntheticPngTextured(id, pert = true)))
-          else Seq(orig)
-        }
-      val hashes = Multimodal.imageDHashes(media).toDF()
+      val hashes = imageDHashTable(s, dir)
       val pairs = Dedup.hammingNearPairs(hashes, "media_id", maxDist = 2,
           bits = 64, hashCol = "dhash")
         .select(col("id_a"), col("id_b")).localCheckpoint()
@@ -5263,21 +5274,40 @@ object TrainingData extends QueryPack {
     * recomputes every energy sum and fingerprint bit from the
     * closed-form sample function (a range join regenerates the PCM),
     * so a codec that mis-decodes one sample hash-fails. */
+  private val bHashMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.DataFrame]()
+
+  /** Session-shared 64-bit band-hash table over the synthetic WAV
+    * corpus — decoded + fingerprinted ONCE per (session, sf dir) and
+    * materialized, the [[imageDHashTable]] pattern on the audio
+    * modality: the fingerprint table is the persisted ingest artifact
+    * both the pair query (q195) and the keeper resolution (q203)
+    * consume. Untracked localCheckpoint, `EdwQueries.star` precedent. */
+  private def audioBandHashTable(s: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : org.apache.spark.sql.DataFrame =
+    bHashMemo.computeIfAbsent(
+      System.identityHashCode(s) + "|" + dir, _ => {
+        import s.implicits._
+        import graft.ops.Multimodal
+        val media = Tables(s, dir, "documents").select($"doc_id")
+          .as[Long].flatMap { id =>
+            val orig = Multimodal.MediaRow(id, "audio",
+              Multimodal.AudioCodec.syntheticWavTextured(id, pert = false))
+            if (id % 4 == 0)
+              Seq(orig, Multimodal.MediaRow(id + 10000000L, "audio",
+                Multimodal.AudioCodec.syntheticWavTextured(id, pert = true)))
+            else Seq(orig)
+          }
+        Multimodal.audioBandHashes(media).toDF().localCheckpoint()
+      })
+
   val q195 = Q(
     "q195_audio_neardup",
     (s, dir) => {
       import s.implicits._
-      import graft.ops.Multimodal
-      val media = Tables(s, dir, "documents").select($"doc_id").as[Long]
-        .flatMap { id =>
-          val orig = Multimodal.MediaRow(id, "audio",
-            Multimodal.AudioCodec.syntheticWavTextured(id, pert = false))
-          if (id % 4 == 0)
-            Seq(orig, Multimodal.MediaRow(id + 10000000L, "audio",
-              Multimodal.AudioCodec.syntheticWavTextured(id, pert = true)))
-          else Seq(orig)
-        }
-      val hashes = Multimodal.audioBandHashes(media).toDF()
+      val hashes = audioBandHashTable(s, dir)
       Dedup.hammingNearPairs(hashes, "media_id", maxDist = 2,
           bits = 64, hashCol = "bhash")
         .withColumn("hamming", col("hamming").cast("long"))
@@ -5685,6 +5715,190 @@ object TrainingData extends QueryPack {
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"""),
     covers = Seq("TD-lm-score", "TD-kneser-ney"))
 
+  /** Audio-dedup RESOLUTION — q195's perceptual pairs carried to the
+    * keeper decision, completing the modality matrix's resolution row
+    * (text q77, image q193, now sound): Hamming-≤2 band-hash pairs
+    * resolve into connected components (min-label pointer-jumping /
+    * bounded union-find), every clip — singletons included — gets
+    * (cluster, keep). Consumes the session-shared
+    * [[audioBandHashTable]]; no re-decode. Oracle: the q193 recursive
+    * reachability closure over q195's closed-form recomputed band
+    * energies. */
+  val q203 = Q(
+    "q203_audio_dedup_decision",
+    (s, dir) => {
+      val hashes = audioBandHashTable(s, dir)
+      val pairs = Dedup.hammingNearPairs(hashes, "media_id", maxDist = 2,
+          bits = 64, hashCol = "bhash")
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val decided = Dedup.dedupDecision(hashes.select(col("media_id")),
+        "media_id", pairs)
+      graft.CacheTracker.releaseCheckpoint(pairs)
+      decided.orderBy(col("media_id"))
+    },
+    Some("""
+      WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
+               CAST(1000 + (doc_id % 7) * 100 AS BIGINT) AS n
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id, TRUE,
+               CAST(1000 + (doc_id % 7) * 100 AS BIGINT)
+        FROM documents WHERE doc_id % 4 = 0),
+      s AS (SELECT media_id,
+              t.t * 65 // n AS win,
+              abs(CASE WHEN pert AND t.t < 4 THEN 32767
+                   ELSE ((t.t * t.t * 31 + t.t * base * 17
+                          + base * base * 7) % 65536) - 32768 END) AS av
+            FROM m, range(0, 1600) t(t) WHERE t.t < n),
+      e AS (SELECT media_id, win, sum(av) AS s FROM s
+            GROUP BY media_id, win),
+      b AS (SELECT lo.media_id, lo.win AS bitpos,
+              CASE WHEN hi.s > lo.s THEN '1' ELSE '0' END AS b
+            FROM e lo JOIN e hi ON lo.media_id = hi.media_id
+                                AND hi.win = lo.win + 1
+            WHERE lo.win < 64),
+      hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
+             FROM b GROUP BY media_id),
+      pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+                FROM hs a JOIN hs b ON a.media_id < b.media_id
+                WHERE hamming(a.hstr, b.hstr) <= 2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach AS (
+        SELECT media_id AS node, media_id AS mn FROM m
+        UNION
+        SELECT e.dst AS node, r.mn
+        FROM reach r JOIN edges e ON e.src = r.node
+      )
+      SELECT node AS media_id, MIN(mn) AS cluster, node = MIN(mn) AS keep
+      FROM reach GROUP BY node ORDER BY media_id"""),
+    covers = Seq("TD-dedup-audio", "TD-dedup-clusters"))
+
+  /** Simplified silhouette over the q127-trained clusters
+    * ([[graft.ops.KMeans.silhouette]], Hruschka et al. 2004's
+    * centroid-based variant): the clustering-quality gate that decides
+    * whether the learned structure feeding cluster-balanced sampling
+    * (q194) and IVF routing (q128) is worth trusting — a(i) = distance
+    * to own centroid, b(i) = min distance to any other, s(i) =
+    * (b−a)/max(a,b), per-cluster count + mean. O(n·k) broadcast pass,
+    * never the O(n²) textbook form; the oracle replays the q127 Lloyd
+    * chain then scores every vector through the same DECIMAL(18,6)
+    * channel. */
+  val q204 = Q(
+    "q204_silhouette",
+    (s, dir) => {
+      graft.ops.KMeans.silhouette(Tables(s, dir, "embeddings"), k = 4,
+        iters = 1)
+    },
+    Some(s"""
+      WITH $dkQuantized,
+      $dkKmeansCtes,
+      r AS (SELECT vec_id, cid, dist_sq,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist_sq, cid) AS rn
+            FROM d2),
+      ab AS (SELECT vec_id,
+               max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+               max(CASE WHEN rn = 1 THEN dist_sq END) AS a_sq,
+               min(CASE WHEN rn > 1 THEN dist_sq END) AS b_sq
+             FROM r GROUP BY vec_id),
+      sil AS (SELECT cluster,
+                CAST(CASE WHEN greatest(sqrt(a_sq), sqrt(b_sq)) = 0
+                          THEN 0.0
+                     ELSE (sqrt(b_sq) - sqrt(a_sq))
+                          / greatest(sqrt(a_sq), sqrt(b_sq)) END
+                     AS DECIMAL(18,6)) AS s
+              FROM ab)
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_sil
+      FROM sil GROUP BY cluster ORDER BY cluster"""),
+    covers = Seq("TD-kmeans", "TD-cluster-quality"))
+
+  /** Image near-dup QUALITY harness — the q112/q183 recall-precision
+    * protocol applied to the perceptual-hash detector: the planted
+    * truth is known by construction (every fourth doc got a retouched
+    * twin at id+10⁷), the detected set is q190's Hamming-≤2 pairs off
+    * the session-shared fingerprint table, and the score is exact-int
+    * hit counting with two final IEEE divisions. This is the gate a
+    * crawl pipeline runs before trusting a fingerprint family at a
+    * threshold: precision says how much it over-merges, recall says
+    * how many retouched twins escape. Oracle: q190's closed-form
+    * fingerprint chain + the same planted set. */
+  val q205 = Q(
+    "q205_image_neardup_quality",
+    (s, dir) => {
+      import s.implicits._
+      val hashes = imageDHashTable(s, dir)
+      val detected = Dedup.hammingNearPairs(hashes, "media_id",
+          maxDist = 2, bits = 64, hashCol = "dhash")
+        .select(col("id_a"), col("id_b"))
+      val planted = Tables(s, dir, "documents").select($"doc_id")
+        .filter($"doc_id" % 4 === 0)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 10000000L).as("id_b"))
+      val hit = detected.join(planted, Seq("id_a", "id_b"), "left_semi")
+      detected.agg(count(lit(1)).as("n_detected"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_detected"), col("n_planted"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_detected").cast("double"))
+            .as("precision"),
+          (col("n_hit").cast("double") / col("n_planted").cast("double"))
+            .as("recall"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
+               CAST(8 + doc_id % 9 AS INT) AS w,
+               CAST(8 + doc_id % 7 AS INT) AS h,
+               CAST(3 + doc_id % 13 AS INT) AS sa,
+               CAST(5 + doc_id % 11 AS INT) AS sb
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id, TRUE,
+               CAST(8 + doc_id % 9 AS INT), CAST(8 + doc_id % 7 AS INT),
+               CAST(3 + doc_id % 13 AS INT), CAST(5 + doc_id % 11 AS INT)
+        FROM documents WHERE doc_id % 4 = 0),
+      g AS (
+        SELECT media_id, y.j * 8 + x.i AS bitpos,
+               CASE WHEN
+                 (CASE WHEN pert AND ((x.i+1) * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE (((x.i+1) * w // 9) * ((x.i+1) * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + ((x.i+1) * w // 9) * (y.j * h // 8) * 7
+                             + ((x.i+1) * w // 9) * sa
+                             + (y.j * h // 8) * sb + base) % 256 END)
+                 >
+                 (CASE WHEN pert AND (x.i * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE ((x.i * w // 9) * (x.i * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + (x.i * w // 9) * (y.j * h // 8) * 7
+                             + (x.i * w // 9) * sa
+                             + (y.j * h // 8) * sb + base) % 256 END)
+                 THEN '1' ELSE '0' END AS b
+        FROM m, range(0, 8) x(i), range(0, 8) y(j)),
+      hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
+             FROM g GROUP BY media_id),
+      det AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+              FROM hs a JOIN hs b ON a.media_id < b.media_id
+              WHERE hamming(a.hstr, b.hstr) <= 2),
+      pl AS (SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+             FROM documents WHERE doc_id % 4 = 0),
+      hit AS (SELECT * FROM det SEMI JOIN pl USING (id_a, id_b))
+      SELECT
+        (SELECT count(*) FROM det) AS n_detected,
+        (SELECT count(*) FROM pl) AS n_planted,
+        (SELECT count(*) FROM hit) AS n_hit,
+        CAST((SELECT count(*) FROM hit) AS DOUBLE)
+          / CAST((SELECT count(*) FROM det) AS DOUBLE) AS precision,
+        CAST((SELECT count(*) FROM hit) AS DOUBLE)
+          / CAST((SELECT count(*) FROM pl) AS DOUBLE) AS recall"""),
+    covers = Seq("TD-dedup-image", "TD-harness-quality"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -5697,5 +5911,6 @@ object TrainingData extends QueryPack {
       q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
-      q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
+      q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
+      q203, q204, q205)
 }

@@ -672,8 +672,12 @@ class PlanRegressionSpec extends SparkSpec {
                                     // onto the d-row local direction table
       "q201_ccnet_buckets",         // q167's 1-row vocabulary-size crossJoin
                                     // (scores feed the tercile window)
-      "q202_kneser_ney_score")      // 1-row (bigram-types, vocab) scalar
+      "q202_kneser_ney_score",      // 1-row (bigram-types, vocab) scalar
                                     // attach — two 1-row crossJoins
+      "q204_silhouette",            // q127's k-row centroid table as a
+                                    // collected 1-row broadcast array
+      "q205_image_neardup_quality") // two 1-row count attaches onto the
+                                    // 1-row detected-count aggregate
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
@@ -712,6 +716,7 @@ class PlanRegressionSpec extends SparkSpec {
       "q128_ivf_trained",      // same init rank, train + probe sides
       "q162_ivf_recall",       // same (recall harness re-trains)
       "q194_cluster_balanced_sample", // same init rank (contains q127's train)
+      "q204_silhouette",       // same init rank (contains q127's train)
       "q150_mom_growth",       // lag over #months rows
       "q160_ntile_quartiles")  // whole-relation ntile BY CONTRACT
                                // (global quartiles need a global sort)

@@ -75,6 +75,58 @@ class KMeansSpec extends SparkSpec {
     assert(all.length == 20 && all.forall(_.getDouble(2) == 1.0))
   }
 
+  test("silhouette: separable blobs score near 1; counts partition " +
+      "the input; brute recompute matches") {
+    val out = KMeans.silhouette(blobs, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).sum == 20, "every vector scored exactly once")
+    out.foreach { case (c, _, s) =>
+      assert(s > 0.8 && s <= 1.0,
+        s"well-separated blobs must score near 1, cluster $c got $s")
+    }
+    // brute recompute off the trained centroids: a = own dist,
+    // b = other dist, s = (b-a)/max — through the same decimal channel
+    val cents = KMeans.centroids(blobs, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    val qd = blobs.select($"vec_id",
+        graft.functions.VectorFunctions.quantize($"embedding").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val exp = qd.map { case (_, q) =>
+      val ds = cents.toSeq.sortBy(_._1).map { case (cid, m) =>
+        (q.zip(m).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }
+      val (aSq, own) = ds.min
+      val bSq = ds.filter(_._2 != own).map(_._1).min
+      val (a, b) = (math.sqrt(aSq), math.sqrt(bSq))
+      val s = if (math.max(a, b) == 0.0) BigDecimal(0)
+        else BigDecimal(
+          new java.math.BigDecimal((b - a) / math.max(a, b))
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+      (own, s)
+    }.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.length.toLong,
+        (xs.map(_._2).sum.toDouble / xs.length))
+    }
+    out.foreach { case (c, n, s) =>
+      val (en, es) = exp(c)
+      assert(n == en && math.abs(s - es) < 1e-12,
+        s"cluster $c: got ($n, $s) expected ($en, $es)")
+    }
+  }
+
+  test("silhouette: partitioning-invariant; k >= 2 enforced") {
+    val r1 = KMeans.silhouette(blobs, k = 3, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val r2 = KMeans.silhouette(blobs.repartition(7), k = 3, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r1.sameElements(r2), "silhouette must not depend on partitioning")
+    r1.foreach { case (_, _, s) => assert(s >= -1.0 && s <= 1.0) }
+    intercept[IllegalArgumentException] {
+      KMeans.silhouette(blobs, k = 1, iters = 1)
+    }
+  }
+
   test("assignments independent of partitioning; iters=0 is nearest-init") {
     val d = blobs
     val r1 = KMeans.assign(d, k = 3, iters = 1).orderBy("vec_id")
