@@ -635,6 +635,38 @@ object Dedup {
       .select(col("id_q"), col("rank"), col("id_c"), col("cosine"))
   }
 
+  /** Metadata-FILTERED LSH ANN — the "filtered vector search" serving
+    * shape (top-k among only the candidates satisfying the query's
+    * metadata predicate — the same-language / same-tenant / same-split
+    * constraint every production vector store bolts onto ANN): the
+    * filter column joins INTO the bucket key, so candidate generation
+    * is one equi-join on (bucket, filter) — the filter prunes buckets
+    * BEFORE scoring instead of post-filtering a top-k that may then
+    * starve below k (the classic filtered-ANN failure). Same
+    * deterministic hyperplanes and exact integer scoring as
+    * [[annTopKLsh]], so the filtered path stays oracle-checkable. */
+  def annTopKLshFiltered(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, filterCol: String, k: Int,
+      bits: Int = 8): DataFrame = {
+    val prep = (d: DataFrame, suffix: String) =>
+      d.select(col(id).as(s"id_$suffix"), col(filterCol).as("__f"),
+          V.quantize(col(vec)).as(s"q_$suffix"))
+        .withColumn(s"n_$suffix", V.normSqQ(col(s"q_$suffix")))
+        .withColumn("bucket", lshBucket(col(s"q_$suffix"), bits))
+    val c = prep(corpus, "c")
+    val q = prep(queries, "q")
+    val scored = c.join(broadcast(q), Seq("bucket", "__f"))
+      .filter(col("id_q") =!= col("id_c"))
+      .withColumn("cosine", V.cosineFrom(
+        V.dotQ(col("q_q"), col("q_c")), col("n_q"), col("n_c")))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cosine").desc, col("id_c").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_q"), col("__f").as(filterCol), col("rank"),
+        col("id_c"), col("cosine"))
+  }
+
   /** Multi-probe LSH ANN: like [[annTopKLsh]], but each query also
     * probes every bucket at hamming distance 1 from its own (flip each
     * of the `bits` sign bits) — the standard multi-probe trick

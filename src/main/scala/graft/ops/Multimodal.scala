@@ -187,8 +187,13 @@ object Multimodal {
       * bits; Hamming-≤k pairs come from the SimHash pigeonhole
       * machinery ([[graft.ops.Dedup.hammingNearPairs]]), never an
       * all-pairs compare. */
-    def dHash64(payload: Array[Byte]): Long = {
-      val img = read(payload)
+    def dHash64(payload: Array[Byte]): Long = dHashOf(read(payload))
+
+    /** The dHash grid kernel over an already-decoded image — shared
+      * by the image fingerprint and the per-frame half of the video
+      * temporal hash, so ONE sampled-pixel definition backs both
+      * closed-form oracles. */
+    private[ops] def dHashOf(img: java.awt.image.BufferedImage): Long = {
       val w = img.getWidth
       val h = img.getHeight
       var bits = 0L
@@ -736,6 +741,93 @@ object Multimodal {
       }
       encodeAviDib(frames)
     }
+
+    /** Fingerprint-grade synthetic clip family with an optional
+      * retouched-intro variant. [[syntheticAvi]]'s linear gradient is
+      * perfect for closed-form DECODE checks (q185/q187) but
+      * degenerate for PERCEPTUAL hashing — its dHash comparisons
+      * reduce to 7·Δx mod 256, nearly id-independent, so clip
+      * fingerprints collapse across the corpus. This family uses the
+      * [[ImageCodec.syntheticPngTextured]] quadratic texture
+      * (x²·3 + y²·5 + xy·7 + x·sa + y·sb with id-keyed sa/sb) plus a
+      * 31·f frame term, which separates ids while staying closed-form.
+      * When `pert`, pixel (0, 0) of FRAME 0 pins to 255 — the
+      * re-encoded upload whose first frame got a watermark touch-up,
+      * the video analog of the image retouch / remastered audio
+      * intro. */
+    def syntheticAviTextured(id: Long, pert: Boolean): Array[Byte] = {
+      val nf = (2 + id % 3).toInt
+      val w = (8 + id % 5).toInt
+      val h = (6 + id % 4).toInt
+      val sa = (3 + id % 13).toInt
+      val sb = (5 + id % 11).toInt
+      val frames = (0 until nf).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g =
+              if (pert && f == 0 && x == 0 && y == 0) 255
+              else ((x.toLong * x * 3 + y.toLong * y * 5 + x.toLong * y * 7
+                + x.toLong * sa + y.toLong * sb + f.toLong * 31 + id)
+                % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      encodeAviDib(frames)
+    }
+
+    /** Temporal-majority perceptual hash — the clip-level fingerprint:
+      * each decoded frame gets the shared dHash grid kernel
+      * ([[ImageCodec.dHashOf]]), and bit b of the clip hash is set iff
+      * a STRICT majority of frames set it (2·count > nf). Majority
+      * voting is the standard temporal pooling for frame-level
+      * perceptual hashes: it shrugs off a retouched intro frame or a
+      * re-encoded keyframe while preserving Hamming locality across
+      * the clip. One container parse, nf frame decodes, O(64) state. */
+    def tHash64(payload: Array[Byte]): Long = {
+      val info = parse(payload)
+      val nf = info.frames.length
+      require(nf >= 1, "clip has no frames")
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < nf) {
+        val h = ImageCodec.dHashOf(decodeFrame(info, i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+        i += 1
+      }
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        if (2 * counts(b) > nf) bits |= 1L << b
+        b += 1
+      }
+      bits
+    }
+  }
+
+  /** One temporal perceptual fingerprint per clip. */
+  final case class VideoHash(media_id: Long, thash: Long)
+
+  /** Partition-parallel REAL video decode → 64-bit temporal-majority
+    * fingerprints ([[VideoCodec.tHash64]]): the candidate-generation
+    * input for video near-dup — the [[imageDHashes]] shape with a
+    * container parse + per-frame decode inside the map. */
+  def videoTHashes(media: Dataset[MediaRow]): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    Compute.spread(media)
+      .mapPartitions(_.map(r =>
+        VideoHash(r.media_id, VideoCodec.tHash64(r.payload))))
   }
 
   /** Partition-parallel REAL video decode → per-frame statistics: the

@@ -494,6 +494,109 @@ object CorpusPipeline {
           .as("coverage"))
   }
 
+  /** Zipf-slope fit over the vocabulary head: OLS of ln(freq) against
+    * ln(rank) for the top-k tokens — the slope estimates −α of the
+    * corpus's Zipf law, the single-number sanity check of token
+    * distribution health (α drifting from ~1 flags boilerplate
+    * flooding or over-aggressive cleaning; Zipf 1949, and the fit
+    * protocol of Piantadosi 2014's review). k is the head on purpose:
+    * the published fits exclude the noisy tail, and bounding the
+    * regression to k rows keeps the whole statistic driver-free.
+    *
+    * Scale shape: [[topTokens]]' explode + map-side-combined count +
+    * TakeOrdered; everything after the cut operates on k rows (the
+    * declared bounded rank window). Determinism: each ln passes the
+    * repo-wide DECIMAL(18,6) channel, per-row products stay at their
+    * EXACT product scale (decimal(37,12) — never re-cast to a
+    * narrower decimal, because DuckDB truncates decimal→decimal while
+    * Spark rounds HALF_UP), the k-row sums are exact decimals, and
+    * slope/intercept are a FIXED sequence of IEEE double ops over
+    * those exact sums — bit-reproducible in any engine that mirrors
+    * the expression order. */
+  def zipfSlope(docs: DataFrame, k: Int,
+      text: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(T.tokens(col(text))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.orderBy(col("n_occ").desc, col("token"))
+    val terms = counts
+      .orderBy(col("n_occ").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(w)) // k rows: tiny window
+      .select(
+        log(col("rank").cast("double")).cast("decimal(18,6)").as("x"),
+        log(col("n_occ").cast("double")).cast("decimal(18,6)").as("y"))
+      .select(col("x"), col("y"),
+        (col("x") * col("y")).as("xy"), // decimal(37,12): exact
+        (col("x") * col("x")).as("xx"))
+    val s = terms.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("xy")).cast("double").as("sxy"),
+      sum(col("xx")).cast("double").as("sxx"))
+    val nD = col("n").cast("double")
+    val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+      (nD * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n"), slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / nD).as("intercept"))
+  }
+
+  /** Heaps'-law curve: vocabulary size as a function of tokens seen,
+    * measured at `nCheckpoints` evenly spaced doc-id cutoffs (Heaps
+    * 1978 — V(n) ≈ K·n^β; the sublinearity is what makes open-vocab
+    * tokenizers viable, and a bend in this curve is the classic
+    * symptom of template/boilerplate corpora). A token counts toward
+    * vocabulary at the FIRST doc that contains it, so checkpoint
+    * vocab sizes are exact, not sampled.
+    *
+    * Scale shape: the stream never sorts globally — each token type
+    * reduces to its min doc id (map-side-combined), each doc to its
+    * token count, both bucket into their covering checkpoint via a
+    * 16-element codegen'd HOF (exact integer cutoffs — no double
+    * division anywhere), and the only windows are cumulative sums over
+    * the nCheckpoints-row spine (declared bounded). The max-id scalar
+    * rides as a declared 1-row broadcast attach. */
+  def heapsLaw(docs: DataFrame, nCheckpoints: Int = 16,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(nCheckpoints >= 1, s"nCheckpoints=$nCheckpoints")
+    val spark = docs.sparkSession
+    val nc = lit(nCheckpoints.toLong)
+    val maxId = docs.agg(max(col(id)).as("__max"))
+    // cp(i) = (max*i) div nCheckpoints, exact in integer arithmetic
+    def cp(i: Column, m: Column): Column =
+      ((m * i - pmod(m * i, nc)) / nc).cast("long")
+    // smallest checkpoint index whose cutoff covers v
+    def bucketOf(v: Column, m: Column): Column =
+      array_min(filter(
+        transform(sequence(lit(1L), nc), i => when(cp(i, m) >= v, i)),
+        x => x.isNotNull))
+    val toks = docs.select(col(id), explode(T.tokens(col(text))).as("tok"))
+    val firstDoc = toks.groupBy(col("tok")).agg(min(col(id)).as("fd"))
+      .crossJoin(broadcast(maxId)) // declared 1-row scalar attach
+      .select(bucketOf(col("fd"), col("__max")).as("ck"))
+      .groupBy(col("ck")).agg(count(lit(1)).as("new_types"))
+    val docToks = docs
+      .select(col(id), size(T.tokens(col(text))).cast("long").as("nt"))
+      .crossJoin(broadcast(maxId))
+      .select(bucketOf(col(id), col("__max")).as("ck"), col("nt"))
+      .groupBy(col("ck")).agg(sum(col("nt")).as("new_tokens"))
+    import spark.implicits._
+    val spine = (1L to nCheckpoints.toLong).toDF("ck")
+      .crossJoin(broadcast(maxId))
+      .select(col("ck"), cp(col("ck"), col("__max")).as("cut_doc_id"))
+    val w = Window.orderBy(col("ck")) // nCheckpoints rows: tiny window
+    spine
+      .join(firstDoc, Seq("ck"), "left")
+      .join(docToks, Seq("ck"), "left")
+      .select(col("ck").as("ckpt"), col("cut_doc_id"),
+        sum(coalesce(col("new_tokens"), lit(0L))).over(w)
+          .as("tokens_seen"),
+        sum(coalesce(col("new_types"), lit(0L))).over(w)
+          .as("vocab_size"))
+      .orderBy(col("ckpt"))
+  }
+
   /** Occurrence-weighted token-rarity scoring — the CCNet-style LM
     * quality filter's shape with a determinism-safe statistic: each
     * token occurrence scores the odds-ratio rarity
@@ -799,6 +902,25 @@ object CorpusPipeline {
     require(trainPct + valPct <= 100, "train+val must leave room for test")
     val h = T.hash60(col(id).cast("string"), seed) % 100
     docs.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** GROUP-keyed split — the leakage-safe variant of [[splitAssign]]:
+    * the seeded hash draws on `groupCol` instead of the row id, so
+    * every row of a group lands in the SAME split. With near-dup
+    * cluster ids as the group this is the standard guard against
+    * duplicate-induced eval inflation (a test doc whose near-twin
+    * sits in train scores as memorization, not generalization — the
+    * Lee et al. 2021 §6 failure); with user/session ids it is the
+    * grouped split every ML framework ships. Same deterministic
+    * 60-bit draw as [[splitAssign]], replayable and oracle-exact. */
+  def splitAssignBy(df: DataFrame, groupCol: String, trainPct: Int = 80,
+      valPct: Int = 10, seed: Int = 21): DataFrame = {
+    require(trainPct + valPct <= 100, "train+val must leave room for test")
+    val h = T.hash60(col(groupCol).cast("string"), seed) % 100
+    df.withColumn("split",
       when(h < trainPct, "train")
         .when(h < trainPct + valPct, "val")
         .otherwise("test"))

@@ -312,5 +312,89 @@ object OpsQueries extends QueryPack {
       ORDER BY user_id, dbt_valid_from"""),
     covers = Seq("M2-scd2", "ST1"))
 
-  override def queries: Seq[Q] = Seq(q13, q14, q15, q16, q17, q72, q104)
+  /** Time-travel read over the transactional manifest store — the
+    * versioned-read capability that makes a training snapshot
+    * reproducible (Delta/Iceberg `VERSION AS OF`, on the native
+    * manifest-commit table [[graft.ops.ManifestTable]]): q13's MERGE
+    * lifecycle commits the target as version 1 and the merged state as
+    * version 2, BOTH versions stay independently readable afterwards,
+    * and the query reads them back and classifies every key — carried
+    * unchanged, updated in place, or inserted by the MERGE. This is
+    * the audit a pipeline runs after every transactional write ("what
+    * did that commit actually change?") and the reason versioned reads
+    * exist: yesterday's training run can be re-materialized from
+    * version 1 while version 2 serves. ONE full-outer hash join on the
+    * key; all counts exact. Oracle: q13's target/source/merged algebra
+    * re-joined declaratively. */
+  val q207 = Q(
+    "q207_time_travel_diff",
+    (s, dir) => {
+      import s.implicits._
+      val cut = lit("1999-01-01").cast("timestamp")
+      val target = Tables(s, dir, "orders")
+        .filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val source = Tables(s, dir, "orders")
+        .filter(($"o_orderdate" < cut && $"o_custkey" % 10 === 0) ||
+                $"o_orderdate" >= cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          when($"o_orderdate" < cut, $"o_totalprice" * 2)
+            .otherwise($"o_totalprice").as("o_totalprice"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q207_").toString + "/orders_tbl"
+      import graft.ops.ManifestTable
+      ManifestTable.commit(target, root)                      // version 1
+      ManifestTable.merge(s, root, source, Seq("o_orderkey")) // version 2
+      val v1 = ManifestTable.readVersion(s, root, 1L)
+        .select($"o_orderkey", $"o_totalprice".as("p1"))
+      val v2 = ManifestTable.readVersion(s, root, 2L)
+        .select($"o_orderkey", $"o_totalprice".as("p2"))
+      v1.join(v2, Seq("o_orderkey"), "full_outer")
+        .agg(
+          count(when($"p1".isNotNull, 1)).as("rows_v1"),
+          count(when($"p2".isNotNull, 1)).as("rows_v2"),
+          count(when($"p1".isNull && $"p2".isNotNull, 1)).as("n_inserted"),
+          count(when($"p1".isNotNull && $"p2".isNotNull &&
+            $"p1" =!= $"p2", 1)).as("n_updated"),
+          count(when($"p1".isNotNull && $"p2".isNotNull &&
+            $"p1" === $"p2", 1)).as("n_carried"))
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      source AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE (o_orderdate < TIMESTAMP '1999-01-01 00:00:00' AND o_custkey % 10 = 0)
+           OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      merged AS (
+        SELECT t.o_orderkey, t.o_totalprice
+        FROM target t WHERE NOT EXISTS
+          (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT t.o_orderkey, s.o_totalprice
+        FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT s.o_orderkey, s.o_totalprice
+        FROM source s WHERE NOT EXISTS
+          (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)),
+      j AS (SELECT t.o_orderkey IS NOT NULL AS in1,
+                   m.o_orderkey IS NOT NULL AS in2,
+                   t.o_totalprice AS p1, m.o_totalprice AS p2
+            FROM target t FULL JOIN merged m
+              ON t.o_orderkey = m.o_orderkey)
+      SELECT count(*) FILTER (WHERE in1) AS rows_v1,
+             count(*) FILTER (WHERE in2) AS rows_v2,
+             count(*) FILTER (WHERE NOT in1 AND in2) AS n_inserted,
+             count(*) FILTER (WHERE in1 AND in2 AND p1 <> p2) AS n_updated,
+             count(*) FILTER (WHERE in1 AND in2 AND p1 = p2) AS n_carried
+      FROM j"""),
+    covers = Seq("M1-merge", "TD-time-travel"))
+
+  override def queries: Seq[Q] =
+    Seq(q13, q14, q15, q16, q17, q72, q104, q207)
 }

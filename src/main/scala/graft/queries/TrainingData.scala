@@ -5899,6 +5899,376 @@ object TrainingData extends QueryPack {
           / CAST((SELECT count(*) FROM pl) AS DOUBLE) AS recall"""),
     covers = Seq("TD-dedup-image", "TD-harness-quality"))
 
+  /** Video near-dup — the LAST modality of the dedup matrix (text
+    * q21–q25, embeddings q26/q111, pixels q190, sound q195, now
+    * clips): each doc id renders to a REAL uncompressed-DIB AVI, every
+    * fourth doc also gets a retouched-intro variant (frame 0's first
+    * pixel pinned — the watermarked re-upload crawl case), the engine
+    * parses the actual container, decodes every frame, fingerprints
+    * the clip with the 64-bit temporal-majority dHash
+    * ([[graft.ops.Multimodal.VideoCodec.tHash64]] — per-frame grid
+    * kernel, strict-majority bit vote), and Hamming-≤2 pairs come from
+    * the SimHash pigeonhole machinery. The oracle recomputes every
+    * frame bit and the majority vote from the closed-form pixel
+    * function, so a parser or kernel that mis-decodes one sampled
+    * pixel hash-fails. */
+  private val tHashMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.DataFrame]()
+
+  /** Session-shared 64-bit temporal-hash table over the synthetic AVI
+    * corpus — parsed, frame-decoded + fingerprinted ONCE per
+    * (session, sf dir), the [[imageDHashTable]] pattern on the video
+    * modality; the pair query (q206) and the keeper resolution (q210)
+    * both consume it. Untracked localCheckpoint, `EdwQueries.star`
+    * precedent. */
+  private def videoTHashTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    tHashMemo.computeIfAbsent(
+      System.identityHashCode(s) + "|" + dir, _ => {
+        import s.implicits._
+        import graft.ops.Multimodal
+        val media = Tables(s, dir, "documents").select($"doc_id")
+          .as[Long].flatMap { id =>
+            val orig = Multimodal.MediaRow(id, "video",
+              Multimodal.VideoCodec.syntheticAviTextured(id, pert = false))
+            if (id % 4 == 0)
+              Seq(orig, Multimodal.MediaRow(id + 10000000L, "video",
+                Multimodal.VideoCodec
+                  .syntheticAviTextured(id, pert = true)))
+            else Seq(orig)
+          }
+        Multimodal.videoTHashes(media).toDF().localCheckpoint()
+      })
+
+  val q206 = Q(
+    "q206_video_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val hashes = videoTHashTable(s, dir)
+      Dedup.hammingNearPairs(hashes, "media_id", maxDist = 2,
+          bits = 64, hashCol = "thash")
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
+               CAST(2 + doc_id % 3 AS INT) AS nf,
+               CAST(8 + doc_id % 5 AS INT) AS w,
+               CAST(6 + doc_id % 4 AS INT) AS h,
+               CAST(3 + doc_id % 13 AS INT) AS sa,
+               CAST(5 + doc_id % 11 AS INT) AS sb
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id, TRUE,
+               CAST(2 + doc_id % 3 AS INT), CAST(8 + doc_id % 5 AS INT),
+               CAST(6 + doc_id % 4 AS INT), CAST(3 + doc_id % 13 AS INT),
+               CAST(5 + doc_id % 11 AS INT)
+        FROM documents WHERE doc_id % 4 = 0),
+      fb AS (
+        SELECT media_id, nf, y.j * 8 + x.i AS bitpos, f.f AS f,
+               CASE WHEN
+                 (CASE WHEN pert AND f.f = 0 AND ((x.i+1) * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE (((x.i+1) * w // 9) * ((x.i+1) * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + ((x.i+1) * w // 9) * (y.j * h // 8) * 7
+                             + ((x.i+1) * w // 9) * sa
+                             + (y.j * h // 8) * sb
+                             + f.f * 31 + base) % 256 END)
+                 >
+                 (CASE WHEN pert AND f.f = 0 AND (x.i * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE ((x.i * w // 9) * (x.i * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + (x.i * w // 9) * (y.j * h // 8) * 7
+                             + (x.i * w // 9) * sa
+                             + (y.j * h // 8) * sb
+                             + f.f * 31 + base) % 256 END)
+                 THEN 1 ELSE 0 END AS bit
+        FROM m, range(0, 4) f(f), range(0, 8) x(i), range(0, 8) y(j)
+        WHERE f.f < nf),
+      vb AS (SELECT media_id, bitpos,
+               CASE WHEN 2 * sum(bit) > max(nf) THEN '1' ELSE '0' END AS b
+             FROM fb GROUP BY media_id, bitpos),
+      hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
+             FROM vb GROUP BY media_id)
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(hamming(a.hstr, b.hstr) AS BIGINT) AS hamming
+      FROM hs a JOIN hs b ON a.media_id < b.media_id
+      WHERE hamming(a.hstr, b.hstr) <= 2
+      ORDER BY id_a, id_b"""),
+    covers = Seq("TD-dedup-video", "TD-multimodal"))
+
+  /** Video-dedup RESOLUTION — q206's perceptual pairs carried to the
+    * keeper decision, completing the resolution row across every
+    * binary modality (image q193, audio q203, now clips): Hamming-≤2
+    * temporal-hash pairs resolve into connected components, every clip
+    * gets (cluster, keep). Consumes the session-shared
+    * [[videoTHashTable]]; no container re-parse. Oracle: the q193
+    * recursive reachability closure over q206's closed-form frame-bit
+    * majority votes. */
+  val q210 = Q(
+    "q210_video_dedup_decision",
+    (s, dir) => {
+      val hashes = videoTHashTable(s, dir)
+      val pairs = Dedup.hammingNearPairs(hashes, "media_id", maxDist = 2,
+          bits = 64, hashCol = "thash")
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val decided = Dedup.dedupDecision(hashes.select(col("media_id")),
+        "media_id", pairs)
+      graft.CacheTracker.releaseCheckpoint(pairs)
+      decided.orderBy(col("media_id"))
+    },
+    Some("""
+      WITH RECURSIVE m AS (
+        SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
+               CAST(2 + doc_id % 3 AS INT) AS nf,
+               CAST(8 + doc_id % 5 AS INT) AS w,
+               CAST(6 + doc_id % 4 AS INT) AS h,
+               CAST(3 + doc_id % 13 AS INT) AS sa,
+               CAST(5 + doc_id % 11 AS INT) AS sb
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id, TRUE,
+               CAST(2 + doc_id % 3 AS INT), CAST(8 + doc_id % 5 AS INT),
+               CAST(6 + doc_id % 4 AS INT), CAST(3 + doc_id % 13 AS INT),
+               CAST(5 + doc_id % 11 AS INT)
+        FROM documents WHERE doc_id % 4 = 0),
+      fb AS (
+        SELECT media_id, nf, y.j * 8 + x.i AS bitpos, f.f AS f,
+               CASE WHEN
+                 (CASE WHEN pert AND f.f = 0 AND ((x.i+1) * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE (((x.i+1) * w // 9) * ((x.i+1) * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + ((x.i+1) * w // 9) * (y.j * h // 8) * 7
+                             + ((x.i+1) * w // 9) * sa
+                             + (y.j * h // 8) * sb
+                             + f.f * 31 + base) % 256 END)
+                 >
+                 (CASE WHEN pert AND f.f = 0 AND (x.i * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE ((x.i * w // 9) * (x.i * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + (x.i * w // 9) * (y.j * h // 8) * 7
+                             + (x.i * w // 9) * sa
+                             + (y.j * h // 8) * sb
+                             + f.f * 31 + base) % 256 END)
+                 THEN 1 ELSE 0 END AS bit
+        FROM m, range(0, 4) f(f), range(0, 8) x(i), range(0, 8) y(j)
+        WHERE f.f < nf),
+      vb AS (SELECT media_id, bitpos,
+               CASE WHEN 2 * sum(bit) > max(nf) THEN '1' ELSE '0' END AS b
+             FROM fb GROUP BY media_id, bitpos),
+      hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
+             FROM vb GROUP BY media_id),
+      pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+                FROM hs a JOIN hs b ON a.media_id < b.media_id
+                WHERE hamming(a.hstr, b.hstr) <= 2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach AS (
+        SELECT media_id AS node, media_id AS mn FROM m
+        UNION
+        SELECT e.dst AS node, r.mn
+        FROM reach r JOIN edges e ON e.src = r.node
+      )
+      SELECT node AS media_id, MIN(mn) AS cluster, node = MIN(mn) AS keep
+      FROM reach GROUP BY node ORDER BY media_id"""),
+    covers = Seq("TD-dedup-video", "TD-dedup-clusters"))
+
+  /** Zipf-slope fit ([[CorpusPipeline.zipfSlope]], Zipf 1949 /
+    * Piantadosi 2014): OLS of ln(freq) on ln(rank) over the top-100
+    * vocabulary head — the one-number token-distribution health check
+    * (α ≈ −slope drifting from ~1 flags boilerplate flooding or
+    * over-cleaning). q93's TakeOrdered head, the decimal-ln channel,
+    * exact k-row sums, and a fixed IEEE expression for the fit —
+    * every intermediate oracle-exact. */
+  val q208 = Q(
+    "q208_zipf_slope",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.zipfSlope(Tables(s, dir, "documents"), k = 100)
+    },
+    Some("""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+      c AS (SELECT token, count(*) AS n_occ FROM t GROUP BY 1),
+      top AS (SELECT token, n_occ FROM c
+              ORDER BY n_occ DESC, token LIMIT 100),
+      r AS (SELECT row_number() OVER (ORDER BY n_occ DESC, token) AS rnk,
+              n_occ FROM top),
+      p AS (SELECT CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,6)) AS x,
+              CAST(ln(CAST(n_occ AS DOUBLE)) AS DECIMAL(18,6)) AS y
+            FROM r),
+      p2 AS (SELECT x, y, x * y AS xy, x * x AS xx FROM p),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+              CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+              CAST(CAST(sum(xy) AS VARCHAR) AS DOUBLE) AS sxy,
+              CAST(CAST(sum(xx) AS VARCHAR) AS DOUBLE) AS sxx
+            FROM p2)
+      SELECT n,
+        (CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+        (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+          / CAST(n AS DOUBLE) AS intercept
+      FROM s"""),
+    covers = Seq("TD-corpus-stats", "TD-vocab-head"))
+
+  /** Heaps'-law curve ([[CorpusPipeline.heapsLaw]], Heaps 1978):
+    * exact vocabulary size vs tokens seen at 16 evenly spaced doc-id
+    * cutoffs — each token type reduces to its FIRST containing doc,
+    * buckets into its covering checkpoint through exact integer
+    * cutoffs, and two 16-row cumulative sums produce the curve. The
+    * sublinearity diagnostic for tokenizer planning and
+    * boilerplate-corpus detection, with no global sort anywhere. */
+  val q209 = Q(
+    "q209_heaps_law",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      CorpusPipeline.heapsLaw(Tables(s, dir, "documents"),
+        nCheckpoints = 16)
+    },
+    Some("""
+      WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+      fd AS (SELECT tok, min(doc_id) AS fdoc FROM tk GROUP BY 1),
+      fb AS (SELECT list_min([i for i in generate_series(1, 16)
+                              if (m * i) // 16 >= fdoc]) AS ck
+             FROM fd, mx),
+      nt AS (SELECT ck, count(*) AS new_types FROM fb GROUP BY 1),
+      dt AS (SELECT list_min([i for i in generate_series(1, 16)
+                              if (m * i) // 16 >= doc_id]) AS ck,
+               len(string_split(text, ' ')) AS ntk
+             FROM documents, mx),
+      dtg AS (SELECT ck, sum(ntk) AS new_tokens FROM dt GROUP BY 1),
+      sp AS (SELECT i AS ckpt, (m * i) // 16 AS cut_doc_id
+             FROM generate_series(1, 16) g(i), mx)
+      SELECT CAST(ckpt AS BIGINT) AS ckpt,
+             CAST(cut_doc_id AS BIGINT) AS cut_doc_id,
+             CAST(sum(coalesce(new_tokens, 0)) OVER (ORDER BY ckpt)
+               AS BIGINT) AS tokens_seen,
+             CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY ckpt)
+               AS BIGINT) AS vocab_size
+      FROM sp LEFT JOIN nt ON nt.ck = sp.ckpt
+              LEFT JOIN dtg ON dtg.ck = sp.ckpt
+      ORDER BY ckpt"""),
+    covers = Seq("TD-corpus-stats", "TD-vocab-head"))
+
+  /** Metadata-FILTERED ANN ([[Dedup.annTopKLshFiltered]]): top-5 by
+    * exact integer cosine among only same-`label` candidates — the
+    * filtered vector search every production store serves (language/
+    * tenant/split-constrained retrieval). The filter column joins INTO
+    * the LSH bucket key, so pruning happens at candidate generation,
+    * not as a post-filter that starves below k; bits shrinks to 2
+    * because the effective corpus per (bucket, label) cell is the
+    * label partition, ~1/10th of the table — the bits knob follows
+    * per-partition density, exactly as a production store sizes
+    * per-tenant index granularity. Oracle: q52's bucket recompute +
+    * the label equality. */
+  val q211 = Q(
+    "q211_ann_filtered",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Dedup.annTopKLshFiltered(emb, emb.filter($"vec_id" < 10),
+          "vec_id", "embedding", "label", k = 5, bits = 2)
+        .orderBy(col("id_q"), col("rank"))
+    },
+    Some {
+      val dotW = (alias: String) => (0 until 2).map { j =>
+        val a = T.minhashA(j); val b = T.minhashB(j)
+        s"""CASE WHEN list_aggregate([$alias.qv[ij] * ((($a*ij + $b) % 1009) - 504)
+             for ij in generate_series(1,64)], 'sum') >= 0
+           THEN ${1L << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""
+      WITH $dkQuantized,
+      b AS (SELECT n.vec_id, n.qv, n.nsq, e.label, ${dotW("n")} AS bucket
+            FROM n JOIN embeddings e ON e.vec_id = n.vec_id),
+      scored AS (
+        SELECT qs.vec_id AS id_q, qs.label, cs.vec_id AS id_c,
+               ${dkDot("qs", "cs")} / (sqrt(qs.nsq) * sqrt(cs.nsq)) AS cosine
+        FROM b qs JOIN b cs ON qs.bucket = cs.bucket
+                           AND qs.label = cs.label
+        WHERE qs.vec_id < 10 AND qs.vec_id <> cs.vec_id)
+      SELECT id_q, label, rank, id_c, cosine FROM (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY id_q ORDER BY cosine DESC, id_c ASC) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY id_q, rank"""
+    },
+    covers = Seq("TD-ann-lsh", "TD-filtered-ann"))
+
+  /** Leakage-safe train/val/test split
+    * ([[CorpusPipeline.splitAssignBy]] over q77's near-dup clusters):
+    * the split hash draws on the CLUSTER id, so a near-duplicate
+    * family can never straddle train and test — the guard against
+    * dup-induced eval inflation (Lee et al. 2021 §6: eval on a
+    * near-twin of a training doc measures memorization). Every doc —
+    * singletons included — gets (cluster, split); q101's per-split
+    * accounting applies downstream unchanged. Oracle: the q77
+    * recursive closure seeded from ALL docs + the same 60-bit draw on
+    * the cluster id. */
+  val q212 = Q(
+    "q212_leakage_safe_split",
+    (s, dir) => {
+      import graft.pipelines.CorpusPipeline
+      val docs = Tables(s, dir, "documents")
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text",
+        n = 3, k = K)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", k = K,
+          rows = BAND_ROWS)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val decided = Dedup.dedupDecision(docs.select(col("doc_id")),
+        "doc_id", pairs)
+      graft.CacheTracker.releaseCheckpoint(pairs)
+      CorpusPipeline.splitAssignBy(decided, "cluster", seed = 22)
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bandRows = (0 until K / BAND_ROWS).map { b =>
+        val key = (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH RECURSIVE $dkShingles,
+      $dkSig,
+      bands AS (
+        $bandRows),
+      prs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING(band, band_key)
+        WHERE a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM prs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS m FROM documents
+        UNION
+        SELECT e.dst AS node, r.m
+        FROM reach r JOIN edges e ON e.src = r.node
+      ),
+      cc AS (SELECT node AS doc_id, MIN(m) AS cluster
+             FROM reach GROUP BY node)
+      SELECT doc_id, cluster,
+             CASE WHEN ${dkHash(22, "CAST(cluster AS VARCHAR)")} % 100 < 80
+                    THEN 'train'
+                  WHEN ${dkHash(22, "CAST(cluster AS VARCHAR)")} % 100 < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM cc ORDER BY doc_id"""
+    },
+    covers = Seq("TD-split", "TD-dedup-clusters"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -5912,5 +6282,5 @@ object TrainingData extends QueryPack {
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
       q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
-      q203, q204, q205)
+      q203, q204, q205, q206, q208, q209, q210, q211, q212)
 }

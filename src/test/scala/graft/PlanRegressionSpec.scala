@@ -676,8 +676,10 @@ class PlanRegressionSpec extends SparkSpec {
                                     // attach — two 1-row crossJoins
       "q204_silhouette",            // q127's k-row centroid table as a
                                     // collected 1-row broadcast array
-      "q205_image_neardup_quality") // two 1-row count attaches onto the
+      "q205_image_neardup_quality", // two 1-row count attaches onto the
                                     // 1-row detected-count aggregate
+      "q209_heaps_law")             // three 1-row max-id scalar attaches
+                                    // (type/doc bucketing + the 16-row spine)
     val offenders = SparkEntry.allQueries
       .filterNot(q => declared.contains(q.name))
       .flatMap { q =>
@@ -717,6 +719,8 @@ class PlanRegressionSpec extends SparkSpec {
       "q162_ivf_recall",       // same (recall harness re-trains)
       "q194_cluster_balanced_sample", // same init rank (contains q127's train)
       "q204_silhouette",       // same init rank (contains q127's train)
+      "q208_zipf_slope",       // top-k head rank: k rows (q93's shape)
+      "q209_heaps_law",        // 16-row checkpoint cumulative sums
       "q150_mom_growth",       // lag over #months rows
       "q160_ntile_quartiles")  // whole-relation ntile BY CONTRACT
                                // (global quartiles need a global sort)

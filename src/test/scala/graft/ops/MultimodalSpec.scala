@@ -224,6 +224,65 @@ class MultimodalSpec extends SparkSpec {
     assert(near <= 3, s"textured corpus collapsed: $near near pairs in 64")
   }
 
+  test("tHash64: temporal-majority of per-frame dHashes, closed-form; " +
+      "retouched intro stays near; corrupt payload fails loudly") {
+    import Multimodal._
+    def expected(id: Long, pert: Boolean): Long = {
+      val nf = (2 + id % 3).toInt
+      val w = (8 + id % 5).toInt
+      val h = (6 + id % 4).toInt
+      val sa = 3 + id % 13
+      val sb = 5 + id % 11
+      def v(f: Int, sx: Int, sy: Int): Long =
+        if (pert && f == 0 && sx == 0 && sy == 0) 255
+        else (sx.toLong * sx * 3 + sy.toLong * sy * 5 + sx.toLong * sy * 7
+          + sx * sa + sy * sb + f.toLong * 31 + id) % 256
+      val counts = new Array[Int](64)
+      for {
+        f <- 0 until nf; y <- 0 until 8; x <- 0 until 8
+        if v(f, (x + 1) * w / 9, y * h / 8) > v(f, x * w / 9, y * h / 8)
+      } counts(y * 8 + x) += 1
+      (0 until 64).collect { case b if 2 * counts(b) > nf => 1L << b }
+        .foldLeft(0L)(_ | _)
+    }
+    for (id <- Seq(0L, 1L, 2L, 7L, 63L, 255L, 256L, 1000L)) {
+      val orig = VideoCodec.tHash64(
+        VideoCodec.syntheticAviTextured(id, pert = false))
+      assert(orig == expected(id, pert = false), s"id=$id")
+      val variant = VideoCodec.tHash64(
+        VideoCodec.syntheticAviTextured(id, pert = true))
+      assert(variant == expected(id, pert = true), s"id=$id variant")
+      // the retouch touches ONE pixel of ONE frame: it can shift at
+      // most the handful of grid comparisons that sample (0,0), and
+      // majority pooling absorbs part of even those
+      assert(java.lang.Long.bitCount(orig ^ variant) <= 6, s"id=$id dist")
+    }
+    // distinct ids separate (the family is non-degenerate)
+    val hs = (0L until 64L).map(id =>
+      VideoCodec.tHash64(VideoCodec.syntheticAviTextured(id, pert = false)))
+    val near = (for { i <- hs.indices; j <- i + 1 until hs.size
+      if java.lang.Long.bitCount(hs(i) ^ hs(j)) <= 2 } yield 1).size
+    assert(near <= 3, s"synthetic clip corpus collapsed: $near near pairs")
+    intercept[IllegalArgumentException] {
+      VideoCodec.tHash64(Array.fill[Byte](64)(7))
+    }
+  }
+
+  test("videoTHashes: partition-parallel clip fingerprints match the " +
+      "local kernel") {
+    import Multimodal._
+    import spark.implicits._
+    val ids = (0L until 12L)
+    val media = ids.map(id => MediaRow(id, "video",
+      VideoCodec.syntheticAviTextured(id, pert = false))).toDS()
+    val got = videoTHashes(media.repartition(5)).collect()
+      .map(h => h.media_id -> h.thash).toMap
+    ids.foreach { id =>
+      assert(got(id) == VideoCodec.tHash64(
+        VideoCodec.syntheticAviTextured(id, pert = false)), s"id=$id")
+    }
+  }
+
   test("imageDHashes + hammingNearPairs: pairs equal the brute-force " +
       "hamming-≤2 set, via the pigeonhole equi-join") {
     import Multimodal._
