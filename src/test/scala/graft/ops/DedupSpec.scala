@@ -90,6 +90,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("annTopKLshFiltered: every result matches the query's label, " +
+      "and equals the label-restricted rerank of the same buckets") {
+    val emb = graft.Tables(spark, sf001, "embeddings")
+    val got = Dedup.annTopKLshFiltered(emb, emb.filter($"vec_id" < 10),
+        "vec_id", "embedding", "label", k = 5, bits = 2)
+      .as[(Long, Int, Int, Long, Double)].collect()
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)]
+      .collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (q, lbl, _, c, _) =>
+      assert(q != c, "self must be excluded")
+      assert(labels(q) == lbl && labels(c) == lbl,
+        s"candidate $c (label ${labels(c)}) leaked into query $q's " +
+          s"label-$lbl result")
+    }
+    // the filtered result = the unfiltered SAME-bucket candidates
+    // post-filtered by label, reranked — in-key pruning loses nothing
+    // relative to post-filtering the full bucket (it only avoids the
+    // starvation of post-filtering a pre-cut top-k)
+    val all = Dedup.annTopKLsh(emb, emb.filter($"vec_id" < 10),
+        "vec_id", "embedding", k = Int.MaxValue, bits = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    val expect = all.filter { case (q, _, c, _) => labels(q) == labels(c) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r._4, r._3)).take(5).zipWithIndex
+          .map { case ((_, _, c, cos), i) => (q, i + 1, c, cos) }
+      }.toSet
+    assert(got.map { case (q, _, rk, c, cos) => (q, rk, c, cos) }.toSet
+      == expect)
+    // deterministic under repartition
+    val again = Dedup.annTopKLshFiltered(emb.repartition(7),
+        emb.filter($"vec_id" < 10), "vec_id", "embedding", "label",
+        k = 5, bits = 2)
+      .as[(Long, Int, Int, Long, Double)].collect()
+    assert(got.sortBy(r => (r._1, r._3)).sameElements(
+      again.sortBy(r => (r._1, r._3))))
+  }
+
   test("langId picks the lexicon with most hits, 'und' when none") {
     val df = Seq(
       (1L, "the cat and the dog is here"),

@@ -58,6 +58,34 @@ class ChunkSplitRetrievalSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("splitAssignBy: every member of a group shares one split; " +
+      "group draw differs from the row draw; determinism") {
+    import spark.implicits._
+    // 200 rows in 40 groups of 5
+    val d = (1L to 200L).map(i => (i, i % 40)).toDF("doc_id", "grp")
+    val got = CorpusPipeline.splitAssignBy(d, "grp", seed = 22)
+      .select($"doc_id", $"grp", $"split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 200)
+    // co-location: a group never straddles splits — THE property the
+    // leakage-safe split exists for
+    got.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"group ${rows.head._2} straddles splits: ${rows.map(_._3).toSet}")
+    }
+    // the group draw actually differs from a per-row draw
+    val perRow = CorpusPipeline.splitAssign(
+        d.select($"doc_id", lit("x").as("text")), seed = 22)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(got.exists { case (id, _, s) => perRow(id) != s })
+    // deterministic under repartition
+    val again = CorpusPipeline.splitAssignBy(d.repartition(7), "grp",
+        seed = 22)
+      .select($"doc_id", $"grp", $"split")
+      .as[(Long, Long, String)].collect()
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("crossSourceOverlap: counts distinct shared fps and grams once per pair") {
     import spark.implicits._
     val span = "one two three four five six" // shares its 5-grams
