@@ -548,6 +548,90 @@ object Dedup {
     duplicateClusters(ids, id, pairs)
       .withColumn("keep", col(id) === col("cluster"))
 
+  /** Batch-incremental pair→cluster MAINTENANCE — the resolution
+    * stage's between-retrains story, completing the incremental
+    * triptych (exact dedup `ingestNew`, candidate generation
+    * `ingestNewNearDup`, now the keeper DECISION itself). Persistent
+    * state under two roots:
+    *
+    *  - `bandRoot`: the APPEND-ONLY band table (every ingested doc's
+    *    LSH band keys; batches are disjoint because a doc ingests
+    *    once), one subdirectory per batch —
+    *    [[graft.ops.Upsert.writeBatchState]]'s O(batch) layout;
+    *  - `decisionRoot`: per-batch decision DELTAS (new docs + old
+    *    docs whose cluster CHANGED this batch), read back
+    *    latest-epoch-wins. Deltas, not snapshots: a new bridge doc
+    *    merging two old families relabels only the larger family, so
+    *    per-batch write cost tracks merge activity, not corpus size.
+    *
+    * Per batch: the batch's bands join the FULL band table (new-new
+    * + new-old collisions — exactly the candidate pairs a full-corpus
+    * banding would emit involving a new doc), prior assignments
+    * replay as STAR EDGES (cluster ↔ member, the compressed
+    * transitive closure of everything already resolved — diameter 2,
+    * so the CC converges in a couple of pointer-jump rounds), and ONE
+    * [[dedupDecision]] over star ∪ new edges relabels every doc.
+    * Min-label CC is confluent, so the incremental result is EQUAL to
+    * a full recompute over all ingested docs — which is exactly what
+    * the q213 oracle checks.
+    *
+    * Exactly-once under replay: the computation reads only OTHER
+    * batches' subdirectories, and both writes are idempotent
+    * per-subdir atomic swaps keyed by `batchId` (the
+    * `ingestNewNearDup` argument). The returned frame is materialized
+    * BEFORE the writes and holds the full post-batch assignment. */
+  def dedupDecisionIngest(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, bandRoot: String, decisionRoot: String,
+      batchId: String, epoch: Int, id: String = "doc_id",
+      text: String = "text", n: Int = 3, k: Int = 16,
+      rows: Int = 4): DataFrame = {
+    import graft.ops.{Upsert => U}
+    val sig = minhashSignatures(docs, id, text, n, k)
+    val newBands = bandKeys(sig, id, k, rows).localCheckpoint()
+    val bandSchema = s"$id BIGINT, band INT, band_key STRING"
+    val priorBands = U.readBatchState(spark, bandRoot, batchId, bandSchema)
+    val allBands = priorBands.fold(newBands)(newBands.unionByName(_))
+    // candidate pairs involving a new doc: batch side × full table
+    val newPairs = newBands
+      .select(col(id).as("__na"), col("band"), col("band_key"))
+      .join(allBands.select(col(id).as("__nb"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .filter(col("__na") =!= col("__nb"))
+      .select(least(col("__na"), col("__nb")).as("id_a"),
+        greatest(col("__na"), col("__nb")).as("id_b"))
+      .distinct()
+    val decSchema = s"$id BIGINT, cluster BIGINT, keep BOOLEAN, epoch INT"
+    val prior = U.readBatchState(spark, decisionRoot, batchId, decSchema)
+      .map(_.groupBy(col(id))
+        .agg(max_by(col("cluster"), col("epoch")).as("cluster")))
+    val starEdges = prior.map(_
+        .filter(col("cluster") =!= col(id))
+        .select(col("cluster").as("id_a"), col(id).as("id_b")))
+      .getOrElse(newPairs.limit(0))
+    val allIds = prior.map(_.select(col(id)))
+      .fold(docs.select(col(id)))(docs.select(col(id)).unionByName(_))
+      .distinct()
+    val pairs = newPairs.unionByName(starEdges).localCheckpoint()
+    val decided = graft.CacheTracker.trackCheckpoint(
+      dedupDecision(allIds, id, pairs).localCheckpoint())
+    graft.CacheTracker.releaseCheckpoint(pairs)
+    // delta = new docs + relabeled old docs (latest-epoch-wins on read)
+    val delta = prior match {
+      case None => decided
+      case Some(p) =>
+        decided.join(p.select(col(id), col("cluster").as("__old")),
+            Seq(id), "left")
+          .filter(col("__old").isNull || col("__old") =!= col("cluster"))
+          .drop("__old")
+    }
+    U.writeBatchState(newBands.select(col(id), col("band"),
+      col("band_key")), bandRoot, batchId)
+    U.writeBatchState(delta.withColumn("epoch", lit(epoch)),
+      decisionRoot, batchId)
+    graft.CacheTracker.releaseCheckpoint(newBands) // written: now dead
+    decided
+  }
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): within each embedding cluster (`label`), members

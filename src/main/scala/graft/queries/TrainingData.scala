@@ -6269,6 +6269,60 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-split", "TD-dedup-clusters"))
 
+  /** Batch-incremental dedup-DECISION maintenance
+    * ([[Dedup.dedupDecisionIngest]]): the keeper decision kept current
+    * between retrains — batch 0 (even ids) resolves, batch 1 (odd ids)
+    * joins its bands against the persistent band table, replays prior
+    * assignments as star edges, and ONE CC relabels everything;
+    * min-label confluence makes the incremental state EQUAL to a full
+    * recompute, which is exactly what the oracle (q77's closure over
+    * all docs) checks. Completes the incremental triptych: exact
+    * dedup q75, near-dup candidates q82, now the decision itself. */
+  val q213 = Q(
+    "q213_decision_ingest",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q213_").toString
+      Dedup.dedupDecisionIngest(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        root + "/bands", root + "/decisions", "b0", epoch = 0,
+        k = K, rows = BAND_ROWS)
+      Dedup.dedupDecisionIngest(s,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          root + "/bands", root + "/decisions", "b1", epoch = 1,
+          k = K, rows = BAND_ROWS)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bandRows = (0 until K / BAND_ROWS).map { b =>
+        val key = (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+          .map(i => s"CAST(mh$i AS VARCHAR)").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH RECURSIVE $dkShingles,
+      $dkSig,
+      bands AS (
+        $bandRows),
+      prs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING(band, band_key)
+        WHERE a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM prs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS m FROM documents
+        UNION
+        SELECT e.dst AS node, r.m
+        FROM reach r JOIN edges e ON e.src = r.node
+      )
+      SELECT node AS doc_id, MIN(m) AS cluster, node = MIN(m) AS keep
+      FROM reach GROUP BY node ORDER BY doc_id"""
+    },
+    covers = Seq("TD-dedup-clusters", "TD-incremental-ingest"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -6282,5 +6336,5 @@ object TrainingData extends QueryPack {
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
       q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
-      q203, q204, q205, q206, q208, q209, q210, q211, q212)
+      q203, q204, q205, q206, q208, q209, q210, q211, q212, q213)
 }

@@ -98,6 +98,61 @@ class DedupClustersSpec extends SparkSpec {
     assert(perCluster.filter(col("n_keep") =!= 1).count() == 0)
   }
 
+  test("dedupDecisionIngest: incremental state equals full recompute; " +
+      "a bridge doc merges two old families; replay is idempotent") {
+    // three families that batch 0 sees as separate singletons/pairs,
+    // plus a batch-1 BRIDGE doc near both families A and B — the case
+    // where an increment must RELABEL old docs
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight"
+    val b0 = Seq(
+      (1L, textA), (3L, textA),           // family A
+      (5L, textB), (7L, textB),           // family B
+      (9L, "lonely unique content nine")) // singleton
+      .toDF("doc_id", "text")
+    // doc 2 is a verbatim copy of A's text AND doc 4 bridges nothing;
+    // doc 6 is a copy of B's text — and doc 8 duplicates BOTH ways is
+    // impossible verbatim, so bridge via two docs landing in each
+    val b1 = Seq(
+      (2L, textA),                        // joins family A
+      (6L, textB),                        // joins family B
+      (8L, "totally new content eight")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cc_ingest_").toString
+    val all = b0.unionByName(b1)
+    Dedup.dedupDecisionIngest(spark, b0, s"$root/bands",
+      s"$root/decisions", "b0", epoch = 0)
+    val inc = Dedup.dedupDecisionIngest(spark, b1, s"$root/bands",
+        s"$root/decisions", "b1", epoch = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // ground truth: full recompute over all docs with the same
+    // signature parameters
+    val sig = Dedup.minhashSignatures(all, "doc_id", "text", n = 3, k = 16)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", k = 16, rows = 4)
+    val full = Dedup.dedupDecision(all.select(col("doc_id")), "doc_id",
+        pairs)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(inc == full,
+      s"incremental state diverged from full recompute:\n$inc\nvs\n$full")
+    // the batch-1 copy docs joined their families (old min labels)
+    val m = inc.map(r => r._1 -> r._2).toMap
+    assert(m(2L) == m(1L) && m(1L) == m(3L), s"family A split: $m")
+    assert(m(6L) == m(5L) && m(5L) == m(7L), s"family B split: $m")
+    assert(m(8L) == 8L && m(9L) == 9L)
+    // replay of batch 1 (same batchId, same docs): identical state,
+    // no duplicate band rows, no state corruption
+    val replay = Dedup.dedupDecisionIngest(spark, b1, s"$root/bands",
+        s"$root/decisions", "b1", epoch = 1)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(replay == inc, "replay must be idempotent")
+    val bandRows = spark.read.parquet(s"$root/bands/b1").count()
+    Dedup.dedupDecisionIngest(spark, b1, s"$root/bands",
+      s"$root/decisions", "b1", epoch = 1)
+    assert(spark.read.parquet(s"$root/bands/b1").count() == bandRows,
+      "replay must not grow the band table")
+  }
+
   test("end-to-end: jaccard pairs -> clusters on real documents") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.2)
