@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.ops.Dedup
+
+/** Streaming maintenance of the dedup KEEPER DECISION — the
+  * [[graft.ops.Dedup.dedupDecisionIngest]] batch kernel lifted to
+  * Structured Streaming (the [[AnnIndexStream]] move applied to the
+  * resolution stage): a `foreachBatch` sink over the document stream
+  * where each micro-batch appends its LSH bands to the persistent band
+  * table, joins them against every prior batch's bands for new
+  * candidate pairs, replays prior assignments as diameter-2 star
+  * edges, and relabels through one pointer-jumping CC — keeping the
+  * (doc → cluster, keep) table current as documents arrive, between
+  * scheduled full rebuilds.
+  *
+  * Exactly-once composes exactly as in [[AnnIndexStream]]: Spark
+  * replays a failed micro-batch with the SAME batch id, and
+  * `dedupDecisionIngest` reads only OTHER batches' state, so the
+  * replay recomputes the identical relabeling and its per-subdir
+  * atomic swaps are idempotent. Batch ids carry the checkpoint-derived
+  * namespace (round-8 ADVICE pattern): a fresh checkpoint can never
+  * collide with a prior run's subdirectories.
+  *
+  * 100-TB shape: per micro-batch work is one (band, band_key)
+  * equi-join of the batch's bands against the band table plus a CC
+  * whose edge set is batch pairs + star edges (converges in ~2
+  * rounds); decision-delta writes track merge activity, not corpus
+  * size. The micro-batch counter doubles as the latest-wins epoch —
+  * within one checkpoint lineage it is monotone, which is all the
+  * read side needs. */
+object DedupDecisionStream {
+
+  /** Start the decision-maintenance sink over a document stream with
+    * columns (`id`, `text`). */
+  def runDecisionSink(docs: DataFrame, bandRoot: String,
+      decisionRoot: String, checkpoint: String, id: String = "doc_id",
+      text: String = "text", n: Int = 3, k: Int = 16,
+      rows: Int = 4): StreamingQuery = {
+    val ns = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpoint.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          Dedup.dedupDecisionIngest(batch.sparkSession, batch, bandRoot,
+            decisionRoot, s"stream-$ns-$bid", epoch = bid.toInt, id,
+            text, n, k, rows)
+          ()
+        }
+      }
+      .start()
+  }
+}
