@@ -515,6 +515,7 @@ object CorpusPipeline {
     * the expression order. */
   def zipfSlope(docs: DataFrame, k: Int,
       text: String = "text"): DataFrame = {
+    require(k >= 2, s"a regression needs k >= 2 head tokens, got $k")
     val counts = docs
       .select(explode(T.tokens(col(text))).as("token"))
       .groupBy(col("token"))
