@@ -4996,7 +4996,7 @@ object TrainingData extends QueryPack {
       dir: String)
       : org.apache.spark.sql.DataFrame =
     dHashMemo.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir, _ => {
+      s"${System.identityHashCode(s)}|$dir", _ => {
         import s.implicits._
         import graft.ops.Multimodal
         val media = Tables(s, dir, "documents").select($"doc_id")
@@ -5288,7 +5288,7 @@ object TrainingData extends QueryPack {
       dir: String)
       : org.apache.spark.sql.DataFrame =
     bHashMemo.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir, _ => {
+      s"${System.identityHashCode(s)}|$dir", _ => {
         import s.implicits._
         import graft.ops.Multimodal
         val media = Tables(s, dir, "documents").select($"doc_id")
@@ -5925,7 +5925,7 @@ object TrainingData extends QueryPack {
   private def videoTHashTable(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     tHashMemo.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir, _ => {
+      s"${System.identityHashCode(s)}|$dir", _ => {
         import s.implicits._
         import graft.ops.Multimodal
         val media = Tables(s, dir, "documents").select($"doc_id")
