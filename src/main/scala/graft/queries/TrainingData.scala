@@ -5817,6 +5817,33 @@ object TrainingData extends QueryPack {
       FROM sil GROUP BY cluster ORDER BY cluster"""),
     covers = Seq("TD-kmeans", "TD-cluster-quality"))
 
+  /** The fingerprint-detector quality harness shared by all three
+    * binary modalities (q205 image, q214 audio, q215 video): planted
+    * truth is known by construction (every fourth doc got a retouched
+    * twin at id+10⁷), detected = Hamming-≤2 pairs off the modality's
+    * session-shared fingerprint table, score = exact-int hit counting
+    * + two final IEEE divisions. */
+  private def neardupQuality(s: org.apache.spark.sql.SparkSession,
+      dir: String, hashes: org.apache.spark.sql.DataFrame,
+      hashCol: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val detected = Dedup.hammingNearPairs(hashes, "media_id",
+        maxDist = 2, bits = 64, hashCol = hashCol)
+      .select(col("id_a"), col("id_b"))
+    val planted = Tables(s, dir, "documents").select($"doc_id")
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id".as("id_a"), ($"doc_id" + 10000000L).as("id_b"))
+    val hit = detected.join(planted, Seq("id_a", "id_b"), "left_semi")
+    detected.agg(count(lit(1)).as("n_detected"))
+      .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_detected"), col("n_planted"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_detected").cast("double"))
+          .as("precision"),
+        (col("n_hit").cast("double") / col("n_planted").cast("double"))
+          .as("recall"))
+  }
+
   /** Image near-dup QUALITY harness — the q112/q183 recall-precision
     * protocol applied to the perceptual-hash detector: the planted
     * truth is known by construction (every fourth doc got a retouched
@@ -5829,25 +5856,7 @@ object TrainingData extends QueryPack {
     * fingerprint chain + the same planted set. */
   val q205 = Q(
     "q205_image_neardup_quality",
-    (s, dir) => {
-      import s.implicits._
-      val hashes = imageDHashTable(s, dir)
-      val detected = Dedup.hammingNearPairs(hashes, "media_id",
-          maxDist = 2, bits = 64, hashCol = "dhash")
-        .select(col("id_a"), col("id_b"))
-      val planted = Tables(s, dir, "documents").select($"doc_id")
-        .filter($"doc_id" % 4 === 0)
-        .select($"doc_id".as("id_a"), ($"doc_id" + 10000000L).as("id_b"))
-      val hit = detected.join(planted, Seq("id_a", "id_b"), "left_semi")
-      detected.agg(count(lit(1)).as("n_detected"))
-        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_detected"), col("n_planted"), col("n_hit"),
-          (col("n_hit").cast("double") / col("n_detected").cast("double"))
-            .as("precision"),
-          (col("n_hit").cast("double") / col("n_planted").cast("double"))
-            .as("recall"))
-    },
+    (s, dir) => neardupQuality(s, dir, imageDHashTable(s, dir), "dhash"),
     Some("""
       WITH m AS (
         SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
@@ -6323,6 +6332,127 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-dedup-clusters", "TD-incremental-ingest"))
 
+  /** Audio-detector quality gate — the q205 protocol on the band-hash
+    * family: planted retouched-intro twins vs q195's Hamming-≤2 pairs
+    * off the shared audio fingerprint table. Completes the quality row
+    * of the modality matrix alongside q205 (image) and q215 (video):
+    * each fingerprint family's over-merge (precision) and escape rate
+    * (recall) is measured the same way, so families are comparable at
+    * equal Hamming budgets. */
+  val q214 = Q(
+    "q214_audio_neardup_quality",
+    (s, dir) => neardupQuality(s, dir, audioBandHashTable(s, dir),
+      "bhash"),
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
+               CAST(1000 + (doc_id % 7) * 100 AS BIGINT) AS n
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id, TRUE,
+               CAST(1000 + (doc_id % 7) * 100 AS BIGINT)
+        FROM documents WHERE doc_id % 4 = 0),
+      s AS (SELECT media_id,
+              t.t * 65 // n AS win,
+              abs(CASE WHEN pert AND t.t < 4 THEN 32767
+                   ELSE ((t.t * t.t * 31 + t.t * base * 17
+                          + base * base * 7) % 65536) - 32768 END) AS av
+            FROM m, range(0, 1600) t(t) WHERE t.t < n),
+      e AS (SELECT media_id, win, sum(av) AS s FROM s
+            GROUP BY media_id, win),
+      b AS (SELECT lo.media_id, lo.win AS bitpos,
+              CASE WHEN hi.s > lo.s THEN '1' ELSE '0' END AS b
+            FROM e lo JOIN e hi ON lo.media_id = hi.media_id
+                                AND hi.win = lo.win + 1
+            WHERE lo.win < 64),
+      hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
+             FROM b GROUP BY media_id),
+      det AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+              FROM hs a JOIN hs b ON a.media_id < b.media_id
+              WHERE hamming(a.hstr, b.hstr) <= 2),
+      pl AS (SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+             FROM documents WHERE doc_id % 4 = 0),
+      hit AS (SELECT * FROM det SEMI JOIN pl USING (id_a, id_b))
+      SELECT
+        (SELECT count(*) FROM det) AS n_detected,
+        (SELECT count(*) FROM pl) AS n_planted,
+        (SELECT count(*) FROM hit) AS n_hit,
+        CAST((SELECT count(*) FROM hit) AS DOUBLE)
+          / CAST((SELECT count(*) FROM det) AS DOUBLE) AS precision,
+        CAST((SELECT count(*) FROM hit) AS DOUBLE)
+          / CAST((SELECT count(*) FROM pl) AS DOUBLE) AS recall"""),
+    covers = Seq("TD-dedup-audio", "TD-harness-quality"))
+
+  /** Video-detector quality gate — the q205 protocol on the
+    * temporal-majority hash: planted retouched-intro twins vs q206's
+    * Hamming-≤2 pairs off the shared clip fingerprint table. The
+    * interesting number here is RECALL under majority pooling: a
+    * retouched frame 0 in an nf ≥ 3 clip is outvoted entirely
+    * (hamming 0), while nf = 2 clips leave tie bits at 0 — the gate
+    * quantifies how much the pooling absorbs. */
+  val q215 = Q(
+    "q215_video_neardup_quality",
+    (s, dir) => neardupQuality(s, dir, videoTHashTable(s, dir),
+      "thash"),
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
+               CAST(2 + doc_id % 3 AS INT) AS nf,
+               CAST(8 + doc_id % 5 AS INT) AS w,
+               CAST(6 + doc_id % 4 AS INT) AS h,
+               CAST(3 + doc_id % 13 AS INT) AS sa,
+               CAST(5 + doc_id % 11 AS INT) AS sb
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, doc_id, TRUE,
+               CAST(2 + doc_id % 3 AS INT), CAST(8 + doc_id % 5 AS INT),
+               CAST(6 + doc_id % 4 AS INT), CAST(3 + doc_id % 13 AS INT),
+               CAST(5 + doc_id % 11 AS INT)
+        FROM documents WHERE doc_id % 4 = 0),
+      fb AS (
+        SELECT media_id, nf, y.j * 8 + x.i AS bitpos, f.f AS f,
+               CASE WHEN
+                 (CASE WHEN pert AND f.f = 0 AND ((x.i+1) * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE (((x.i+1) * w // 9) * ((x.i+1) * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + ((x.i+1) * w // 9) * (y.j * h // 8) * 7
+                             + ((x.i+1) * w // 9) * sa
+                             + (y.j * h // 8) * sb
+                             + f.f * 31 + base) % 256 END)
+                 >
+                 (CASE WHEN pert AND f.f = 0 AND (x.i * w // 9) = 0
+                            AND (y.j * h // 8) = 0 THEN 255
+                       ELSE ((x.i * w // 9) * (x.i * w // 9) * 3
+                             + (y.j * h // 8) * (y.j * h // 8) * 5
+                             + (x.i * w // 9) * (y.j * h // 8) * 7
+                             + (x.i * w // 9) * sa
+                             + (y.j * h // 8) * sb
+                             + f.f * 31 + base) % 256 END)
+                 THEN 1 ELSE 0 END AS bit
+        FROM m, range(0, 4) f(f), range(0, 8) x(i), range(0, 8) y(j)
+        WHERE f.f < nf),
+      vb AS (SELECT media_id, bitpos,
+               CASE WHEN 2 * sum(bit) > max(nf) THEN '1' ELSE '0' END AS b
+             FROM fb GROUP BY media_id, bitpos),
+      hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
+             FROM vb GROUP BY media_id),
+      det AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+              FROM hs a JOIN hs b ON a.media_id < b.media_id
+              WHERE hamming(a.hstr, b.hstr) <= 2),
+      pl AS (SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+             FROM documents WHERE doc_id % 4 = 0),
+      hit AS (SELECT * FROM det SEMI JOIN pl USING (id_a, id_b))
+      SELECT
+        (SELECT count(*) FROM det) AS n_detected,
+        (SELECT count(*) FROM pl) AS n_planted,
+        (SELECT count(*) FROM hit) AS n_hit,
+        CAST((SELECT count(*) FROM hit) AS DOUBLE)
+          / CAST((SELECT count(*) FROM det) AS DOUBLE) AS precision,
+        CAST((SELECT count(*) FROM hit) AS DOUBLE)
+          / CAST((SELECT count(*) FROM pl) AS DOUBLE) AS recall"""),
+    covers = Seq("TD-dedup-video", "TD-harness-quality"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -6336,5 +6466,6 @@ object TrainingData extends QueryPack {
       q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
       q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
-      q203, q204, q205, q206, q208, q209, q210, q211, q212, q213)
+      q203, q204, q205, q206, q208, q209, q210, q211, q212, q213,
+      q214, q215)
 }

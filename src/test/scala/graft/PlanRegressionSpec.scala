@@ -678,6 +678,8 @@ class PlanRegressionSpec extends SparkSpec {
                                     // collected 1-row broadcast array
       "q205_image_neardup_quality", // two 1-row count attaches onto the
                                     // 1-row detected-count aggregate
+      "q214_audio_neardup_quality", // same q205 gate shape (audio)
+      "q215_video_neardup_quality", // same q205 gate shape (video)
       "q209_heaps_law")             // three 1-row max-id scalar attaches
                                     // (type/doc bucketing + the 16-row spine)
     val offenders = SparkEntry.allQueries
