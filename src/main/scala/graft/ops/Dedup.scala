@@ -270,7 +270,31 @@ object Dedup {
     * arithmetic shiftright sign-extends, but the width mask cuts the
     * extension back off, and `bit_count(xor)` is sign-agnostic. */
   def hammingNearPairs(sh: DataFrame, id: String, maxDist: Int,
-      bits: Int, hashCol: String): DataFrame = {
+      bits: Int, hashCol: String): DataFrame =
+    hammingNearPairsConfirmed(sh, id, maxDist, bits, hashCol)
+
+  /** [[hammingNearPairs]] with TWO-STAGE verification: candidates
+    * still come from the pigeonhole equi-join on `hashCol` (stage 1 —
+    * the cheap, index-able hash), but a pair is emitted only if it
+    * ALSO passes every confirm channel (stage 2 — higher-fidelity
+    * evidence carried alongside the hash and checked INSIDE the same
+    * codegen'd join stage, no second join or shuffle):
+    *
+    *  - `confirmHam`: (column, radius) pairs — 64-bit confirm hashes
+    *    that must be within `radius` Hamming distance;
+    *  - `confirmEq`: columns that must be exactly equal (the lossless
+    *    verify channel — e.g. an exact content signature).
+    *
+    * This is the production near-dup shape: a single perceptual hash
+    * over low-entropy content (tiny thumbnails, short clips) saturates
+    * its bit budget and over-merges at corpus scale; the fix is never
+    * a tighter stage-1 radius (recall dies) but independent confirm
+    * channels verified per candidate. Costs nothing at candidate
+    * generation — confirm columns ride the same shuffle rows. */
+  def hammingNearPairsConfirmed(sh: DataFrame, id: String, maxDist: Int,
+      bits: Int, hashCol: String,
+      confirmHam: Seq[(String, Int)] = Nil,
+      confirmEq: Seq[String] = Nil): DataFrame = {
     val nChunks = maxDist + 1
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64]: $bits")
     require(nChunks <= bits, s"maxDist must be < $bits")
@@ -286,12 +310,18 @@ object Dedup {
     // exchange reuse can never kick in — without the pin the entire
     // upstream simhash aggregation (token explode + 60 conditional sums)
     // runs twice
-    val idx = cached(sh.select(col(id), col(hashCol),
-      posexplode(chunks).as(Seq("chunk", "cv"))))
-    val a = idx.select(col(id).as("id_a"), col(hashCol).as("sh_a"),
-      col("chunk"), col("cv"))
-    val b = idx.select(col(id).as("id_b"), col(hashCol).as("sh_b"),
-      col("chunk"), col("cv"))
+    val confirmCols = confirmHam.map(_._1) ++ confirmEq
+    val idx = cached(sh.select(
+      (Seq(col(id), col(hashCol)) ++ confirmCols.map(col) :+
+        posexplode(chunks).as(Seq("chunk", "cv"))): _*))
+    val a = idx.select(
+      (Seq(col(id).as("id_a"), col(hashCol).as("sh_a")) ++
+        confirmCols.map(c => col(c).as(s"__${c}_a")) ++
+        Seq(col("chunk"), col("cv"))): _*)
+    val b = idx.select(
+      (Seq(col(id).as("id_b"), col(hashCol).as("sh_b")) ++
+        confirmCols.map(c => col(c).as(s"__${c}_b")) ++
+        Seq(col("chunk"), col("cv"))): _*)
     // canonical-chunk dedup, all inside the codegen'd join stage: a
     // pair is emitted ONLY from its first matching chunk (all earlier
     // chunks must differ — cheap bit math on the carried hashes), and
@@ -301,11 +331,16 @@ object Dedup {
       (col("chunk") <= lit(c)) ||
         (chunkOf(col("sh_a"), c) =!= chunkOf(col("sh_b"), c))
     }.reduce(_ && _)
+    val confirmed = (confirmHam.map { case (c, r) =>
+      bit_count(col(s"__${c}_a").bitwiseXOR(col(s"__${c}_b"))) <= r
+    } ++ confirmEq.map(c => col(s"__${c}_a") === col(s"__${c}_b")))
+      .foldLeft(lit(true))(_ && _)
     a.join(b, Seq("chunk", "cv"))
       .filter(col("id_a") < col("id_b"))
       .filter(firstMatchingChunk)
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
+      .filter(confirmed)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
@@ -579,10 +614,24 @@ object Dedup {
     * batches' subdirectories, and both writes are idempotent
     * per-subdir atomic swaps keyed by `batchId` (the
     * `ingestNewNearDup` argument). The returned frame is materialized
-    * BEFORE the writes and holds the full post-batch assignment. */
+    * BEFORE the writes and holds the full post-batch assignment.
+    *
+    * Epochs order the latest-wins read of the decision deltas, so they
+    * MUST be monotone across every batch ever written to
+    * `decisionRoot` — including batches from a PRIOR checkpoint
+    * lineage (a fresh stream checkpoint restarts Spark's micro-batch
+    * counter at 0, so a raw batch id is NOT safe as an epoch: old
+    * deltas would keep higher epochs and stale assignments would win
+    * reads). The default (`epoch = -1`) derives the epoch from the
+    * persisted state itself — max over all prior deltas' epochs, plus
+    * one — which is monotone across lineages by construction and
+    * replay-stable (a replayed batch re-derives from the same OTHER
+    * batches and idempotently overwrites its own subdir). Pass an
+    * explicit epoch only when the caller owns monotonicity end to end
+    * (e.g. a controlled rebuild). */
   def dedupDecisionIngest(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, bandRoot: String, decisionRoot: String,
-      batchId: String, epoch: Int, id: String = "doc_id",
+      batchId: String, epoch: Int = -1, id: String = "doc_id",
       text: String = "text", n: Int = 3, k: Int = 16,
       rows: Int = 4): DataFrame = {
     import graft.ops.{Upsert => U}
@@ -601,7 +650,15 @@ object Dedup {
         greatest(col("__na"), col("__nb")).as("id_b"))
       .distinct()
     val decSchema = s"$id BIGINT, cluster BIGINT, keep BOOLEAN, epoch INT"
-    val prior = U.readBatchState(spark, decisionRoot, batchId, decSchema)
+    val priorRaw = U.readBatchState(spark, decisionRoot, batchId, decSchema)
+    // auto epoch: strictly above every epoch already persisted (any
+    // lineage) — one tiny agg over the delta state, which the replay
+    // below fully scans anyway
+    val effEpoch =
+      if (epoch >= 0) epoch
+      else priorRaw.map(_.agg(coalesce(max(col("epoch")), lit(-1)))
+        .head().getInt(0) + 1).getOrElse(0)
+    val prior = priorRaw
       .map(_.groupBy(col(id))
         .agg(max_by(col("cluster"), col("epoch")).as("cluster")))
     val starEdges = prior.map(_
@@ -626,7 +683,7 @@ object Dedup {
     }
     U.writeBatchState(newBands.select(col(id), col("band"),
       col("band_key")), bandRoot, batchId)
-    U.writeBatchState(delta.withColumn("epoch", lit(epoch)),
+    U.writeBatchState(delta.withColumn("epoch", lit(effEpoch)),
       decisionRoot, batchId)
     graft.CacheTracker.releaseCheckpoint(newBands) // written: now dead
     decided

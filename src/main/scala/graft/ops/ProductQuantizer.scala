@@ -453,16 +453,16 @@ object ProductQuantizer {
   final case class IvfPqIndex(coarse: DataFrame, cents: DataFrame,
       codes: DataFrame)
 
-  private val indexMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
+  private val indexMemo = new graft.SessionMemo[IvfPqIndex]()
 
   /** Train + encode ONCE per (session, corpus, params) and share the
     * frozen index across every consumer — the round-8 VERDICT's
     * materialize-once ask. In production this is how IVF-PQ actually
     * lives: the index is built rarely and served constantly; a query
     * never retrains. `corpusKey` must uniquely name the corpus (e.g.
-    * the sf dir plus any filter); the memo key adds the session UUID
-    * so a new session can never read another session's frames.
+    * the sf dir plus any filter); the memo is weak-keyed BY the
+    * session ([[graft.SessionMemo]]) so a new session can never read
+    * another session's frames and a dead session's index is GC-able.
     * Training math is IDENTICAL to [[ivfPqEncode]]/[[ivfPqState]]
     * (deterministic Lloyd), so results are bit-equal to the
     * train-per-call paths and the oracles are untouched. */
@@ -470,9 +470,9 @@ object ProductQuantizer {
       kc: Int, cIters: Int, m: Int, k: Int, iters: Int,
       id: String = "vec_id", vec: String = "embedding"): IvfPqIndex = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val key = Seq(System.identityHashCode(emb.sparkSession), corpusKey,
+    val key = Seq(corpusKey,
       dim, kc, cIters, m, k, iters, id, vec).mkString("|")
-    indexMemo.computeIfAbsent(key, _ => {
+    indexMemo.getOrElseUpdate(emb.sparkSession, key, {
       val coarse = KMeans.centroids(emb, kc, cIters, id, vec)
         .localCheckpoint() // untracked: survives query boundaries
       val res = graft.CacheTracker.track(residuals(emb, coarse, id, vec))

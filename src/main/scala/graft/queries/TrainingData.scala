@@ -4980,8 +4980,7 @@ object TrainingData extends QueryPack {
     covers = Seq("TD-span-corruption", "TD-seq-pack"))
 
   private val dHashMemo =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.DataFrame]()
+    new graft.SessionMemo[org.apache.spark.sql.DataFrame]()
 
   /** Session-shared 64-bit dHash table over the synthetic PNG corpus —
     * decoded + fingerprinted ONCE per (session, sf dir) and
@@ -4995,8 +4994,7 @@ object TrainingData extends QueryPack {
   private def imageDHashTable(s: org.apache.spark.sql.SparkSession,
       dir: String)
       : org.apache.spark.sql.DataFrame =
-    dHashMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir", _ => {
+    dHashMemo.getOrElseUpdate(s, dir, {
         import s.implicits._
         import graft.ops.Multimodal
         val media = Tables(s, dir, "documents").select($"doc_id")
@@ -5275,8 +5273,7 @@ object TrainingData extends QueryPack {
     * closed-form sample function (a range join regenerates the PCM),
     * so a codec that mis-decodes one sample hash-fails. */
   private val bHashMemo =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.DataFrame]()
+    new graft.SessionMemo[org.apache.spark.sql.DataFrame]()
 
   /** Session-shared 64-bit band-hash table over the synthetic WAV
     * corpus — decoded + fingerprinted ONCE per (session, sf dir) and
@@ -5287,8 +5284,7 @@ object TrainingData extends QueryPack {
   private def audioBandHashTable(s: org.apache.spark.sql.SparkSession,
       dir: String)
       : org.apache.spark.sql.DataFrame =
-    bHashMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir", _ => {
+    bHashMemo.getOrElseUpdate(s, dir, {
         import s.implicits._
         import graft.ops.Multimodal
         val media = Tables(s, dir, "documents").select($"doc_id")
@@ -5825,10 +5821,13 @@ object TrainingData extends QueryPack {
     * + two final IEEE divisions. */
   private def neardupQuality(s: org.apache.spark.sql.SparkSession,
       dir: String, hashes: org.apache.spark.sql.DataFrame,
-      hashCol: String): org.apache.spark.sql.DataFrame = {
+      hashCol: String,
+      confirmHam: Seq[(String, Int)] = Nil,
+      confirmEq: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val detected = Dedup.hammingNearPairs(hashes, "media_id",
-        maxDist = 2, bits = 64, hashCol = hashCol)
+    val detected = Dedup.hammingNearPairsConfirmed(hashes, "media_id",
+        maxDist = 2, bits = 64, hashCol = hashCol,
+        confirmHam = confirmHam, confirmEq = confirmEq)
       .select(col("id_a"), col("id_b"))
     val planted = Tables(s, dir, "documents").select($"doc_id")
       .filter($"doc_id" % 4 === 0)
@@ -5914,27 +5913,36 @@ object TrainingData extends QueryPack {
     * fourth doc also gets a retouched-intro variant (frame 0's first
     * pixel pinned — the watermarked re-upload crawl case), the engine
     * parses the actual container, decodes every frame, fingerprints
-    * the clip with the 64-bit temporal-majority dHash
-    * ([[graft.ops.Multimodal.VideoCodec.tHash64]] — per-frame grid
-    * kernel, strict-majority bit vote), and Hamming-≤2 pairs come from
-    * the SimHash pigeonhole machinery. The oracle recomputes every
-    * frame bit and the majority vote from the closed-form pixel
-    * function, so a parser or kernel that mis-decodes one sampled
-    * pixel hash-fails. */
+    * the clip with the three-channel fingerprint
+    * ([[graft.ops.Multimodal.VideoCodec.fingerprint]] — temporal
+    * strict-majority dHash + frame-0 dHash + exact last-frame grid
+    * signature), candidates come from the SimHash pigeonhole
+    * machinery on the temporal hash, and every candidate passes the
+    * TWO-STAGE confirm (round-9 VERDICT ask #1: the single-stage
+    * majority hash measured 0.82 precision — same-texture collisions;
+    * the confirm channels take the planted gate to 1.0/1.0 at both
+    * sf0.01 and sf0.1). The oracle recomputes every frame bit, the
+    * majority vote, the confirm hash, and all 72 tail samples from
+    * the closed-form pixel function, so a parser or kernel that
+    * mis-decodes one sampled pixel hash-fails. */
   private val tHashMemo =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.DataFrame]()
+    new graft.SessionMemo[org.apache.spark.sql.DataFrame]()
 
-  /** Session-shared 64-bit temporal-hash table over the synthetic AVI
+  /** Session-shared clip-fingerprint table over the synthetic AVI
     * corpus — parsed, frame-decoded + fingerprinted ONCE per
     * (session, sf dir), the [[imageDHashTable]] pattern on the video
-    * modality; the pair query (q206) and the keeper resolution (q210)
-    * both consume it. Untracked localCheckpoint, `EdwQueries.star`
+    * modality; the pair query (q206), the keeper resolution (q210)
+    * and the quality gate (q215) all consume it. Since round 10 the
+    * table carries the full THREE-channel fingerprint
+    * ([[graft.ops.Multimodal.VideoCodec.fingerprint]]): the
+    * temporal-majority candidate hash plus both confirm channels
+    * (frame-0 dHash, exact last-frame grid signature) — computed in
+    * the same single decode pass, so the two-stage verify costs zero
+    * extra decodes. Untracked localCheckpoint, `EdwQueries.star`
     * precedent. */
-  private def videoTHashTable(s: org.apache.spark.sql.SparkSession,
+  private def videoFpTable(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    tHashMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir", _ => {
+    tHashMemo.getOrElseUpdate(s, dir, {
         import s.implicits._
         import graft.ops.Multimodal
         val media = Tables(s, dir, "documents").select($"doc_id")
@@ -5947,91 +5955,27 @@ object TrainingData extends QueryPack {
                   .syntheticAviTextured(id, pert = true)))
             else Seq(orig)
           }
-        Multimodal.videoTHashes(media).toDF().localCheckpoint()
+        Multimodal.videoFingerprints(media).toDF().localCheckpoint()
       })
 
-  val q206 = Q(
-    "q206_video_neardup",
-    (s, dir) => {
-      import s.implicits._
-      val hashes = videoTHashTable(s, dir)
-      Dedup.hammingNearPairs(hashes, "media_id", maxDist = 2,
-          bits = 64, hashCol = "thash")
-        .withColumn("hamming", col("hamming").cast("long"))
-        .orderBy($"id_a", $"id_b")
-    },
-    Some("""
-      WITH m AS (
-        SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
-               CAST(2 + doc_id % 3 AS INT) AS nf,
-               CAST(8 + doc_id % 5 AS INT) AS w,
-               CAST(6 + doc_id % 4 AS INT) AS h,
-               CAST(3 + doc_id % 13 AS INT) AS sa,
-               CAST(5 + doc_id % 11 AS INT) AS sb
-        FROM documents
-        UNION ALL
-        SELECT doc_id + 10000000, doc_id, TRUE,
-               CAST(2 + doc_id % 3 AS INT), CAST(8 + doc_id % 5 AS INT),
-               CAST(6 + doc_id % 4 AS INT), CAST(3 + doc_id % 13 AS INT),
-               CAST(5 + doc_id % 11 AS INT)
-        FROM documents WHERE doc_id % 4 = 0),
-      fb AS (
-        SELECT media_id, nf, y.j * 8 + x.i AS bitpos, f.f AS f,
-               CASE WHEN
-                 (CASE WHEN pert AND f.f = 0 AND ((x.i+1) * w // 9) = 0
-                            AND (y.j * h // 8) = 0 THEN 255
-                       ELSE (((x.i+1) * w // 9) * ((x.i+1) * w // 9) * 3
-                             + (y.j * h // 8) * (y.j * h // 8) * 5
-                             + ((x.i+1) * w // 9) * (y.j * h // 8) * 7
-                             + ((x.i+1) * w // 9) * sa
-                             + (y.j * h // 8) * sb
-                             + f.f * 31 + base) % 256 END)
-                 >
-                 (CASE WHEN pert AND f.f = 0 AND (x.i * w // 9) = 0
-                            AND (y.j * h // 8) = 0 THEN 255
-                       ELSE ((x.i * w // 9) * (x.i * w // 9) * 3
-                             + (y.j * h // 8) * (y.j * h // 8) * 5
-                             + (x.i * w // 9) * (y.j * h // 8) * 7
-                             + (x.i * w // 9) * sa
-                             + (y.j * h // 8) * sb
-                             + f.f * 31 + base) % 256 END)
-                 THEN 1 ELSE 0 END AS bit
-        FROM m, range(0, 4) f(f), range(0, 8) x(i), range(0, 8) y(j)
-        WHERE f.f < nf),
-      vb AS (SELECT media_id, bitpos,
-               CASE WHEN 2 * sum(bit) > max(nf) THEN '1' ELSE '0' END AS b
-             FROM fb GROUP BY media_id, bitpos),
-      hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
-             FROM vb GROUP BY media_id)
-      SELECT a.media_id AS id_a, b.media_id AS id_b,
-             CAST(hamming(a.hstr, b.hstr) AS BIGINT) AS hamming
-      FROM hs a JOIN hs b ON a.media_id < b.media_id
-      WHERE hamming(a.hstr, b.hstr) <= 2
-      ORDER BY id_a, id_b"""),
-    covers = Seq("TD-dedup-video", "TD-multimodal"))
+  /** The two confirm channels every video-family query applies on top
+    * of the temporal-hash candidates (see
+    * [[graft.ops.Dedup.hammingNearPairsConfirmed]]): intro-frame dHash
+    * within the same radius (a 1-pixel watermark touch-up flips at
+    * most one grid comparison, so planted twins stay ≤ 1), and the
+    * exact last-frame grid signature (DIB decode is lossless — a true
+    * re-upload's untouched tail frame is byte-identical). */
+  private val videoConfirmHam = Seq("fhash0" -> 2)
+  private val videoConfirmEq = Seq("tail_sig")
 
-  /** Video-dedup RESOLUTION — q206's perceptual pairs carried to the
-    * keeper decision, completing the resolution row across every
-    * binary modality (image q193, audio q203, now clips): Hamming-≤2
-    * temporal-hash pairs resolve into connected components, every clip
-    * gets (cluster, keep). Consumes the session-shared
-    * [[videoTHashTable]]; no container re-parse. Oracle: the q193
-    * recursive reachability closure over q206's closed-form frame-bit
-    * majority votes. */
-  val q210 = Q(
-    "q210_video_dedup_decision",
-    (s, dir) => {
-      val hashes = videoTHashTable(s, dir)
-      val pairs = Dedup.hammingNearPairs(hashes, "media_id", maxDist = 2,
-          bits = 64, hashCol = "thash")
-        .select(col("id_a"), col("id_b")).localCheckpoint()
-      val decided = Dedup.dedupDecision(hashes.select(col("media_id")),
-        "media_id", pairs)
-      graft.CacheTracker.releaseCheckpoint(pairs)
-      decided.orderBy(col("media_id"))
-    },
-    Some("""
-      WITH RECURSIVE m AS (
+  /** Shared DuckDB oracle fragment for the video family (q206/q210/
+    * q215): the closed-form THREE-channel clip fingerprint — per-frame
+    * grid bits (fb), the temporal strict-majority hash (vb/hs), the
+    * frame-0 confirm hash (f0), the exact last-frame grid signature
+    * (ts) — and the two-stage pair set (vpairs): temporal Hamming <= 2
+    * AND intro-frame Hamming <= 2 AND byte-equal tail signature,
+    * mirroring [[videoConfirmHam]]/[[videoConfirmEq]] bit for bit. */
+  private val videoFpSql = """m AS (
         SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
                CAST(2 + doc_id % 3 AS INT) AS nf,
                CAST(8 + doc_id % 5 AS INT) AS w,
@@ -6073,12 +6017,81 @@ object TrainingData extends QueryPack {
              FROM fb GROUP BY media_id, bitpos),
       hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
              FROM vb GROUP BY media_id),
-      pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b
-                FROM hs a JOIN hs b ON a.media_id < b.media_id
-                WHERE hamming(a.hstr, b.hstr) <= 2),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      f0 AS (SELECT media_id,
+               string_agg(CASE WHEN bit = 1 THEN '1' ELSE '0' END,
+                 '' ORDER BY bitpos) AS f0h
+             FROM fb WHERE f = 0 GROUP BY media_id),
+      ts AS (
+        SELECT media_id,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY pos) AS tsig
+        FROM (
+          SELECT media_id, y.j * 9 + x.i AS pos,
+                 CASE WHEN pert AND nf - 1 = 0 AND (x.i * w // 9) = 0
+                           AND (y.j * h // 8) = 0 THEN 255
+                      ELSE ((x.i * w // 9) * (x.i * w // 9) * 3
+                            + (y.j * h // 8) * (y.j * h // 8) * 5
+                            + (x.i * w // 9) * (y.j * h // 8) * 7
+                            + (x.i * w // 9) * sa
+                            + (y.j * h // 8) * sb
+                            + (nf - 1) * 31 + base) % 256 END AS v
+          FROM m, range(0, 9) x(i), range(0, 8) y(j))
+        GROUP BY media_id),
+      fp AS (SELECT h.media_id, h.hstr, f.f0h, t.tsig
+             FROM hs h JOIN f0 f USING (media_id)
+                       JOIN ts t USING (media_id)),
+      vpairs AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(hamming(a.hstr, b.hstr) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id
+        WHERE hamming(a.hstr, b.hstr) <= 2
+          AND hamming(a.f0h, b.f0h) <= 2
+          AND a.tsig = b.tsig)"""
+
+  val q206 = Q(
+    "q206_video_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val fps = videoFpTable(s, dir)
+      Dedup.hammingNearPairsConfirmed(fps, "media_id", maxDist = 2,
+          bits = 64, hashCol = "thash",
+          confirmHam = videoConfirmHam, confirmEq = videoConfirmEq)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH $videoFpSql
+      SELECT id_a, id_b, hamming FROM vpairs ORDER BY id_a, id_b"""),
+    covers = Seq("TD-dedup-video", "TD-multimodal"))
+
+  /** Video-dedup RESOLUTION — q206's two-stage-confirmed pairs
+    * carried to the keeper decision, completing the resolution row
+    * across every binary modality (image q193, audio q203, now
+    * clips): confirmed pairs resolve into connected components, every
+    * clip gets (cluster, keep). Consuming CONFIRMED pairs matters
+    * here more than anywhere — CC is transitive, so one false pair
+    * merges two whole families and the keeper deletes a family's
+    * worth of real content. Consumes the session-shared
+    * [[videoFpTable]]; no container re-parse. Oracle: the q193
+    * recursive reachability closure over the closed-form two-stage
+    * pair set. */
+  val q210 = Q(
+    "q210_video_dedup_decision",
+    (s, dir) => {
+      val fps = videoFpTable(s, dir)
+      val pairs = Dedup.hammingNearPairsConfirmed(fps, "media_id",
+          maxDist = 2, bits = 64, hashCol = "thash",
+          confirmHam = videoConfirmHam, confirmEq = videoConfirmEq)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val decided = Dedup.dedupDecision(fps.select(col("media_id")),
+        "media_id", pairs)
+      graft.CacheTracker.releaseCheckpoint(pairs)
+      decided.orderBy(col("media_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $videoFpSql,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
                 UNION ALL
-                SELECT id_b AS src, id_a AS dst FROM pairs),
+                SELECT id_b AS src, id_a AS dst FROM vpairs),
       reach AS (
         SELECT media_id AS node, media_id AS mn FROM m
         UNION
@@ -6295,11 +6308,11 @@ object TrainingData extends QueryPack {
         .createTempDirectory("graft_q213_").toString
       Dedup.dedupDecisionIngest(s,
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-        root + "/bands", root + "/decisions", "b0", epoch = 0,
+        root + "/bands", root + "/decisions", "b0",
         k = K, rows = BAND_ROWS)
       Dedup.dedupDecisionIngest(s,
           docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-          root + "/bands", root + "/decisions", "b1", epoch = 1,
+          root + "/bands", root + "/decisions", "b1",
           k = K, rows = BAND_ROWS)
         .orderBy(col("doc_id"))
     },
@@ -6384,62 +6397,23 @@ object TrainingData extends QueryPack {
     covers = Seq("TD-dedup-audio", "TD-harness-quality"))
 
   /** Video-detector quality gate — the q205 protocol on the
-    * temporal-majority hash: planted retouched-intro twins vs q206's
-    * Hamming-≤2 pairs off the shared clip fingerprint table. The
-    * interesting number here is RECALL under majority pooling: a
-    * retouched frame 0 in an nf ≥ 3 clip is outvoted entirely
-    * (hamming 0), while nf = 2 clips leave tie bits at 0 — the gate
-    * quantifies how much the pooling absorbs. */
+    * TWO-STAGE detector: planted retouched-intro twins vs q206's
+    * confirmed pairs off the shared clip fingerprint table. Round 9
+    * measured the single-stage temporal hash at precision 0.82
+    * (sf0.01) / 0.14 (sf0.1): tiny thumbnails don't carry 64 bits of
+    * entropy, so lookalike textures collide and collisions grow
+    * quadratically with corpus size. The two confirm channels
+    * (intro-frame dHash <= 2, byte-equal tail signature) measure
+    * 1.0/1.0 at BOTH scales — precision restored per-candidate, with
+    * recall mathematically safe (the planted retouch flips at most
+    * one intro-grid comparison and never touches the tail frame). */
   val q215 = Q(
     "q215_video_neardup_quality",
-    (s, dir) => neardupQuality(s, dir, videoTHashTable(s, dir),
-      "thash"),
-    Some("""
-      WITH m AS (
-        SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert,
-               CAST(2 + doc_id % 3 AS INT) AS nf,
-               CAST(8 + doc_id % 5 AS INT) AS w,
-               CAST(6 + doc_id % 4 AS INT) AS h,
-               CAST(3 + doc_id % 13 AS INT) AS sa,
-               CAST(5 + doc_id % 11 AS INT) AS sb
-        FROM documents
-        UNION ALL
-        SELECT doc_id + 10000000, doc_id, TRUE,
-               CAST(2 + doc_id % 3 AS INT), CAST(8 + doc_id % 5 AS INT),
-               CAST(6 + doc_id % 4 AS INT), CAST(3 + doc_id % 13 AS INT),
-               CAST(5 + doc_id % 11 AS INT)
-        FROM documents WHERE doc_id % 4 = 0),
-      fb AS (
-        SELECT media_id, nf, y.j * 8 + x.i AS bitpos, f.f AS f,
-               CASE WHEN
-                 (CASE WHEN pert AND f.f = 0 AND ((x.i+1) * w // 9) = 0
-                            AND (y.j * h // 8) = 0 THEN 255
-                       ELSE (((x.i+1) * w // 9) * ((x.i+1) * w // 9) * 3
-                             + (y.j * h // 8) * (y.j * h // 8) * 5
-                             + ((x.i+1) * w // 9) * (y.j * h // 8) * 7
-                             + ((x.i+1) * w // 9) * sa
-                             + (y.j * h // 8) * sb
-                             + f.f * 31 + base) % 256 END)
-                 >
-                 (CASE WHEN pert AND f.f = 0 AND (x.i * w // 9) = 0
-                            AND (y.j * h // 8) = 0 THEN 255
-                       ELSE ((x.i * w // 9) * (x.i * w // 9) * 3
-                             + (y.j * h // 8) * (y.j * h // 8) * 5
-                             + (x.i * w // 9) * (y.j * h // 8) * 7
-                             + (x.i * w // 9) * sa
-                             + (y.j * h // 8) * sb
-                             + f.f * 31 + base) % 256 END)
-                 THEN 1 ELSE 0 END AS bit
-        FROM m, range(0, 4) f(f), range(0, 8) x(i), range(0, 8) y(j)
-        WHERE f.f < nf),
-      vb AS (SELECT media_id, bitpos,
-               CASE WHEN 2 * sum(bit) > max(nf) THEN '1' ELSE '0' END AS b
-             FROM fb GROUP BY media_id, bitpos),
-      hs AS (SELECT media_id, string_agg(b, '' ORDER BY bitpos) AS hstr
-             FROM vb GROUP BY media_id),
-      det AS (SELECT a.media_id AS id_a, b.media_id AS id_b
-              FROM hs a JOIN hs b ON a.media_id < b.media_id
-              WHERE hamming(a.hstr, b.hstr) <= 2),
+    (s, dir) => neardupQuality(s, dir, videoFpTable(s, dir), "thash",
+      confirmHam = videoConfirmHam, confirmEq = videoConfirmEq),
+    Some(s"""
+      WITH $videoFpSql,
+      det AS (SELECT id_a, id_b FROM vpairs),
       pl AS (SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
              FROM documents WHERE doc_id % 4 = 0),
       hit AS (SELECT * FROM det SEMI JOIN pl USING (id_a, id_b))

@@ -28,9 +28,13 @@ import graft.ops.Dedup
   * equi-join of the batch's bands against the band table plus a CC
   * whose edge set is batch pairs + star edges (converges in ~2
   * rounds); decision-delta writes track merge activity, not corpus
-  * size. The micro-batch counter doubles as the latest-wins epoch —
-  * within one checkpoint lineage it is monotone, which is all the
-  * read side needs. */
+  * size. The latest-wins epoch is NOT the micro-batch counter — a
+  * fresh checkpoint against the same decisionRoot restarts that
+  * counter at 0, which would let stale deltas outrank new ones —
+  * it is derived from the persisted state itself
+  * ([[graft.ops.Dedup.dedupDecisionIngest]]'s auto-epoch: max over
+  * prior deltas + 1), monotone across checkpoint lineages by
+  * construction. */
 object DedupDecisionStream {
 
   /** Start the decision-maintenance sink over a document stream with
@@ -49,10 +53,13 @@ object DedupDecisionStream {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
-          Dedup.dedupDecisionIngest(batch.sparkSession, batch, bandRoot,
-            decisionRoot, s"stream-$ns-$bid", epoch = bid.toInt, id,
-            text, n, k, rows)
-          ()
+          val decided = Dedup.dedupDecisionIngest(batch.sparkSession,
+            batch, bandRoot, decisionRoot, s"stream-$ns-$bid",
+            epoch = -1, id = id, text = text, n = n, k = k, rows = rows)
+          // the returned full assignment (O(corpus), localCheckpointed)
+          // is dead once the state writes land — release it here or a
+          // long-running sink pins O(micro-batches x corpus) blocks
+          graft.CacheTracker.releaseCheckpoint(decided)
         }
       }
       .start()

@@ -121,9 +121,9 @@ class DedupClustersSpec extends SparkSpec {
       .createTempDirectory("graft_cc_ingest_").toString
     val all = b0.unionByName(b1)
     Dedup.dedupDecisionIngest(spark, b0, s"$root/bands",
-      s"$root/decisions", "b0", epoch = 0)
+      s"$root/decisions", "b0")
     val inc = Dedup.dedupDecisionIngest(spark, b1, s"$root/bands",
-        s"$root/decisions", "b1", epoch = 1)
+        s"$root/decisions", "b1")
       .orderBy("doc_id")
       .as[(Long, Long, Boolean)].collect().toSeq
     // ground truth: full recompute over all docs with the same
@@ -143,14 +143,31 @@ class DedupClustersSpec extends SparkSpec {
     // replay of batch 1 (same batchId, same docs): identical state,
     // no duplicate band rows, no state corruption
     val replay = Dedup.dedupDecisionIngest(spark, b1, s"$root/bands",
-        s"$root/decisions", "b1", epoch = 1)
+        s"$root/decisions", "b1")
       .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
     assert(replay == inc, "replay must be idempotent")
     val bandRows = spark.read.parquet(s"$root/bands/b1").count()
     Dedup.dedupDecisionIngest(spark, b1, s"$root/bands",
-      s"$root/decisions", "b1", epoch = 1)
+      s"$root/decisions", "b1")
     assert(spark.read.parquet(s"$root/bands/b1").count() == bandRows,
       "replay must not grow the band table")
+    // auto-epoch is monotone ACROSS lineages: a batch from a fresh
+    // checkpoint lineage (new namespace, micro-batch counter back at
+    // 0) must land with an epoch ABOVE everything already persisted,
+    // so its assignments win the latest-epoch read instead of being
+    // outranked by stale deltas
+    val epochsBefore = spark.read.parquet(s"$root/decisions/*")
+      .agg(max(col("epoch"))).as[Int].head()
+    val b2 = Seq((10L, textA)).toDF("doc_id", "text") // joins family A
+    val after = Dedup.dedupDecisionIngest(spark, b2, s"$root/bands",
+        s"$root/decisions", "lineage2-b0")
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    val epochsAfter = spark.read.parquet(s"$root/decisions/lineage2-b0")
+      .agg(max(col("epoch"))).as[Int].head()
+    assert(epochsAfter > epochsBefore,
+      s"fresh-lineage epoch $epochsAfter must exceed prior $epochsBefore")
+    val m2 = after.map(r => r._1 -> r._2).toMap
+    assert(m2(10L) == m2(1L), s"fresh-lineage doc must join family A: $m2")
   }
 
   test("end-to-end: jaccard pairs -> clusters on real documents") {

@@ -268,6 +268,56 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint: three channels from one decode pass — thash equals " +
+      "tHash64, twins stay within confirm radii, lookalikes need content") {
+    import Multimodal._
+    for (id <- Seq(0L, 1L, 7L, 63L, 255L, 1000L)) {
+      val orig = VideoCodec.fingerprint(
+        VideoCodec.syntheticAviTextured(id, pert = false))
+      val pert = VideoCodec.fingerprint(
+        VideoCodec.syntheticAviTextured(id, pert = true))
+      assert(orig.thash == VideoCodec.tHash64(
+        VideoCodec.syntheticAviTextured(id, pert = false)), s"id=$id")
+      // recall safety of the confirm channels, by construction:
+      // the planted retouch pins ONE pixel of frame 0. The 9x8 grid
+      // oversamples thumbnails (w=8 maps grid cols {0,1} to pixel
+      // col 0; h<=7 maps grid rows {0,1} to pixel row 0), so the
+      // pinned pixel sits under at most 2 grid rows x the one
+      // boundary comparison per row — at most 2 intro bits flip,
+      // exactly the confirm radius. The tail frame is untouched and
+      // decodes byte-identically under DIB.
+      assert(java.lang.Long.bitCount(orig.fhash0 ^ pert.fhash0) <= 2,
+        s"id=$id intro confirm must stay within radius")
+      assert(orig.tail_sig == pert.tail_sig,
+        s"id=$id tail signature must be byte-identical for twins")
+      // the signature is the 72-sample grid: 8 rows x 9 cols
+      assert(orig.tail_sig.split(",").length == 72)
+    }
+    // distinct clips separate on the tail content even when their
+    // perceptual hashes are close — the channel that restored q215
+    // precision to 1.0
+    val sigs = (0L until 64L).map(id => VideoCodec.fingerprint(
+      VideoCodec.syntheticAviTextured(id, pert = false)).tail_sig)
+    assert(sigs.distinct.size == sigs.size,
+      "tail signatures must separate distinct clips")
+  }
+
+  test("videoFingerprints: partition-parallel full fingerprints match " +
+      "the local kernel") {
+    import Multimodal._
+    import spark.implicits._
+    val ids = (0L until 12L)
+    val media = ids.map(id => MediaRow(id, "video",
+      VideoCodec.syntheticAviTextured(id, pert = false))).toDS()
+    val got = videoFingerprints(media.repartition(5)).collect()
+      .map(r => r.media_id -> ((r.thash, r.fhash0, r.tail_sig))).toMap
+    ids.foreach { id =>
+      val fp = VideoCodec.fingerprint(
+        VideoCodec.syntheticAviTextured(id, pert = false))
+      assert(got(id) == ((fp.thash, fp.fhash0, fp.tail_sig)), s"id=$id")
+    }
+  }
+
   test("videoTHashes: partition-parallel clip fingerprints match the " +
       "local kernel") {
     import Multimodal._
