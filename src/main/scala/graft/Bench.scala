@@ -104,13 +104,23 @@ object Bench {
       "q188_ivfpq_refine", "q186_ivfpq_ingest", "q180_ivfpq_search",
       "q179_ivfpq_encode", "q183_ivfpq_recall")
     val rank = heavyFirst.zipWithIndex.toMap
+    // per-query OUTPUT row counts (round-9 VERDICT ask #7): lets a
+    // ledger reader separate output-bound growth (the q25/q206 effect
+    // in SCALE.md) from compute growth without re-deriving it.
+    // Recorded once per query (counts are deterministic); persisted
+    // ledger only — the stdout summary stays under its 900-char budget
+    val rowsOf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     // one measured iteration: run, time, release tracked storage
     def timeIter(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[Double] = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try {
+          val n = fn(spark, sfDir).count()
+          rowsOf.getOrElseUpdate(name, n)
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
@@ -316,11 +326,14 @@ object Bench {
     // threads, the cpu time we got was real
     val stealJson = (for { a <- stealStart; b <- stealTicks() }
       yield ((b - a) / 100.0).toString).getOrElse("null")
+    val rowsJson = results.map { case (k, _) =>
+      s"\"$k\":${rowsOf.get(k).map(_.toString).getOrElse("null")}"
+    }.mkString("{", ",", "}")
     val line = s"""{$head,"failed":[${names(failed)}],""" +
       s""""degraded":[${names(degradedL)}],""" +
       s""""remeasured":[${names(remeasured.toList)}],""" +
       s""""load":$loadJson,"steal_s":$stealJson,""" +
-      s""""queries":$qs,""" +
+      s""""queries":$qs,"rows":$rowsJson,""" +
       s""""iterations":$allIters,"sf":"$sfDir"}"""
     // stdout gets a SUMMARY line as the program's LAST line. The driver
     // keeps only a 2000-char stdout tail (measured from BENCH_r06.json:

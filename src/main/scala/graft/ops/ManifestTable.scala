@@ -3,62 +3,148 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Minimal log-based transactional table — the Delta-style
-  * manifest-commit MERGE the round-8 VERDICT named as the largest
-  * honest gap (SURVEY §7's preferred MERGE form; no Delta jars in the
-  * sandbox, so the commit protocol is implemented directly on the
-  * FileSystem API, ~80 lines).
+  * manifest-commit MERGE (SURVEY §7's preferred MERGE form; no Delta
+  * jars in the sandbox, so the commit protocol is implemented directly
+  * on the FileSystem API).
   *
   * Layout:
   * {{{
-  *   root/_commits/v<N>        — zero-byte commit marker (atomic rename)
-  *   root/v<N>/part-*.parquet  — immutable version-N data files
+  *   root/_commits/v<N>[-b<key>]  — commit marker (atomic rename); its
+  *                                  CONTENT names the version's data
+  *                                  directory (empty = legacy `v<N>`)
+  *   root/_commits/_compact-<N>   — compaction file: every marker with
+  *                                  version ≤ N as one `name\tdir`
+  *                                  line (bounded marker listing)
+  *   root/d<N>-<token>/part-*.parquet — write-once data directories,
+  *                                  one UNIQUE dir per commit ATTEMPT
   * }}}
   *
-  * Protocol (single writer, many readers):
-  *  1. the committer writes the FULL next version's data to
-  *     `root/v<N+1>` via the staging-dir + rename swap
-  *     ([[Upsert.overwriteAtomic]] — also absorbs an orphan `v<N+1>`
-  *     left by a previously crashed attempt);
-  *  2. only then does it create the marker `_commits/v<N+1>`, by
-  *     writing a temp file and RENAMING it into place — the rename IS
-  *     the commit point: one atomic filesystem metadata operation.
+  * Protocol (optimistic concurrency, many writers, many readers):
+  *  1. the committer writes the FULL next version's data to a fresh
+  *     uniquely-named directory `d<N>-<token>` — unique per ATTEMPT,
+  *     so no two writers ever touch the same data path. (The previous
+  *     revision staged into a shared `v<N>` dir, which let a LOSING
+  *     writer overwrite the winner's already-committed data files
+  *     between the winner's marker rename and the loser's failed one —
+  *     a torn table through the back door. Unique dirs close that
+  *     window structurally: data paths are never contended.)
+  *  2. only then does it create the marker `_commits/v<N>`, by writing
+  *     a temp file (whose content names the data dir) and RENAMING it
+  *     into place — the rename IS the commit point: one atomic
+  *     filesystem metadata operation. A losing rename deletes its own
+  *     orphan data dir and throws.
   *
   * Readers resolve the current version as the highest marker and read
-  * only that version's directory. Data directories are immutable once
-  * committed, so a reader that resolved v<N> keeps a consistent view
-  * even while v<N+1> commits — and a crash ANYWHERE before the marker
-  * rename leaves the table exactly at its previous version: a torn
-  * table is unrepresentable, not merely unlikely (spec-pinned in
-  * `ManifestTableSpec`).
+  * only the directory that marker names. Committed data directories
+  * are immutable and never contended, so a reader that resolved v<N>
+  * keeps a consistent view even while v<N+1> commits — and a crash
+  * ANYWHERE before the marker rename leaves the table exactly at its
+  * previous version: a torn table is unrepresentable, not merely
+  * unlikely (spec-pinned in `ManifestTableSpec`).
   *
-  * Concurrent writers: the marker rename fails if the name exists, so
-  * the second committer of the same version fails LOUDLY instead of
-  * silently clobbering — optimistic concurrency, the Delta semantic.
+  * Commit-count scale: a long-lived streaming sink commits thousands
+  * of micro-batches, and listing `_commits` forever costs O(#commits)
+  * per read. [[compact]] folds all markers below the current version
+  * into ONE `_compact-<N>` file (the Delta checkpoint move) and
+  * deletes the individual marker files; readers then list O(markers
+  * since last compaction) and read one immutable, cached compact file.
+  * [[commit]]/[[mergeBatch]] auto-compact past
+  * [[autoCompactThreshold]] live markers, so resolution cost stays
+  * bounded no matter how many batches a sink commits. Compaction
+  * preserves every (version, batch-key) entry — exactly-once replay
+  * detection never forgets a committed batch.
+  *
+  * Retention: [[vacuum]] drops DATA directories older than the newest
+  * `keepLast` versions but keeps their commit entries, so
+  * [[batchApplied]] stays exact and a time-travel read of a vacuumed
+  * version fails with a clear error instead of a mystery missing-file.
+  * The reader contract is count-based: any reader holding one of the
+  * newest `keepLast` versions at vacuum time is safe (spec-pinned).
   *
   * 100-TB shape: a commit writes one new version directory (the MERGE
-  * output) + one zero-byte marker; readers list one tiny `_commits`
-  * dir and scan exactly one version. Old versions remain readable
-  * (time travel via [[readVersion]]) until [[vacuum]] drops them.
+  * output) + one tiny marker; readers list a bounded `_commits` dir
+  * and scan exactly one version. Old versions remain readable (time
+  * travel via [[readVersion]]) until [[vacuum]] drops them.
   */
 object ManifestTable {
 
   private type Path = org.apache.hadoop.fs.Path
 
+  /** Live markers above this count trigger auto-compaction inside
+    * [[commit]]/[[mergeBatch]] — the bound on per-read listing cost
+    * under a streaming sink. */
+  val autoCompactThreshold = 64
+
   private def fsOf(spark: SparkSession, root: String)
       : org.apache.hadoop.fs.FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** All commit-marker names (`v<N>` or `v<N>-b<batchKey>`). */
-  private def markerNames(spark: SparkSession, root: String): Seq[String] = {
+  /** Compact files are immutable once renamed into place — parse each
+    * at most once per JVM. Values are small (one short line per
+    * commit). */
+  private val compactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](4096)
+      var n = in.read(b)
+      while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def parseCompact(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Map[String, String] =
+    compactCache.computeIfAbsent(p.toString, _ => {
+      val txt = readSmallFile(fs, p)
+      txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        if (i < 0) line -> "" else line.take(i) -> line.drop(i + 1)
+      }.toMap
+    })
+
+  /** (live marker names, newest compact file's name→dir map). Rolls
+    * the union — a marker present in both (compactor crashed between
+    * compact write and marker delete) dedups by name. */
+  private def commitState(spark: SparkSession, root: String)
+      : (Seq[String], Map[String, String]) = {
     val fs = fsOf(spark, root)
     val commits = new Path(root, "_commits")
-    if (!fs.exists(commits)) Seq.empty
-    else fs.listStatus(commits).map(_.getPath.getName)
-      .filter(_.matches("v\\d+(-b.+)?")).toSeq
+    if (!fs.exists(commits)) return (Seq.empty, Map.empty)
+    val names = fs.listStatus(commits).map(_.getPath.getName).toSeq
+    val live = names.filter(_.matches("v\\d+(-b.+)?"))
+    val compacts = names.filter(_.matches("_compact-\\d+"))
+    val compacted =
+      if (compacts.isEmpty) Map.empty[String, String]
+      else parseCompact(fs,
+        new Path(commits, compacts.maxBy(_.drop(9).toLong)))
+    (live, compacted)
+  }
+
+  /** All commit-marker names (`v<N>` or `v<N>-b<batchKey>`), live ∪
+    * compacted. */
+  private def markerNames(spark: SparkSession, root: String): Seq[String] = {
+    val (live, compacted) = commitState(spark, root)
+    (live ++ compacted.keys).distinct
   }
 
   private def versionOf(marker: String): Long =
     marker.drop(1).takeWhile(_.isDigit).toLong
+
+  /** Data directory name for a committed marker: the marker's content
+    * (compact map, else one file read), empty = legacy `v<N>`. */
+  private def dirOf(spark: SparkSession, root: String,
+      marker: String): String = {
+    val (_, compacted) = commitState(spark, root)
+    val content = compacted.getOrElse(marker,
+      readSmallFile(fsOf(spark, root),
+        new Path(new Path(root, "_commits"), marker)))
+    if (content.isEmpty) s"v${versionOf(marker)}" else content
+  }
 
   /** Highest committed version, None if never committed. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -70,71 +156,183 @@ object ManifestTable {
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentVersion(spark, root).map(v => readVersion(spark, root, v))
 
-  /** Time travel: read a specific committed version. */
+  /** Time travel: read a specific committed version. Fails loudly if
+    * the version was never committed OR its data was vacuumed. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
-    require(markerNames(spark, root).exists(versionOf(_) == v),
-      s"version $v of $root was never committed")
-    spark.read.parquet(s"$root/v$v")
+    val marker = markerNames(spark, root).find(versionOf(_) == v)
+    require(marker.isDefined, s"version $v of $root was never committed")
+    val dir = dirOf(spark, root, marker.get)
+    require(fsOf(spark, root).exists(new Path(root, dir)),
+      s"version $v of $root was vacuumed (commit record retained, " +
+        "data directory dropped)")
+    spark.read.parquet(s"$root/$dir")
   }
 
   /** Commit `df` as the next version; returns the new version number.
     * Crash-safe per the protocol above; fails loudly on a concurrent
-    * commit of the same version. */
+    * commit of the same version (see [[mergeWithRetry]] for the
+    * rebase-and-retry loop). */
   def commit(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val next = currentVersion(spark, root).getOrElse(0L) + 1
-    writeVersionData(df, root, next)
-    writeMarker(spark, root, next)
+    val dir = writeVersionData(df, root, next)
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root)
     next
   }
 
-  /** Step 1 of [[commit]] — package-private so the crash spec can
-    * stop exactly between data write and marker rename. */
+  /** Step 1 of [[commit]] — returns the fresh unique data-dir name.
+    * Package-private so the crash spec can stop exactly between data
+    * write and marker rename. */
   private[graft] def writeVersionData(df: DataFrame, root: String,
-      v: Long): Unit =
-    Upsert.overwriteAtomic(df, s"$root/v$v")
+      v: Long): String = {
+    val dir = s"d$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$root/$dir") // ErrorIfExists: the dir is unique
+    dir
+  }
 
   /** Step 2 of [[commit]] — the atomic commit point. `suffix` carries
     * the streaming batch key (`-b<key>`) for [[mergeBatch]]'s replay
     * detection; a plain commit writes the bare `v<N>` marker. The
     * rename stays the single atomic operation either way, and two
     * markers of the same VERSION still conflict (the concurrent-commit
-    * guard checks version, not full name). */
+    * guard checks version, not full name). On a lost race the caller's
+    * orphan data dir is deleted before the throw. */
   private[graft] def writeMarker(spark: SparkSession, root: String,
-      v: Long, suffix: String = ""): Unit = {
+      v: Long, suffix: String = "", dataDir: String = ""): Unit = {
     val fs = fsOf(spark, root)
     val commits = new Path(root, "_commits")
     fs.mkdirs(commits)
-    if (markerNames(spark, root).exists(versionOf(_) == v))
-      throw new java.io.IOException(
-        s"concurrent commit detected: $root version $v already exists")
-    val tmp = new Path(commits, s".v$v$suffix.tmp")
-    val out = fs.create(tmp, true)
-    out.close()
-    if (!fs.rename(tmp, new Path(commits, s"v$v$suffix"))) {
-      fs.delete(tmp, false)
+    def lostRace(): Nothing = {
+      if (dataDir.nonEmpty) fs.delete(new Path(root, dataDir), true)
       throw new java.io.IOException(
         s"concurrent commit detected: $root version $v already exists")
     }
+    if (markerNames(spark, root).exists(versionOf(_) == v)) lostRace()
+    // the temp name must be unique PER ATTEMPT: two writers racing the
+    // same version with a shared `.v<N>.tmp` let the winner rename a
+    // temp the loser had just overwritten — committing a marker that
+    // points at the loser's (about-to-be-deleted) data dir. Caught by
+    // the two-writer spec; unique temps make each rename self-owned.
+    val tmp = new Path(commits,
+      s".v$v$suffix.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(dataDir.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(commits, s"v$v$suffix"))) {
+      fs.delete(tmp, false)
+      lostRace()
+    }
+  }
+
+  /** Fold every marker STRICTLY below the current version (plus any
+    * previous compact file's entries) into one `_compact-<curr-1>`
+    * file, then delete the covered marker files and older compact
+    * files. The current version's marker stays live so concurrent
+    * committers race against a real file, never a compact entry.
+    * Idempotent and crash-safe: the compact file lands by atomic
+    * rename; a crash before marker deletion leaves a name in both
+    * places, which readers dedup. Concurrent compactions: the second
+    * rename fails and is swallowed (the first already did the work).
+    * Entries are never dropped — exactly-once batch keys survive
+    * compaction AND vacuum forever. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val cur = currentVersion(spark, root).getOrElse(return)
+    val coverMax = cur - 1
+    if (coverMax < 1) return
+    val fs = fsOf(spark, root)
+    val commits = new Path(root, "_commits")
+    val (live, compacted) = commitState(spark, root)
+    val toCover = live.filter(versionOf(_) <= coverMax)
+    val entries = compacted ++
+      toCover.map(m => m -> {
+        val c = dirOf(spark, root, m)
+        if (c == s"v${versionOf(m)}") "" else c // keep legacy marker empty
+      })
+    if (entries.isEmpty) return
+    val name = s"_compact-$coverMax"
+    val target = new Path(commits, name)
+    if (!fs.exists(target)) {
+      val tmp = new Path(commits, s".$name.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(entries.toSeq.sortBy(e => versionOf(e._1))
+        .map { case (m, d) => s"$m\t$d" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false) // a concurrent compaction won; fine
+        return
+      }
+    }
+    // covered markers and superseded compact files are now redundant
+    toCover.foreach(m => fs.delete(new Path(commits, m), false))
+    fs.listStatus(commits).map(_.getPath).filter { p =>
+      val n = p.getName
+      n.matches("_compact-\\d+") && n.drop(9).toLong < coverMax
+    }.foreach(fs.delete(_, false))
+  }
+
+  private def maybeAutoCompact(spark: SparkSession, root: String): Unit = {
+    val (live, _) = commitState(spark, root)
+    if (live.size > autoCompactThreshold) compact(spark, root)
   }
 
   /** Transactional MERGE behind the [[Upsert.upsert]] signature: read
     * the current version as the target, apply the upsert kernel
     * (UNCHANGED — `UpsertPropertySpec` covers it), commit the result
     * as the next version, and return the committed table. First
-    * commit (no prior version) inserts the source as version 1. */
+    * commit (no prior version) inserts the source as version 1.
+    * Throws on a concurrent commit of the same version — use
+    * [[mergeWithRetry]] when multiple writers may collide. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String], updateCols: Option[Seq[String]] = None)
       : DataFrame = {
-    val result = read(spark, root) match {
-      case Some(target) => Upsert.upsert(target, source, keys, updateCols)
+    // OCC correctness: the committed version number is PINNED to
+    // (version read) + 1, not re-derived at commit time. Re-deriving
+    // let a concurrent commit land BETWEEN our read and our marker
+    // and be silently overwritten by a result computed without its
+    // rows — a lost update with no conflict signal (caught by the
+    // two-writer spec: one writer's row vanished ~1 run in 6). With
+    // the pin, any interleaved commit makes OUR marker collide and
+    // throw, which is exactly the signal mergeWithRetry rebases on.
+    val base = currentVersion(spark, root)
+    val result = base match {
+      case Some(v) =>
+        Upsert.upsert(readVersion(spark, root, v), source, keys, updateCols)
       case None => source
     }
-    commit(result, root)
-    read(spark, root).get
+    val next = base.getOrElse(0L) + 1
+    val dir = writeVersionData(result, root, next)
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root)
+    readVersion(spark, root, next)
   }
 
-  /** Has a [[mergeBatch]] with this batch key already committed? */
+  /** [[merge]] with the Delta-style rebase-and-retry loop: a losing
+    * committer re-reads the NEW current version (which includes the
+    * winner's rows), re-applies its upsert on top, and re-commits —
+    * so concurrent MERGEs serialize instead of one of them dying, and
+    * no committed row is ever lost (spec-pinned by the two-writer
+    * race). Bounded attempts: pathological contention still surfaces
+    * as the underlying conflict error rather than spinning forever. */
+  def mergeWithRetry(spark: SparkSession, root: String,
+      source: DataFrame, keys: Seq[String],
+      updateCols: Option[Seq[String]] = None,
+      maxAttempts: Int = 10): DataFrame = {
+    var attempt = 1
+    while (true) {
+      try return merge(spark, root, source, keys, updateCols)
+      catch {
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("concurrent commit detected") =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Has a [[mergeBatch]] with this batch key already committed?
+    * Exact forever: batch-key entries survive compaction and vacuum. */
   def batchApplied(spark: SparkSession, root: String,
       batchKey: String): Boolean =
     markerNames(spark, root).exists(_.endsWith(s"-b$batchKey"))
@@ -144,9 +342,9 @@ object ManifestTable {
     * (`v<N>-b<key>`), so a replayed batch whose key is already
     * committed is a no-op — whether the original attempt crashed
     * before the data write (nothing exists), between data write and
-    * marker (the orphan `v<N>` directory is absorbed by the staging
-    * swap on re-run), or after the marker (replay skips). The marker
-    * rename remains the single atomic commit point.
+    * marker (the orphan data dir is unreferenced and invisible), or
+    * after the marker (replay skips). The marker rename remains the
+    * single atomic commit point.
     *
     * Batch keys must be namespaced per stream run (the
     * [[graft.streaming.TransactionalStream]] caller derives the
@@ -157,26 +355,51 @@ object ManifestTable {
       keys: Seq[String], batchKey: String,
       updateCols: Option[Seq[String]] = None): Unit = {
     if (batchApplied(spark, root, batchKey)) return
-    val result = read(spark, root) match {
-      case Some(target) => Upsert.upsert(target, source, keys, updateCols)
+    // same read-version pin as [[merge]]: a stream is normally this
+    // table's only writer, but if anything else ever commits between
+    // our read and our marker the batch must conflict loudly, never
+    // silently drop the interloper's rows
+    val base = currentVersion(spark, root)
+    val result = base match {
+      case Some(v) =>
+        Upsert.upsert(readVersion(spark, root, v), source, keys, updateCols)
       case None => source
     }
-    val next = currentVersion(spark, root).getOrElse(0L) + 1
-    writeVersionData(result, root, next)
-    writeMarker(spark, root, next, s"-b$batchKey")
+    val next = base.getOrElse(0L) + 1
+    val dir = writeVersionData(result, root, next)
+    writeMarker(spark, root, next, s"-b$batchKey", dir)
+    maybeAutoCompact(spark, root)
   }
 
-  /** Drop all data directories and markers older than the newest
-    * `keepLast` versions. Never touches the current version. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Unit = {
+  /** Drop the DATA of all versions older than the newest `keepLast`
+    * (never the current version; never any commit RECORD — time-travel
+    * reads of vacuumed versions fail loudly and [[batchApplied]] stays
+    * exact). Reader contract: count-based retention — any reader that
+    * resolved one of the newest `keepLast` versions before the vacuum
+    * still reads it safely afterward; readers holding older versions
+    * must re-resolve (the Delta retention-window semantic, with
+    * commits as the clock).
+    *
+    * `dropOrphans`: also delete data directories referenced by NO
+    * marker — debris from crashed commit attempts. Off by default
+    * because an IN-FLIGHT commit's directory is unreferenced until its
+    * marker lands; only pass true when no writer is running. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+      dropOrphans: Boolean = false): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
     val fs = fsOf(spark, root)
     currentVersion(spark, root).foreach { cur =>
       val cutoff = cur - keepLast + 1
-      val commits = new Path(root, "_commits")
-      markerNames(spark, root).filter(versionOf(_) < cutoff).foreach { m =>
-        fs.delete(new Path(root, s"v${versionOf(m)}"), true)
-        fs.delete(new Path(commits, m), false)
+      val markers = markerNames(spark, root)
+      markers.filter(versionOf(_) < cutoff).foreach { m =>
+        fs.delete(new Path(root, dirOf(spark, root, m)), true)
+      }
+      if (dropOrphans) {
+        val referenced = markers.map(dirOf(spark, root, _)).toSet
+        fs.listStatus(new Path(root)).map(_.getPath)
+          .filter(p => p.getName.matches("(d\\d+-.+|v\\d+)") &&
+            !referenced.contains(p.getName))
+          .foreach(fs.delete(_, true))
       }
     }
   }

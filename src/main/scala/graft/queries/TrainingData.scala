@@ -6427,6 +6427,40 @@ object TrainingData extends QueryPack {
           / CAST((SELECT count(*) FROM pl) AS DOUBLE) AS recall"""),
     covers = Seq("TD-dedup-video", "TD-harness-quality"))
 
+
+  /** The composed end-to-end STREAMING corpus pipeline as a
+    * correctness row ([[graft.streaming.CorpusStream]], round-9
+    * VERDICT ask #6): the documents table becomes a 4-file drop
+    * directory, a maxFilesPerTrigger=1 AvailableNow stream drains it
+    * one file per micro-batch, and each batch runs quality gate →
+    * exact-dedup decision → transactional manifest MERGE. The query
+    * returns the FINAL COMMITTED table (the q213 pattern: the oracle
+    * checks the end state of a multi-batch lifecycle). Min/+ fold
+    * invariance makes the committed state equal the batch recompute
+    * for ANY batching — which is exactly what the oracle asserts. */
+  val q216 = Q(
+    "q216_streaming_corpus_pipeline",
+    (s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q216_").toString
+      val docs = Tables(s, dir, "documents")
+      docs.repartition(4).write.parquet(s"$tmp/drop")
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/drop")
+      val q = graft.streaming.CorpusStream.runCorpusSink(
+        src, s"$tmp/table", s"$tmp/ckpt", minTokens = 5)
+      q.awaitTermination()
+      graft.ops.ManifestTable.read(s, s"$tmp/table").get
+        .orderBy(col("fp"))
+    },
+    Some("""
+      SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+             min(doc_id) AS keeper, count(*) AS n_docs
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+      GROUP BY 1 ORDER BY fp"""),
+    covers = Seq("TD-streaming-pipeline", "TD-dedup-exact", "M1-merge"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -6441,5 +6475,5 @@ object TrainingData extends QueryPack {
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
       q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
       q203, q204, q205, q206, q208, q209, q210, q211, q212, q213,
-      q214, q215)
+      q214, q215, q216)
 }

@@ -64,11 +64,84 @@ class ManifestTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestTable.readVersion(spark, root, 2L)
     }
-    // the next commit claims version 2, overwriting the orphan dir
+    // the next commit claims version 2 in its own fresh dir; the
+    // orphan stays unreferenced debris until vacuum(dropOrphans)
     val v = ManifestTable.commit(Seq((1L, "v2")).toDF("k", "v"), root)
     assert(v == 2L)
     assert(ManifestTable.read(spark, root).get
       .as[(Long, String)].collect().toSeq == Seq((1L, "v2")))
+    ManifestTable.vacuum(spark, root, keepLast = 10, dropOrphans = true)
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().toSeq == Seq((1L, "v2")))
+  }
+
+  test("lost race cannot corrupt the winner's committed data: unique " +
+      "data dirs make version paths uncontended") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq((1L, "v1")).toDF("k", "v"), root)
+    // writer A: data for version 2 written, marker not yet attempted
+    val dirA = ManifestTable.writeVersionData(
+      Seq((1L, "A")).toDF("k", "v"), root, 2L)
+    // writer B wins version 2 outright
+    ManifestTable.commit(Seq((1L, "B")).toDF("k", "v"), root)
+    // A's marker attempt loses LOUDLY — and B's committed v2 data is
+    // untouched (the old shared-v2-dir staging let A overwrite it)
+    intercept[java.io.IOException] {
+      ManifestTable.writeMarker(spark, root, 2L, dataDir = dirA)
+    }
+    assert(ManifestTable.readVersion(spark, root, 2L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "B")))
+    // the loser's orphan dir was cleaned up by the failed marker
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, dirA)))
+  }
+
+  test("mergeWithRetry: a losing MERGE rebases onto the winner and " +
+      "re-commits — no committed row lost") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq((1L, "base")).toDF("k", "v"), root)
+    // winner B commits version 2 between A's read and A's commit:
+    // simulate by pre-claiming v2's marker the way a racing committer
+    // would (data + marker)
+    val dirB = ManifestTable.writeVersionData(
+      Seq((1L, "base"), (2L, "B")).toDF("k", "v"), root, 2L)
+    ManifestTable.writeMarker(spark, root, 2L, dataDir = dirB)
+    // plain merge computed against v1 would now throw; mergeWithRetry
+    // rebases on v2 (which has B's row) and lands as v3
+    val merged = ManifestTable.mergeWithRetry(spark, root,
+      Seq((3L, "A")).toDF("k", "v"), keys = Seq("k"))
+    assert(merged.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "base"), (2L, "B"), (3L, "A")))
+    assert(ManifestTable.currentVersion(spark, root).contains(3L))
+  }
+
+  test("two concurrent writers: both MERGEs land serialized, " +
+      "no lost rows") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq((0L, "base")).toDF("k", "v"), root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def writer(idBase: Long): java.util.concurrent.Future[Unit] =
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          gate.await()
+          (0 until 4).foreach { i =>
+            ManifestTable.mergeWithRetry(spark, root,
+              Seq((idBase + i, s"w$idBase-$i")).toDF("k", "v"),
+              keys = Seq("k"))
+          }
+        }
+      })
+    val fa = writer(100L); val fb = writer(200L)
+    gate.countDown()
+    fa.get(); fb.get(); pool.shutdown()
+    val rows = ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq
+    assert(rows == Seq(0L, 100L, 101L, 102L, 103L,
+      200L, 201L, 202L, 203L), s"lost rows: $rows")
+    // serialized: exactly 1 base + 8 merge commits
+    assert(ManifestTable.currentVersion(spark, root).contains(9L))
   }
 
   test("concurrent commit of the same version fails loudly") {
@@ -137,5 +210,80 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readVersion(spark, root, 3L).count() == 1L)
     assert(ManifestTable.read(spark, root).get
       .as[(Long, String)].collect().toSeq == Seq((4L, "v4")))
+  }
+
+  test("vacuum-vs-reader retention contract: a reader holding any of " +
+      "the newest keepLast versions survives the vacuum; older " +
+      "versions fail loudly, their commit records retained") {
+    val root = freshRoot()
+    (1 to 5).foreach(i =>
+      ManifestTable.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), root))
+    // reader R resolved v4 (within keepLast=2 of current v5) BEFORE
+    // the vacuum; its frame must stay fully readable afterward
+    val resolved = ManifestTable.readVersion(spark, root, 4L)
+    ManifestTable.vacuum(spark, root, keepLast = 2)
+    assert(resolved.as[(Long, String)].collect().toSeq == Seq((4L, "v4")))
+    assert(ManifestTable.readVersion(spark, root, 4L)
+      .as[(Long, String)].collect().toSeq == Seq((4L, "v4")))
+    // v3 is outside retention: loud, specific error — not a silent
+    // empty read, not a missing-file mystery
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.readVersion(spark, root, 3L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // and the commit RECORD is retained: version history still knows 3
+    assert(ManifestTable.currentVersion(spark, root).contains(5L))
+  }
+
+  test("compaction bounds marker resolution: 1000 streaming commits " +
+      "fold into one compact file; batch keys stay exact forever") {
+    val root = freshRoot()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // 1000 committed batches (markers only — resolution cost is about
+    // the _commits listing, not the data)
+    (1 to 1000).foreach(i =>
+      ManifestTable.writeMarker(spark, root, i.toLong, s"-bns-$i",
+        dataDir = s"d$i-test"))
+    val commits = new org.apache.hadoop.fs.Path(root, "_commits")
+    assert(fs.listStatus(commits).length == 1000)
+    ManifestTable.compact(spark, root)
+    // one compact file + the current version's live marker
+    val after = fs.listStatus(commits).map(_.getPath.getName).sorted
+    assert(after.length == 2, s"listing not bounded: ${after.length}")
+    assert(after.contains("_compact-999") && after.contains("v1000-bns-1000"))
+    // nothing forgotten: version resolution and EVERY batch key exact
+    assert(ManifestTable.currentVersion(spark, root).contains(1000L))
+    (1 to 1000).foreach(i =>
+      assert(ManifestTable.batchApplied(spark, root, s"ns-$i"), s"b$i"))
+    assert(!ManifestTable.batchApplied(spark, root, "ns-1001"))
+    // compaction is idempotent and keeps covering new commits
+    ManifestTable.writeMarker(spark, root, 1001L, "-bns-1001",
+      dataDir = "d1001-test")
+    ManifestTable.compact(spark, root)
+    val after2 = fs.listStatus(commits).map(_.getPath.getName).sorted
+    assert(after2.length == 2 && after2.contains("_compact-1000"))
+    assert(ManifestTable.batchApplied(spark, root, "ns-1"))
+    assert(ManifestTable.batchApplied(spark, root, "ns-1001"))
+  }
+
+  test("auto-compaction under a streaming-sized commit run keeps the " +
+      "live listing bounded with real data + reads intact") {
+    val root = freshRoot()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (1 to ManifestTable.autoCompactThreshold + 8).foreach(i =>
+      ManifestTable.mergeBatch(spark, root,
+        Seq((i.toLong, s"b$i")).toDF("k", "v"), Seq("k"), s"ns-$i"))
+    val commits = new org.apache.hadoop.fs.Path(root, "_commits")
+    val live = fs.listStatus(commits).map(_.getPath.getName)
+      .count(_.startsWith("v"))
+    assert(live <= ManifestTable.autoCompactThreshold + 1,
+      s"auto-compaction did not bound the listing: $live live markers")
+    // the table itself is complete and the full history replay-exact
+    assert(ManifestTable.read(spark, root).get.count() ==
+      (ManifestTable.autoCompactThreshold + 8).toLong)
+    (1 to ManifestTable.autoCompactThreshold + 8).foreach(i =>
+      assert(ManifestTable.batchApplied(spark, root, s"ns-$i")))
   }
 }
