@@ -65,8 +65,20 @@ object Bench {
           .next().trim.split("\\s+")
         Some(cpu(8).toLong)
       } catch { case _: Throwable => None }
+    // all cpu jiffies (user..steal+guest): the denominator that turns
+    // steal ticks into a FRACTION of the machine's cpu time over the
+    // sweep — the in-ledger discount basis a contended artifact needs
+    // (wall impact of steal is at most ~steal_frac of the total when
+    // the sweep saturates the cores, less when it doesn't)
+    def totalTicks(): Option[Long] =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+")
+        Some(cpu.drop(1).take(10).map(_.toLong).sum)
+      } catch { case _: Throwable => None }
     val loadStart = loadAvg1m()
     val stealStart = stealTicks()
+    val ticksStart = totalTicks()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -326,6 +338,12 @@ object Bench {
     // threads, the cpu time we got was real
     val stealJson = (for { a <- stealStart; b <- stealTicks() }
       yield ((b - a) / 100.0).toString).getOrElse("null")
+    val stealFracJson = (for {
+      a <- stealStart; b <- stealTicks()
+      ta <- ticksStart; tb <- totalTicks()
+      if tb > ta
+    } yield (math.round(10000.0 * (b - a) / (tb - ta)) / 10000.0).toString)
+      .getOrElse("null")
     val rowsJson = results.map { case (k, _) =>
       s"\"$k\":${rowsOf.get(k).map(_.toString).getOrElse("null")}"
     }.mkString("{", ",", "}")
@@ -333,6 +351,7 @@ object Bench {
       s""""degraded":[${names(degradedL)}],""" +
       s""""remeasured":[${names(remeasured.toList)}],""" +
       s""""load":$loadJson,"steal_s":$stealJson,""" +
+      s""""steal_frac":$stealFracJson,""" +
       s""""queries":$qs,"rows":$rowsJson,""" +
       s""""iterations":$allIters,"sf":"$sfDir"}"""
     // stdout gets a SUMMARY line as the program's LAST line. The driver
@@ -358,6 +377,7 @@ object Bench {
         s""""n_remeasured":${remeasured.size},""" +
         s""""n_queries":${results.size},""" +
         s""""load":$loadJson,"steal_s":$stealJson,""" +
+        s""""steal_frac":$stealFracJson,""" +
         s""""slowest":$top10,""" +
         s""""queries_file":"bench_history/bench_latest.json","sf":"$sfDir"}"""
     // per-round ledger: the driver's BENCH_r{N}.json can truncate in

@@ -136,13 +136,23 @@ object ManifestTable {
     marker.drop(1).takeWhile(_.isDigit).toLong
 
   /** Data directory name for a committed marker: the marker's content
-    * (compact map, else one file read), empty = legacy `v<N>`. */
+    * (compact map, else one file read), empty = legacy `v<N>`.
+    * Compaction-race-safe: a marker listed as live can be DELETED by a
+    * concurrent [[compact]] before this reader opens it — its entry
+    * has then moved into a newer compact file, so on
+    * FileNotFoundException re-resolve through a fresh [[commitState]]
+    * (which reads that newer file) instead of failing a read of a
+    * fully-committed version. */
   private def dirOf(spark: SparkSession, root: String,
       marker: String): String = {
     val (_, compacted) = commitState(spark, root)
     val content = compacted.getOrElse(marker,
-      readSmallFile(fsOf(spark, root),
-        new Path(new Path(root, "_commits"), marker)))
+      try readSmallFile(fsOf(spark, root),
+        new Path(new Path(root, "_commits"), marker))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          commitState(spark, root)._2.getOrElse(marker, throw e)
+      })
     if (content.isEmpty) s"v${versionOf(marker)}" else content
   }
 
