@@ -79,4 +79,63 @@ class DedupDecisionStreamSpec extends SparkSpec {
     assert(ns.size == 1 && ns.head.matches("[0-9a-f]{8}"), s"dirs: $fs")
     assert(fs.map(_.split("-")(2)) == Set("0", "1"))
   }
+
+  test("fresh checkpoint lineage against the same decision state: " +
+      "relabels from the new lineage outrank every prior epoch " +
+      "(micro-batch counter resets to 0 — the round-9 ADVICE race)") {
+    val work = Files.createTempDirectory("graft_ccstream_lineage_")
+    val bands = s"$work/bands"; val dec = s"$work/decisions"
+
+    def run(landing: Path, ckpt: String): Unit = {
+      val src = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1") // one micro-batch per file
+        .json(landing.toString)
+      val q = DedupDecisionStream.runDecisionSink(src, bands, dec, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    // lineage 1, two micro-batches: families A and B resolve, and the
+    // second batch already writes deltas at a POSITIVE epoch
+    val landing1 = Files.createTempDirectory("graft_ccs_l1_")
+    drop(landing1, "b1.json", docRow(1L, textA), docRow(3L, textA))
+    drop(landing1, "b2.json", docRow(5L, textB), docRow(7L, textB))
+    run(landing1, s"$work/ckpt1")
+
+    // lineage 2: FRESH checkpoint (its micro-batch counter restarts
+    // at 0), new landing, same decision state. Doc 2 copies family
+    // B's text — and its id is SMALLER than B's keeper (5), so the
+    // increment must RELABEL old docs 5 and 7 to cluster 2. Those
+    // relabel deltas come from lineage 2's batch 0: with the raw
+    // micro-batch counter as the epoch they'd land at epoch 0 and
+    // LOSE the latest-wins read against the same docs' lineage-1
+    // epoch-1 deltas (cluster 5) — silent state corruption. The
+    // auto-derived epoch (max prior + 1) makes them win.
+    val landing2 = Files.createTempDirectory("graft_ccs_l2_")
+    drop(landing2, "b1.json", docRow(2L, textB))
+    run(landing2, s"$work/ckpt2")
+
+    val state = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dec)
+      .groupBy($"doc_id")
+      .agg(max_by($"cluster", $"epoch").as("cluster"))
+      .as[(Long, Long)].collect().toMap
+    assert(state.keySet == Set(1L, 2L, 3L, 5L, 7L))
+    assert(state(1L) == 1L && state(3L) == 1L, s"family A moved: $state")
+    assert(state(2L) == 2L && state(5L) == 2L && state(7L) == 2L,
+      s"fresh-lineage relabels lost the latest-wins read: $state")
+    // and the persisted epochs are strictly monotone ACROSS lineages:
+    // the new lineage's subdir epoch exceeds every lineage-1 epoch
+    val byDir = new java.io.File(dec).listFiles().toSeq
+      .filter(d => d.isDirectory && !d.getName.contains("__"))
+      .map(d => d.getName ->
+        spark.read.parquet(d.toString).agg(max($"epoch")).as[Int].head())
+      .toMap
+    val (l2, l1) = byDir.partition(_._2 == byDir.values.max)
+    assert(l2.size == 1 && l1.size == 2,
+      s"expected 2 lineage-1 batches + 1 lineage-2 batch: $byDir")
+    assert(l2.values.head > l1.values.max,
+      s"lineage-2 epoch did not continue past lineage 1: $byDir")
+  }
 }
