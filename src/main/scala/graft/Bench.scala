@@ -111,6 +111,9 @@ object Bench {
     // single contended iteration dominated the round-4 official total.
     val heavyFirst = Seq("q100_source_overlap", "q77_dedup_clusters",
       "q75_incremental_ingest", "q82_neardup_ingest", "q76_image_decode",
+      // the composed streaming lifecycle (4 micro-batches + manifest
+      // commits per run) joined the heavy set in round 10
+      "q216_streaming_corpus_pipeline",
       // the IVF-PQ train/search tail (each rebuilds state per run by
       // harness design) joined the >2.5 s club in round 8
       "q188_ivfpq_refine", "q186_ivfpq_ingest", "q180_ivfpq_search",

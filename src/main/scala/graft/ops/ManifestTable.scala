@@ -166,17 +166,26 @@ object ManifestTable {
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentVersion(spark, root).map(v => readVersion(spark, root, v))
 
-  /** Time travel: read a specific committed version. Fails loudly if
-    * the version was never committed OR its data was vacuumed. */
-  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+  /** Resolve a committed version's data-directory NAME (for payloads
+    * that are not a single parquet table — e.g. [[IndexStore]]'s
+    * multi-table index versions, which reuse this commit protocol with
+    * their own directory layout). Fails loudly if the version was
+    * never committed or its data was vacuumed. */
+  private[ops] def versionDataDir(spark: SparkSession, root: String,
+      v: Long): String = {
     val marker = markerNames(spark, root).find(versionOf(_) == v)
     require(marker.isDefined, s"version $v of $root was never committed")
     val dir = dirOf(spark, root, marker.get)
     require(fsOf(spark, root).exists(new Path(root, dir)),
       s"version $v of $root was vacuumed (commit record retained, " +
         "data directory dropped)")
-    spark.read.parquet(s"$root/$dir")
+    dir
   }
+
+  /** Time travel: read a specific committed version. Fails loudly if
+    * the version was never committed OR its data was vacuumed. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
+    spark.read.parquet(s"$root/${versionDataDir(spark, root, v)}")
 
   /** Commit `df` as the next version; returns the new version number.
     * Crash-safe per the protocol above; fails loudly on a concurrent

@@ -6461,6 +6461,46 @@ object TrainingData extends QueryPack {
       GROUP BY 1 ORDER BY fp"""),
     covers = Seq("TD-streaming-pipeline", "TD-dedup-exact", "M1-merge"))
 
+
+  /** Index durability: the session-shared IVF-PQ index SAVED to a
+    * versioned on-disk store ([[graft.ops.IndexStore]] — the
+    * ManifestTable commit protocol over a multi-table payload), loaded
+    * back, and served from the parquet frames. Search results are
+    * bit-equal to the in-memory q180 path (same probes, same broadcast
+    * LUT, same inverted-list equi-join), so this row pins BOTH the
+    * round-trip fidelity of the persisted artifact and the claim that
+    * serving never needs the training session — the store IS the
+    * production architecture (train rarely, save once, serve forever).
+    * Oracle: identical SQL to q180. */
+  val q217 = Q(
+    "q217_ivfpq_persisted_search",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val idx = graft.ops.ProductQuantizer.ivfPqIndexShared(emb,
+        s"$dir|embeddings", dim = 64, kc = 4, cIters = 1, m = 4, k = 4,
+        iters = 1)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q217_").toString + "/idx"
+      graft.ops.IndexStore.save(idx, root)
+      val loaded = graft.ops.IndexStore.load(s, root).get
+      graft.ops.ProductQuantizer.ivfPqSearchIndexed(loaded,
+          emb.filter($"vec_id" < 10), dim = 64, m = 4, nProbe = 2,
+          topK = 5)
+        .orderBy(col("id_q"), col("rank"))
+    },
+    Some {
+      s"""
+      WITH $dkQuantized,
+      $dkKmeansCtes,
+      $dkResiduals,
+      ${dkPqResChain("rq")},
+      $dkIvfPqSearchChain
+      SELECT id_q, CAST(rn AS INTEGER) AS rank, id_c, dist_est
+      FROM rk WHERE rn <= 5 ORDER BY id_q, rank"""
+    },
+    covers = Seq("TD-pq", "TD-ann-ivf", "TD-index-store"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -6475,5 +6515,5 @@ object TrainingData extends QueryPack {
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
       q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
       q203, q204, q205, q206, q208, q209, q210, q211, q212, q213,
-      q214, q215, q216)
+      q214, q215, q216, q217)
 }

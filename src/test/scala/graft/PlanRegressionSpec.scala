@@ -658,6 +658,9 @@ class PlanRegressionSpec extends SparkSpec {
                                     // q127 1-row-array argmin pattern)
       "q180_ivfpq_search",          // same broadcasts; candidate scoring is
                                     // the (cell, sub, code) equi-join
+      "q217_ivfpq_persisted_search", // q180's exact plan served from the
+                                    // IndexStore parquet frames — same
+                                    // declared centroid broadcasts
       "q183_ivfpq_recall",          // exact side IS the declared brute
                                     // baseline + the q180 broadcasts
       "q186_ivfpq_ingest",          // q179's centroid broadcasts; encode
