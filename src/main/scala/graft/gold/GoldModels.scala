@@ -257,31 +257,16 @@ object GoldModels {
         col("p.product_name"), col("p.category"), col("sel.seller_name"),
         logisticsCost.as("logistics_cost"),
         (col("o.total_amount").cast(D) - logisticsCost).as("gross_profit"))
-    // two-level EXACT aggregation instead of countDistinct + co-aggregates:
-    // mixing count(DISTINCT order_id) with plain sums makes Catalyst plan
-    // an Expand (every row doubled with a gid) before the shuffle — at
-    // 100× data that expand dominated the gold pack (measured 7.1× wall,
-    // SCALE.md round-10 table). Level 1 aggregates at (group keys,
-    // order_id) grain; level 2 counts level-1 rows — bit-identical to
-    // countDistinct by construction (distinct (keys, order) combos) and
-    // the decimal partials re-sum exactly, so revenue/profit/margin are
-    // unchanged to the last ulp (GoldenModelSpec + the q45 oracle pin it).
     orderData
       .groupBy(col("seller_name"), col("category"), col("product_name"),
-        col("region_name").as("delivery_region"), col("order_id"))
+        col("region_name").as("delivery_region"))
       .agg(
-        sum(col("total_amount").cast(D)).as("__amt"),
-        sum(col("logistics_cost")).as("__cost"),
-        sum(col("gross_profit")).as("__gp"))
-      .groupBy(col("seller_name"), col("category"), col("product_name"),
-        col("delivery_region"))
-      .agg(
-        count(lit(1)).as("total_orders"),
-        r(sum(col("__amt")).cast("double"), 2).as("revenue"),
-        r(sum(col("__cost")).cast("double"), 2).as("logistics_expense"),
-        r(sum(col("__gp")).cast("double"), 2).as("gross_profit"),
-        (r(sum(col("__gp")).cast("double") /
-            nullif(sum(col("__amt")).cast("double"), lit(0.0)), 4)
+        countDistinct(col("order_id")).as("total_orders"),
+        r(dsum(col("total_amount")), 2).as("revenue"),
+        r(sum(col("logistics_cost")).cast("double"), 2).as("logistics_expense"),
+        r(sum(col("gross_profit")).cast("double"), 2).as("gross_profit"),
+        (r(sum(col("gross_profit")).cast("double") /
+            nullif(sum(col("total_amount").cast(D)).cast("double"), lit(0.0)), 4)
           * 100).as("gross_margin_pct"))
   }
 
