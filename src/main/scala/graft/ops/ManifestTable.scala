@@ -390,6 +390,51 @@ object ManifestTable {
     maybeAutoCompact(spark, root)
   }
 
+  /** Change-data-feed between two committed versions — the NET diff,
+    * keyed by `keys`, in Delta CDF vocabulary: one `insert` row per
+    * key only in `toV`, one `delete` row (with the FROM-side values)
+    * per key only in `fromV`, and an `update_preimage` +
+    * `update_postimage` pair per key present in both whose non-key
+    * columns differ (null-safe). Output schema = the table's columns
+    * plus `_change_type`. This is the incremental-consumer contract:
+    * a downstream job that processed version `fromV` applies exactly
+    * these rows to catch up to `toV` instead of rescanning the table
+    * — at 100 TB the difference between a feed and a re-read. ONE
+    * full-outer hash join on the keys; change classification and the
+    * 0/1/2-row fan-out run codegen'd in the same stage (a NULL array
+    * explodes to zero rows — unchanged keys cost no output). */
+  def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val from = readVersion(spark, root, fromV)
+    val to = readVersion(spark, root, toV)
+    val cols = to.columns.toSeq
+    require(from.columns.toSeq == cols,
+      s"schema changed between v$fromV and v$toV: " +
+        s"${from.columns.mkString(",")} vs ${cols.mkString(",")}")
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"keys ${keys.mkString(",")} must be columns of the table")
+    val vcols = cols.filterNot(keys.contains)
+    val f = from.select(cols.map(c => col(c).as(s"__f_$c")): _*)
+    val t = to.select(cols.map(c => col(c).as(s"__t_$c")): _*)
+    val joinCond = keys.map(k => col(s"__f_$k") <=> col(s"__t_$k"))
+      .reduce(_ && _)
+    val isIns = keys.map(k => col(s"__f_$k").isNull).reduce(_ && _)
+    val isDel = keys.map(k => col(s"__t_$k").isNull).reduce(_ && _)
+    val unchanged = vcols.map(c => col(s"__f_$c") <=> col(s"__t_$c"))
+      .foldLeft(lit(true))(_ && _)
+    def img(side: String, kind: String) = struct(
+      (cols.map(c => col(s"__${side}_$c").as(c)) :+
+        lit(kind).as("_change_type")): _*)
+    f.join(t, joinCond, "full_outer")
+      .select(explode(
+        when(isIns, array(img("t", "insert")))
+          .when(isDel, array(img("f", "delete")))
+          .when(!unchanged, array(img("f", "update_preimage"),
+            img("t", "update_postimage")))).as("__c"))
+      .select(col("__c.*"))
+  }
+
   /** Drop the DATA of all versions older than the newest `keepLast`
     * (never the current version; never any commit RECORD — time-travel
     * reads of vacuumed versions fail loudly and [[batchApplied]] stays

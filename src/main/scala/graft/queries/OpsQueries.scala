@@ -395,6 +395,89 @@ object OpsQueries extends QueryPack {
       FROM j"""),
     covers = Seq("M1-merge", "TD-time-travel"))
 
+
+  /** Change-data-feed between manifest versions
+    * ([[graft.ops.ManifestTable.changes]] — Delta CDF vocabulary on
+    * the native commit protocol): the q207 MERGE lifecycle leaves
+    * versions 1 and 2; the feed returns exactly the rows an
+    * incremental consumer that processed v1 must apply to reach v2 —
+    * one `insert` per MERGE-inserted key, an `update_preimage` +
+    * `update_postimage` pair per updated key (full row values both
+    * sides), zero rows for carried keys. At 100 TB this IS how
+    * downstream jobs consume a MERGE: the feed, never a rescan.
+    * Oracle: the same target/merged algebra, re-classified
+    * declaratively with full row values. */
+  val q218 = Q(
+    "q218_manifest_change_feed",
+    (s, dir) => {
+      import s.implicits._
+      val cut = lit("1999-01-01").cast("timestamp")
+      val target = Tables(s, dir, "orders")
+        .filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val source = Tables(s, dir, "orders")
+        .filter(($"o_orderdate" < cut && $"o_custkey" % 10 === 0) ||
+                $"o_orderdate" >= cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          when($"o_orderdate" < cut, $"o_totalprice" * 2)
+            .otherwise($"o_totalprice").as("o_totalprice"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q218_").toString + "/orders_tbl"
+      import graft.ops.ManifestTable
+      ManifestTable.commit(target, root)                      // version 1
+      ManifestTable.merge(s, root, source, Seq("o_orderkey")) // version 2
+      ManifestTable.changes(s, root, 1L, 2L, Seq("o_orderkey"))
+        .orderBy($"o_orderkey", $"_change_type")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      source AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE (o_orderdate < TIMESTAMP '1999-01-01 00:00:00' AND o_custkey % 10 = 0)
+           OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      merged AS (
+        SELECT t.* FROM target t WHERE NOT EXISTS
+          (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT s.* FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT s.* FROM source s WHERE NOT EXISTS
+          (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)),
+      ins AS (
+        SELECT m.*, 'insert' AS _change_type FROM merged m
+        WHERE NOT EXISTS
+          (SELECT 1 FROM target t WHERE t.o_orderkey = m.o_orderkey)),
+      del AS (
+        SELECT t.*, 'delete' AS _change_type FROM target t
+        WHERE NOT EXISTS
+          (SELECT 1 FROM merged m WHERE m.o_orderkey = t.o_orderkey)),
+      chg AS (
+        SELECT t.o_orderkey,
+               t.o_custkey AS pk, t.o_orderstatus AS ps, t.o_totalprice AS pp,
+               m.o_custkey AS nk, m.o_orderstatus AS ns, m.o_totalprice AS np
+        FROM target t JOIN merged m ON t.o_orderkey = m.o_orderkey
+        WHERE t.o_custkey IS DISTINCT FROM m.o_custkey
+           OR t.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+           OR t.o_totalprice IS DISTINCT FROM m.o_totalprice)
+      SELECT * FROM (
+        SELECT * FROM ins
+        UNION ALL
+        SELECT * FROM del
+        UNION ALL
+        SELECT o_orderkey, pk AS o_custkey, ps AS o_orderstatus,
+               pp AS o_totalprice, 'update_preimage' AS _change_type
+        FROM chg
+        UNION ALL
+        SELECT o_orderkey, nk, ns, np, 'update_postimage' FROM chg)
+      ORDER BY o_orderkey, _change_type"""),
+    covers = Seq("M1-merge", "TD-time-travel", "TD-change-feed"))
+
   override def queries: Seq[Q] =
-    Seq(q13, q14, q15, q16, q17, q72, q104, q207)
+    Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218)
 }
