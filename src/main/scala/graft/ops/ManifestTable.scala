@@ -325,6 +325,29 @@ object ManifestTable {
     readVersion(spark, root, next)
   }
 
+  /** [[merge]] with SCHEMA EVOLUTION ([[Upsert.upsertEvolve]] — the
+    * Delta `mergeSchema` semantic): a source with new columns widens
+    * the committed table (old rows read NULL there); a source missing
+    * columns preserves them (inserted rows read NULL). Same pinned
+    * OCC version and commit protocol as [[merge]]. Type CHANGES on an
+    * existing column still fail loudly. */
+  def mergeEvolve(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], updateCols: Option[Seq[String]] = None)
+      : DataFrame = {
+    val base = currentVersion(spark, root)
+    val result = base match {
+      case Some(v) =>
+        Upsert.upsertEvolve(readVersion(spark, root, v), source, keys,
+          updateCols)
+      case None => source
+    }
+    val next = base.getOrElse(0L) + 1
+    val dir = writeVersionData(result, root, next)
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root)
+    readVersion(spark, root, next)
+  }
+
   /** [[merge]] with the Delta-style rebase-and-retry loop: a losing
     * committer re-reads the NEW current version (which includes the
     * winner's rows), re-applies its upsert on top, and re-commits —

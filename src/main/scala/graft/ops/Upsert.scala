@@ -67,6 +67,40 @@ object Upsert {
     }: _*)
   }
 
+  /** [[upsert]] with SCHEMA EVOLUTION (the Delta `mergeSchema`
+    * semantic): the output carries the target's columns followed by
+    * any source-only columns; a column missing on one side reads as
+    * typed NULLs there (old rows null out new columns, inserted rows
+    * null out dropped ones). A column present on BOTH sides with
+    * different types fails loudly — silent coercion is how a pipeline
+    * corrupts a decimal channel; the operator casts explicitly or
+    * fixes the source. Plan shape identical to [[upsert]] (the
+    * padding is pure projection). */
+  def upsertEvolve(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      updateCols: Option[Seq[String]] = None): DataFrame = {
+    val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    val sTypes = source.schema.map(f => f.name -> f.dataType).toMap
+    val conflicts = tTypes.keySet.intersect(sTypes.keySet)
+      .filter(c => tTypes(c) != sTypes(c))
+    require(conflicts.isEmpty,
+      s"schema evolution cannot reconcile type changes: " +
+        conflicts.map(c => s"$c (${tTypes(c)} vs ${sTypes(c)})")
+          .mkString(", "))
+    require(keys.forall(k => tTypes.contains(k) && sTypes.contains(k)),
+      s"merge keys must exist on both sides: ${keys.mkString(", ")}")
+    val all = tTypes ++ sTypes
+    val outCols = target.columns.toSeq ++
+      source.columns.filterNot(tTypes.contains)
+    def pad(df: DataFrame, have: Map[String, org.apache.spark.sql.types.DataType]) =
+      df.select(outCols.map(c =>
+        if (have.contains(c)) col(c)
+        else lit(null).cast(all(c)).as(c)): _*)
+    upsert(pad(target, tTypes), pad(source, sTypes), keys, updateCols)
+  }
+
   /** SCD Type-2 history from a changelog (the dbt snapshot, timestamp
     * strategy): one output row per (key, consecutive run of identical
     * tracked values), with dbt_valid_from = first ts of the run,

@@ -286,4 +286,34 @@ class ManifestTableSpec extends SparkSpec {
     (1 to ManifestTable.autoCompactThreshold + 8).foreach(i =>
       assert(ManifestTable.batchApplied(spark, root, s"ns-$i")))
   }
+
+  test("mergeEvolve: new source columns widen the table (old rows " +
+      "null); missing source columns survive (inserted rows null); " +
+      "type changes fail loudly") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    // source adds column `extra` and updates key 1
+    val widened = ManifestTable.mergeEvolve(spark, root,
+      Seq((1L, "a2", 10), (3L, "c", 30)).toDF("k", "v", "extra"),
+      keys = Seq("k"))
+    assert(widened.columns.toSeq == Seq("k", "v", "extra"))
+    val got = widened.as[(Long, String, Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a2", Some(10)), (2L, "b", None),
+      (3L, "c", Some(30))), s"widened: $got")
+    // a later source MISSING `extra`: updated/inserted rows read null
+    // there, carried rows keep their values
+    val narrowed = ManifestTable.mergeEvolve(spark, root,
+      Seq((3L, "c2"), (4L, "d")).toDF("k", "v"), keys = Seq("k"))
+    val got2 = narrowed.as[(Long, String, Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, "a2", Some(10)), (2L, "b", None),
+      (3L, "c2", None), (4L, "d", None)), s"narrowed: $got2")
+    // a TYPE change on an existing column is refused, loudly
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.mergeEvolve(spark, root,
+        Seq((5L, 99)).toDF("k", "v"), keys = Seq("k")) // v: int, was string
+    }
+    assert(e.getMessage.contains("type changes"))
+  }
 }
