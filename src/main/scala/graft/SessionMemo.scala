@@ -19,13 +19,31 @@ import org.apache.spark.sql.SparkSession
   * key semantics are identity — exactly what "this session" means.
   * The brief outer lock only resolves the inner map; `compute` runs
   * under the inner map's per-key computeIfAbsent, preserving the
-  * build-once guarantee the callers rely on. */
+  * build-once guarantee the callers rely on.
+  *
+  * The WeakHashMap alone is NOT sufficient: the memoized values
+  * (DataFrames, trained indexes) hold a strong reference back to
+  * their SparkSession — the classic WeakHashMap value→key trap — so
+  * an entry would never become weakly reachable on its own. Every
+  * access therefore also PURGES entries whose session has been
+  * STOPPED (`sparkContext.isStopped`): a stopped session's frames are
+  * unusable anyway, and dropping the entry severs the value→key chain
+  * so the weak semantics can finish the job for the
+  * unreachable-without-stop case. */
 final class SessionMemo[V] {
   private val memos = new java.util.WeakHashMap[SparkSession,
     java.util.concurrent.ConcurrentHashMap[String, V]]()
 
   def getOrElseUpdate(s: SparkSession, key: String, compute: => V): V = {
     val inner = memos.synchronized {
+      val it = memos.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val sess = e.getKey
+        if (sess != null &&
+            (try sess.sparkContext.isStopped catch { case _: Throwable => true }))
+          it.remove()
+      }
       var m = memos.get(s)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, V]()

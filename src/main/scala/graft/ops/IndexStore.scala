@@ -47,11 +47,14 @@ object IndexStore {
   def save(idx: IvfPqIndex, root: String): Long = {
     val spark = idx.coarse.sparkSession
     val next = ManifestTable.currentVersion(spark, root).getOrElse(0L) + 1
-    val dir = s"d$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = ManifestTable.newDataDirName(next) // the shared convention
     idx.coarse.write.parquet(s"$root/$dir/coarse")
     idx.cents.write.parquet(s"$root/$dir/cents")
     idx.codes.write.parquet(s"$root/$dir/codes")
     ManifestTable.writeMarker(spark, root, next, dataDir = dir)
+    // index roots compact like any other: a scheduled retrain must not
+    // grow the _commits listing without bound
+    ManifestTable.maybeAutoCompact(spark, root)
     next
   }
 

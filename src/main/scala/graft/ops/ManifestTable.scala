@@ -81,7 +81,12 @@ object ManifestTable {
 
   /** Compact files are immutable once renamed into place — parse each
     * at most once per JVM. Values are small (one short line per
-    * commit). */
+    * commit). The cache key carries the file's (path, length, mtime):
+    * a table DROPPED and RECREATED at the same path can reuse a
+    * compact file name, and a bare-path key would serve the dead
+    * incarnation's versions and batch keys to the new table —
+    * batchApplied would report never-run batches as committed and a
+    * stream would silently skip them. */
   private val compactCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
 
@@ -98,31 +103,48 @@ object ManifestTable {
   }
 
   private def parseCompact(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Map[String, String] =
-    compactCache.computeIfAbsent(p.toString, _ => {
-      val txt = readSmallFile(fs, p)
-      txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('\t')
-        if (i < 0) line -> "" else line.take(i) -> line.drop(i + 1)
-      }.toMap
-    })
+      st: org.apache.hadoop.fs.FileStatus): Map[String, String] =
+    compactCache.computeIfAbsent(
+      s"${st.getPath}|${st.getLen}|${st.getModificationTime}", _ => {
+        val txt = readSmallFile(fs, st.getPath)
+        txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('\t')
+          if (i < 0) line -> "" else line.take(i) -> line.drop(i + 1)
+        }.toMap
+      })
 
   /** (live marker names, newest compact file's name→dir map). Rolls
     * the union — a marker present in both (compactor crashed between
-    * compact write and marker delete) dedups by name. */
+    * compact write and marker delete) dedups by name. Retries the
+    * listing when a concurrent compaction deletes the superseded
+    * compact file between our listStatus and our open (same race
+    * [[dirOf]] handles for marker files) — a bounded retry, since
+    * each round needs another full compaction to land mid-read. */
   private def commitState(spark: SparkSession, root: String)
       : (Seq[String], Map[String, String]) = {
     val fs = fsOf(spark, root)
     val commits = new Path(root, "_commits")
-    if (!fs.exists(commits)) return (Seq.empty, Map.empty)
-    val names = fs.listStatus(commits).map(_.getPath.getName).toSeq
-    val live = names.filter(_.matches("v\\d+(-b.+)?"))
-    val compacts = names.filter(_.matches("_compact-\\d+"))
-    val compacted =
-      if (compacts.isEmpty) Map.empty[String, String]
-      else parseCompact(fs,
-        new Path(commits, compacts.maxBy(_.drop(9).toLong)))
-    (live, compacted)
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(commits)) return (Seq.empty, Map.empty)
+      val statuses = fs.listStatus(commits)
+      val live = statuses.map(_.getPath.getName).toSeq
+        .filter(_.matches("v\\d+(-b.+)?"))
+      val compacts = statuses
+        .filter(_.getPath.getName.matches("_compact-\\d+"))
+      try {
+        val compacted =
+          if (compacts.isEmpty) Map.empty[String, String]
+          else parseCompact(fs,
+            compacts.maxBy(_.getPath.getName.drop(9).toLong))
+        return (live, compacted)
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** All commit-marker names (`v<N>` or `v<N>-b<batchKey>`), live ∪
@@ -143,9 +165,8 @@ object ManifestTable {
     * FileNotFoundException re-resolve through a fresh [[commitState]]
     * (which reads that newer file) instead of failing a read of a
     * fully-committed version. */
-  private def dirOf(spark: SparkSession, root: String,
-      marker: String): String = {
-    val (_, compacted) = commitState(spark, root)
+  private def dirOf(spark: SparkSession, root: String, marker: String,
+      compacted: Map[String, String]): String = {
     val content = compacted.getOrElse(marker,
       try readSmallFile(fsOf(spark, root),
         new Path(new Path(root, "_commits"), marker))
@@ -173,9 +194,10 @@ object ManifestTable {
     * never committed or its data was vacuumed. */
   private[ops] def versionDataDir(spark: SparkSession, root: String,
       v: Long): String = {
-    val marker = markerNames(spark, root).find(versionOf(_) == v)
+    val (live, compacted) = commitState(spark, root)
+    val marker = (live ++ compacted.keys).find(versionOf(_) == v)
     require(marker.isDefined, s"version $v of $root was never committed")
-    val dir = dirOf(spark, root, marker.get)
+    val dir = dirOf(spark, root, marker.get, compacted)
     require(fsOf(spark, root).exists(new Path(root, dir)),
       s"version $v of $root was vacuumed (commit record retained, " +
         "data directory dropped)")
@@ -205,10 +227,16 @@ object ManifestTable {
     * write and marker rename. */
   private[graft] def writeVersionData(df: DataFrame, root: String,
       v: Long): String = {
-    val dir = s"d$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = newDataDirName(v)
     df.write.parquet(s"$root/$dir") // ErrorIfExists: the dir is unique
     dir
   }
+
+  /** Unique per-attempt data-dir name — the ONE naming convention
+    * vacuum's orphan regex and every committer (incl. [[IndexStore]])
+    * must share. */
+  private[ops] def newDataDirName(v: Long): String =
+    s"d$v-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** Step 2 of [[commit]] — the atomic commit point. `suffix` carries
     * the streaming batch key (`-b<key>`) for [[mergeBatch]]'s replay
@@ -264,14 +292,18 @@ object ManifestTable {
     val toCover = live.filter(versionOf(_) <= coverMax)
     val entries = compacted ++
       toCover.map(m => m -> {
-        val c = dirOf(spark, root, m)
+        val c = dirOf(spark, root, m, compacted)
         if (c == s"v${versionOf(m)}") "" else c // keep legacy marker empty
       })
     if (entries.isEmpty) return
     val name = s"_compact-$coverMax"
     val target = new Path(commits, name)
     if (!fs.exists(target)) {
-      val tmp = new Path(commits, s".$name.tmp")
+      // tmp name unique PER ATTEMPT — a shared tmp lets a racing
+      // compactor truncate the winner's bytes mid-write and a torn
+      // compact file land (the same defect class the marker temps had)
+      val tmp = new Path(commits,
+        s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = fs.create(tmp, true)
       try out.write(entries.toSeq.sortBy(e => versionOf(e._1))
         .map { case (m, d) => s"$m\t$d" }.mkString("\n").getBytes("UTF-8"))
@@ -289,7 +321,8 @@ object ManifestTable {
     }.foreach(fs.delete(_, false))
   }
 
-  private def maybeAutoCompact(spark: SparkSession, root: String): Unit = {
+  private[ops] def maybeAutoCompact(spark: SparkSession,
+      root: String): Unit = {
     val (live, _) = commitState(spark, root)
     if (live.size > autoCompactThreshold) compact(spark, root)
   }
@@ -438,12 +471,17 @@ object ManifestTable {
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"keys ${keys.mkString(",")} must be columns of the table")
     val vcols = cols.filterNot(keys.contains)
-    val f = from.select(cols.map(c => col(c).as(s"__f_$c")): _*)
-    val t = to.select(cols.map(c => col(c).as(s"__t_$c")): _*)
+    // side-presence FLAGS, not key-nullness: a legitimately-NULL key
+    // value would read as "absent" and misclassify its row (the same
+    // reason Upsert.upsert carries __t_present/__s_present)
+    val f = from.select((cols.map(c => col(c).as(s"__f_$c")) :+
+      lit(true).as("__f_present")): _*)
+    val t = to.select((cols.map(c => col(c).as(s"__t_$c")) :+
+      lit(true).as("__t_present")): _*)
     val joinCond = keys.map(k => col(s"__f_$k") <=> col(s"__t_$k"))
       .reduce(_ && _)
-    val isIns = keys.map(k => col(s"__f_$k").isNull).reduce(_ && _)
-    val isDel = keys.map(k => col(s"__t_$k").isNull).reduce(_ && _)
+    val isIns = col("__f_present").isNull
+    val isDel = col("__t_present").isNull
     val unchanged = vcols.map(c => col(s"__f_$c") <=> col(s"__t_$c"))
       .foldLeft(lit(true))(_ && _)
     def img(side: String, kind: String) = struct(
@@ -475,14 +513,20 @@ object ManifestTable {
       dropOrphans: Boolean = false): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
     val fs = fsOf(spark, root)
-    currentVersion(spark, root).foreach { cur =>
+    // ONE commit-state snapshot for the whole pass: per-marker
+    // re-listing would cost O(markers) listStatus RPCs — exactly the
+    // listing growth compaction exists to bound
+    val (live, compacted) = commitState(spark, root)
+    val markers = (live ++ compacted.keys).distinct
+    if (markers.nonEmpty) {
+      val cur = markers.map(versionOf).max
       val cutoff = cur - keepLast + 1
-      val markers = markerNames(spark, root)
       markers.filter(versionOf(_) < cutoff).foreach { m =>
-        fs.delete(new Path(root, dirOf(spark, root, m)), true)
+        fs.delete(new Path(root, dirOf(spark, root, m, compacted)), true)
       }
       if (dropOrphans) {
-        val referenced = markers.map(dirOf(spark, root, _)).toSet
+        val referenced =
+          markers.map(dirOf(spark, root, _, compacted)).toSet
         fs.listStatus(new Path(root)).map(_.getPath)
           .filter(p => p.getName.matches("(d\\d+-.+|v\\d+)") &&
             !referenced.contains(p.getName))

@@ -805,8 +805,11 @@ object Multimodal {
       *    near-equal per-frame hashes collide; requiring the intro
       *    frames themselves to be Hamming-close (≤ the same radius)
       *    restores per-frame evidence while a 1-pixel watermark
-      *    touch-up still passes (it can flip at most one grid
-      *    comparison → distance ≤ 1);
+      *    touch-up still passes: the 9×8 grid OVERSAMPLES thumbnails
+      *    (w=8 maps two grid columns to pixel col 0; h≤7 maps two
+      *    grid rows to pixel row 0), so the pinned pixel sits under
+      *    at most two boundary comparisons → distance ≤ 2, exactly
+      *    the confirm radius (spec-pinned in MultimodalSpec);
       *  - `tail_sig`: the EXACT 9×8 grid samples of the LAST frame
       *    (the dHash sampling lattice, raw gray values, comma-joined)
       *    — the high-fidelity verify channel. DIB decode is lossless,

@@ -69,13 +69,14 @@ object Upsert {
 
   /** [[upsert]] with SCHEMA EVOLUTION (the Delta `mergeSchema`
     * semantic): the output carries the target's columns followed by
-    * any source-only columns; a column missing on one side reads as
-    * typed NULLs there (old rows null out new columns, inserted rows
-    * null out dropped ones). A column present on BOTH sides with
-    * different types fails loudly — silent coercion is how a pipeline
-    * corrupts a decimal channel; the operator casts explicitly or
-    * fixes the source. Plan shape identical to [[upsert]] (the
-    * padding is pure projection). */
+    * any source-only columns. A column the source does not have is
+    * PRESERVED on matched rows (Delta's UPDATE SET * touches only the
+    * source's columns) and reads as typed NULL on inserted rows; a
+    * new source-only column reads as typed NULL on pre-existing rows.
+    * A column present on BOTH sides with different types fails
+    * loudly — silent coercion is how a pipeline corrupts a decimal
+    * channel; the operator casts explicitly or fixes the source. Plan
+    * shape identical to [[upsert]] (the padding is pure projection). */
   def upsertEvolve(
       target: DataFrame,
       source: DataFrame,
@@ -98,7 +99,14 @@ object Upsert {
       df.select(outCols.map(c =>
         if (have.contains(c)) col(c)
         else lit(null).cast(all(c)).as(c)): _*)
-    upsert(pad(target, tTypes), pad(source, sTypes), keys, updateCols)
+    // default update set = the source's ORIGINAL non-key columns, so a
+    // padded target-only column falls into upsert's preserve-target
+    // branch on matched rows instead of being overwritten by its NULL
+    // pad (the UPDATE SET * contract: only columns the source actually
+    // carries are written)
+    val ucols = updateCols.getOrElse(
+      source.columns.toSeq.filterNot(keys.contains))
+    upsert(pad(target, tTypes), pad(source, sTypes), keys, Some(ucols))
   }
 
   /** SCD Type-2 history from a changelog (the dbt snapshot, timestamp

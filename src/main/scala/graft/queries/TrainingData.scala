@@ -5962,7 +5962,8 @@ object TrainingData extends QueryPack {
     * of the temporal-hash candidates (see
     * [[graft.ops.Dedup.hammingNearPairsConfirmed]]): intro-frame dHash
     * within the same radius (a 1-pixel watermark touch-up flips at
-    * most one grid comparison, so planted twins stay ≤ 1), and the
+    * most two grid comparisons under thumbnail oversampling, so
+    * planted twins stay ≤ 2 = the radius), and the
     * exact last-frame grid signature (DIB decode is lossless — a true
     * re-upload's untouched tail frame is byte-identical). */
   private val videoConfirmHam = Seq("fhash0" -> 2)

@@ -47,11 +47,7 @@ object AnnIndexStream {
   def runIngestSink(vecs: DataFrame, coarse: DataFrame, cents: DataFrame,
       indexPath: String, checkpoint: String, dim: Int, m: Int,
       id: String = "vec_id", vec: String = "embedding"): StreamingQuery = {
-    val ns = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(checkpoint.getBytes("UTF-8"))
-      d.take(4).map(b => f"${b & 0xff}%02x").mkString
-    }
+    val ns = BatchKeys.namespace(checkpoint)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)

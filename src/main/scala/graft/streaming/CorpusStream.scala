@@ -52,11 +52,7 @@ object CorpusStream {
       checkpoint: String, id: String = "doc_id", text: String = "text",
       minTokens: Int = 5,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val ns = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(checkpoint.getBytes("UTF-8"))
-      d.take(4).map(b => f"${b & 0xff}%02x").mkString
-    }
+    val ns = BatchKeys.namespace(checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)

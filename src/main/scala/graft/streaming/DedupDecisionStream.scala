@@ -43,11 +43,7 @@ object DedupDecisionStream {
       decisionRoot: String, checkpoint: String, id: String = "doc_id",
       text: String = "text", n: Int = 3, k: Int = 16,
       rows: Int = 4): StreamingQuery = {
-    val ns = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(checkpoint.getBytes("UTF-8"))
-      d.take(4).map(b => f"${b & 0xff}%02x").mkString
-    }
+    val ns = BatchKeys.namespace(checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)

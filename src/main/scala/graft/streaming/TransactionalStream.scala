@@ -35,11 +35,7 @@ object TransactionalStream {
   def runMergeSink(source: DataFrame, root: String, keys: Seq[String],
       checkpoint: String, updateCols: Option[Seq[String]] = None,
       dedupOrder: Option[Seq[Column]] = None): StreamingQuery = {
-    val ns = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(checkpoint.getBytes("UTF-8"))
-      d.take(4).map(b => f"${b & 0xff}%02x").mkString
-    }
+    val ns = BatchKeys.namespace(checkpoint)
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)

@@ -301,14 +301,15 @@ class ManifestTableSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, "a2", Some(10)), (2L, "b", None),
       (3L, "c", Some(30))), s"widened: $got")
-    // a later source MISSING `extra`: updated/inserted rows read null
-    // there, carried rows keep their values
+    // a later source MISSING `extra`: matched rows PRESERVE their
+    // existing value (UPDATE SET * only writes the source's columns),
+    // inserted rows read null there
     val narrowed = ManifestTable.mergeEvolve(spark, root,
       Seq((3L, "c2"), (4L, "d")).toDF("k", "v"), keys = Seq("k"))
     val got2 = narrowed.as[(Long, String, Option[Int])]
       .collect().sortBy(_._1).toSeq
     assert(got2 == Seq((1L, "a2", Some(10)), (2L, "b", None),
-      (3L, "c2", None), (4L, "d", None)), s"narrowed: $got2")
+      (3L, "c2", Some(30)), (4L, "d", None)), s"narrowed: $got2")
     // a TYPE change on an existing column is refused, loudly
     val e = intercept[IllegalArgumentException] {
       ManifestTable.mergeEvolve(spark, root,
