@@ -209,6 +209,18 @@ object ManifestTable {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
     spark.read.parquet(s"$root/${versionDataDir(spark, root, v)}")
 
+  /** [[readVersion]] against an already-taken commit-state snapshot —
+    * the merge paths read the base version right after resolving it
+    * and must not pay a second `_commits` listing for the same state
+    * (on an object store the listing IS the cost). */
+  private def readVersionWith(spark: SparkSession, root: String,
+      v: Long, markers: Seq[String],
+      compacted: Map[String, String]): DataFrame = {
+    val marker = markers.find(versionOf(_) == v)
+    require(marker.isDefined, s"version $v of $root was never committed")
+    spark.read.parquet(s"$root/${dirOf(spark, root, marker.get, compacted)}")
+  }
+
   /** Commit `df` as the next version; returns the new version number.
     * Crash-safe per the protocol above; fails loudly on a concurrent
     * commit of the same version (see [[mergeWithRetry]] for the
@@ -321,10 +333,15 @@ object ManifestTable {
     }.foreach(fs.delete(_, false))
   }
 
-  private[ops] def maybeAutoCompact(spark: SparkSession,
-      root: String): Unit = {
-    val (live, _) = commitState(spark, root)
-    if (live.size > autoCompactThreshold) compact(spark, root)
+  /** `liveCount` lets a committer that just took a snapshot pass the
+    * (pre-commit live count + 1) instead of paying another listing;
+    * -1 = unknown, list. */
+  private[ops] def maybeAutoCompact(spark: SparkSession, root: String,
+      liveCount: Int = -1): Unit = {
+    val n =
+      if (liveCount >= 0) liveCount
+      else commitState(spark, root)._1.size
+    if (n > autoCompactThreshold) compact(spark, root)
   }
 
   /** Transactional MERGE behind the [[Upsert.upsert]] signature: read
@@ -345,16 +362,21 @@ object ManifestTable {
     // two-writer spec: one writer's row vanished ~1 run in 6). With
     // the pin, any interleaved commit makes OUR marker collide and
     // throw, which is exactly the signal mergeWithRetry rebases on.
-    val base = currentVersion(spark, root)
+    // ONE commit-state snapshot resolves the base version AND reads
+    // it; only writeMarker re-lists (its CAS guard must be fresh)
+    val (live, compacted) = commitState(spark, root)
+    val markers = (live ++ compacted.keys).distinct
+    val base = if (markers.isEmpty) None else Some(markers.map(versionOf).max)
     val result = base match {
       case Some(v) =>
-        Upsert.upsert(readVersion(spark, root, v), source, keys, updateCols)
+        Upsert.upsert(readVersionWith(spark, root, v, markers, compacted),
+          source, keys, updateCols)
       case None => source
     }
     val next = base.getOrElse(0L) + 1
     val dir = writeVersionData(result, root, next)
     writeMarker(spark, root, next, dataDir = dir)
-    maybeAutoCompact(spark, root)
+    maybeAutoCompact(spark, root, live.size + 1)
     readVersion(spark, root, next)
   }
 
@@ -367,17 +389,20 @@ object ManifestTable {
   def mergeEvolve(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String], updateCols: Option[Seq[String]] = None)
       : DataFrame = {
-    val base = currentVersion(spark, root)
+    val (live, compacted) = commitState(spark, root)
+    val markers = (live ++ compacted.keys).distinct
+    val base = if (markers.isEmpty) None else Some(markers.map(versionOf).max)
     val result = base match {
       case Some(v) =>
-        Upsert.upsertEvolve(readVersion(spark, root, v), source, keys,
-          updateCols)
+        Upsert.upsertEvolve(
+          readVersionWith(spark, root, v, markers, compacted),
+          source, keys, updateCols)
       case None => source
     }
     val next = base.getOrElse(0L) + 1
     val dir = writeVersionData(result, root, next)
     writeMarker(spark, root, next, dataDir = dir)
-    maybeAutoCompact(spark, root)
+    maybeAutoCompact(spark, root, live.size + 1)
     readVersion(spark, root, next)
   }
 
@@ -429,21 +454,28 @@ object ManifestTable {
   def mergeBatch(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String], batchKey: String,
       updateCols: Option[Seq[String]] = None): Unit = {
-    if (batchApplied(spark, root, batchKey)) return
+    // ONE snapshot serves replay detection, base-version resolution
+    // AND the base read — a streaming sink commits thousands of
+    // batches and per-commit listing count is the cost that matters
+    // on an object store; only writeMarker re-lists (fresh CAS guard)
+    val (live, compacted) = commitState(spark, root)
+    val markers = (live ++ compacted.keys).distinct
+    if (markers.exists(_.endsWith(s"-b$batchKey"))) return
     // same read-version pin as [[merge]]: a stream is normally this
     // table's only writer, but if anything else ever commits between
     // our read and our marker the batch must conflict loudly, never
     // silently drop the interloper's rows
-    val base = currentVersion(spark, root)
+    val base = if (markers.isEmpty) None else Some(markers.map(versionOf).max)
     val result = base match {
       case Some(v) =>
-        Upsert.upsert(readVersion(spark, root, v), source, keys, updateCols)
+        Upsert.upsert(readVersionWith(spark, root, v, markers, compacted),
+          source, keys, updateCols)
       case None => source
     }
     val next = base.getOrElse(0L) + 1
     val dir = writeVersionData(result, root, next)
     writeMarker(spark, root, next, s"-b$batchKey", dir)
-    maybeAutoCompact(spark, root)
+    maybeAutoCompact(spark, root, live.size + 1)
   }
 
   /** Change-data-feed between two committed versions — the NET diff,
