@@ -315,8 +315,29 @@ object Bench {
     // speedup in the committed ledgers
     val failed = results.collect { case (k, ts) if minOf(ts).isEmpty => k }
     val total = results.flatMap { case (_, ts) => minOf(ts) }.sum
+    // steal fraction over the whole sweep (measurement is done at this
+    // point — the remaining work is pure JSON assembly)
+    val stealFrac: Option[Double] = for {
+      a <- stealStart; b <- stealTicks()
+      ta <- ticksStart; tb <- totalTicks()
+      if tb > ta
+    } yield math.round(10000.0 * (b - a) / (tb - ta)) / 10000.0
+    // In-ledger steal discount (round-10 VERDICT ask #2 rolled from
+    // round 9): when the host never quiets during the driver's sweep
+    // window, the artifact itself must carry the contention-corrected
+    // total. Steal is CPU time a co-tenant VM took from this one; with
+    // the sweep saturating the cores, the wall impact is at most
+    // total × steal_frac — so `total × (1 − steal_frac)` is a
+    // conservative (under-)discount of the quiet-host number, never an
+    // optimistic one. On a quiet sweep steal_frac ≈ 0 and the
+    // discounted total equals the measured one.
+    val stealDiscounted = stealFrac
+      .map(f => math.round((total * (1.0 - f)) * 1000) / 1000.0)
+    val stealDiscountedJson =
+      stealDiscounted.map(_.toString).getOrElse("null")
     val head =
-      s""""metric":"total","value":$total,"unit":"sec","iters":$iters"""
+      s""""metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+        s""""steal_discounted_total":$stealDiscountedJson"""
     def names(l: Seq[String]): String = l.map(n => s"\"$n\"").mkString(",")
     // FULL name lists (failed / degraded / remeasured) go in the
     // persisted ledger ONLY: under a broad contention wave the
@@ -341,12 +362,7 @@ object Bench {
     // threads, the cpu time we got was real
     val stealJson = (for { a <- stealStart; b <- stealTicks() }
       yield ((b - a) / 100.0).toString).getOrElse("null")
-    val stealFracJson = (for {
-      a <- stealStart; b <- stealTicks()
-      ta <- ticksStart; tb <- totalTicks()
-      if tb > ta
-    } yield (math.round(10000.0 * (b - a) / (tb - ta)) / 10000.0).toString)
-      .getOrElse("null")
+    val stealFracJson = stealFrac.map(_.toString).getOrElse("null")
     val rowsJson = results.map { case (k, _) =>
       s"\"$k\":${rowsOf.get(k).map(_.toString).getOrElse("null")}"
     }.mkString("{", ",", "}")

@@ -41,14 +41,17 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Z-order file assignment + per-file min/max skipping stats:
-    * rows sort by (z, tie), cut into `rowsPerFile` files; output one
-    * row per file with its row count and both dimensions' ranges. */
-  def zOrderFiles(df: DataFrame, x: Column, y: Column, tie: Column,
-      rowsPerFile: Long, bits: Int = 16): DataFrame = {
+  /** Row-level z-order file assignment — every input column preserved
+    * plus `__x`/`__y` (the cast clustering dims) and `file_id`.
+    * Shared by the stats view ([[zOrderFiles]]) and the materializing
+    * writer ([[writeZOrdered]]), so the two can never disagree on
+    * which file a row lands in. */
+  private def assignFiles(df: DataFrame, x: Column, y: Column,
+      tie: Column, rowsPerFile: Long, bits: Int): DataFrame = {
     require(rowsPerFile > 0, "rowsPerFile must be positive")
-    val t = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"),
-        tie.as("__t"))
+    val t = df.withColumn("__x", x.cast("long"))
+      .withColumn("__y", y.cast("long"))
+      .withColumn("__t", tie)
       .withColumn("__z", zValue(col("__x"), col("__y"), bits))
       .withColumn("__b", shiftright(col("__z"), math.max(2 * bits - 6, 0)))
     val inBucket = Window.partitionBy(col("__b"))
@@ -64,9 +67,55 @@ object Layout {
     numbered.join(broadcast(offsets), Seq("__b"))
       .withColumn("file_id",
         expr(s"(__rn - 1L + __off) div ${rowsPerFile}L"))
+  }
+
+  /** Z-order file assignment + per-file min/max skipping stats:
+    * rows sort by (z, tie), cut into `rowsPerFile` files; output one
+    * row per file with its row count and both dimensions' ranges. */
+  def zOrderFiles(df: DataFrame, x: Column, y: Column, tie: Column,
+      rowsPerFile: Long, bits: Int = 16): DataFrame =
+    assignFiles(df, x, y, tie, rowsPerFile, bits)
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
         min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+
+  /** MATERIALIZE the z-ordered layout: one subdirectory per file
+    * bucket (`file_id=<N>` partitioned parquet — the standalone
+    * stand-in for a table format's file manifest) and return the
+    * per-file min/max stats table a reader prunes against. This is the
+    * write half of the data-skipping loop; [[skipScan]] is the read
+    * half. On a cluster the same shape is `repartitionByRange(zv)` +
+    * `sortWithinPartitions` + a stats collection — one range shuffle
+    * either way. */
+  def writeZOrdered(df: DataFrame, x: Column, y: Column, tie: Column,
+      rowsPerFile: Long, bits: Int, path: String): DataFrame = {
+    val a = assignFiles(df, x, y, tie, rowsPerFile, bits)
+    a.select((df.columns.map(col) :+ col("file_id")).toIndexedSeq: _*)
+      .write.mode("overwrite").partitionBy("file_id").parquet(path)
+    a.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
   }
+
+  /** Read-side DATA SKIPPING, planning step: the file ids whose
+    * [min,max] x-range intersects [lo, hi]. The stats frame is file
+    * METADATA — one row per file, bounded by file count, collected on
+    * the driver exactly as Delta/Iceberg planning reads its manifest:
+    * this is the one collect() whose size is O(files), never O(rows). */
+  def filesForXRange(stats: DataFrame, lo: Long, hi: Long): Seq[Long] =
+    stats.filter(!(col("max_x") < lo || col("min_x") > hi))
+      .select(col("file_id")).collect().map(_.getLong(0)).toSeq
+
+  /** Read-side DATA SKIPPING, scan step: read ONLY the given file
+    * buckets. `file_id` is a partition column of the
+    * [[writeZOrdered]] layout, so the IN-list lands in the scan's
+    * PartitionFilters and Spark never opens a skipped file — the
+    * scan's `numFiles` metric (spec-locked) proves files read <
+    * files total. */
+  def skipScan(spark: org.apache.spark.sql.SparkSession, path: String,
+      fileIds: Seq[Long]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("file_id").isin(fileIds: _*))
 }

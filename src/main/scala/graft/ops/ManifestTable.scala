@@ -2,6 +2,14 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** A committer lost its optimistic-concurrency race: another marker
+  * for the same version won. Retry loops ([[ManifestTable.mergeWithRetry]])
+  * classify retryable conflicts by THIS TYPE — matching the message
+  * string was fragile (any rewording, or a wrapped FS IOException that
+  * happened to share the prefix, silently changed retry semantics). */
+final class ConcurrentCommitException(msg: String)
+    extends java.io.IOException(msg)
+
 /** Minimal log-based transactional table — the Delta-style
   * manifest-commit MERGE (SURVEY §7's preferred MERGE form; no Delta
   * jars in the sandbox, so the commit protocol is implemented directly
@@ -9,11 +17,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout:
   * {{{
-  *   root/_commits/v<N>[-b<key>]  — commit marker (atomic rename); its
-  *                                  CONTENT names the version's data
-  *                                  directory (empty = legacy `v<N>`)
+  *   root/_commits/v<N>           — commit marker (atomic rename); its
+  *                                  CONTENT is `<dataDir>` or
+  *                                  `<dataDir>\t<batchKey>` (empty dir
+  *                                  = legacy `v<N>` directory). The
+  *                                  marker NAME is version-only so any
+  *                                  two committers of one version
+  *                                  contend on the SAME rename — the
+  *                                  CAS arbitrates cross-writer races
+  *                                  atomically, with no name-dependent
+  *                                  TOCTOU window. (Markers named
+  *                                  `v<N>-b<key>` — the pre-round-11
+  *                                  format that carried the batch key
+  *                                  in the name — remain readable.)
   *   root/_commits/_compact-<N>   — compaction file: every marker with
-  *                                  version ≤ N as one `name\tdir`
+  *                                  version ≤ N as one `name\tcontent`
   *                                  line (bounded marker listing)
   *   root/d<N>-<token>/part-*.parquet — write-once data directories,
   *                                  one UNIQUE dir per commit ATTEMPT
@@ -51,8 +69,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[commit]]/[[mergeBatch]] auto-compact past
   * [[autoCompactThreshold]] live markers, so resolution cost stays
   * bounded no matter how many batches a sink commits. Compaction
-  * preserves every (version, batch-key) entry — exactly-once replay
-  * detection never forgets a committed batch.
+  * preserves every (version, batch-key) entry by default — exactly-
+  * once replay detection never forgets a committed batch — and takes
+  * an optional `batchKeyRetention` horizon so a years-long sink's
+  * compact file stays O(recent) instead of O(lifetime commits)
+  * (version→dir entries are always kept; only replay keys older than
+  * the horizon are forgotten).
   *
   * Retention: [[vacuum]] drops DATA directories older than the newest
   * `keepLast` versions but keeps their commit entries, so
@@ -86,9 +108,68 @@ object ManifestTable {
     * compact file name, and a bare-path key would serve the dead
     * incarnation's versions and batch keys to the new table —
     * batchApplied would report never-run batches as committed and a
-    * stream would silently skip them. */
+    * stream would silently skip them.
+    *
+    * BOUNDED (access-order LRU, [[compactCacheCap]] entries): each
+    * compaction mints a new (path,len,mtime) key, so an unbounded map
+    * leaks one superseded entry per compaction per table for the JVM
+    * lifetime — a long-lived streaming driver compacting every 64
+    * commits accumulates them indefinitely. Eviction only costs a
+    * re-parse of one small immutable file. */
+  private val compactCacheCap = 64
   private val compactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+    new java.util.LinkedHashMap[String, Map[String, String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, String]]): Boolean =
+        size() > compactCacheCap
+    }
+
+  /** Marker content: `<dataDir>` or `<dataDir>\t<batchKey>`. */
+  private def dirPart(content: String): String = {
+    val i = content.indexOf('\t')
+    if (i < 0) content else content.take(i)
+  }
+
+  /** The batch key a commit carries, if any: after the tab in the
+    * marker's CONTENT (current format), else the `-b` suffix of its
+    * NAME (legacy format). */
+  private def keyPart(marker: String, content: String): Option[String] = {
+    val i = content.indexOf('\t')
+    if (i >= 0) Some(content.drop(i + 1))
+    else {
+      val j = marker.indexOf("-b")
+      if (j >= 0) Some(marker.drop(j + 2)) else None
+    }
+  }
+
+  /** Live-marker contents are write-once (renamed into place; deleted
+    * only when compaction supersedes them) — cache them per JVM so
+    * replay detection over a streaming sink's live markers costs zero
+    * reads in steady state ([[writeMarker]] pre-populates its own
+    * entry). Same (path,len,mtime) key discipline and bounded-LRU
+    * shape as [[compactCache]], for the same drop-and-recreate and
+    * leak reasons. */
+  private val markerCacheCap = 256
+  private val markerCache =
+    new java.util.LinkedHashMap[String, String](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, String]): Boolean =
+        size() > markerCacheCap
+    }
+
+  private def statusKey(st: org.apache.hadoop.fs.FileStatus): String =
+    s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+
+  private def markerContent(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): String = {
+    val key = statusKey(st)
+    val hit = markerCache.synchronized(Option(markerCache.get(key)))
+    hit.getOrElse {
+      val txt = readSmallFile(fs, st.getPath)
+      markerCache.synchronized(markerCache.put(key, txt))
+      txt
+    }
+  }
 
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): String = {
@@ -103,33 +184,42 @@ object ManifestTable {
   }
 
   private def parseCompact(fs: org.apache.hadoop.fs.FileSystem,
-      st: org.apache.hadoop.fs.FileStatus): Map[String, String] =
-    compactCache.computeIfAbsent(
-      s"${st.getPath}|${st.getLen}|${st.getModificationTime}", _ => {
-        val txt = readSmallFile(fs, st.getPath)
-        txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
-          val i = line.indexOf('\t')
-          if (i < 0) line -> "" else line.take(i) -> line.drop(i + 1)
-        }.toMap
-      })
+      st: org.apache.hadoop.fs.FileStatus): Map[String, String] = {
+    val key = s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+    val hit = compactCache.synchronized(Option(compactCache.get(key)))
+    hit.getOrElse {
+      // parse OUTSIDE the lock (idempotent; a racing re-parse of the
+      // same immutable file is harmless) — holding the map lock across
+      // file IO would serialize unrelated tables' reads
+      val txt = readSmallFile(fs, st.getPath)
+      val m = txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        if (i < 0) line -> "" else line.take(i) -> line.drop(i + 1)
+      }.toMap
+      compactCache.synchronized(compactCache.put(key, m))
+      m
+    }
+  }
 
-  /** (live marker names, newest compact file's name→dir map). Rolls
-    * the union — a marker present in both (compactor crashed between
-    * compact write and marker delete) dedups by name. Retries the
-    * listing when a concurrent compaction deletes the superseded
-    * compact file between our listStatus and our open (same race
-    * [[dirOf]] handles for marker files) — a bounded retry, since
-    * each round needs another full compaction to land mid-read. */
+  /** (live marker statuses, newest compact file's name→content map).
+    * Rolls the union — a marker present in both (compactor crashed
+    * between compact write and marker delete) dedups by name. Live
+    * entries carry the full FileStatus so content reads key the
+    * [[markerCache]] without an extra stat RPC. Retries the listing
+    * when a concurrent compaction deletes the superseded compact file
+    * between our listStatus and our open (same race [[dirOf]] handles
+    * for marker files) — a bounded retry, since each round needs
+    * another full compaction to land mid-read. */
   private def commitState(spark: SparkSession, root: String)
-      : (Seq[String], Map[String, String]) = {
+      : (Seq[org.apache.hadoop.fs.FileStatus], Map[String, String]) = {
     val fs = fsOf(spark, root)
     val commits = new Path(root, "_commits")
     var attempt = 0
     while (true) {
       if (!fs.exists(commits)) return (Seq.empty, Map.empty)
       val statuses = fs.listStatus(commits)
-      val live = statuses.map(_.getPath.getName).toSeq
-        .filter(_.matches("v\\d+(-b.+)?"))
+      val live = statuses.toSeq
+        .filter(_.getPath.getName.matches("v\\d+(-b.+)?"))
       val compacts = statuses
         .filter(_.getPath.getName.matches("_compact-\\d+"))
       try {
@@ -147,34 +237,63 @@ object ManifestTable {
     sys.error("unreachable")
   }
 
-  /** All commit-marker names (`v<N>` or `v<N>-b<batchKey>`), live ∪
-    * compacted. */
+  private def namesOf(live: Seq[org.apache.hadoop.fs.FileStatus],
+      compacted: Map[String, String]): Seq[String] =
+    (live.map(_.getPath.getName) ++ compacted.keys).distinct
+
+  /** All commit-marker names (`v<N>`, legacy `v<N>-b<batchKey>`),
+    * live ∪ compacted. */
   private def markerNames(spark: SparkSession, root: String): Seq[String] = {
     val (live, compacted) = commitState(spark, root)
-    (live ++ compacted.keys).distinct
+    namesOf(live, compacted)
   }
 
   private def versionOf(marker: String): Long =
     marker.drop(1).takeWhile(_.isDigit).toLong
 
-  /** Data directory name for a committed marker: the marker's content
-    * (compact map, else one file read), empty = legacy `v<N>`.
-    * Compaction-race-safe: a marker listed as live can be DELETED by a
-    * concurrent [[compact]] before this reader opens it — its entry
-    * has then moved into a newer compact file, so on
+  /** The WINNING marker per version: the lexicographically SMALLEST
+    * name. New-format markers are version-only (`v<N>`), so duplicates
+    * cannot arise among them — the rename CAS arbitrates. A LEGACY
+    * table can still hold two markers for one version (the old
+    * name-carried-batch-key format raced across names); every
+    * resolution site (readers, [[batchApplied]], [[compact]]) applies
+    * this one rule so all parties deterministically agree which commit
+    * owns the version ("v<N>" < "v<N>-b…" — a version-only marker
+    * beats a suffixed one; between two suffixed names the smaller key
+    * wins), and [[compact]] drops the loser for good. */
+  private def winnersByVersion(markers: Seq[String]): Map[Long, String] =
+    markers.groupBy(versionOf).map { case (v, ms) => v -> ms.min }
+
+  /** Raw marker CONTENT (compact map, else the cached live-marker
+    * read). Compaction-race-safe: a marker listed as live can be
+    * DELETED by a concurrent [[compact]] before this reader opens it —
+    * its entry has then moved into a newer compact file, so on
     * FileNotFoundException re-resolve through a fresh [[commitState]]
     * (which reads that newer file) instead of failing a read of a
     * fully-committed version. */
-  private def dirOf(spark: SparkSession, root: String, marker: String,
-      compacted: Map[String, String]): String = {
-    val content = compacted.getOrElse(marker,
-      try readSmallFile(fsOf(spark, root),
-        new Path(new Path(root, "_commits"), marker))
-      catch {
+  private def contentOf(spark: SparkSession, root: String, marker: String,
+      live: Seq[org.apache.hadoop.fs.FileStatus],
+      compacted: Map[String, String]): String =
+    compacted.getOrElse(marker,
+      try {
+        val fs = fsOf(spark, root)
+        live.find(_.getPath.getName == marker) match {
+          case Some(st) => markerContent(fs, st)
+          case None => readSmallFile(fs,
+            new Path(new Path(root, "_commits"), marker))
+        }
+      } catch {
         case e: java.io.FileNotFoundException =>
           commitState(spark, root)._2.getOrElse(marker, throw e)
       })
-    if (content.isEmpty) s"v${versionOf(marker)}" else content
+
+  /** Data directory name for a committed marker: the dir part of its
+    * content, empty = legacy `v<N>`. */
+  private def dirOf(spark: SparkSession, root: String, marker: String,
+      live: Seq[org.apache.hadoop.fs.FileStatus],
+      compacted: Map[String, String]): String = {
+    val d = dirPart(contentOf(spark, root, marker, live, compacted))
+    if (d.isEmpty) s"v${versionOf(marker)}" else d
   }
 
   /** Highest committed version, None if never committed. */
@@ -195,9 +314,9 @@ object ManifestTable {
   private[ops] def versionDataDir(spark: SparkSession, root: String,
       v: Long): String = {
     val (live, compacted) = commitState(spark, root)
-    val marker = (live ++ compacted.keys).find(versionOf(_) == v)
+    val marker = winnersByVersion(namesOf(live, compacted)).get(v)
     require(marker.isDefined, s"version $v of $root was never committed")
-    val dir = dirOf(spark, root, marker.get, compacted)
+    val dir = dirOf(spark, root, marker.get, live, compacted)
     require(fsOf(spark, root).exists(new Path(root, dir)),
       s"version $v of $root was vacuumed (commit record retained, " +
         "data directory dropped)")
@@ -214,11 +333,12 @@ object ManifestTable {
     * and must not pay a second `_commits` listing for the same state
     * (on an object store the listing IS the cost). */
   private def readVersionWith(spark: SparkSession, root: String,
-      v: Long, markers: Seq[String],
+      v: Long, live: Seq[org.apache.hadoop.fs.FileStatus],
       compacted: Map[String, String]): DataFrame = {
-    val marker = markers.find(versionOf(_) == v)
+    val marker = winnersByVersion(namesOf(live, compacted)).get(v)
     require(marker.isDefined, s"version $v of $root was never committed")
-    spark.read.parquet(s"$root/${dirOf(spark, root, marker.get, compacted)}")
+    spark.read.parquet(
+      s"$root/${dirOf(spark, root, marker.get, live, compacted)}")
   }
 
   /** Commit `df` as the next version; returns the new version number.
@@ -250,23 +370,31 @@ object ManifestTable {
   private[ops] def newDataDirName(v: Long): String =
     s"d$v-${java.util.UUID.randomUUID().toString.take(8)}"
 
-  /** Step 2 of [[commit]] — the atomic commit point. `suffix` carries
-    * the streaming batch key (`-b<key>`) for [[mergeBatch]]'s replay
-    * detection; a plain commit writes the bare `v<N>` marker. The
-    * rename stays the single atomic operation either way, and two
-    * markers of the same VERSION still conflict (the concurrent-commit
-    * guard checks version, not full name). On a lost race the caller's
-    * orphan data dir is deleted before the throw. */
+  /** Step 2 of [[commit]] — the atomic commit point. The marker NAME
+    * is version-only (`v<N>`), so ANY two committers of one version —
+    * plain commits, [[mergeBatch]] commits with the same or different
+    * batch keys — contend on the SAME rename target, and the rename
+    * CAS arbitrates the race in one atomic filesystem operation. (The
+    * pre-round-11 format put the batch key in the marker name, which
+    * left a cross-name TOCTOU: two writers committing one version
+    * under DIFFERENT names both passed the listing check and both
+    * renamed successfully — two markers, one version, a silent lost
+    * update. Version-only names make that state unrepresentable.)
+    * `batchKey` rides in the marker's CONTENT, tab-separated after the
+    * data dir, for [[mergeBatch]]'s replay detection. On a lost race
+    * the caller's orphan data dir is deleted before the throw. */
   private[graft] def writeMarker(spark: SparkSession, root: String,
-      v: Long, suffix: String = "", dataDir: String = ""): Unit = {
+      v: Long, batchKey: String = "", dataDir: String = ""): Unit = {
     val fs = fsOf(spark, root)
     val commits = new Path(root, "_commits")
     fs.mkdirs(commits)
     def lostRace(): Nothing = {
       if (dataDir.nonEmpty) fs.delete(new Path(root, dataDir), true)
-      throw new java.io.IOException(
+      throw new ConcurrentCommitException(
         s"concurrent commit detected: $root version $v already exists")
     }
+    // advisory pre-check: catches an already-committed version without
+    // paying a doomed temp write; the RENAME below is the real guard
     if (markerNames(spark, root).exists(versionOf(_) == v)) lostRace()
     // the temp name must be unique PER ATTEMPT: two writers racing the
     // same version with a shared `.v<N>.tmp` let the winner rename a
@@ -274,13 +402,20 @@ object ManifestTable {
     // points at the loser's (about-to-be-deleted) data dir. Caught by
     // the two-writer spec; unique temps make each rename self-owned.
     val tmp = new Path(commits,
-      s".v$v$suffix.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val content = if (batchKey.isEmpty) dataDir else s"$dataDir\t$batchKey"
     val out = fs.create(tmp, true)
-    try out.write(dataDir.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(commits, s"v$v$suffix"))) {
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val target = new Path(commits, s"v$v")
+    if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       lostRace()
     }
+    // pre-populate the content cache: the file we just renamed is
+    // write-once, so this JVM's replay checks never re-read it
+    try markerCache.synchronized(
+      markerCache.put(statusKey(fs.getFileStatus(target)), content))
+    catch { case _: java.io.IOException => () }
   }
 
   /** Fold every marker STRICTLY below the current version (plus any
@@ -292,21 +427,50 @@ object ManifestTable {
     * rename; a crash before marker deletion leaves a name in both
     * places, which readers dedup. Concurrent compactions: the second
     * rename fails and is swallowed (the first already did the work).
-    * Entries are never dropped — exactly-once batch keys survive
-    * compaction AND vacuum forever. */
-  def compact(spark: SparkSession, root: String): Unit = {
+    *
+    * Same-version duplicates (a cross-suffix race whose loser crashed
+    * between its rename and its self-abort — see [[writeMarker]])
+    * resolve here too: only the version's WINNER is folded, and the
+    * loser's marker file is deleted with the rest — so a crashed
+    * loser's batch key stops reporting a never-committed batch as
+    * applied at the next compaction (self-healing).
+    *
+    * Version→dir entries are never dropped. BATCH KEYS have an
+    * optional retention horizon: by default they survive compaction
+    * AND vacuum forever (exact replay detection for any lag), but a
+    * years-long streaming sink then grows the compact file
+    * O(lifetime commits). `batchKeyRetention = N` rewrites a
+    * batch-keyed entry older than `current - N` versions to its plain
+    * `v<N>` form — time travel and vacuum bookkeeping keep the
+    * version, only the replay key is forgotten. Safe iff N ≥ the
+    * stream's own replay horizon (a checkpointed Spark source never
+    * replays a batch older than its last committed offset, so any
+    * N ≥ 1 covers a single well-formed stream; keep slack for
+    * checkpoint restores from backup). Spec-pinned: replay INSIDE the
+    * horizon is still exactly-once. */
+  def compact(spark: SparkSession, root: String,
+      batchKeyRetention: Long = Long.MaxValue): Unit = {
     val cur = currentVersion(spark, root).getOrElse(return)
     val coverMax = cur - 1
     if (coverMax < 1) return
     val fs = fsOf(spark, root)
     val commits = new Path(root, "_commits")
     val (live, compacted) = commitState(spark, root)
-    val toCover = live.filter(versionOf(_) <= coverMax)
-    val entries = compacted ++
-      toCover.map(m => m -> {
-        val c = dirOf(spark, root, m, compacted)
-        if (c == s"v${versionOf(m)}") "" else c // keep legacy marker empty
-      })
+    val toCover = live.map(_.getPath.getName).filter(versionOf(_) <= coverMax)
+    val keyFloor = // batch keys at versions < keyFloor are forgotten
+      if (batchKeyRetention == Long.MaxValue) Long.MinValue
+      else cur - batchKeyRetention
+    val entries = winnersByVersion(
+        (compacted.keys ++ toCover).toSeq.distinct)
+      .filter { case (v, _) => v <= coverMax }
+      .map { case (ver, m) =>
+        val c = contentOf(spark, root, m, live, compacted)
+        if (ver < keyFloor)
+          // retention horizon passed: keep the version→dir entry,
+          // forget the replay key — plain name, key-free content
+          s"v$ver" -> dirPart(c)
+        else m -> c
+      }
     if (entries.isEmpty) return
     val name = s"_compact-$coverMax"
     val target = new Path(commits, name)
@@ -365,11 +529,11 @@ object ManifestTable {
     // ONE commit-state snapshot resolves the base version AND reads
     // it; only writeMarker re-lists (its CAS guard must be fresh)
     val (live, compacted) = commitState(spark, root)
-    val markers = (live ++ compacted.keys).distinct
+    val markers = namesOf(live, compacted)
     val base = if (markers.isEmpty) None else Some(markers.map(versionOf).max)
     val result = base match {
       case Some(v) =>
-        Upsert.upsert(readVersionWith(spark, root, v, markers, compacted),
+        Upsert.upsert(readVersionWith(spark, root, v, live, compacted),
           source, keys, updateCols)
       case None => source
     }
@@ -390,12 +554,12 @@ object ManifestTable {
       keys: Seq[String], updateCols: Option[Seq[String]] = None)
       : DataFrame = {
     val (live, compacted) = commitState(spark, root)
-    val markers = (live ++ compacted.keys).distinct
+    val markers = namesOf(live, compacted)
     val base = if (markers.isEmpty) None else Some(markers.map(versionOf).max)
     val result = base match {
       case Some(v) =>
         Upsert.upsertEvolve(
-          readVersionWith(spark, root, v, markers, compacted),
+          readVersionWith(spark, root, v, live, compacted),
           source, keys, updateCols)
       case None => source
     }
@@ -419,11 +583,12 @@ object ManifestTable {
       maxAttempts: Int = 10): DataFrame = {
     var attempt = 1
     while (true) {
+      // classified by TYPE, not message prefix — rewording the error
+      // (or an FS IOException sharing the prefix) must not silently
+      // change retry semantics
       try return merge(spark, root, source, keys, updateCols)
       catch {
-        case e: java.io.IOException
-            if e.getMessage != null &&
-              e.getMessage.startsWith("concurrent commit detected") =>
+        case e: ConcurrentCommitException =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
       }
@@ -431,11 +596,30 @@ object ManifestTable {
     sys.error("unreachable")
   }
 
+  /** Every batch key with a committed winning marker. Keys live in
+    * marker CONTENT (current format) or the `-b` name suffix (legacy);
+    * live-marker contents come from the write-once [[markerCache]], so
+    * a single-JVM streaming sink's per-batch replay check costs zero
+    * extra reads in steady state (its own [[writeMarker]] calls
+    * pre-populated the cache) and a cold JVM pays at most one read per
+    * live marker — bounded by [[autoCompactThreshold]]. Only each
+    * version's WINNER counts: a legacy lost race's lingering marker
+    * never committed its batch. */
+  private def appliedKeys(spark: SparkSession, root: String,
+      live: Seq[org.apache.hadoop.fs.FileStatus],
+      compacted: Map[String, String]): Set[String] =
+    winnersByVersion(namesOf(live, compacted)).values.flatMap { m =>
+      keyPart(m, contentOf(spark, root, m, live, compacted))
+    }.toSet
+
   /** Has a [[mergeBatch]] with this batch key already committed?
-    * Exact forever: batch-key entries survive compaction and vacuum. */
+    * Exact for as long as the key is retained ([[compact]]'s
+    * `batchKeyRetention` — forever by default). */
   def batchApplied(spark: SparkSession, root: String,
-      batchKey: String): Boolean =
-    markerNames(spark, root).exists(_.endsWith(s"-b$batchKey"))
+      batchKey: String): Boolean = {
+    val (live, compacted) = commitState(spark, root)
+    appliedKeys(spark, root, live, compacted).contains(batchKey)
+  }
 
   /** [[merge]] for streaming `foreachBatch`: EXACTLY-ONCE under
     * micro-batch replay. The commit marker carries the batch key
@@ -453,14 +637,32 @@ object ManifestTable {
     * NEW stream's first batch look like a replay of the old one. */
   def mergeBatch(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String], batchKey: String,
+      updateCols: Option[Seq[String]] = None): Unit =
+    mergeBatchFold(spark, root, keys, batchKey, _ => source, updateCols)
+
+  /** [[mergeBatch]] whose SOURCE is derived from the base version
+    * itself: `fold` receives the table as committed at the version the
+    * merge will be pinned to (None on first commit) and returns the
+    * source rows to upsert. A sink that accumulates running state
+    * (e.g. [[graft.streaming.CorpusStream]]'s global-min keeper /
+    * summed counts) previously read the table with a SEPARATE
+    * [[read]] call before calling [[mergeBatch]] — a foreign commit
+    * landing between the two resolutions would make the fold
+    * accumulate against a stale version yet commit cleanly, because
+    * the OCC pin only guards mergeBatch's own read-to-marker window.
+    * Here ONE commit-state snapshot serves replay detection, the
+    * fold's base read AND the upsert's base read, so fold-vs-merge
+    * skew is unrepresentable (and the snapshot count per batch stays
+    * at one — the object-store listing cost a streaming sink cares
+    * about; only writeMarker re-lists for its CAS guard). */
+  def mergeBatchFold(spark: SparkSession, root: String,
+      keys: Seq[String], batchKey: String,
+      fold: Option[DataFrame] => DataFrame,
       updateCols: Option[Seq[String]] = None): Unit = {
-    // ONE snapshot serves replay detection, base-version resolution
-    // AND the base read — a streaming sink commits thousands of
-    // batches and per-commit listing count is the cost that matters
-    // on an object store; only writeMarker re-lists (fresh CAS guard)
     val (live, compacted) = commitState(spark, root)
-    val markers = (live ++ compacted.keys).distinct
-    if (markers.exists(_.endsWith(s"-b$batchKey"))) return
+    val markers = namesOf(live, compacted)
+    if (appliedKeys(spark, root, live, compacted).contains(batchKey))
+      return
     // same read-version pin as [[merge]]: a stream is normally this
     // table's only writer, but if anything else ever commits between
     // our read and our marker the batch must conflict loudly, never
@@ -468,13 +670,13 @@ object ManifestTable {
     val base = if (markers.isEmpty) None else Some(markers.map(versionOf).max)
     val result = base match {
       case Some(v) =>
-        Upsert.upsert(readVersionWith(spark, root, v, markers, compacted),
-          source, keys, updateCols)
-      case None => source
+        val baseDf = readVersionWith(spark, root, v, live, compacted)
+        Upsert.upsert(baseDf, fold(Some(baseDf)), keys, updateCols)
+      case None => fold(None)
     }
     val next = base.getOrElse(0L) + 1
     val dir = writeVersionData(result, root, next)
-    writeMarker(spark, root, next, s"-b$batchKey", dir)
+    writeMarker(spark, root, next, batchKey, dir)
     maybeAutoCompact(spark, root, live.size + 1)
   }
 
@@ -494,14 +696,40 @@ object ManifestTable {
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val from = readVersion(spark, root, fromV)
-    val to = readVersion(spark, root, toV)
-    val cols = to.columns.toSeq
-    require(from.columns.toSeq == cols,
-      s"schema changed between v$fromV and v$toV: " +
-        s"${from.columns.mkString(",")} vs ${cols.mkString(",")}")
-    require(keys.nonEmpty && keys.forall(cols.contains),
-      s"keys ${keys.mkString(",")} must be columns of the table")
+    val from0 = readVersion(spark, root, fromV)
+    val to0 = readVersion(spark, root, toV)
+    // SCHEMA-EVOLUTION compose (Delta CDF's semantic): a
+    // [[mergeEvolve]] commit between fromV and toV legitimately widens
+    // the schema, and refusing to diff across it forced the
+    // incremental consumer back to a rescan exactly when the table
+    // changed shape. Align both versions on the UNION of their columns
+    // (to-side order first — the feed reads in the CURRENT schema),
+    // null-filling the narrower side: a pre-evolve row then compares
+    // EQUAL on a new column it never had (null <=> null), so pure
+    // widening emits zero change rows — only real value changes do.
+    // Type CHANGES on a shared column still fail loudly, same contract
+    // as [[Upsert.upsertEvolve]].
+    val fTypes = from0.schema.map(f => f.name -> f.dataType).toMap
+    val tTypes = to0.schema.map(f => f.name -> f.dataType).toMap
+    val conflicts = fTypes.keySet.intersect(tTypes.keySet)
+      .filter(c => fTypes(c) != tTypes(c))
+    require(conflicts.isEmpty,
+      s"changes($fromV,$toV) cannot reconcile type changes: " +
+        conflicts.map(c => s"$c (${fTypes(c)} vs ${tTypes(c)})")
+          .mkString(", "))
+    val cols = to0.columns.toSeq ++
+      from0.columns.filterNot(tTypes.contains)
+    val allT = fTypes ++ tTypes
+    def pad(df: DataFrame,
+        have: Map[String, org.apache.spark.sql.types.DataType]) =
+      df.select(cols.map(c =>
+        if (have.contains(c)) col(c)
+        else lit(null).cast(allT(c)).as(c)): _*)
+    val from = pad(from0, fTypes)
+    val to = pad(to0, tTypes)
+    require(keys.nonEmpty &&
+        keys.forall(k => fTypes.contains(k) && tTypes.contains(k)),
+      s"keys ${keys.mkString(",")} must be columns of BOTH versions")
     val vcols = cols.filterNot(keys.contains)
     // side-presence FLAGS, not key-nullness: a legitimately-NULL key
     // value would read as "absent" and misclassify its row (the same
@@ -538,31 +766,46 @@ object ManifestTable {
     * commits as the clock).
     *
     * `dropOrphans`: also delete data directories referenced by NO
-    * marker — debris from crashed commit attempts. Off by default
-    * because an IN-FLIGHT commit's directory is unreferenced until its
-    * marker lands; only pass true when no writer is running. */
+    * marker — debris from crashed commit attempts. An IN-FLIGHT
+    * commit's directory is unreferenced until its marker lands, so
+    * orphan collection only touches directories OLDER than
+    * `orphanAgeFloorMs` (by filesystem mtime): a live writer's
+    * staging dir is always younger than the floor, which makes the
+    * pass safe with concurrent writers BY CONSTRUCTION rather than by
+    * operator discipline (spec-pinned: a fresh unreferenced dir
+    * survives, a stale one is collected) — the Delta VACUUM
+    * tombstone-age semantic. Keep the floor comfortably above the
+    * longest plausible data-write (default 10 min; a 100 TB MERGE's
+    * version write can run long — size the floor to the job, not the
+    * default). */
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
-      dropOrphans: Boolean = false): Unit = {
+      dropOrphans: Boolean = false,
+      orphanAgeFloorMs: Long = 10 * 60 * 1000L): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
     val fs = fsOf(spark, root)
     // ONE commit-state snapshot for the whole pass: per-marker
     // re-listing would cost O(markers) listStatus RPCs — exactly the
     // listing growth compaction exists to bound
     val (live, compacted) = commitState(spark, root)
-    val markers = (live ++ compacted.keys).distinct
+    val markers = namesOf(live, compacted)
     if (markers.nonEmpty) {
       val cur = markers.map(versionOf).max
       val cutoff = cur - keepLast + 1
       markers.filter(versionOf(_) < cutoff).foreach { m =>
-        fs.delete(new Path(root, dirOf(spark, root, m, compacted)), true)
+        fs.delete(new Path(root, dirOf(spark, root, m, live, compacted)),
+          true)
       }
       if (dropOrphans) {
         val referenced =
-          markers.map(dirOf(spark, root, _, compacted)).toSet
-        fs.listStatus(new Path(root)).map(_.getPath)
-          .filter(p => p.getName.matches("(d\\d+-.+|v\\d+)") &&
-            !referenced.contains(p.getName))
-          .foreach(fs.delete(_, true))
+          markers.map(dirOf(spark, root, _, live, compacted)).toSet
+        val floor = System.currentTimeMillis() - orphanAgeFloorMs
+        fs.listStatus(new Path(root))
+          .filter { st =>
+            val n = st.getPath.getName
+            n.matches("(d\\d+-.+|v\\d+)") && !referenced.contains(n) &&
+              st.getModificationTime < floor
+          }
+          .foreach(st => fs.delete(st.getPath, true))
       }
     }
   }

@@ -478,6 +478,100 @@ object OpsQueries extends QueryPack {
       ORDER BY o_orderkey, _change_type"""),
     covers = Seq("M1-merge", "TD-time-travel", "TD-change-feed"))
 
+  /** END-TO-END CDC: a downstream grouped aggregate maintained PURELY
+    * from [[graft.ops.ManifestTable.changes]] deltas across a
+    * multi-version MERGE history ([[graft.ops.ChangeFeed]]) — the
+    * consumer computes its full aggregate ONCE at version 1, then
+    * applies only the signed change rows of v1→v2 and v2→v3; the
+    * oracle recomputes the v3 aggregate from scratch, so the check IS
+    * "incremental ≡ full recompute". Sums ride the DECIMAL channel so
+    * the ±pre/post cancellation is exact, not float-drifty. At 100 TB
+    * this closes the CDC loop q218 opened: a MERGE that touched 0.1%
+    * of rows costs every downstream aggregate 0.1%, never a rescan. */
+  val q219 = Q(
+    "q219_change_feed_consumer",
+    (s, dir) => {
+      import s.implicits._
+      val cut = lit("1999-01-01").cast("timestamp")
+      val D = "decimal(18,6)"
+      val orders = Tables(s, dir, "orders")
+      val target = orders.filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val source1 = orders
+        .filter(($"o_orderdate" < cut && $"o_custkey" % 10 === 0) ||
+                $"o_orderdate" >= cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          when($"o_orderdate" < cut, $"o_totalprice" * 2)
+            .otherwise($"o_totalprice").as("o_totalprice"))
+      val source2 = orders.filter($"o_custkey" % 7 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          ($"o_totalprice" * 3).as("o_totalprice"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q219_").toString + "/orders_tbl"
+      import graft.ops.{ChangeFeed, ManifestTable}
+      ManifestTable.commit(target, root)                       // v1
+      ManifestTable.merge(s, root, source1, Seq("o_orderkey")) // v2
+      ManifestTable.merge(s, root, source2, Seq("o_orderkey")) // v3
+      // the consumer's ONLY full read: the version it starts from
+      var state = ManifestTable.readVersion(s, root, 1L)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast(D)).as("sum_price"))
+      (1L to 2L).foreach { v =>
+        val feed = ManifestTable.changes(s, root, v, v + 1,
+          Seq("o_orderkey"))
+        state = ChangeFeed.applyDelta(state,
+          ChangeFeed.deltaAgg(feed, Seq("o_orderstatus"),
+            col("o_totalprice").cast(D), "sum_price"),
+          Seq("o_orderstatus"), "sum_price")
+          // pin the decimal shape per round (same scale — a pure
+          // precision-header widen, no value change) so repeated
+          // applies never push precision into Spark's 38-cap
+          // scale-reduction
+          .withColumn("sum_price", col("sum_price").cast("decimal(30,6)"))
+      }
+      state.select($"o_orderstatus", $"n_rows",
+        $"sum_price".cast("double").as("sum_price"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      source1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE (o_orderdate < TIMESTAMP '1999-01-01 00:00:00' AND o_custkey % 10 = 0)
+           OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      merged AS (
+        SELECT t.* FROM target t WHERE NOT EXISTS
+          (SELECT 1 FROM source1 s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT s.* FROM target t JOIN source1 s ON t.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT s.* FROM source1 s WHERE NOT EXISTS
+          (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)),
+      source2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 3 AS o_totalprice
+        FROM orders WHERE o_custkey % 7 = 0),
+      merged2 AS (
+        SELECT m.* FROM merged m WHERE NOT EXISTS
+          (SELECT 1 FROM source2 s WHERE s.o_orderkey = m.o_orderkey)
+        UNION ALL
+        SELECT s.* FROM merged m JOIN source2 s ON m.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT s.* FROM source2 s WHERE NOT EXISTS
+          (SELECT 1 FROM merged m WHERE m.o_orderkey = s.o_orderkey))
+      SELECT o_orderstatus, count(*) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) AS sum_price
+      FROM merged2 GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("M1-merge", "TD-change-feed", "TD-cdc-consumer"))
+
   override def queries: Seq[Q] =
-    Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218)
+    Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219)
 }

@@ -6502,6 +6502,75 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-pq", "TD-ann-ivf", "TD-index-store"))
 
+  /** READ-side data skipping off the q134 z-order layout — closes the
+    * layout loop ([[graft.ops.Layout.writeZOrdered]] materializes the
+    * clustered files + min/max stats; [[graft.ops.Layout.skipScan]]
+    * reads ONLY the files whose range intersects the predicate, via a
+    * partition-pruned scan — `numFiles` spec-locked in
+    * `LayoutLeakOutlierSpec`). The output carries the pruning
+    * effectiveness itself (n_files_read < n_files_total) AND the
+    * result of the pruned scan; the oracle recomputes the same file
+    * ranges declaratively (the q134 CTE) and the row answer from the
+    * raw table — so a pruning bug that dropped a matching file would
+    * hash-mismatch on n_rows/sum_price, and a too-timid pruner on
+    * n_files_read. The stats collect() is file METADATA (O(files),
+    * one row per 1024-row file — exactly a table format's driver-side
+    * manifest read, never O(rows)). */
+  val q220 = Q(
+    "q220_zorder_data_skipping",
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q220_").toString + "/orders_z"
+      val stats = graft.ops.Layout.writeZOrdered(orders,
+        x = col("o_custkey"),
+        y = datediff(col("o_orderdate").cast("date"), lit("1970-01-01")),
+        tie = col("o_orderkey"),
+        rowsPerFile = 1024L, bits = 16, path = path)
+      val st = stats.select(col("file_id"), col("min_x"), col("max_x"))
+        .collect() // O(files) manifest metadata, not O(rows)
+      val (lo, hi) = (100L, 150L)
+      val ids = st.filter(r => !(r.getLong(2) < lo || r.getLong(1) > hi))
+        .map(_.getLong(0)).toSeq
+      graft.ops.Layout.skipScan(s, path, ids)
+        .filter(col("o_custkey").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("n_files_total", lit(st.length.toLong))
+        .withColumn("n_files_read", lit(ids.length.toLong))
+        .select(col("n_files_total"), col("n_files_read"),
+          col("n_rows"), col("sum_price"))
+    },
+    Some {
+      val z = (0 until 16).map(b =>
+        s"(((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" | ")
+      s"""
+      WITH t AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS y
+             FROM orders),
+      z AS (SELECT x, y, o_orderkey, ($z) AS zv FROM t),
+      r AS (SELECT x, CAST((row_number() OVER (ORDER BY zv, o_orderkey)
+               - 1) // 1024 AS BIGINT) AS file_id FROM z),
+      f AS (SELECT file_id, min(x) AS min_x, max(x) AS max_x
+            FROM r GROUP BY 1),
+      c AS (SELECT CAST(count(*) AS BIGINT) AS n_files_total,
+                   CAST(count(*) FILTER (WHERE NOT (max_x < 100 OR
+                     min_x > 150)) AS BIGINT) AS n_files_read
+            FROM f),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                     AS VARCHAR) AS DOUBLE) AS sum_price
+            FROM orders WHERE o_custkey BETWEEN 100 AND 150)
+      SELECT c.n_files_total, c.n_files_read, m.n_rows, m.sum_price
+      FROM c, m"""
+    },
+    covers = Seq("TD-layout-zorder", "TD-data-skipping"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -6516,5 +6585,5 @@ object TrainingData extends QueryPack {
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
       q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
       q203, q204, q205, q206, q208, q209, q210, q211, q212, q213,
-      q214, q215, q216, q217)
+      q214, q215, q216, q217, q220)
 }

@@ -68,21 +68,24 @@ object CorpusStream {
         // fold the running decision in BEFORE the merge: upsert is
         // last-writer-wins per key, so the source row must already
         // carry the accumulated state (global-min keeper, summed
-        // count). Lazy: if this batch key already committed,
-        // mergeBatch returns before evaluating any of this.
-        val src = ManifestTable.read(s, tableRoot) match {
-          case None => stats
-          case Some(t) =>
-            stats.join(t.select(col("fp"), col("keeper").as("__pk"),
-                col("n_docs").as("__pn")), Seq("fp"), "left")
-              .select(col("fp"),
-                least(col("keeper"),
-                  coalesce(col("__pk"), col("keeper"))).as("keeper"),
-                (col("n_docs") + coalesce(col("__pn"), lit(0L)))
-                  .as("n_docs"))
-        }
-        ManifestTable.mergeBatch(s, tableRoot, src, Seq("fp"),
-          s"$ns-$bid")
+        // count). mergeBatchFold hands the fold the SAME base-version
+        // snapshot the merge itself is pinned to — a separate read()
+        // here left a window where a foreign commit between the two
+        // resolutions made the fold accumulate against a stale version
+        // yet commit without a conflict signal. If this batch key
+        // already committed, the fold is never evaluated (replay no-op).
+        ManifestTable.mergeBatchFold(s, tableRoot, Seq("fp"),
+          s"$ns-$bid", {
+            case None => stats
+            case Some(t) =>
+              stats.join(t.select(col("fp"), col("keeper").as("__pk"),
+                  col("n_docs").as("__pn")), Seq("fp"), "left")
+                .select(col("fp"),
+                  least(col("keeper"),
+                    coalesce(col("__pk"), col("keeper"))).as("keeper"),
+                  (col("n_docs") + coalesce(col("__pn"), lit(0L)))
+                    .as("n_docs"))
+          })
       }
       .start()
   }

@@ -35,6 +35,53 @@ class LayoutLeakOutlierSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered + skipScan: the pruned scan OPENS only the " +
+      "intersecting files (numFiles metric), result equals full filter") {
+    val grid = (for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toLong, y.toLong, (x * 32 + y).toLong))
+      .toDF("x", "y", "k")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_zskip_").toString + "/grid_z"
+    val stats = Layout.writeZOrdered(grid, col("x"), col("y"), col("k"),
+      rowsPerFile = 64L, bits = 5, path = path)
+    val st = stats.select("file_id", "min_x", "max_x").collect()
+    assert(st.length == 16)
+    // predicate x in [0,7]: the 8x8 tiles put exactly 4 of the 16
+    // files in that x-slab — 12 files are provably skippable
+    val ids = st.filter(r => !(r.getLong(2) < 0L || r.getLong(1) > 7L))
+      .map(_.getLong(0)).toSeq
+    assert(ids.length == 4, s"expected 4 intersecting files, got $ids")
+    val pruned = Layout.skipScan(spark, path, ids)
+      .filter(col("x").between(0L, 7L))
+    // plan-level proof: the pruned scan's FileSourceScan plans exactly
+    // the 4 intersecting parquet files into its input FilePartitions —
+    // partition pruning on file_id skipped the other 12 before any row
+    // was read. (Counted from inputRDDs' FilePartitions: the scan's
+    // SQLMetrics live on AQE's executed clone, not this handle.)
+    val prunedRows = pruned.select("k").as[Long].collect()
+    assert(prunedRows.length == 8 * 32)
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      p.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.inputRDDs().head.partitions.map(_.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.FilePartition]
+            .files.length).sum
+      }.get
+    }
+    assert(filesPlanned(pruned) == 4,
+      "the pruned scan must open exactly the 4 intersecting files")
+    assert(filesPlanned(spark.read.parquet(path)) == 16)
+    // correctness: identical to the unpruned filter over all files
+    val full = spark.read.parquet(path).filter(col("x").between(0L, 7L))
+    assert(prunedRows.sorted.toSeq ==
+      full.select("k").as[Long].collect().sorted.toSeq)
+  }
+
   test("trainTestLeak: a near-dup pair crossing the split boundary is flagged") {
     val base = (1L to 60L).map(i => (i, s"unique tokens only here d$i " +
       s"x$i y$i z$i w$i v$i u$i t$i s$i r$i"))

@@ -243,7 +243,7 @@ class ManifestTableSpec extends SparkSpec {
     // 1000 committed batches (markers only — resolution cost is about
     // the _commits listing, not the data)
     (1 to 1000).foreach(i =>
-      ManifestTable.writeMarker(spark, root, i.toLong, s"-bns-$i",
+      ManifestTable.writeMarker(spark, root, i.toLong, s"ns-$i",
         dataDir = s"d$i-test"))
     val commits = new org.apache.hadoop.fs.Path(root, "_commits")
     assert(fs.listStatus(commits).length == 1000)
@@ -251,14 +251,14 @@ class ManifestTableSpec extends SparkSpec {
     // one compact file + the current version's live marker
     val after = fs.listStatus(commits).map(_.getPath.getName).sorted
     assert(after.length == 2, s"listing not bounded: ${after.length}")
-    assert(after.contains("_compact-999") && after.contains("v1000-bns-1000"))
+    assert(after.contains("_compact-999") && after.contains("v1000"))
     // nothing forgotten: version resolution and EVERY batch key exact
     assert(ManifestTable.currentVersion(spark, root).contains(1000L))
     (1 to 1000).foreach(i =>
       assert(ManifestTable.batchApplied(spark, root, s"ns-$i"), s"b$i"))
     assert(!ManifestTable.batchApplied(spark, root, "ns-1001"))
     // compaction is idempotent and keeps covering new commits
-    ManifestTable.writeMarker(spark, root, 1001L, "-bns-1001",
+    ManifestTable.writeMarker(spark, root, 1001L, "ns-1001",
       dataDir = "d1001-test")
     ManifestTable.compact(spark, root)
     val after2 = fs.listStatus(commits).map(_.getPath.getName).sorted
@@ -316,5 +316,215 @@ class ManifestTableSpec extends SparkSpec {
         Seq((5L, 99)).toDF("k", "v"), keys = Seq("k")) // v: int, was string
     }
     assert(e.getMessage.contains("type changes"))
+  }
+
+  test("version-only commit point: two writers racing ONE version " +
+      "under different batch keys — exactly one commits (hammered)") {
+    // the pre-round-11 format carried the batch key in the marker
+    // NAME, so two writers of one version contended on DIFFERENT
+    // rename targets and could BOTH succeed (cross-name TOCTOU, one
+    // writer's rows silently lost). Version-only names make every
+    // committer of version v race the same `v<N>` rename; hammer the
+    // race and assert exactly one winner every round.
+    (1 to 6).foreach { round =>
+      val root = freshRoot()
+      ManifestTable.commit(Seq((0L, "base")).toDF("k", "v"), root)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def racer(key: String, row: Long)
+          : java.util.concurrent.Future[Boolean] =
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            val dir = ManifestTable.writeVersionData(
+              Seq((row, key)).toDF("k", "v"), root, 2L)
+            try { ManifestTable.writeMarker(spark, root, 2L, key, dir); true }
+            catch { case _: ConcurrentCommitException => false }
+          }
+        })
+      val fa = racer("keyA", 1L); val fb = racer("keyB", 2L)
+      gate.countDown()
+      val (okA, okB) = (fa.get(), fb.get()); pool.shutdown()
+      assert(okA ^ okB, s"round $round: expected exactly one winner, " +
+        s"got A=$okA B=$okB")
+      // exactly one v2 marker; its data is the winner's; the loser's
+      // batch key is NOT applied and its data dir was deleted
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val v2Markers = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "_commits"))
+        .map(_.getPath.getName).filter(_.startsWith("v2"))
+      assert(v2Markers.toSeq == Seq("v2"), s"round $round: $v2Markers")
+      val (winKey, loseKey) = if (okA) ("keyA", "keyB") else ("keyB", "keyA")
+      assert(ManifestTable.batchApplied(spark, root, winKey))
+      assert(!ManifestTable.batchApplied(spark, root, loseKey))
+      val got = ManifestTable.readVersion(spark, root, 2L)
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((if (okA) 1L else 2L, winKey)), s"round $round: $got")
+    }
+  }
+
+  test("legacy same-version duplicate markers (old name format) " +
+      "resolve deterministically and compact drops the loser") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq((1L, "v1")).toDF("k", "v"), root)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // fabricate the torn legacy state a pre-round-11 cross-name race
+    // could leave: TWO markers for version 2 — the version-only name
+    // (the winner under the smallest-name rule) and a legacy batch-
+    // keyed name pointing at different data
+    val dirWin = ManifestTable.writeVersionData(
+      Seq((1L, "WINNER")).toDF("k", "v"), root, 2L)
+    val dirLose = ManifestTable.writeVersionData(
+      Seq((1L, "LOSER")).toDF("k", "v"), root, 2L)
+    def rawMarker(name: String, content: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, "_commits"), name)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    rawMarker("v2", dirWin)
+    rawMarker("v2-bK", dirLose)
+    // every reader resolves the WINNER (smallest name), deterministically
+    assert(ManifestTable.readVersion(spark, root, 2L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "WINNER")))
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().toSeq == Seq((1L, "WINNER")))
+    // the loser's batch key never committed
+    assert(!ManifestTable.batchApplied(spark, root, "K"))
+    // compaction folds only the winner and deletes the loser's marker
+    ManifestTable.commit(Seq((1L, "v3")).toDF("k", "v"), root)
+    ManifestTable.compact(spark, root)
+    val names = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "_commits"))
+      .map(_.getPath.getName).toSet
+    assert(!names.contains("v2-bK"), s"loser marker survived: $names")
+    assert(ManifestTable.readVersion(spark, root, 2L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "WINNER")))
+    assert(!ManifestTable.batchApplied(spark, root, "K"))
+  }
+
+  test("changes(): insert/delete/update/null-key classification " +
+      "(direct, not via the q218 oracle)") {
+    val root = freshRoot()
+    ManifestTable.commit(
+      Seq((Option(1L), "a"), (Option(2L), "b"), (Option(3L), "c"),
+        (Option.empty[Long], "n1")).toDF("k", "v"), root)
+    ManifestTable.commit(
+      Seq((Option(1L), "a"), (Option(2L), "B2"), (Option(4L), "d"),
+        (Option.empty[Long], "n2")).toDF("k", "v"), root)
+    val got = ManifestTable.changes(spark, root, 1L, 2L, Seq("k"))
+      .as[(Option[Long], String, String)].collect().toSeq
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._3))
+    assert(got == Seq(
+      // NULL key: side-presence flags (not key-nullness) classify it
+      // as an UPDATE pair, never as a spurious insert+delete
+      // ("update_postimage" < "update_preimage" in the sort)
+      (None, "n2", "update_postimage"),
+      (None, "n1", "update_preimage"),
+      // k=1 unchanged: zero rows; k=2 updated; k=3 deleted; k=4 inserted
+      (Some(2L), "B2", "update_postimage"),
+      (Some(2L), "b", "update_preimage"),
+      (Some(3L), "c", "delete"),
+      (Some(4L), "d", "insert")), s"got: $got")
+  }
+
+  test("changes() composes with schema evolution: a feed across a " +
+      "mergeEvolve commit null-fills the narrower side (Delta CDF " +
+      "semantic) — pure widening emits zero change rows") {
+    val root = freshRoot()
+    ManifestTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)         // v1: (k,v)
+    ManifestTable.mergeEvolve(spark, root,                    // v2: widen
+      Seq((2L, "B2", 20), (3L, "c", 30)).toDF("k", "v", "extra"),
+      keys = Seq("k"))
+    val feed = ManifestTable.changes(spark, root, 1L, 2L, Seq("k"))
+    // the feed reads in the CURRENT (widened) schema
+    assert(feed.columns.toSeq == Seq("k", "v", "extra", "_change_type"))
+    val got = feed.as[(Long, String, Option[Int], String)]
+      .collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(got == Seq(
+      // k=1 untouched by the evolve: NO change rows (null <=> null on
+      // the new column) — widening alone is not a data change
+      (2L, "B2", Some(20), "update_postimage"),
+      (2L, "b", None, "update_preimage"),
+      (3L, "c", Some(30), "insert")), s"got: $got")
+    // an incremental consumer applying the feed to v1 reaches v2
+    val v2 = ManifestTable.readVersion(spark, root, 2L)
+      .as[(Long, String, Option[Int])].collect().toSeq.sortBy(_._1)
+    assert(v2 == Seq((1L, "a", None), (2L, "B2", Some(20)),
+      (3L, "c", Some(30))))
+  }
+
+  test("compact batch-key retention: keys older than the horizon are " +
+      "forgotten, version history and recent exactly-once intact") {
+    val root = freshRoot()
+    (1 to 10).foreach(i =>
+      ManifestTable.mergeBatch(spark, root,
+        Seq((i.toLong, s"b$i")).toDF("k", "v"), Seq("k"), s"ns-$i"))
+    // horizon 3: keys at versions < 10 - 3 = 7 are forgotten
+    ManifestTable.compact(spark, root, batchKeyRetention = 3L)
+    (1 to 6).foreach(i =>
+      assert(!ManifestTable.batchApplied(spark, root, s"ns-$i"),
+        s"key ns-$i should be past the horizon"))
+    (7 to 10).foreach(i =>
+      assert(ManifestTable.batchApplied(spark, root, s"ns-$i"),
+        s"key ns-$i inside the horizon must stay exact"))
+    // replay INSIDE the horizon is still exactly-once
+    ManifestTable.mergeBatch(spark, root,
+      Seq((8L, "REPLAYED")).toDF("k", "v"), Seq("k"), "ns-8")
+    assert(ManifestTable.currentVersion(spark, root).contains(10L))
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().sortBy(_._1).map(_._2).toSeq ==
+      (1 to 10).map(i => s"b$i"))
+    // the version→dir record survives key retention: time travel works
+    assert(ManifestTable.readVersion(spark, root, 2L).count() == 2L)
+  }
+
+  test("vacuum orphan collection is age-floored: a live writer's " +
+      "in-flight dir survives, stale crash debris is collected") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq((1L, "v1")).toDF("k", "v"), root)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // an in-flight commit: data written, marker not yet landed
+    val inFlight = ManifestTable.writeVersionData(
+      Seq((2L, "writing")).toDF("k", "v"), root, 2L)
+    ManifestTable.vacuum(spark, root, keepLast = 10, dropOrphans = true)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, inFlight)),
+      "a fresh unreferenced dir (concurrent writer) must survive")
+    // the same dir aged past the floor = crash debris: collected
+    fs.setTimes(new org.apache.hadoop.fs.Path(root, inFlight),
+      System.currentTimeMillis() - 11 * 60 * 1000L, -1)
+    ManifestTable.vacuum(spark, root, keepLast = 10, dropOrphans = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, inFlight)),
+      "stale crash debris past the age floor must be collected")
+    // committed data untouched throughout
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().toSeq == Seq((1L, "v1")))
+  }
+
+  test("mergeBatchFold: the fold reads the SAME pinned base snapshot " +
+      "the merge commits against; a replayed key never runs the fold") {
+    val root = freshRoot()
+    def addBatch(key: String, inc: Long): Unit =
+      ManifestTable.mergeBatchFold(spark, root, Seq("k"), key, {
+        case None => Seq((1L, inc)).toDF("k", "n")
+        case Some(base) =>
+          // accumulate against the pinned base version
+          val prev = base.as[(Long, Long)].collect().head._2
+          Seq((1L, prev + inc)).toDF("k", "n")
+      })
+    addBatch("b0", 5L); addBatch("b1", 7L); addBatch("b2", 1L)
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 13L)))
+    // replay: the fold must not even be evaluated
+    var folded = false
+    ManifestTable.mergeBatchFold(spark, root, Seq("k"), "b1",
+      { _ => folded = true; Seq((1L, 999L)).toDF("k", "n") })
+    assert(!folded, "replayed batch evaluated its fold")
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 13L)))
   }
 }
