@@ -32,7 +32,7 @@ import org.apache.spark.sql.SparkSession
   * unreachable-without-stop case. */
 final class SessionMemo[V] {
   private val memos = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, V]]()
+    java.util.concurrent.ConcurrentHashMap[String, SessionMemo.Cell[V]]]()
 
   def getOrElseUpdate(s: SparkSession, key: String, compute: => V): V = {
     val inner = memos.synchronized {
@@ -46,11 +46,35 @@ final class SessionMemo[V] {
       }
       var m = memos.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, V]()
+        m = new java.util.concurrent.ConcurrentHashMap[String,
+          SessionMemo.Cell[V]]()
         memos.put(s, m)
       }
       m
     }
-    inner.computeIfAbsent(key, _ => compute)
+    // build-once runs in the CELL's own latch, never inside the map's
+    // computeIfAbsent: a minutes-long build (IVF-PQ training) under
+    // the map's bin lock blocked unrelated keys hashing to the same
+    // bin, and a compute that touched the same memo again threw
+    // ConcurrentHashMap's recursive-update IllegalStateException (or
+    // deadlocked). computeIfAbsent now only allocates the empty cell
+    // (cheap, non-reentrant); same-key callers serialize on the cell,
+    // different keys never wait on each other.
+    inner.computeIfAbsent(key, _ => new SessionMemo.Cell[V]).get(compute)
+  }
+}
+
+object SessionMemo {
+  /** One lazily-completed slot: the first caller computes under the
+    * cell's monitor, later callers read the memoized value. Only
+    * SAME-KEY callers contend here. */
+  final class Cell[V] {
+    private var value: Option[V] = None
+    def get(compute: => V): V = this.synchronized {
+      value match {
+        case Some(v) => v
+        case None => val v = compute; value = Some(v); v
+      }
+    }
   }
 }

@@ -92,6 +92,11 @@ object Layout {
       rowsPerFile: Long, bits: Int, path: String): DataFrame = {
     val a = assignFiles(df, x, y, tie, rowsPerFile, bits)
     a.select((df.columns.map(col) :+ col("file_id")).toIndexedSeq: _*)
+      // group each file bucket into one task before the partitioned
+      // write: without it every task holding rows of a bucket writes
+      // its own fragment — #tasks × #buckets tiny files (and that many
+      // footer reads at scan time) instead of ONE file per bucket
+      .repartition(col("file_id"))
       .write.mode("overwrite").partitionBy("file_id").parquet(path)
     a.groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
