@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The CDF consumer's core claim: a grouped aggregate maintained
+  * purely from [[ManifestTable.changes]] deltas equals the full
+  * recompute at every version — including across DELETES and group
+  * MIGRATIONS, which the q219 oracle cannot produce (upsert never
+  * deletes). Versions here are direct commits, so the feed exercises
+  * all four change types. */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = "decimal(18,6)"
+
+  private def aggOf(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy($"g").agg(count(lit(1)).as("n_rows"),
+      sum($"v".cast(D)).as("sum_v"))
+
+  private def collectAgg(df: org.apache.spark.sql.DataFrame) =
+    df.select($"g", $"n_rows", $"sum_v".cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+
+  test("incremental state from changes() deltas equals the full " +
+      "recompute across inserts, updates, deletes, and a group move") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdf_").toString + "/tbl"
+    // v1
+    ManifestTable.commit(Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 5.0))
+      .toDF("k", "g", "v"), root)
+    // v2: update k=1 (value), DELETE k=4, insert k=5, MOVE k=3 from
+    // group b to group a (an update whose pre/post land in different
+    // groups — the signed deltas must migrate it atomically)
+    ManifestTable.commit(Seq(
+      (1L, "a", 11.0), (2L, "a", 20.0), (3L, "a", 30.0), (5L, "c", 7.0))
+      .toDF("k", "g", "v"), root)
+    // v3: delete the whole group c (its state row must DISAPPEAR, not
+    // linger at n_rows = 0), plus one more insert
+    ManifestTable.commit(Seq(
+      (1L, "a", 11.0), (2L, "a", 20.0), (3L, "a", 30.0), (6L, "b", 1.0))
+      .toDF("k", "g", "v"), root)
+
+    var state = aggOf(ManifestTable.readVersion(spark, root, 1L))
+    (1L to 2L).foreach { ver =>
+      val feed = ManifestTable.changes(spark, root, ver, ver + 1, Seq("k"))
+      state = ChangeFeed.applyDelta(state,
+        ChangeFeed.deltaAgg(feed, Seq("g"), col("v").cast(D), "sum_v"),
+        Seq("g"), "sum_v")
+        .withColumn("sum_v", col("sum_v").cast("decimal(30,6)"))
+      val expect = collectAgg(
+        aggOf(ManifestTable.readVersion(spark, root, ver + 1)))
+      assert(collectAgg(state) == expect,
+        s"after applying v$ver->v${ver + 1}: ${collectAgg(state)} vs $expect")
+    }
+    // group c died with its last row: no zero-count residue
+    assert(!collectAgg(state).exists(_._1 == "c"))
+  }
+
+  test("an empty feed (no changes between versions) is an identity " +
+      "apply") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdf_id_").toString + "/tbl"
+    val rows = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v")
+    ManifestTable.commit(rows, root)
+    ManifestTable.commit(rows, root) // identical content, new version
+    val state = aggOf(ManifestTable.readVersion(spark, root, 1L))
+    val feed = ManifestTable.changes(spark, root, 1L, 2L, Seq("k"))
+    assert(feed.count() == 0L)
+    val applied = ChangeFeed.applyDelta(state,
+      ChangeFeed.deltaAgg(feed, Seq("g"), col("v").cast(D), "sum_v"),
+      Seq("g"), "sum_v")
+    assert(collectAgg(applied) == collectAgg(state))
+  }
+}
