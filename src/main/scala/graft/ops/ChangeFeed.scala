@@ -72,4 +72,64 @@ object ChangeFeed {
               .as(valueAlias)): _*)
       .filter(col("n_rows") =!= 0L)
   }
+
+  private val SyncKeyPrefix = "cdfv-"
+
+  /** Highest SOURCE version a [[sync]]-maintained sink has applied —
+    * recovered from the sink's own batch keys, so the watermark can
+    * never tear away from the state it describes. */
+  def lastApplied(spark: org.apache.spark.sql.SparkSession,
+      sinkRoot: String): Option[Long] =
+    ManifestTable.appliedBatchKeys(spark, sinkRoot)
+      .filter(_.startsWith(SyncKeyPrefix))
+      .map(_.drop(SyncKeyPrefix.length).toLong)
+      .maxOption
+
+  /** ONE catch-up step of the incremental consumer — the streaming
+    * `readChangeFeed` shape on the native store, runnable from a
+    * `foreachBatch` poller, a cron tick, or a loop: resolve the
+    * source's current version; if the sink has already applied it,
+    * no-op; on first contact bootstrap the full aggregate; otherwise
+    * fold ONLY `changes(lastApplied, current)` into the sink state.
+    * The new state commits whole ([[ManifestTable.commitBatch]]) under
+    * the batch key `cdfv-<srcVersion>`, so every crash point replays
+    * exactly-once: before the marker, the sink is unchanged and the
+    * step recomputes from the same watermark; after it, the replay is
+    * a no-op. A multi-version gap catches up in ONE step (the feed is
+    * the NET diff). Returns the source version applied, None if
+    * already caught up.
+    *
+    * Retention contract (Delta's): the source's `vacuum` keepLast must
+    * exceed the consumer's maximum lag — a vacuumed watermark version
+    * fails the diff LOUDLY (readVersion's vacuumed error), the signal
+    * to re-bootstrap, never silently wrong increments. Single-writer
+    * per sink: concurrent syncs of different source versions conflict
+    * loudly on the sink commit (ConcurrentCommitException) — retry by
+    * re-running sync, which re-reads the new watermark. */
+  def sync(spark: org.apache.spark.sql.SparkSession, srcRoot: String,
+      sinkRoot: String, keys: Seq[String], groupCols: Seq[String],
+      value: Column, valueAlias: String): Option[Long] = {
+    val cur = ManifestTable.currentVersion(spark, srcRoot)
+      .getOrElse(return None)
+    val last = lastApplied(spark, sinkRoot)
+    if (last.exists(_ >= cur)) return None
+    val state = last match {
+      case None =>
+        ManifestTable.readVersion(spark, srcRoot, cur)
+          .groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"), sum(value).as(valueAlias))
+      case Some(l) =>
+        val feed = ManifestTable.changes(spark, srcRoot, l, cur, keys)
+        applyDelta(ManifestTable.read(spark, sinkRoot).get,
+          deltaAgg(feed, groupCols, value, valueAlias),
+          groupCols, valueAlias)
+    }
+    // pin the value column's decimal shape so repeated applies never
+    // creep precision toward Spark's 38-cap scale reduction (same
+    // scale — a pure header widen, no value change)
+    ManifestTable.commitBatch(
+      state.withColumn(valueAlias, col(valueAlias).cast("decimal(30,6)")),
+      sinkRoot, s"$SyncKeyPrefix$cur")
+    Some(cur)
+  }
 }

@@ -69,6 +69,21 @@ object Layout {
         expr(s"(__rn - 1L + __off) div ${rowsPerFile}L"))
   }
 
+  /** Row-level z-order file assignment, public surface: every input
+    * column plus `file_id`. The substrate for file-grain SECONDARY
+    * indexes over the layout — per-file Bloom registers
+    * ([[graft.queries.TrainingData]] q221) index a column the z-key
+    * does NOT cluster, where min/max ranges are useless (a point key
+    * scatters uniformly across files) but set-membership bits prune
+    * almost everything. */
+  def assignZFiles(df: DataFrame, x: Column, y: Column, tie: Column,
+      rowsPerFile: Long, bits: Int = 16): DataFrame = {
+    val internal = Seq("__x", "__y", "__t", "__z", "__b", "__rn",
+      "__c", "__off")
+    assignFiles(df, x, y, tie, rowsPerFile, bits)
+      .drop(internal: _*)
+  }
+
   /** Z-order file assignment + per-file min/max skipping stats:
     * rows sort by (z, tie), cut into `rowsPerFile` files; output one
     * row per file with its row count and both dimensions' ranges. */

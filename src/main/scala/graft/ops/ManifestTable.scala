@@ -501,11 +501,12 @@ object ManifestTable {
     * (pre-commit live count + 1) instead of paying another listing;
     * -1 = unknown, list. */
   private[ops] def maybeAutoCompact(spark: SparkSession, root: String,
-      liveCount: Int = -1): Unit = {
+      liveCount: Int = -1,
+      batchKeyRetention: Long = Long.MaxValue): Unit = {
     val n =
       if (liveCount >= 0) liveCount
       else commitState(spark, root)._1.size
-    if (n > autoCompactThreshold) compact(spark, root)
+    if (n > autoCompactThreshold) compact(spark, root, batchKeyRetention)
   }
 
   /** Transactional MERGE behind the [[Upsert.upsert]] signature: read
@@ -621,6 +622,36 @@ object ManifestTable {
     appliedKeys(spark, root, live, compacted).contains(batchKey)
   }
 
+  /** Every retained batch key with a committed winning marker — the
+    * enumerable form of [[batchApplied]]. An incremental consumer
+    * recovers its own high-watermark from this (e.g.
+    * [[ChangeFeed.sync]] parses its `cdfv-<srcVersion>` keys for the
+    * highest source version already applied) instead of keeping a
+    * side file that could tear away from the commit. */
+  def appliedBatchKeys(spark: SparkSession, root: String): Set[String] = {
+    val (live, compacted) = commitState(spark, root)
+    appliedKeys(spark, root, live, compacted)
+  }
+
+  /** [[commit]] with a batch key: FULL-REPLACE the table as the next
+    * version, exactly-once under replay (a committed key is a no-op).
+    * This is the sink primitive for derived/aggregate tables whose
+    * new state is computed WHOLE — rows (e.g. emptied groups) can
+    * disappear between versions, which an upsert-based [[mergeBatch]]
+    * can never express. Same pinned-version commit protocol. */
+  def commitBatch(df: DataFrame, root: String, batchKey: String): Unit = {
+    val spark = df.sparkSession
+    val (live, compacted) = commitState(spark, root)
+    if (appliedKeys(spark, root, live, compacted).contains(batchKey))
+      return
+    val markers = namesOf(live, compacted)
+    val next =
+      (if (markers.isEmpty) 0L else markers.map(versionOf).max) + 1
+    val dir = writeVersionData(df, root, next)
+    writeMarker(spark, root, next, batchKey, dir)
+    maybeAutoCompact(spark, root, live.size + 1)
+  }
+
   /** [[merge]] for streaming `foreachBatch`: EXACTLY-ONCE under
     * micro-batch replay. The commit marker carries the batch key
     * (`v<N>-b<key>`), so a replayed batch whose key is already
@@ -637,8 +668,10 @@ object ManifestTable {
     * NEW stream's first batch look like a replay of the old one. */
   def mergeBatch(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String], batchKey: String,
-      updateCols: Option[Seq[String]] = None): Unit =
-    mergeBatchFold(spark, root, keys, batchKey, _ => source, updateCols)
+      updateCols: Option[Seq[String]] = None,
+      batchKeyRetention: Long = Long.MaxValue): Unit =
+    mergeBatchFold(spark, root, keys, batchKey, _ => source, updateCols,
+      batchKeyRetention)
 
   /** [[mergeBatch]] whose SOURCE is derived from the base version
     * itself: `fold` receives the table as committed at the version the
@@ -658,7 +691,8 @@ object ManifestTable {
   def mergeBatchFold(spark: SparkSession, root: String,
       keys: Seq[String], batchKey: String,
       fold: Option[DataFrame] => DataFrame,
-      updateCols: Option[Seq[String]] = None): Unit = {
+      updateCols: Option[Seq[String]] = None,
+      batchKeyRetention: Long = Long.MaxValue): Unit = {
     val (live, compacted) = commitState(spark, root)
     val markers = namesOf(live, compacted)
     if (appliedKeys(spark, root, live, compacted).contains(batchKey))
@@ -677,7 +711,11 @@ object ManifestTable {
     val next = base.getOrElse(0L) + 1
     val dir = writeVersionData(result, root, next)
     writeMarker(spark, root, next, batchKey, dir)
-    maybeAutoCompact(spark, root, live.size + 1)
+    // the sink's own auto-compaction applies the caller's retention
+    // horizon, so a long-lived stream's compact file stays O(recent)
+    // WITHOUT a separate maintenance job (only safe when the horizon
+    // exceeds the stream's replay horizon — see [[compact]])
+    maybeAutoCompact(spark, root, live.size + 1, batchKeyRetention)
   }
 
   /** Change-data-feed between two committed versions — the NET diff,
@@ -754,6 +792,35 @@ object ManifestTable {
           .when(!unchanged, array(img("f", "update_preimage"),
             img("t", "update_postimage")))).as("__c"))
       .select(col("__c.*"))
+  }
+
+  /** OPTIMIZE: rewrite the CURRENT version's data as `targetFiles`
+    * right-sized files and commit the rewrite as a new version — the
+    * small-file compaction every long-lived streaming sink needs (a
+    * per-batch MERGE writes a full new version whose file count tracks
+    * shuffle parallelism, and a scan's cost floor is its file count:
+    * footer reads + task scheduling). The rewrite is LOGICALLY a
+    * no-op — Delta's `dataChange = false` — and the spec pins exactly
+    * that: `changes(v, v+1)` across an optimize commit is EMPTY, so
+    * incremental consumers skip it for free (zero change rows to
+    * apply) while time travel and replay keys are untouched. Readers
+    * of the pre-optimize version keep reading it (immutable dirs);
+    * [[vacuum]] reclaims it on the normal retention schedule. */
+  def optimize(spark: SparkSession, root: String,
+      targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val (live, compacted) = commitState(spark, root)
+    val markers = namesOf(live, compacted)
+    require(markers.nonEmpty, s"nothing to optimize at $root")
+    val base = markers.map(versionOf).max
+    val next = base + 1
+    val dir = writeVersionData(
+      readVersionWith(spark, root, base, live, compacted)
+        .repartition(targetFiles),
+      root, next)
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root, live.size + 1)
+    next
   }
 
   /** Drop the DATA of all versions older than the newest `keepLast`

@@ -6571,6 +6571,139 @@ object TrainingData extends QueryPack {
     },
     covers = Seq("TD-layout-zorder", "TD-data-skipping"))
 
+  /** Per-file BLOOM data skipping on a column the z-order key does NOT
+    * cluster (Delta's bloom-filter-index shape): o_orderkey scatters
+    * uniformly across the custkey/date-clustered files, so every
+    * file's min/max orderkey range spans nearly the whole domain and
+    * range pruning reads everything — but an 8192-bit per-file Bloom
+    * (two hash60 seeds, 32-bit words built with one bit_or aggregation
+    * at (file, word) grain) prunes a point lookup to the files whose
+    * two probe bits are both set. Probes: the 5 smallest real keys
+    * (every one MUST find its file — Bloom has no false negatives,
+    * and the query verifies by joining the candidates back to the
+    * assignment) + 5 guaranteed-absent negative keys (their candidate
+    * counts are the measured, deterministic false-positive cost).
+    * Index size is file metadata: ≤256 words × #files. The oracle
+    * rebuilds the identical blooms (md5-derived hash60) and both
+    * counts per probe. */
+  val q221 = Q(
+    "q221_bloom_file_skipping",
+    (s, dir) => {
+      val M = 8192L
+      val orders = Tables(s, dir, "orders")
+      val asg = graft.CacheTracker.trackCheckpoint(
+        graft.ops.Layout.assignZFiles(
+          orders.select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate")),
+          x = col("o_custkey"),
+          y = datediff(col("o_orderdate").cast("date"), lit("1970-01-01")),
+          tie = col("o_orderkey"),
+          rowsPerFile = 1024L, bits = 16)
+        .select(col("o_orderkey"), col("file_id"))
+        .localCheckpoint())
+      def posOf(seed: Int, c: org.apache.spark.sql.Column) =
+        T.hash60(c, seed) % M
+      val words = Seq(501, 502).map(seed =>
+        asg.select(col("file_id"), posOf(seed, col("o_orderkey")).as("h")))
+        .reduce(_ unionByName _)
+        .select(col("file_id"), shiftright(col("h"), 5).as("word"),
+          // 32-bit blocks: bit index ≤ 31, so the shifted value is far
+          // from BIGINT's sign bit on BOTH engines (DuckDB range-checks
+          // 1<<63; Spark would silently wrap) — cross-engine-safe
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(h & 31 AS INT))")
+            .as("bit"))
+      val bloom = words.groupBy(col("file_id"), col("word"))
+        .agg(expr("bit_or(bit)").as("bits"))
+      val present = orders.select(col("o_orderkey").as("probe_key"))
+        .orderBy(col("probe_key")).limit(5)
+      val absent = s.range(1, 6).select((-col("id")).as("probe_key"))
+      val probes = present.unionByName(absent)
+      val pb = Seq(501, 502).map(seed =>
+        probes.select(col("probe_key"), lit(seed).as("j"),
+          posOf(seed, col("probe_key")).as("h")))
+        .reduce(_ unionByName _)
+        .select(col("probe_key"), col("j"),
+          shiftright(col("h"), 5).as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(h & 31 AS INT))")
+            .as("mask"))
+      val cand = broadcast(pb).join(bloom, Seq("word"))
+        .filter((col("bits").bitwiseAND(col("mask"))) =!= 0L)
+        .groupBy(col("probe_key"), col("file_id"))
+        .agg(countDistinct(col("j")).as("nj"))
+        .filter(col("nj") === 2)
+        .select(col("probe_key"), col("file_id"))
+      val candCounts = cand.groupBy(col("probe_key"))
+        .agg(count(lit(1)).as("n_candidate_files"))
+      val truth = asg.select(col("o_orderkey").as("__k"),
+        col("file_id").as("__f"))
+      val found = cand.join(truth,
+          col("probe_key") === col("__k") && col("file_id") === col("__f"))
+        .groupBy(col("probe_key"))
+        .agg(count(lit(1)).as("n_rows_found"))
+      val nTotal = asg.select(col("file_id")).distinct().count()
+      probes.join(candCounts, Seq("probe_key"), "left")
+        .join(found, Seq("probe_key"), "left")
+        .select(col("probe_key"),
+          lit(nTotal).as("n_files_total"),
+          coalesce(col("n_candidate_files"), lit(0L))
+            .as("n_candidate_files"),
+          coalesce(col("n_rows_found"), lit(0L)).as("n_rows_found"))
+        .orderBy(col("probe_key"))
+    },
+    Some {
+      val z = (0 until 16).map(b =>
+        s"(((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" | ")
+      s"""
+      WITH t AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 AS y
+             FROM orders),
+      z AS (SELECT x, y, o_orderkey, ($z) AS zv FROM t),
+      asg AS (SELECT o_orderkey,
+                CAST((row_number() OVER (ORDER BY zv, o_orderkey) - 1)
+                  // 1024 AS BIGINT) AS file_id FROM z),
+      w AS (SELECT file_id, h >> 5 AS word,
+              CAST(1 AS BIGINT) << CAST(h & 31 AS INTEGER) AS bit
+            FROM (SELECT file_id,
+                    (${dkHash(501, "o_orderkey")}) % 8192 AS h FROM asg
+                  UNION ALL
+                  SELECT file_id,
+                    (${dkHash(502, "o_orderkey")}) % 8192 FROM asg)),
+      bloom AS (SELECT file_id, word, bit_or(bit) AS bits
+                FROM w GROUP BY 1, 2),
+      probes AS (SELECT o_orderkey AS probe_key FROM
+                   (SELECT o_orderkey FROM orders ORDER BY 1 LIMIT 5)
+                 UNION ALL
+                 SELECT CAST(v AS BIGINT) FROM (VALUES (-1), (-2), (-3),
+                   (-4), (-5)) AS neg(v)),
+      pb AS (SELECT probe_key, j, h >> 5 AS word,
+               CAST(1 AS BIGINT) << CAST(h & 31 AS INTEGER) AS mask
+             FROM (SELECT probe_key, 1 AS j,
+                     (${dkHash(501, "probe_key")}) % 8192 AS h FROM probes
+                   UNION ALL
+                   SELECT probe_key, 2,
+                     (${dkHash(502, "probe_key")}) % 8192 FROM probes)),
+      cand AS (SELECT probe_key, file_id
+               FROM pb JOIN bloom USING (word)
+               WHERE (bits & mask) <> 0
+               GROUP BY 1, 2 HAVING count(DISTINCT j) = 2),
+      cc AS (SELECT probe_key, CAST(count(*) AS BIGINT)
+               AS n_candidate_files FROM cand GROUP BY 1),
+      fr AS (SELECT c.probe_key, CAST(count(*) AS BIGINT) AS n_rows_found
+             FROM cand c JOIN asg a ON a.file_id = c.file_id
+               AND a.o_orderkey = c.probe_key GROUP BY 1),
+      tot AS (SELECT CAST(count(DISTINCT file_id) AS BIGINT)
+                AS n_files_total FROM asg)
+      SELECT p.probe_key, tot.n_files_total,
+             COALESCE(cc.n_candidate_files, 0) AS n_candidate_files,
+             COALESCE(fr.n_rows_found, 0) AS n_rows_found
+      FROM probes p LEFT JOIN cc USING (probe_key)
+        LEFT JOIN fr USING (probe_key), tot
+      ORDER BY probe_key"""
+    },
+    covers = Seq("TD-data-skipping", "TD-bloom-index"))
+
   override def queries: Seq[Q] =
     Seq(q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q52, q53,
       q66, q68, q69, q70, q75, q76, q77, q79, q80, q82, q83, q84, q85,
@@ -6585,5 +6718,5 @@ object TrainingData extends QueryPack {
       q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
       q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202,
       q203, q204, q205, q206, q208, q209, q210, q211, q212, q213,
-      q214, q215, q216, q217, q220)
+      q214, q215, q216, q217, q220, q221)
 }

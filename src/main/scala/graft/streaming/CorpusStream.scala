@@ -51,7 +51,8 @@ object CorpusStream {
   def runCorpusSink(docs: DataFrame, tableRoot: String,
       checkpoint: String, id: String = "doc_id", text: String = "text",
       minTokens: Int = 5,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      batchKeyRetention: Long = Long.MaxValue): StreamingQuery = {
     val ns = BatchKeys.namespace(checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -75,7 +76,7 @@ object CorpusStream {
         // yet commit without a conflict signal. If this batch key
         // already committed, the fold is never evaluated (replay no-op).
         ManifestTable.mergeBatchFold(s, tableRoot, Seq("fp"),
-          s"$ns-$bid", {
+          s"$ns-$bid", fold = {
             case None => stats
             case Some(t) =>
               stats.join(t.select(col("fp"), col("keeper").as("__pk"),
@@ -85,7 +86,7 @@ object CorpusStream {
                     coalesce(col("__pk"), col("keeper"))).as("keeper"),
                   (col("n_docs") + coalesce(col("__pn"), lit(0L)))
                     .as("n_docs"))
-          })
+          }, batchKeyRetention = batchKeyRetention)
       }
       .start()
   }

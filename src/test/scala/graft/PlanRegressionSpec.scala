@@ -718,6 +718,8 @@ class PlanRegressionSpec extends SparkSpec {
       "q134_zorder_layout",    // 64-bucket offset prefix sum
       "q220_zorder_data_skipping", // same 64-bucket prefix sum (the
                                // write half reuses q134's assignment)
+      "q221_bloom_file_skipping", // same 64-bucket prefix sum (bloom
+                               // index built over the q134 assignment)
       "q93_top_tokens",        // top-k token rank: k rows
       "q108_bpe_pairs",        // top-k pair rank: k rows
       "q124_length_quantiles", // cumsum over DISTINCT lengths (bounded)

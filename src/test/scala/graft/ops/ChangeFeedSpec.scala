@@ -58,6 +58,70 @@ class ChangeFeedSpec extends SparkSpec {
     assert(!collectAgg(state).exists(_._1 == "c"))
   }
 
+  test("sync: a maintained sink bootstraps, follows version-by-version," +
+      " catches a multi-version gap in ONE step, and replays as no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sync_")
+    val src = base.toString + "/src"
+    val sink = base.toString + "/sink"
+    def step() = ChangeFeed.sync(spark, src, sink,
+      keys = Seq("k"), groupCols = Seq("g"), col("v").cast(D), "sum_v")
+    def expectAt(ver: Long) =
+      collectAgg(aggOf(ManifestTable.readVersion(spark, src, ver)))
+    def sinkNow() =
+      collectAgg(ManifestTable.read(spark, sink).get)
+
+    assert(step().isEmpty, "no source yet: sync must no-op")
+    // v1 + bootstrap
+    ManifestTable.commit(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("k", "g", "v"), src)
+    assert(step().contains(1L))
+    assert(sinkNow() == expectAt(1L))
+    // caught up: replay (crash-after-commit) is a no-op, no new version
+    assert(step().isEmpty)
+    assert(ManifestTable.currentVersion(spark, sink).contains(1L))
+    // v2: one incremental step
+    ManifestTable.merge(spark, src,
+      Seq((1L, "a", 11.0), (3L, "a", 5.0)).toDF("k", "g", "v"), Seq("k"))
+    assert(step().contains(2L))
+    assert(sinkNow() == expectAt(2L))
+    // v3 AND v4 land before the consumer wakes: ONE step catches up
+    ManifestTable.merge(spark, src,
+      Seq((2L, "b", 25.0)).toDF("k", "g", "v"), Seq("k"))
+    ManifestTable.merge(spark, src,
+      Seq((4L, "c", 1.0)).toDF("k", "g", "v"), Seq("k"))
+    assert(step().contains(4L))
+    assert(sinkNow() == expectAt(4L))
+    assert(ChangeFeed.lastApplied(spark, sink).contains(4L))
+    // crash BEFORE the sink marker: orphan state data, watermark
+    // unchanged — the replayed step recomputes and lands cleanly
+    ManifestTable.merge(spark, src,
+      Seq((5L, "c", 2.0)).toDF("k", "g", "v"), Seq("k"))
+    ManifestTable.writeVersionData(
+      sinkNow().toDF("g", "n_rows", "sum_v"), sink, 4L) // torn attempt
+    assert(ChangeFeed.lastApplied(spark, sink).contains(4L))
+    assert(step().contains(5L))
+    assert(sinkNow() == expectAt(5L))
+  }
+
+  test("sync fails LOUDLY when the watermark version was vacuumed " +
+      "(retention must exceed consumer lag — never silent corruption)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_syncv_")
+    val src = base.toString + "/src"
+    val sink = base.toString + "/sink"
+    ManifestTable.commit(Seq((1L, "a", 10.0)).toDF("k", "g", "v"), src)
+    assert(ChangeFeed.sync(spark, src, sink, Seq("k"), Seq("g"),
+      col("v").cast(D), "sum_v").contains(1L))
+    // the source advances 3 versions and vacuums down to the last 1
+    (2 to 4).foreach(i => ManifestTable.merge(spark, src,
+      Seq((i.toLong, "a", i.toDouble)).toDF("k", "g", "v"), Seq("k")))
+    ManifestTable.vacuum(spark, src, keepLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeed.sync(spark, src, sink, Seq("k"), Seq("g"),
+        col("v").cast(D), "sum_v")
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("an empty feed (no changes between versions) is an identity " +
       "apply") {
     val root = java.nio.file.Files

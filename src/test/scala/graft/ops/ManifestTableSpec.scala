@@ -505,6 +505,61 @@ class ManifestTableSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((1L, "v1")))
   }
 
+  test("optimize: small files compact into targetFiles with ZERO " +
+      "logical change — the change feed across the optimize commit is " +
+      "empty, content and history intact") {
+    val root = freshRoot()
+    // a fragmented version: 8 shuffle partitions -> 8 small files
+    ManifestTable.commit(
+      spark.range(0, 64).selectExpr("id AS k", "CAST(id * 2 AS STRING) AS v")
+        .repartition(8), root)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def filesOf(v: Long): Int = {
+      val dir = ManifestTable.readVersion(spark, root, v).inputFiles
+      dir.length
+    }
+    assert(filesOf(1L) == 8)
+    val v2 = ManifestTable.optimize(spark, root, targetFiles = 1)
+    assert(v2 == 2L && filesOf(2L) == 1)
+    // logically a no-op: Delta's dataChange=false, pinned as an EMPTY
+    // change feed — an incremental consumer applies zero rows
+    assert(ManifestTable.changes(spark, root, 1L, 2L, Seq("k"))
+      .count() == 0L)
+    // content identical; the pre-optimize version still time-travels
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      ManifestTable.readVersion(spark, root, 1L)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("streaming-path retention: mergeBatch auto-compaction applies " +
+      "the caller's batchKeyRetention — compact file stays O(recent), " +
+      "recent replay still exactly-once") {
+    val root = freshRoot()
+    val n = ManifestTable.autoCompactThreshold + 8 // 72 batches
+    (1 to n).foreach(i =>
+      ManifestTable.mergeBatch(spark, root,
+        Seq((i.toLong, s"b$i")).toDF("k", "v"), Seq("k"), s"ns-$i",
+        batchKeyRetention = 5L))
+    // auto-compaction ran (past the threshold) WITH the horizon: keys
+    // far below it are forgotten, keys at/above the horizon (and all
+    // still-live markers) stay exact
+    assert(!ManifestTable.batchApplied(spark, root, "ns-1"))
+    assert(!ManifestTable.batchApplied(spark, root, "ns-30"))
+    assert(ManifestTable.batchApplied(spark, root, s"ns-${n - 1}"))
+    assert(ManifestTable.batchApplied(spark, root, s"ns-$n"))
+    // a replay INSIDE the horizon is still a no-op
+    ManifestTable.mergeBatch(spark, root,
+      Seq((n.toLong, "REPLAYED")).toDF("k", "v"), Seq("k"), s"ns-$n",
+      batchKeyRetention = 5L)
+    assert(ManifestTable.read(spark, root).get.count() == n.toLong)
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().toMap.apply(n.toLong) == s"b$n")
+    // version history intact despite forgotten keys
+    assert(ManifestTable.readVersion(spark, root, 2L).count() == 2L)
+  }
+
   test("mergeBatchFold: the fold reads the SAME pinned base snapshot " +
       "the merge commits against; a replayed key never runs the fold") {
     val root = freshRoot()
