@@ -794,6 +794,27 @@ object ManifestTable {
       .select(col("__c.*"))
   }
 
+  /** Per-COMMIT change feed: [[changes]] returns the NET diff between
+    * two versions; this returns one diff per commit STEP, each row
+    * tagged `_commit_version` (Delta CDF's column) — the ordered/audit
+    * form a consumer needs when intermediate states matter (per-commit
+    * triggers, compliance trails, replaying a sequence of MERGEs
+    * elsewhere in order). A key touched by several commits appears
+    * once per touching commit, where the net feed would collapse it.
+    * Cost: (toV − fromV) single-join diffs — use [[changes]] when only
+    * the end state matters. Composes with schema evolution the same
+    * way (each step aligns its two versions; steps union by name with
+    * null-fill for pre-evolve steps). */
+  def changesPerVersion(spark: SparkSession, root: String, fromV: Long,
+      toV: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(toV > fromV, s"need toV > fromV, got $fromV -> $toV")
+    (fromV until toV).map { v =>
+      changes(spark, root, v, v + 1, keys)
+        .withColumn("_commit_version", lit(v + 1))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** OPTIMIZE: rewrite the CURRENT version's data as `targetFiles`
     * right-sized files and commit the rewrite as a new version — the
     * small-file compaction every long-lived streaming sink needs (a

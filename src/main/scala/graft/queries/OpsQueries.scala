@@ -572,6 +572,119 @@ object OpsQueries extends QueryPack {
       FROM merged2 GROUP BY 1 ORDER BY 1"""),
     covers = Seq("M1-merge", "TD-change-feed", "TD-cdc-consumer"))
 
+  /** Per-COMMIT change history ([[graft.ops.ManifestTable
+    * .changesPerVersion]] — Delta CDF's `_commit_version` form): the
+    * q219 lifecycle's two MERGE steps produce one classified diff PER
+    * commit, each row tagged with the version that introduced it — the
+    * ordered/audit shape (per-commit triggers, compliance trails,
+    * replaying a MERGE sequence elsewhere IN ORDER), where the q218
+    * net feed would collapse a twice-touched key to one pair. A key
+    * updated by both MERGEs appears here at versions 2 AND 3. Oracle:
+    * both steps' classification re-derived declaratively and unioned
+    * with version literals. */
+  val q222 = Q(
+    "q222_change_feed_history",
+    (s, dir) => {
+      import s.implicits._
+      val cut = lit("1999-01-01").cast("timestamp")
+      val orders = Tables(s, dir, "orders")
+      val target = orders.filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val source1 = orders
+        .filter(($"o_orderdate" < cut && $"o_custkey" % 10 === 0) ||
+                $"o_orderdate" >= cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          when($"o_orderdate" < cut, $"o_totalprice" * 2)
+            .otherwise($"o_totalprice").as("o_totalprice"))
+      val source2 = orders.filter($"o_custkey" % 7 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          ($"o_totalprice" * 3).as("o_totalprice"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q222_").toString + "/orders_tbl"
+      import graft.ops.ManifestTable
+      ManifestTable.commit(target, root)                       // v1
+      ManifestTable.merge(s, root, source1, Seq("o_orderkey")) // v2
+      ManifestTable.merge(s, root, source2, Seq("o_orderkey")) // v3
+      ManifestTable.changesPerVersion(s, root, 1L, 3L, Seq("o_orderkey"))
+        .orderBy($"_commit_version", $"o_orderkey", $"_change_type")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      source1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE (o_orderdate < TIMESTAMP '1999-01-01 00:00:00' AND o_custkey % 10 = 0)
+           OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      merged AS (
+        SELECT t.* FROM target t WHERE NOT EXISTS
+          (SELECT 1 FROM source1 s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT s.* FROM target t JOIN source1 s ON t.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT s.* FROM source1 s WHERE NOT EXISTS
+          (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)),
+      source2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 3 AS o_totalprice
+        FROM orders WHERE o_custkey % 7 = 0),
+      merged2 AS (
+        SELECT m.* FROM merged m WHERE NOT EXISTS
+          (SELECT 1 FROM source2 s WHERE s.o_orderkey = m.o_orderkey)
+        UNION ALL
+        SELECT s.* FROM merged m JOIN source2 s ON m.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT s.* FROM source2 s WHERE NOT EXISTS
+          (SELECT 1 FROM merged m WHERE m.o_orderkey = s.o_orderkey)),
+      step1 AS (
+        SELECT m.*, 'insert' AS _change_type FROM merged m
+        WHERE NOT EXISTS
+          (SELECT 1 FROM target t WHERE t.o_orderkey = m.o_orderkey)
+        UNION ALL
+        SELECT t.*, 'delete' FROM target t WHERE NOT EXISTS
+          (SELECT 1 FROM merged m WHERE m.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT t.*, 'update_preimage'
+        FROM target t JOIN merged m ON t.o_orderkey = m.o_orderkey
+        WHERE t.o_custkey IS DISTINCT FROM m.o_custkey
+           OR t.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+           OR t.o_totalprice IS DISTINCT FROM m.o_totalprice
+        UNION ALL
+        SELECT m.*, 'update_postimage'
+        FROM target t JOIN merged m ON t.o_orderkey = m.o_orderkey
+        WHERE t.o_custkey IS DISTINCT FROM m.o_custkey
+           OR t.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+           OR t.o_totalprice IS DISTINCT FROM m.o_totalprice),
+      step2 AS (
+        SELECT b.*, 'insert' AS _change_type FROM merged2 b
+        WHERE NOT EXISTS
+          (SELECT 1 FROM merged m WHERE m.o_orderkey = b.o_orderkey)
+        UNION ALL
+        SELECT m.*, 'delete' FROM merged m WHERE NOT EXISTS
+          (SELECT 1 FROM merged2 b WHERE b.o_orderkey = m.o_orderkey)
+        UNION ALL
+        SELECT m.*, 'update_preimage'
+        FROM merged m JOIN merged2 b ON m.o_orderkey = b.o_orderkey
+        WHERE m.o_custkey IS DISTINCT FROM b.o_custkey
+           OR m.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+           OR m.o_totalprice IS DISTINCT FROM b.o_totalprice
+        UNION ALL
+        SELECT b.*, 'update_postimage'
+        FROM merged m JOIN merged2 b ON m.o_orderkey = b.o_orderkey
+        WHERE m.o_custkey IS DISTINCT FROM b.o_custkey
+           OR m.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+           OR m.o_totalprice IS DISTINCT FROM b.o_totalprice)
+      SELECT * FROM (
+        SELECT s1.*, CAST(2 AS BIGINT) AS _commit_version FROM step1 s1
+        UNION ALL
+        SELECT s2.*, CAST(3 AS BIGINT) FROM step2 s2)
+      ORDER BY _commit_version, o_orderkey, _change_type"""),
+    covers = Seq("M1-merge", "TD-change-feed", "TD-cdc-audit"))
+
   override def queries: Seq[Q] =
-    Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219)
+    Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222)
 }

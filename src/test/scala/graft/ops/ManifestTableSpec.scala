@@ -457,6 +457,29 @@ class ManifestTableSpec extends SparkSpec {
       (3L, "c", Some(30))))
   }
 
+  test("changesPerVersion: one tagged diff per commit — a twice-touched " +
+      "key appears at EACH touching version; composes across an evolve " +
+      "step (pre-evolve steps null-fill the new column)") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    ManifestTable.commit(Seq((1L, "A2"), (2L, "b")).toDF("k", "v"), root)
+    ManifestTable.mergeEvolve(spark, root,
+      Seq((1L, "A3", 7)).toDF("k", "v", "extra"), keys = Seq("k"))
+    val feed = ManifestTable.changesPerVersion(spark, root, 1L, 3L,
+      Seq("k"))
+    val got = feed
+      .select($"k", $"v", $"extra", $"_change_type", $"_commit_version")
+      .as[(Long, String, Option[Int], String, Long)]
+      .collect().toSeq.sortBy(r => (r._5, r._1, r._4))
+    assert(got == Seq(
+      // the NET feed (changes(1,3)) would collapse k=1 to ONE pair;
+      // the history form shows both touches in commit order
+      (1L, "A2", None, "update_postimage", 2L),
+      (1L, "a", None, "update_preimage", 2L),
+      (1L, "A3", Some(7), "update_postimage", 3L),
+      (1L, "A2", None, "update_preimage", 3L)), s"got: $got")
+  }
+
   test("compact batch-key retention: keys older than the horizon are " +
       "forgotten, version history and recent exactly-once intact") {
     val root = freshRoot()
