@@ -794,6 +794,62 @@ object ManifestTable {
       .select(col("__c.*"))
   }
 
+  /** DELETE … WHERE as a committed version: the current version minus
+    * the matching rows, full-rewrite (the simplest correct form — no
+    * deletion vectors; at 100 TB you partition first so the rewrite
+    * touches matching partitions, or adopt tombstones behind this same
+    * commit protocol). Completes the DML triangle with [[merge]]
+    * (MERGE/UPSERT) and [[updateWhere]]; [[changes]] across a delete
+    * commit yields exact `delete` rows with the removed values — the
+    * feed an incremental consumer retracts by. Returns the new
+    * version. */
+  def deleteWhere(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    val (live, compacted) = commitState(spark, root)
+    val markers = namesOf(live, compacted)
+    require(markers.nonEmpty, s"nothing to delete from at $root")
+    val base = markers.map(versionOf).max
+    val next = base + 1
+    val dir = writeVersionData(
+      // null-safe negation: a NULL predicate row is NOT matched by the
+      // delete (SQL DELETE semantics), so it must be KEPT
+      readVersionWith(spark, root, base, live, compacted)
+        .filter(!org.apache.spark.sql.functions.coalesce(condition,
+          org.apache.spark.sql.functions.lit(false))),
+      root, next)
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root, live.size + 1)
+    next
+  }
+
+  /** UPDATE … SET … WHERE as a committed version: matching rows get
+    * each assignment applied, others carried unchanged — one projection
+    * over the current version, committed whole. [[changes]] across it
+    * yields the exact `update_preimage`/`update_postimage` pairs.
+    * Returns the new version. */
+  def updateWhere(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val (live, compacted) = commitState(spark, root)
+    val markers = namesOf(live, compacted)
+    require(markers.nonEmpty, s"nothing to update at $root")
+    val base = markers.map(versionOf).max
+    val baseDf = readVersionWith(spark, root, base, live, compacted)
+    require(set.keySet.subsetOf(baseDf.columns.toSet),
+      s"unknown columns in SET: ${set.keySet -- baseDf.columns}")
+    val cond = coalesce(condition, lit(false)) // NULL predicate = no match
+    val result = set.foldLeft(baseDf) { case (d, (c, e)) =>
+      d.withColumn(c, when(cond, e)
+        .otherwise(org.apache.spark.sql.functions.col(c)))
+    }
+    val next = base + 1
+    val dir = writeVersionData(result, root, next)
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root, live.size + 1)
+    next
+  }
+
   /** Per-COMMIT change feed: [[changes]] returns the NET diff between
     * two versions; this returns one diff per commit STEP, each row
     * tagged `_commit_version` (Delta CDF's column) — the ordered/audit

@@ -685,6 +685,58 @@ object OpsQueries extends QueryPack {
       ORDER BY _commit_version, o_orderkey, _change_type"""),
     covers = Seq("M1-merge", "TD-change-feed", "TD-cdc-audit"))
 
+  /** DELETE + UPDATE DML on the manifest store, observed through the
+    * change feed ([[graft.ops.ManifestTable.deleteWhere]] /
+    * [[graft.ops.ManifestTable.updateWhere]]) — the DML triangle's
+    * missing two sides (MERGE has q13/q207): v1 commits the pre-cut
+    * orders, v2 DELETEs every %3 customer's rows, v3 UPDATEs surviving
+    * %5 customers' priority + 10% price bump; the per-commit history
+    * then shows EXACT `delete` rows (the retraction values a consumer
+    * applies) at v2 and pre/post pairs at v3 — the first oracle-backed
+    * DELETE path in the CDF suite (q218/q222's MERGEs never delete).
+    * Oracle: both steps re-derived declaratively. */
+  val q223 = Q(
+    "q223_manifest_dml_feed",
+    (s, dir) => {
+      import s.implicits._
+      val cut = lit("1999-01-01").cast("timestamp")
+      val target = Tables(s, dir, "orders")
+        .filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q223_").toString + "/orders_tbl"
+      import graft.ops.ManifestTable
+      ManifestTable.commit(target, root)                          // v1
+      ManifestTable.deleteWhere(s, root, $"o_custkey" % 3 === 0)  // v2
+      ManifestTable.updateWhere(s, root, $"o_custkey" % 5 === 0,  // v3
+        Map("o_orderstatus" -> lit("U"),
+          "o_totalprice" -> ($"o_totalprice" * 1.1)))
+      ManifestTable.changesPerVersion(s, root, 1L, 3L, Seq("o_orderkey"))
+        .orderBy($"_commit_version", $"o_orderkey", $"_change_type")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      survivors AS (SELECT * FROM target WHERE o_custkey % 3 <> 0),
+      step1 AS (
+        SELECT t.*, 'delete' AS _change_type FROM target t
+        WHERE o_custkey % 3 = 0),
+      step2 AS (
+        SELECT s.*, 'update_preimage' AS _change_type FROM survivors s
+        WHERE o_custkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, 'update_postimage'
+        FROM survivors WHERE o_custkey % 5 = 0)
+      SELECT * FROM (
+        SELECT s1.*, CAST(2 AS BIGINT) AS _commit_version FROM step1 s1
+        UNION ALL
+        SELECT s2.*, CAST(3 AS BIGINT) FROM step2 s2)
+      ORDER BY _commit_version, o_orderkey, _change_type"""),
+    covers = Seq("M1-merge", "TD-change-feed", "TD-dml-delete-update"))
+
   override def queries: Seq[Q] =
-    Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222)
+    Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222, q223)
 }

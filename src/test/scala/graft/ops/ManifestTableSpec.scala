@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit, upper}
 
 /** The manifest-commit transactional table: readers must NEVER see a
   * torn table — the marker rename is the single atomic commit point,
@@ -455,6 +456,40 @@ class ManifestTableSpec extends SparkSpec {
       .as[(Long, String, Option[Int])].collect().toSeq.sortBy(_._1)
     assert(v2 == Seq((1L, "a", None), (2L, "B2", Some(20)),
       (3L, "c", Some(30))))
+  }
+
+  test("deleteWhere / updateWhere: committed DML versions with SQL " +
+      "NULL-predicate semantics (NULL = no match) and loud unknown-" +
+      "column rejection; time travel intact") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq(
+      (1L, Option(10), "a"), (2L, Option(3), "b"),
+      (3L, Option.empty[Int], "c")).toDF("k", "n", "v"), root)
+    // DELETE WHERE n > 5: k=3's NULL predicate must KEEP the row
+    val v2 = ManifestTable.deleteWhere(spark, root, col("n") > 5)
+    assert(v2 == 2L)
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, Option[Int], String)].collect().sortBy(_._1).toSeq ==
+      Seq((2L, Some(3), "b"), (3L, None, "c")))
+    // UPDATE WHERE n < 5 SET v: NULL predicate row untouched
+    val v3 = ManifestTable.updateWhere(spark, root, col("n") < 5,
+      Map("v" -> upper(col("v"))))
+    assert(v3 == 3L)
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, Option[Int], String)].collect().sortBy(_._1).toSeq ==
+      Seq((2L, Some(3), "B"), (3L, None, "c")))
+    // the delete shows as exact retraction rows in the feed
+    val del = ManifestTable.changes(spark, root, 1L, 2L, Seq("k"))
+      .as[(Long, Option[Int], String, String)].collect().toSeq
+    assert(del == Seq((1L, Some(10), "a", "delete")))
+    // unknown SET column fails loudly, nothing committed
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, root, lit(true),
+        Map("nope" -> lit(1)))
+    }
+    assert(ManifestTable.currentVersion(spark, root).contains(3L))
+    // time travel across the DML history intact
+    assert(ManifestTable.readVersion(spark, root, 1L).count() == 3L)
   }
 
   test("changesPerVersion: one tagged diff per commit — a twice-touched " +
