@@ -105,7 +105,12 @@ object Layout {
     * either way. */
   def writeZOrdered(df: DataFrame, x: Column, y: Column, tie: Column,
       rowsPerFile: Long, bits: Int, path: String): DataFrame = {
-    val a = assignFiles(df, x, y, tie, rowsPerFile, bits)
+    // pinned: the assignment (two windows + a broadcast join) feeds
+    // BOTH the data write and the stats aggregation — without the
+    // checkpoint it computes twice, and the stats could even disagree
+    // with the written files under a non-deterministic upstream
+    val a = graft.CacheTracker.trackCheckpoint(
+      assignFiles(df, x, y, tie, rowsPerFile, bits).localCheckpoint())
     a.select((df.columns.map(col) :+ col("file_id")).toIndexedSeq: _*)
       // group each file bucket into one task before the partitioned
       // write: without it every task holding rows of a bucket writes
