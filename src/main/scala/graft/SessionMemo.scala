@@ -67,13 +67,32 @@ final class SessionMemo[V] {
 object SessionMemo {
   /** One lazily-completed slot: the first caller computes under the
     * cell's monitor, later callers read the memoized value. Only
-    * SAME-KEY callers contend here. */
+    * SAME-KEY callers contend here.
+    *
+    * Re-entrancy: the cell's monitor is a JVM intrinsic lock, which
+    * is REENTRANT — a compute that touches the same memo key again
+    * would re-enter the monitor, see `value == None`, and recurse
+    * unboundedly (StackOverflow), where the old computeIfAbsent path
+    * failed fast. Track the owning thread and throw
+    * IllegalStateException on same-thread same-key re-entry to keep
+    * the fail-fast contract. (Cross-thread compute CYCLES across
+    * different keys can still deadlock — same as any lock cycle; a
+    * memoized build must not depend on itself.) A failed compute
+    * resets the owner so later callers retry rather than inherit the
+    * failure. */
   final class Cell[V] {
     private var value: Option[V] = None
+    private var owner: Thread = null
     def get(compute: => V): V = this.synchronized {
       value match {
         case Some(v) => v
-        case None => val v = compute; value = Some(v); v
+        case None =>
+          if (owner eq Thread.currentThread())
+            throw new IllegalStateException(
+              "re-entrant SessionMemo compute on the same key")
+          owner = Thread.currentThread()
+          try { val v = compute; value = Some(v); v }
+          finally owner = null
       }
     }
   }

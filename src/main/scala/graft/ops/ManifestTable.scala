@@ -47,10 +47,22 @@ final class ConcurrentCommitException(msg: String)
   *     a torn table through the back door. Unique dirs close that
   *     window structurally: data paths are never contended.)
   *  2. only then does it create the marker `_commits/v<N>`, by writing
-  *     a temp file (whose content names the data dir) and RENAMING it
-  *     into place — the rename IS the commit point: one atomic
-  *     filesystem metadata operation. A losing rename deletes its own
-  *     orphan data dir and throws.
+  *     a temp file (whose content names the data dir) and PUBLISHING
+  *     it at the marker name — one atomic filesystem metadata
+  *     operation that is the commit point. A losing publish deletes
+  *     its own orphan data dir and throws.
+  *
+  * STORAGE CONTRACT: the protocol requires an atomic NO-OVERWRITE
+  * publish primitive — when two committers race one marker name,
+  * exactly one must win and the loser must observe failure. On
+  * HDFS-class stores that is rename (namenode-arbitrated); on local
+  * filesystems this implementation uses hard-link creation (POSIX
+  * rename overwrites, and Hadoop's local exists-then-rename has a
+  * TOCTOU the two-writer hammer spec caught in practice); S3-class
+  * object stores do NOT provide the primitive natively and need a
+  * coordination layer (Delta's LogStore analog) — [[verifyFsContract]]
+  * probes the primitive once per filesystem and fails loudly instead
+  * of silently losing commits.
   *
   * Readers resolve the current version as the highest marker and read
   * only the directory that marker names. Committed data directories
@@ -101,6 +113,54 @@ object ManifestTable {
       : org.apache.hadoop.fs.FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** STORAGE CONTRACT — the one primitive the whole commit protocol
+    * rests on: publish a fully-written temp file at `target` such that
+    * when two publishers race the same target, EXACTLY ONE succeeds
+    * and the loser observes failure (and the winner's content is never
+    * torn or overwritten). Per store:
+    *
+    *  - HDFS-class stores: `fs.rename` with no-overwrite semantics is
+    *    arbitrated atomically by the namenode — rename IS the CAS.
+    *  - LOCAL filesystems: Hadoop's local rename is an exists()
+    *    pre-check followed by POSIX rename(2), which OVERWRITES an
+    *    existing target — a TOCTOU the two-writer hammer spec
+    *    actually caught (both racers slipped past the pre-check and
+    *    both "won", one silently overwritten). Here the commit point
+    *    is `link(2)` (`Files.createLink`): hard-link creation fails
+    *    with EEXIST atomically in the kernel, and the published name
+    *    appears with its full content (the inode was written before
+    *    the link) — the classic atomic-publish idiom.
+    *  - S3-class object stores: rename is copy+delete and NOT atomic —
+    *    running this protocol there requires a coordination layer
+    *    (Delta's LogStore analog: DynamoDB-arbitrated puts, or a
+    *    conditional-put API). [[verifyFsContract]] probes the actual
+    *    primitive once per filesystem and fails LOUDLY rather than
+    *    letting an overwrite-permissive store silently lose commits.
+    *
+    * Returns true iff this caller's publish won; on a loss the temp
+    * file is deleted. */
+  private def publishExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, target: Path): Boolean = {
+    val won =
+      if (fs.getScheme == "file") {
+        val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val d = java.nio.file.Paths.get(target.toUri.getPath)
+        try { java.nio.file.Files.createLink(d, t); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // FS without hard links (rare for file://): fall back to
+            // rename and accept its weaker local guarantee
+            fs.rename(tmp, target)
+        }
+      } else fs.rename(tmp, target)
+    // the tmp name is redundant either way: gone already after a won
+    // rename (no-op delete), a second link to the inode after a won
+    // createLink, plain debris after a loss
+    fs.delete(tmp, false)
+    won
+  }
+
   /** Compact files are immutable once renamed into place — parse each
     * at most once per JVM. Values are small (one short line per
     * commit). The cache key carries the file's (path, length, mtime):
@@ -123,6 +183,49 @@ object ManifestTable {
           e: java.util.Map.Entry[String, Map[String, String]]): Boolean =
         size() > compactCacheCap
     }
+
+  /** Filesystems (scheme://authority) whose publish primitive has been
+    * probed OK this JVM — the contract check runs once per store, not
+    * per commit. */
+  private val contractChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Probe the ACTUAL publish primitive on this table's filesystem:
+    * publish one probe file, then attempt to publish a second onto the
+    * SAME name — the second MUST fail. An overwrite-permissive store
+    * (S3A-style copy+delete rename) would silently lose one of two
+    * racing commits, so fail at first use with a named contract
+    * instead of losing data later. Runs once per (scheme, authority)
+    * per JVM; called from [[writeMarker]], also usable directly at
+    * table-create time. */
+  def verifyFsContract(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, root)
+    val fsKey = s"${fs.getScheme}://${fs.getUri.getAuthority}"
+    if (contractChecked.contains(fsKey)) return
+    val probeDir = new Path(root,
+      s"_commits/.contract-${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(probeDir)
+    try {
+      def mk(n: String, body: String): Path = {
+        val p = new Path(probeDir, n)
+        val out = fs.create(p, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        p
+      }
+      val target = new Path(probeDir, "target")
+      require(publishExclusive(fs, mk("a", "first"), target),
+        s"commit-protocol contract probe on $fsKey: first publish failed")
+      if (publishExclusive(fs, mk("b", "second"), target))
+        throw new java.io.IOException(
+          s"filesystem $fsKey violates the commit-protocol storage " +
+            "contract (atomic no-overwrite publish): a second publish " +
+            "onto an existing name succeeded — two racing committers " +
+            "would silently lose one commit. HDFS-class stores and " +
+            "local filesystems are supported; S3-class stores need a " +
+            "coordination layer (LogStore analog).")
+      contractChecked.add(fsKey)
+    } finally fs.delete(probeDir, true)
+  }
 
   /** Marker content: `<dataDir>` or `<dataDir>\t<batchKey>`. */
   private def dirPart(content: String): String = {
@@ -268,8 +371,11 @@ object ManifestTable {
     * read). Compaction-race-safe: a marker listed as live can be
     * DELETED by a concurrent [[compact]] before this reader opens it —
     * its entry has then moved into a newer compact file, so on
-    * FileNotFoundException re-resolve through a fresh [[commitState]]
-    * (which reads that newer file) instead of failing a read of a
+    * FileNotFoundException re-resolve through a fresh [[commitState]].
+    * The fresh lookup goes by VERSION, not only by the stale NAME: a
+    * concurrent compaction with `batchKeyRetention` rewrites a legacy
+    * `v<N>-b<key>` winner entry to its plain `v<N>` form, so a
+    * name-only fallback would miss and throw FNF for a
     * fully-committed version. */
   private def contentOf(spark: SparkSession, root: String, marker: String,
       live: Seq[org.apache.hadoop.fs.FileStatus],
@@ -284,7 +390,17 @@ object ManifestTable {
         }
       } catch {
         case e: java.io.FileNotFoundException =>
-          commitState(spark, root)._2.getOrElse(marker, throw e)
+          val (live2, compacted2) = commitState(spark, root)
+          compacted2.getOrElse(marker, {
+            val winner = winnersByVersion(namesOf(live2, compacted2))
+              .get(versionOf(marker))
+            winner match {
+              // same-name recursion is impossible: w != marker guard
+              case Some(w) if w != marker =>
+                contentOf(spark, root, w, live2, compacted2)
+              case _ => throw e
+            }
+          })
       })
 
   /** Data directory name for a committed marker: the dir part of its
@@ -385,6 +501,15 @@ object ManifestTable {
     * the caller's orphan data dir is deleted before the throw. */
   private[graft] def writeMarker(spark: SparkSession, root: String,
       v: Long, batchKey: String = "", dataDir: String = ""): Unit = {
+    // marker content is `<dir>\t<key>` and compact files are
+    // newline-joined `name\tcontent` lines: an unescaped newline (or
+    // CR) in a caller-supplied key would corrupt the compact-file
+    // parse — silently breaking replay detection and version
+    // resolution — so reject it at the entry point. A TAB in the key
+    // is fine by construction: both parsers split at the FIRST tab
+    // only, so everything after it (tabs included) stays in the key.
+    require(!batchKey.exists(c => c == '\n' || c == '\r'),
+      s"batchKey must not contain newline characters: ${batchKey.trim}")
     val fs = fsOf(spark, root)
     val commits = new Path(root, "_commits")
     fs.mkdirs(commits)
@@ -403,14 +528,12 @@ object ManifestTable {
     // the two-writer spec; unique temps make each rename self-owned.
     val tmp = new Path(commits,
       s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    verifyFsContract(spark, root)
     val content = if (batchKey.isEmpty) dataDir else s"$dataDir\t$batchKey"
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     val target = new Path(commits, s"v$v")
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      lostRace()
-    }
+    if (!publishExclusive(fs, tmp, target)) lostRace()
     // pre-populate the content cache: the file we just renamed is
     // write-once, so this JVM's replay checks never re-read it
     try markerCache.synchronized(
@@ -484,10 +607,10 @@ object ManifestTable {
       try out.write(entries.toSeq.sortBy(e => versionOf(e._1))
         .map { case (m, d) => s"$m\t$d" }.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      if (!fs.rename(tmp, target)) {
-        fs.delete(tmp, false) // a concurrent compaction won; fine
-        return
-      }
+      // same atomic-publish primitive as markers: two racing
+      // compactors must never tear or overwrite each other's file
+      if (!publishExclusive(fs, tmp, target))
+        return // a concurrent compaction won; fine
     }
     // covered markers and superseded compact files are now redundant
     toCover.foreach(m => fs.delete(new Path(commits, m), false))
@@ -823,14 +946,19 @@ object ManifestTable {
   }
 
   /** UPDATE … SET … WHERE as a committed version: matching rows get
-    * each assignment applied, others carried unchanged — one projection
-    * over the current version, committed whole. [[changes]] across it
-    * yields the exact `update_preimage`/`update_postimage` pairs.
-    * Returns the new version. */
+    * each assignment applied, others carried unchanged — ONE projection
+    * over the current version, committed whole, so every SET
+    * right-hand side AND the WHERE predicate resolve against the
+    * PRE-update row (SQL UPDATE semantics: `SET a = b, b = a` swaps —
+    * a sequential withColumn chain would let later assignments see
+    * earlier ones' results, and the outcome would even depend on Map
+    * iteration order). [[changes]] across it yields the exact
+    * `update_preimage`/`update_postimage` pairs. Returns the new
+    * version. */
   def updateWhere(spark: SparkSession, root: String,
       condition: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     val (live, compacted) = commitState(spark, root)
     val markers = namesOf(live, compacted)
     require(markers.nonEmpty, s"nothing to update at $root")
@@ -839,10 +967,12 @@ object ManifestTable {
     require(set.keySet.subsetOf(baseDf.columns.toSet),
       s"unknown columns in SET: ${set.keySet -- baseDf.columns}")
     val cond = coalesce(condition, lit(false)) // NULL predicate = no match
-    val result = set.foldLeft(baseDf) { case (d, (c, e)) =>
-      d.withColumn(c, when(cond, e)
-        .otherwise(org.apache.spark.sql.functions.col(c)))
-    }
+    val result = baseDf.select(baseDf.columns.toIndexedSeq.map { c =>
+      set.get(c) match {
+        case Some(e) => when(cond, e).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
     val next = base + 1
     val dir = writeVersionData(result, root, next)
     writeMarker(spark, root, next, dataDir = dir)
@@ -913,12 +1043,21 @@ object ManifestTable {
     * marker — debris from crashed commit attempts. An IN-FLIGHT
     * commit's directory is unreferenced until its marker lands, so
     * orphan collection only touches directories OLDER than
-    * `orphanAgeFloorMs` (by filesystem mtime): a live writer's
-    * staging dir is always younger than the floor, which makes the
-    * pass safe with concurrent writers BY CONSTRUCTION rather than by
-    * operator discipline (spec-pinned: a fresh unreferenced dir
-    * survives, a stale one is collected) — the Delta VACUUM
-    * tombstone-age semantic. Keep the floor comfortably above the
+    * `orphanAgeFloorMs`. Age is derived from the NEWEST FILE inside
+    * the directory (falling back to the directory's own mtime only
+    * when it is empty): directory mtimes are synthetic on object
+    * stores (often 0 — every dir would look ancient and an in-flight
+    * commit's staging data could be collected out from under its
+    * about-to-land marker), whereas the newest inner file's mtime is
+    * a real write timestamp on any store — a live writer's staging
+    * dir always contains a file younger than the floor. This makes
+    * the pass safe with concurrent writers by construction on stores
+    * with trustworthy FILE mtimes and sane clocks (spec-pinned: a
+    * fresh unreferenced dir survives, a stale one is collected) — the
+    * Delta VACUUM tombstone-age semantic. CAVEAT: under severe clock
+    * skew between the vacuuming host and the store, or on a store
+    * without reliable file mtimes, do not run `dropOrphans = true`
+    * concurrently with writers. Keep the floor comfortably above the
     * longest plausible data-write (default 10 min; a 100 TB MERGE's
     * version write can run long — size the floor to the job, not the
     * default). */
@@ -943,11 +1082,26 @@ object ManifestTable {
         val referenced =
           markers.map(dirOf(spark, root, _, live, compacted)).toSet
         val floor = System.currentTimeMillis() - orphanAgeFloorMs
+        // newest inner-file mtime — the real write clock; dir mtimes
+        // are synthetic (often 0) on object stores (see scaladoc)
+        def newestWriteMs(st: org.apache.hadoop.fs.FileStatus): Long =
+          try {
+            var newest = -1L
+            val it = fs.listFiles(st.getPath, true)
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getModificationTime > newest)
+                newest = f.getModificationTime
+            }
+            if (newest >= 0) newest else st.getModificationTime
+          } catch { // dir vanished mid-scan (racing vacuum): skip it
+            case _: java.io.FileNotFoundException => Long.MaxValue
+          }
         fs.listStatus(new Path(root))
           .filter { st =>
             val n = st.getPath.getName
             n.matches("(d\\d+-.+|v\\d+)") && !referenced.contains(n) &&
-              st.getModificationTime < floor
+              newestWriteMs(st) < floor
           }
           .foreach(st => fs.delete(st.getPath, true))
       }

@@ -60,4 +60,16 @@ class SessionMemoSpec extends SparkSpec {
     assert(got == 21)
     assert(memo.getOrElseUpdate(spark, "inner", -1) == 20)
   }
+
+  test("a compute that re-enters the SAME key fails fast " +
+      "(IllegalStateException, not unbounded recursion), and the key " +
+      "stays computable afterwards") {
+    val memo = new SessionMemo[Int]
+    intercept[IllegalStateException] {
+      memo.getOrElseUpdate(spark, "self",
+        memo.getOrElseUpdate(spark, "self", 1) + 1)
+    }
+    // the failed compute must not poison the cell
+    assert(memo.getOrElseUpdate(spark, "self", 42) == 42)
+  }
 }

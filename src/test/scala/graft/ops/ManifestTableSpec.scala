@@ -492,6 +492,52 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readVersion(spark, root, 1L).count() == 3L)
   }
 
+  test("updateWhere: all SET right-hand sides and the WHERE predicate " +
+      "evaluate against the PRE-update row (SQL UPDATE semantics — " +
+      "SET a = b, b = a swaps)") {
+    val root = freshRoot()
+    ManifestTable.commit(
+      Seq((1L, 10, 100), (2L, 20, 200)).toDF("k", "a", "b"), root)
+    // the swap: with sequential withColumn application this would
+    // yield a = b = original b (and depend on Map iteration order)
+    ManifestTable.updateWhere(spark, root, col("k") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 100, 10), (2L, 20, 200)))
+    // the WHERE itself references a SET column: must see pre-update a
+    ManifestTable.updateWhere(spark, root, col("a") === 100,
+      Map("a" -> lit(0), "b" -> (col("a") + 1)))
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 0, 101), (2L, 20, 200)))
+  }
+
+  test("batch keys with newlines are rejected at the commit entry " +
+      "points (they would corrupt the compact-file parse); tabs in " +
+      "keys survive the round-trip (first-tab parsing)") {
+    val root = freshRoot()
+    intercept[IllegalArgumentException] {
+      ManifestTable.mergeBatch(spark, root,
+        Seq((1L, "a")).toDF("k", "v"), Seq("k"), "bad\nkey")
+    }
+    assert(ManifestTable.currentVersion(spark, root).isEmpty,
+      "nothing may commit under a rejected key")
+    // tab-in-key: legal, exactly-once, and survives compaction
+    val tk = "ns\tsub-1"
+    ManifestTable.mergeBatch(spark, root,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), tk)
+    ManifestTable.merge(spark, root,
+      Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    ManifestTable.compact(spark, root)
+    assert(ManifestTable.batchApplied(spark, root, tk))
+    ManifestTable.mergeBatch(spark, root,
+      Seq((1L, "REPLAY")).toDF("k", "v"), Seq("k"), tk)
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b")), "tab-keyed replay must be a no-op")
+  }
+
   test("changesPerVersion: one tagged diff per commit — a twice-touched " +
       "key appears at EACH touching version; composes across an evolve " +
       "step (pre-evolve steps null-fill the new column)") {
@@ -552,9 +598,20 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.vacuum(spark, root, keepLast = 10, dropOrphans = true)
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, inFlight)),
       "a fresh unreferenced dir (concurrent writer) must survive")
-    // the same dir aged past the floor = crash debris: collected
-    fs.setTimes(new org.apache.hadoop.fs.Path(root, inFlight),
-      System.currentTimeMillis() - 11 * 60 * 1000L, -1)
+    // object-store shape: the DIRECTORY mtime is synthetic (0) but the
+    // inner files are fresh — age must derive from the files, so the
+    // live writer's dir still survives (round-11 ADVICE: a dir-mtime
+    // floor collected in-flight commits on stores with mtime-0 dirs)
+    fs.setTimes(new org.apache.hadoop.fs.Path(root, inFlight), 0L, -1)
+    ManifestTable.vacuum(spark, root, keepLast = 10, dropOrphans = true)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, inFlight)),
+      "fresh inner files must protect a dir whose own mtime is synthetic")
+    // the same dir with its FILES aged past the floor = crash debris:
+    // collected
+    val old = System.currentTimeMillis() - 11 * 60 * 1000L
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, inFlight),
+      true)
+    while (it.hasNext) fs.setTimes(it.next().getPath, old, -1)
     ManifestTable.vacuum(spark, root, keepLast = 10, dropOrphans = true)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, inFlight)),
       "stale crash debris past the age floor must be collected")
