@@ -155,13 +155,19 @@ object Bench {
       .sortBy { case (name, _) => (rank.getOrElse(name, heavyFirst.size), name) }
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+        // Deadline pressure degrades iteration COUNT to two, never one
+        // (round-11 lesson: the driver-stamped ledger ran ~38 queries
+        // at a single contended iteration — q73 recorded 14.0 s where
+        // the clean number is 0.88 s — and no steal discount can
+        // repair a 1-sample min; two samples bound the noise).
         val effIters =
           if (elapsedSec <= deadlineSec) iters
           else {
             degraded += name
             System.err.println(
-              s"[bench] deadline (${deadlineSec}s) passed: $name runs 1 iter")
-            1
+              s"[bench] deadline (${deadlineSec}s) passed: $name runs " +
+                "2 iters")
+            math.min(iters, 2)
           }
         val times = scala.collection.mutable.ListBuffer.empty[Option[Double]]
         var stop = false
@@ -315,6 +321,27 @@ object Bench {
     // speedup in the committed ledgers
     val failed = results.collect { case (k, ts) if minOf(ts).isEmpty => k }
     val total = results.flatMap { case (_, ts) => minOf(ts) }.sum
+    // total_floor (round-11 VERDICT ask #1): when a query still ended
+    // with fewer than 2 successful samples (deadline cut so hard even
+    // the 2-iter degradation couldn't complete, or an unaffordable
+    // over-budget retry), its recorded min is a contended 1-shot no
+    // steal discount can repair. Emit a LABELED companion total that
+    // substitutes each such query's same-code bench_history best
+    // (min(recorded, historical) — never an optimistic replacement for
+    // a query that genuinely got slower AND ran clean), alongside the
+    // substituted names so a reader knows exactly which numbers are
+    // floors. On a healthy sweep no query qualifies and
+    // total_floor == total.
+    val floorSubstituted = results.collect {
+      case (k, ts) if minOf(ts).nonEmpty && ts.flatten.size < 2 &&
+        histBest.get(k).exists(_ < minOf(ts).get) => k
+    }
+    val totalFloor = results.flatMap { case (k, ts) =>
+      minOf(ts).map { v =>
+        if (ts.flatten.size < 2) math.min(v, histBest.getOrElse(k, v))
+        else v
+      }
+    }.sum
     // steal fraction over the whole sweep (measurement is done at this
     // point — the remaining work is pure JSON assembly)
     val stealFrac: Option[Double] = for {
@@ -337,7 +364,9 @@ object Bench {
       stealDiscounted.map(_.toString).getOrElse("null")
     val head =
       s""""metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
-        s""""steal_discounted_total":$stealDiscountedJson"""
+        s""""steal_discounted_total":$stealDiscountedJson,""" +
+        s""""total_floor":${math.round(totalFloor * 1000) / 1000.0},""" +
+        s""""n_floor_substituted":${floorSubstituted.size}"""
     def names(l: Seq[String]): String = l.map(n => s"\"$n\"").mkString(",")
     // FULL name lists (failed / degraded / remeasured) go in the
     // persisted ledger ONLY: under a broad contention wave the
@@ -366,8 +395,16 @@ object Bench {
     val rowsJson = results.map { case (k, _) =>
       s"\"$k\":${rowsOf.get(k).map(_.toString).getOrElse("null")}"
     }.mkString("{", ",", "}")
+    // per-query successful-iteration counts: the machine-readable "no
+    // 1-iter minima" evidence (the `iterations` arrays carry the same
+    // information; this is the direct form the round-11 ask names)
+    val nIters = results.map { case (k, ts) =>
+      s"\"$k\":${ts.flatten.size}"
+    }.mkString("{", ",", "}")
     val line = s"""{$head,"failed":[${names(failed)}],""" +
       s""""degraded":[${names(degradedL)}],""" +
+      s""""floor_substituted":[${names(floorSubstituted.toList)}],""" +
+      s""""n_iters":$nIters,""" +
       s""""remeasured":[${names(remeasured.toList)}],""" +
       s""""load":$loadJson,"steal_s":$stealJson,""" +
       s""""steal_frac":$stealFracJson,""" +

@@ -439,10 +439,42 @@ object ManifestTable {
     dir
   }
 
+  /** The relative file paths a version's data dir carries FORWARD BY
+    * REFERENCE, when it is a file-list version (scoped DML — see
+    * [[ZTable]]): the dir's `_files` manifest lists every data file of
+    * the version, `<dir>/<file>` relative to the table root — files
+    * REWRITTEN by the DML live in this version's own dir, untouched
+    * files keep their original paths in OLDER version dirs (the
+    * Delta/Iceberg version-is-a-file-list model; a predicate DELETE
+    * on a 100 TB table must rewrite only intersecting files, not the
+    * table). None = a plain whole-dir version. */
+  private[ops] def fileList(spark: SparkSession, root: String,
+      dir: String): Option[Seq[String]] = {
+    val fs = fsOf(spark, root)
+    val manifest = new Path(new Path(root, dir), "_files")
+    if (!fs.exists(manifest)) None
+    else Some(readSmallFile(fs, manifest).split("\n").toSeq
+      .filter(_.nonEmpty))
+  }
+
+  /** Read a resolved data dir — through its `_files` manifest when the
+    * version is a file-list version, else the whole dir. (Reading a
+    * file-list dir as plain parquet would silently DROP the
+    * carried-forward files: Spark's file index skips the
+    * underscore-prefixed `_files`/`_stats`, so the plain read sees
+    * only the rewritten files.) */
+  private[ops] def readDataDir(spark: SparkSession, root: String,
+      dir: String): DataFrame =
+    fileList(spark, root, dir) match {
+      case Some(rels) =>
+        spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+      case None => spark.read.parquet(s"$root/$dir")
+    }
+
   /** Time travel: read a specific committed version. Fails loudly if
     * the version was never committed OR its data was vacuumed. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
-    spark.read.parquet(s"$root/${versionDataDir(spark, root, v)}")
+    readDataDir(spark, root, versionDataDir(spark, root, v))
 
   /** [[readVersion]] against an already-taken commit-state snapshot —
     * the merge paths read the base version right after resolving it
@@ -453,8 +485,8 @@ object ManifestTable {
       compacted: Map[String, String]): DataFrame = {
     val marker = winnersByVersion(namesOf(live, compacted)).get(v)
     require(marker.isDefined, s"version $v of $root was never committed")
-    spark.read.parquet(
-      s"$root/${dirOf(spark, root, marker.get, live, compacted)}")
+    readDataDir(spark, root,
+      dirOf(spark, root, marker.get, live, compacted))
   }
 
   /** Commit `df` as the next version; returns the new version number.
@@ -841,6 +873,47 @@ object ManifestTable {
     maybeAutoCompact(spark, root, live.size + 1, batchKeyRetention)
   }
 
+  /** [[mergeBatch]] with the [[mergeWithRetry]] rebase loop — the
+    * multi-writer streaming form: TWO (or more) streams with distinct
+    * batch-key namespaces can merge into ONE table root, and a loser
+    * of the version race re-reads the new current version (which
+    * includes the winner's rows) and re-applies its batch on top —
+    * commits serialize, no committed row is ever lost, and each batch
+    * key stays exactly-once (a retry whose key meanwhile landed — its
+    * own earlier attempt racing a replay — is a no-op via the normal
+    * replay check). Hammered in `ManifestTableSpec`. */
+  def mergeBatchWithRetry(spark: SparkSession, root: String,
+      source: DataFrame, keys: Seq[String], batchKey: String,
+      updateCols: Option[Seq[String]] = None,
+      batchKeyRetention: Long = Long.MaxValue,
+      maxAttempts: Int = 10): Unit =
+    mergeBatchFoldWithRetry(spark, root, keys, batchKey, _ => source,
+      updateCols, batchKeyRetention, maxAttempts)
+
+  /** [[mergeBatchFold]] with the rebase-retry loop. The fold re-runs
+    * on every attempt against the FRESH pinned base — fold-vs-merge
+    * skew stays unrepresentable across retries, which is the whole
+    * point of the fold form. */
+  def mergeBatchFoldWithRetry(spark: SparkSession, root: String,
+      keys: Seq[String], batchKey: String,
+      fold: Option[DataFrame] => DataFrame,
+      updateCols: Option[Seq[String]] = None,
+      batchKeyRetention: Long = Long.MaxValue,
+      maxAttempts: Int = 10): Unit = {
+    var attempt = 1
+    while (true) {
+      try {
+        mergeBatchFold(spark, root, keys, batchKey, fold, updateCols,
+          batchKeyRetention)
+        return
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+  }
+
   /** Change-data-feed between two committed versions — the NET diff,
     * keyed by `keys`, in Delta CDF vocabulary: one `insert` row per
     * key only in `toV`, one `delete` row (with the FROM-side values)
@@ -1037,7 +1110,9 @@ object ManifestTable {
     * resolved one of the newest `keepLast` versions before the vacuum
     * still reads it safely afterward; readers holding older versions
     * must re-resolve (the Delta retention-window semantic, with
-    * commits as the clock).
+    * commits as the clock). REFERENCE-AWARE: an old version's dir
+    * survives as long as any retained file-list version (scoped DML —
+    * [[ZTable]]) still references files inside it.
     *
     * `dropOrphans`: also delete data directories referenced by NO
     * marker — debris from crashed commit attempts. An IN-FLIGHT
@@ -1074,13 +1149,34 @@ object ManifestTable {
     if (markers.nonEmpty) {
       val cur = markers.map(versionOf).max
       val cutoff = cur - keepLast + 1
+      // dirs a RETAINED version still needs: its own, plus — for
+      // file-list versions (scoped DML) — every dir its `_files`
+      // manifest reaches into. A scoped DELETE carries untouched
+      // files forward BY REFERENCE into older version dirs, so
+      // dropping an old version's dir while a retained version still
+      // references files inside it would corrupt the live table.
+      // Coarse by design: one referenced file keeps the whole dir
+      // (dirs are the vacuum grain; the space cost is bounded by the
+      // pre-DML version the references came from).
+      def dirsNeededBy(dir: String): Set[String] =
+        try fileList(spark, root, dir)
+          .map(_.map(_.takeWhile(_ != '/')).toSet + dir)
+          .getOrElse(Set(dir))
+        catch { // already-vacuumed dir: nothing to protect
+          case _: java.io.FileNotFoundException => Set(dir)
+        }
+      val needed = markers.filter(versionOf(_) >= cutoff)
+        .flatMap(m => dirsNeededBy(dirOf(spark, root, m, live, compacted)))
+        .toSet
       markers.filter(versionOf(_) < cutoff).foreach { m =>
-        fs.delete(new Path(root, dirOf(spark, root, m, live, compacted)),
-          true)
+        val d = dirOf(spark, root, m, live, compacted)
+        if (!needed.contains(d)) fs.delete(new Path(root, d), true)
       }
       if (dropOrphans) {
-        val referenced =
-          markers.map(dirOf(spark, root, _, live, compacted)).toSet
+        val referenced = markers
+          .flatMap(m =>
+            dirsNeededBy(dirOf(spark, root, m, live, compacted)))
+          .toSet
         val floor = System.currentTimeMillis() - orphanAgeFloorMs
         // newest inner-file mtime — the real write clock; dir mtimes
         // are synthetic (often 0) on object stores (see scaladoc)

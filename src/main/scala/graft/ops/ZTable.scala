@@ -1,0 +1,333 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-ordered layout COMMITTED INTO the transactional manifest — the
+  * missing half of the round-11 layout work ([[Layout]] computed
+  * z-order file assignments and min/max stats, but the stats lived
+  * only in the returning DataFrame: a restarted session had to
+  * rebuild them, and the layout could drift from the table version).
+  * Here [[optimizeZOrder]] rewrites the CURRENT version z-clustered
+  * and commits the per-file min/max ranges (and optional per-file
+  * Bloom registers) as version payload — the [[IndexStore]]
+  * multi-frame precedent applied to table metadata, and the native
+  * analog of Delta's per-file stats / Iceberg manifests / Snowflake's
+  * micro-partition metadata (the machinery every reference gold query
+  * silently relied on, cf. `dags/logistics-gold-metrics-sql.py:24-197`
+  * — Snowflake prunes micro-partitions by exactly these ranges).
+  *
+  * Version-dir layout (on [[ManifestTable]]'s protocol, unchanged):
+  * {{{
+  *   root/d<N>-<tok>/part-*.parquet — z-clustered data (plain parquet,
+  *                                    schema UNCHANGED — the commit is
+  *                                    dataChange-false: changes()
+  *                                    across it is EMPTY, spec-pinned)
+  *   root/d<N>-<tok>/_stats/        — one row per data file: path,
+  *                                    n_rows, min/max of both cluster
+  *                                    dims, the dim column names, the
+  *                                    bloom column name (nullable)
+  *   root/d<N>-<tok>/_bloom/        — (path, word, bits) Bloom
+  *                                    registers, when requested
+  *   root/d<N>-<tok>/_files         — (scoped-DML versions only) the
+  *                                    version's file list, untouched
+  *                                    files carried BY REFERENCE
+  * }}}
+  * Underscore-prefixed names are invisible to Spark's file index, so
+  * a plain `readVersion` of an optimized dir still reads exactly the
+  * data files; [[ManifestTable.readDataDir]] resolves `_files`
+  * versions. Stats are SELF-CONTAINED per version (each version's dir
+  * holds the stats for its full file list, including referenced
+  * files), so the read path is restart-safe and time-travelable: a
+  * fresh session prunes off the committed stats of whatever version
+  * it resolves, no session state involved.
+  *
+  * Scoped DML ([[deleteWhereScoped]]/[[updateWhereScoped]]): the
+  * predicate's range conjunct is evaluated against the committed
+  * per-file ranges, ONLY intersecting files are rewritten (into the
+  * new version's dir), and every other file is carried forward by
+  * path — at 100 TB a DELETE that touches 0.1% of the key space
+  * rewrites 0.1% of the files, not the table. Pruning is sound by
+  * construction: the range is PART of the predicate
+  * (`x BETWEEN lo AND hi AND extra`), so a non-intersecting file
+  * cannot contain a matching row. [[ManifestTable.vacuum]] is
+  * reference-aware (a dir survives while any retained version
+  * references files inside it).
+  *
+  * 100-TB shape: the layout rewrite is ONE range shuffle on the
+  * z-value (`repartitionByRange` — the sampled range partitioner is
+  * exactly how a sort lands on a 1000-executor cluster) + one stats
+  * aggregation at file grain; planning a pruned scan collects one row
+  * per FILE (the Delta manifest-planning pattern — O(files), never
+  * O(rows)); the pruned scan itself opens only intersecting files.
+  */
+object ZTable {
+
+  private val M = 8192L // Bloom bits per file (256 × 64-bit words max)
+
+  private def fs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Rewrite the current version z-clustered by (`xCol`,`yCol`) into
+    * `nFiles` files and commit it WITH its skipping stats (+ Bloom
+    * registers over `bloomCol`, if given) as the next version.
+    * Logically a no-op (dataChange-false): the change feed across the
+    * commit is empty. Returns the committed version.
+    *
+    * `nFiles` is the explicit file-count knob (a production OPTIMIZE
+    * sizes by target bytes; at file grain the two are the same dial).
+    * Stats are computed by reading BACK the files as written — they
+    * can never disagree with the layout, whatever the range
+    * partitioner sampled. */
+  def optimizeZOrder(spark: SparkSession, root: String, xCol: String,
+      yCol: String, tieCol: String, nFiles: Int,
+      bloomCol: Option[String] = None, bits: Int = 16): Long = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    val base = ManifestTable.currentVersion(spark, root)
+      .getOrElse(sys.error(s"nothing to optimize at $root"))
+    val df = ManifestTable.readVersion(spark, root, base)
+    val cols = df.columns.toSet
+    (Seq(xCol, yCol, tieCol) ++ bloomCol).foreach(c =>
+      require(cols.contains(c), s"no column $c in $root (has $cols)"))
+    val next = base + 1
+    val dir = ManifestTable.newDataDirName(next)
+    // ONE range shuffle on the z-value: each output file covers a
+    // contiguous z-range, so BOTH dims' per-file min/max are tight —
+    // the multi-dimensional clustering trade (Delta OPTIMIZE ZORDER)
+    df.withColumn("__z", Layout.zValue(col(xCol).cast("long"),
+        col(yCol).cast("long"), bits))
+      .repartitionByRange(nFiles, col("__z"), col(tieCol))
+      .sortWithinPartitions(col("__z"), col(tieCol))
+      .drop("__z")
+      .write.parquet(s"$root/$dir")
+    writeStats(spark, root, dir, dataPaths(spark, root, dir),
+      xCol, yCol, bloomCol, carriedStats = None, carriedBloom = None)
+    ManifestTable.writeMarker(spark, root, next, dataDir = dir)
+    ManifestTable.maybeAutoCompact(spark, root)
+    next
+  }
+
+  /** The committed skipping stats of version `v` — one row per data
+    * file: `path` (relative to root), `n_rows`, `min_x`/`max_x`/
+    * `min_y`/`max_y` (the cluster dims cast to long), `x_col`/`y_col`
+    * (the dim column names), `bloom_col` (null when no Bloom index).
+    * Fails loudly when the version has no committed stats. */
+  def stats(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val dir = ManifestTable.versionDataDir(spark, root, v)
+    val p = new org.apache.hadoop.fs.Path(s"$root/$dir/_stats")
+    require(fs(spark, root).exists(p),
+      s"version $v of $root has no committed skipping stats — run " +
+        "optimizeZOrder first")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Committed per-file Bloom registers of version `v` (rows of
+    * (path, word, bits)), None when the version carries none. */
+  def bloom(spark: SparkSession, root: String, v: Long)
+      : Option[DataFrame] = {
+    val dir = ManifestTable.versionDataDir(spark, root, v)
+    val p = new org.apache.hadoop.fs.Path(s"$root/$dir/_bloom")
+    if (fs(spark, root).exists(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Data-skipping read of the CURRENT version: open ONLY the files
+    * whose committed [min_x, max_x] intersects [lo, hi], then apply
+    * the row filter. Planning is one O(files) driver-side collect of
+    * the committed stats (the Delta manifest-planning pattern);
+    * `df.inputFiles.length` on the result proves the pruning
+    * (spec-locked). Restart-safe by construction — everything read
+    * here is committed version payload. */
+  def scanXRange(spark: SparkSession, root: String, lo: Long, hi: Long)
+      : DataFrame = {
+    val v = ManifestTable.currentVersion(spark, root)
+      .getOrElse(sys.error(s"no committed version at $root"))
+    val rows = stats(spark, root, v)
+      .select(col("path"), col("min_x"), col("max_x"), col("x_col"))
+      .collect() // O(files) metadata, never O(rows)
+    require(rows.nonEmpty, s"empty stats at $root v$v")
+    val xCol = rows.head.getString(3)
+    val keep = rows.filter(r => !(r.getLong(2) < lo || r.getLong(1) > hi))
+      .map(_.getString(0)).toIndexedSeq
+    val pruned =
+      if (keep.isEmpty)
+        ManifestTable.readVersion(spark, root, v).filter(lit(false))
+      else spark.read.parquet(keep.map(p => s"$root/$p"): _*)
+    pruned.filter(col(xCol).cast("long").between(lo, hi))
+  }
+
+  /** Scoped DELETE: remove rows matching
+    * `xCol BETWEEN lo AND hi AND extra` by rewriting ONLY the files
+    * whose committed x-range intersects [lo, hi]; every other file is
+    * carried into the new version BY REFERENCE (its path, its stats
+    * row, its Bloom rows — all unchanged). The range conjunct makes
+    * the pruning provably sound; `extra` narrows further (NULL = no
+    * match, SQL DELETE semantics). The new version's stats/bloom/
+    * file-list are committed with it — skipping keeps working across
+    * DML. Returns the new version.
+    *
+    * Deleting EVERY file's rows is refused (use
+    * [[ManifestTable.deleteWhere]] — a scoped rewrite that touches
+    * everything has no scope to exploit). */
+  def deleteWhereScoped(spark: SparkSession, root: String, lo: Long,
+      hi: Long, extra: Column = lit(true)): Long =
+    rewriteScoped(spark, root, lo, hi) { (df, xCol) =>
+      val cond = col(xCol).cast("long").between(lo, hi) && extra
+      df.filter(!coalesce(cond, lit(false)))
+    }
+
+  /** Scoped UPDATE: apply `set` to rows matching
+    * `xCol BETWEEN lo AND hi AND extra`, rewriting only intersecting
+    * files — same single-projection pre-update-row semantics as
+    * [[ManifestTable.updateWhere]], same carry-by-reference as
+    * [[deleteWhereScoped]]. Returns the new version. */
+  def updateWhereScoped(spark: SparkSession, root: String, lo: Long,
+      hi: Long, set: Map[String, Column],
+      extra: Column = lit(true)): Long =
+    rewriteScoped(spark, root, lo, hi) { (df, xCol) =>
+      require(set.keySet.subsetOf(df.columns.toSet),
+        s"unknown columns in SET: ${set.keySet -- df.columns}")
+      val cond =
+        coalesce(col(xCol).cast("long").between(lo, hi) && extra,
+          lit(false))
+      df.select(df.columns.toIndexedSeq.map { c =>
+        set.get(c) match {
+          case Some(e) => when(cond, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+
+  /** Shared scoped-rewrite skeleton: partition the current version's
+    * files by committed-range intersection with [lo, hi], rewrite the
+    * intersecting ones through `transform`, carry the rest by
+    * reference, recompute stats/Bloom for the rewritten files only,
+    * and commit file-list + stats + bloom as the next version. */
+  private def rewriteScoped(spark: SparkSession, root: String, lo: Long,
+      hi: Long)(transform: (DataFrame, String) => DataFrame): Long = {
+    val base = ManifestTable.currentVersion(spark, root)
+      .getOrElse(sys.error(s"no committed version at $root"))
+    val st = stats(spark, root, base).collect()
+    require(st.nonEmpty, s"empty stats at $root v$base")
+    def s(r: org.apache.spark.sql.Row, c: String) =
+      r.getString(r.fieldIndex(c))
+    val xCol = s(st.head, "x_col")
+    val yCol = s(st.head, "y_col")
+    val bloomCol = Option(st.head.get(st.head.fieldIndex("bloom_col")))
+      .map(_.toString)
+    val (touched, untouched) = st.partition { r =>
+      !(r.getLong(r.fieldIndex("max_x")) < lo ||
+        r.getLong(r.fieldIndex("min_x")) > hi)
+    }
+    require(touched.nonEmpty,
+      s"no file of $root v$base intersects [$lo,$hi] — nothing to do")
+    require(untouched.nonEmpty,
+      s"every file of $root v$base intersects [$lo,$hi] — use the " +
+        "unscoped DML (a full rewrite has no scope to exploit)")
+    val next = base + 1
+    val dir = ManifestTable.newDataDirName(next)
+    val touchedPaths = touched.map(r => s(r, "path")).toIndexedSeq
+    transform(
+      spark.read.parquet(touchedPaths.map(p => s"$root/$p"): _*), xCol)
+      .write.parquet(s"$root/$dir")
+    val newPaths = dataPaths(spark, root, dir)
+    val untouchedPaths = untouched.map(r => s(r, "path")).toIndexedSeq
+    // self-contained version metadata: carried stats/bloom rows ride
+    // into the NEW dir, so stats(v) never chases old dirs
+    val carriedStats = stats(spark, root, base)
+      .filter(col("path").isin(untouchedPaths: _*))
+    val carriedBloom = bloom(spark, root, base)
+      .map(_.filter(col("path").isin(untouchedPaths: _*)))
+    writeStats(spark, root, dir, newPaths, xCol, yCol, bloomCol,
+      Some(carriedStats), carriedBloom)
+    val manifest = (untouchedPaths ++ newPaths).mkString("\n")
+    val f = fs(spark, root)
+    val mp = new org.apache.hadoop.fs.Path(s"$root/$dir/_files")
+    val out = f.create(mp, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    ManifestTable.writeMarker(spark, root, next, dataDir = dir)
+    ManifestTable.maybeAutoCompact(spark, root)
+    next
+  }
+
+  /** The data files of a freshly-written dir, as root-relative paths
+    * (`<dir>/<file>`). */
+  private def dataPaths(spark: SparkSession, root: String,
+      dir: String): IndexedSeq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$dir")
+    fs(spark, root).listStatus(p).toIndexedSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .map(n => s"$dir/$n")
+  }
+
+  /** Compute per-file stats (and Bloom registers) for `paths` by
+    * reading the files as written, union carried rows, and write the
+    * frames under the version dir. The read-back costs one extra scan
+    * of the REWRITTEN bytes only — the price of stats that can never
+    * disagree with the files. */
+  private def writeStats(spark: SparkSession, root: String, dir: String,
+      paths: Seq[String], xCol: String, yCol: String,
+      bloomCol: Option[String], carriedStats: Option[DataFrame],
+      carriedBloom: Option[DataFrame]): Unit = {
+    val df = spark.read.parquet(paths.map(p => s"$root/$p"): _*)
+    val withPath = df.withColumn("__path",
+      regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+    val fresh = withPath.groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol).cast("long")).as("min_x"),
+        max(col(xCol).cast("long")).as("max_x"),
+        min(col(yCol).cast("long")).as("min_y"),
+        max(col(yCol).cast("long")).as("max_y"))
+      .withColumn("x_col", lit(xCol))
+      .withColumn("y_col", lit(yCol))
+      .withColumn("bloom_col",
+        bloomCol.map(lit(_)).getOrElse(lit(null).cast("string")))
+    val allStats = carriedStats.fold(fresh)(_ unionByName fresh)
+    allStats.repartition(1).write.parquet(s"$root/$dir/_stats")
+    bloomCol.foreach { bc =>
+      // q221's register shape at committed grain: 8192 bits per file
+      // as ≤256 (path, word, bits) rows, built by ONE bit_or agg;
+      // 32-bit blocks keep the shifted bit far from the sign bit
+      val words = Seq(501, 502).map(seed =>
+        withPath.select(col("__path").as("path"),
+          (graft.functions.TextFunctions.hash60(col(bc), seed) % M)
+            .as("h")))
+        .reduce(_ unionByName _)
+        .select(col("path"), shiftright(col("h"), 5).as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(h & 31 AS INT))")
+            .as("bit"))
+      val freshBloom = words.groupBy(col("path"), col("word"))
+        .agg(expr("bit_or(bit)").as("bits"))
+      val allBloom = carriedBloom.fold(freshBloom)(_ unionByName freshBloom)
+      allBloom.repartition(1).write.parquet(s"$root/$dir/_bloom")
+    }
+  }
+
+  /** Bloom point-lookup planning off the COMMITTED registers: the
+    * files of the current version that may contain `key` in the
+    * indexed column (a provable superset — Bloom has no false
+    * negatives). O(files) planning, same as [[scanXRange]]. */
+  def bloomCandidateFiles(spark: SparkSession, root: String,
+      key: Column): Seq[String] = {
+    val v = ManifestTable.currentVersion(spark, root)
+      .getOrElse(sys.error(s"no committed version at $root"))
+    val bl = bloom(spark, root, v).getOrElse(
+      sys.error(s"version $v of $root has no committed Bloom index"))
+    val probes = Seq(501, 502).map { seed =>
+      spark.range(1).select(lit(seed).as("j"),
+        (graft.functions.TextFunctions.hash60(key, seed) % M).as("h"))
+    }.reduce(_ unionByName _)
+      .select(col("j"), shiftright(col("h"), 5).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(h & 31 AS INT))")
+          .as("mask"))
+    broadcast(probes).join(bl, Seq("word"))
+      .filter((col("bits").bitwiseAND(col("mask"))) =!= 0L)
+      .groupBy(col("path"))
+      .agg(countDistinct(col("j")).as("nj"))
+      .filter(col("nj") === 2)
+      .select(col("path"))
+      .collect().map(_.getString(0)).toSeq // O(files)
+  }
+}

