@@ -117,7 +117,11 @@ object Bench {
       // the IVF-PQ train/search tail (each rebuilds state per run by
       // harness design) joined the >2.5 s club in round 8
       "q188_ivfpq_refine", "q186_ivfpq_ingest", "q180_ivfpq_search",
-      "q179_ivfpq_encode", "q183_ivfpq_recall")
+      "q179_ivfpq_encode", "q183_ivfpq_recall",
+      // the round-12 table-format lifecycles (commit + optimize +
+      // stats readback + scoped DML / chained sync commits per run)
+      "q224_committed_skipping", "q225_scoped_dml",
+      "q226_cdf_chained_consumer")
     val rank = heavyFirst.zipWithIndex.toMap
     // per-query OUTPUT row counts (round-9 VERDICT ask #7): lets a
     // ledger reader separate output-bound growth (the q25/q206 effect

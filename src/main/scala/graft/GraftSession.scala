@@ -49,10 +49,17 @@ object GraftSession {
     * PlanRegressionSpec's unpartitioned-window sweep pins the
     * declared set exactly — so dropping the log line loses nothing. */
   def quietBoundedWindowWarnings(): Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () } // non-log4j2 backends: keep the noise
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        org.apache.logging.log4j.Level.ERROR)
+      // a plain read of a ZTable version dir warns "All paths were
+      // ignored" for each underscore-prefixed metadata subdir
+      // (_stats/_bloom) it correctly skips — by-design noise
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.datasources.DataSource",
+        org.apache.logging.log4j.Level.ERROR)
+    } catch { case _: Throwable => () } // non-log4j2: keep the noise
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()

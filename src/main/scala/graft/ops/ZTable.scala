@@ -92,11 +92,26 @@ object ZTable {
       require(cols.contains(c), s"no column $c in $root (has $cols)"))
     val next = base + 1
     val dir = ManifestTable.newDataDirName(next)
+    // NORMALIZE each dim to the curve's bit width from its ACTUAL
+    // bounds (one metadata-sized agg): interleaving raw values breaks
+    // down whenever a dim outgrows `bits` (low-bit aliasing scrambles
+    // the curve — surrogate keys at 10^10 are the norm at 100 TB) or
+    // when one dim's constant high bits starve the other's. The
+    // curve sees [0, 2^bits) per dim; the committed STATS keep raw
+    // values, so pruning and DML scoping are exact regardless.
+    val b = df.agg(min(col(xCol).cast("long")),
+      max(col(xCol).cast("long")), min(col(yCol).cast("long")),
+      max(col(yCol).cast("long"))).head()
+    val top = (1L << bits) - 1
+    def scaled(c: org.apache.spark.sql.Column, loI: Int, hiI: Int) =
+      if (b.isNullAt(loI) || b.getLong(hiI) <= b.getLong(loI)) lit(0L)
+      else ((c.cast("long") - b.getLong(loI)) * top /
+        (b.getLong(hiI) - b.getLong(loI))).cast("long")
     // ONE range shuffle on the z-value: each output file covers a
     // contiguous z-range, so BOTH dims' per-file min/max are tight —
     // the multi-dimensional clustering trade (Delta OPTIMIZE ZORDER)
-    df.withColumn("__z", Layout.zValue(col(xCol).cast("long"),
-        col(yCol).cast("long"), bits))
+    df.withColumn("__z", Layout.zValue(scaled(col(xCol), 0, 1),
+        scaled(col(yCol), 2, 3), bits))
       .repartitionByRange(nFiles, col("__z"), col(tieCol))
       .sortWithinPartitions(col("__z"), col(tieCol))
       .drop("__z")
@@ -148,7 +163,9 @@ object ZTable {
       .collect() // O(files) metadata, never O(rows)
     require(rows.nonEmpty, s"empty stats at $root v$v")
     val xCol = rows.head.getString(3)
-    val keep = rows.filter(r => !(r.getLong(2) < lo || r.getLong(1) > hi))
+    // NULL bounds (an all-null-x file) = unknown range: never skipped
+    val keep = rows.filter(r => r.isNullAt(1) || r.isNullAt(2) ||
+        !(r.getLong(2) < lo || r.getLong(1) > hi))
       .map(_.getString(0)).toIndexedSeq
     val pruned =
       if (keep.isEmpty)
@@ -208,7 +225,8 @@ object ZTable {
       hi: Long)(transform: (DataFrame, String) => DataFrame): Long = {
     val base = ManifestTable.currentVersion(spark, root)
       .getOrElse(sys.error(s"no committed version at $root"))
-    val st = stats(spark, root, base).collect()
+    val stDf = stats(spark, root, base)
+    val st = stDf.collect()
     require(st.nonEmpty, s"empty stats at $root v$base")
     def s(r: org.apache.spark.sql.Row, c: String) =
       r.getString(r.fieldIndex(c))
@@ -217,8 +235,10 @@ object ZTable {
     val bloomCol = Option(st.head.get(st.head.fieldIndex("bloom_col")))
       .map(_.toString)
     val (touched, untouched) = st.partition { r =>
-      !(r.getLong(r.fieldIndex("max_x")) < lo ||
-        r.getLong(r.fieldIndex("min_x")) > hi)
+      val (iLo, iHi) = (r.fieldIndex("min_x"), r.fieldIndex("max_x"))
+      // NULL bounds = unknown range: conservatively touched
+      r.isNullAt(iLo) || r.isNullAt(iHi) ||
+        !(r.getLong(iHi) < lo || r.getLong(iLo) > hi)
     }
     require(touched.nonEmpty,
       s"no file of $root v$base intersects [$lo,$hi] — nothing to do")
@@ -234,9 +254,11 @@ object ZTable {
     val newPaths = dataPaths(spark, root, dir)
     val untouchedPaths = untouched.map(r => s(r, "path")).toIndexedSeq
     // self-contained version metadata: carried stats/bloom rows ride
-    // into the NEW dir, so stats(v) never chases old dirs
-    val carriedStats = stats(spark, root, base)
-      .filter(col("path").isin(untouchedPaths: _*))
+    // into the NEW dir, so stats(v) never chases old dirs. Built from
+    // the rows ALREADY collected above (O(files) driver memory) — no
+    // second read of the stats parquet per DML
+    val carriedStats = spark.createDataFrame(
+      java.util.Arrays.asList(untouched: _*), stDf.schema)
     val carriedBloom = bloom(spark, root, base)
       .map(_.filter(col("path").isin(untouchedPaths: _*)))
     writeStats(spark, root, dir, newPaths, xCol, yCol, bloomCol,
