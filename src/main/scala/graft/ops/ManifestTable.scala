@@ -1074,6 +1074,49 @@ object ManifestTable {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** RESTORE: make version `v`'s content the CURRENT version again —
+    * committed as a NEW version (history preserved; an accidental DML
+    * stays auditable and the feed across the restore is exactly its
+    * inverse — Delta's `RESTORE TABLE … VERSION AS OF` semantics).
+    * O(metadata): the new version is a `_files` manifest REFERENCING
+    * version `v`'s data files — zero data bytes copied, at any table
+    * size. Version-`v` skipping stats/Bloom frames (`_stats`/`_bloom`,
+    * if present) are re-committed into the new version's dir
+    * (file-metadata-sized), so committed data skipping survives the
+    * restore. [[vacuum]]'s reference-awareness keeps the referenced
+    * dirs alive while this version is retained. Fails loudly if `v`
+    * was vacuumed. Returns the new version. */
+  def restore(spark: SparkSession, root: String, v: Long): Long = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(sys.error(s"nothing to restore at $root"))
+    require(v <= cur, s"version $v of $root does not exist (current $cur)")
+    val srcDir = versionDataDir(spark, root, v) // throws if vacuumed
+    val fs = fsOf(spark, root)
+    val files = fileList(spark, root, srcDir).getOrElse {
+      fs.listStatus(new Path(root, srcDir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"$srcDir/$n")
+    }
+    require(files.nonEmpty, s"version $v of $root has no data files")
+    val next = cur + 1
+    val dir = newDataDirName(next)
+    fs.mkdirs(new Path(root, dir))
+    Seq("_stats", "_bloom").foreach { frame =>
+      val src = new Path(s"$root/$srcDir/$frame")
+      if (fs.exists(src)) // tiny file-metadata frames: re-write whole
+        spark.read.parquet(src.toString).repartition(1)
+          .write.parquet(s"$root/$dir/$frame")
+    }
+    val mp = new Path(s"$root/$dir/_files")
+    val out = fs.create(mp, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root)
+    next
+  }
+
   /** OPTIMIZE: rewrite the CURRENT version's data as `targetFiles`
     * right-sized files and commit the rewrite as a new version — the
     * small-file compaction every long-lived streaming sink needs (a

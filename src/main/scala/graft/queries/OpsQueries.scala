@@ -1001,7 +1001,65 @@ object OpsQueries extends QueryPack {
       FROM merged2 GROUP BY 1 ORDER BY 1"""),
     covers = Seq("TD-change-feed", "TD-cdc-consumer", "TD-cdc-chained"))
 
+  /** RESTORE as a committed version ([[graft.ops.ManifestTable
+    * .restore]] — Delta's `RESTORE TABLE … VERSION AS OF`): after a
+    * scoped DELETE, restoring the pre-DML version makes its content
+    * current AGAIN as a new version — by REFERENCE (`zero_copy`
+    * asserts every data path of the restored version lives in a
+    * PRE-restore dir: zero data bytes moved, at any table size, the
+    * file-list model's payoff), with history preserved (the deleted
+    * state stays time-travelable) and the feed across the restore
+    * being exactly the DML's inverse (`n_restore_inserts`
+    * hash-checked against the delete's row count). The final
+    * aggregate equals the pre-DML table — which IS the oracle. */
+  val q227 = Q(
+    "q227_restore_feed",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{ManifestTable, ZTable}
+      val cut = lit("1999-01-01").cast("timestamp")
+      val target = Tables(s, dir, "orders")
+        .filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          (datediff($"o_orderdate".cast("date"), lit("1995-01-01")) % 32)
+            .cast("long").as("o_day_slot"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q227_").toString + "/orders_tbl"
+      ManifestTable.commit(target, root)                            // v1
+      ZTable.optimizeZOrder(s, root, "o_custkey", "o_day_slot",
+        "o_orderkey", nFiles = 16)                                  // v2
+      ZTable.deleteWhereScoped(s, root, 20L, 40L,
+        extra = $"o_orderstatus" === "F")                           // v3
+      ManifestTable.restore(s, root, 2L)                            // v4
+      val nIns = ManifestTable.changes(s, root, 3L, 4L, Seq("o_orderkey"))
+        .filter($"_change_type" === "insert").count()
+      val zeroCopy = ZTable.stats(s, root, 4L).select($"path")
+        .as[String].collect().forall(!_.startsWith("d4-"))
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("n_restore_inserts", lit(nIns))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             (SELECT CAST(count(*) AS BIGINT) FROM target
+              WHERE o_custkey BETWEEN 20 AND 40 AND o_orderstatus = 'F')
+               AS n_restore_inserts,
+             true AS zero_copy
+      FROM target GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-time-travel", "TD-restore", "TD-change-feed"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
-      q223, q224, q225, q226)
+      q223, q224, q225, q226, q227)
 }

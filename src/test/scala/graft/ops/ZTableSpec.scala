@@ -158,6 +158,48 @@ class ZTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).get.count() == 749L)
   }
 
+  test("restore: an old version's content becomes the current version " +
+      "by REFERENCE (zero data copied), its committed stats survive, " +
+      "the feed across the restore is the DML's inverse, and vacuum " +
+      "keeps the referenced dirs alive") {
+    val root = freshRoot()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    seed(root)                                                    // v1
+    ZTable.optimizeZOrder(spark, root, "x", "y", "k", nFiles = 8) // v2
+    ZTable.deleteWhereScoped(spark, root, 100L, 180L)             // v3
+    assert(ManifestTable.read(spark, root).get.count() == 719L)
+    val v4 = ManifestTable.restore(spark, root, 2L)               // v4
+    assert(v4 == 4L)
+    // content = v2's, history preserved
+    assert(ManifestTable.read(spark, root).get.count() == 800L)
+    assert(ManifestTable.readVersion(spark, root, 3L).count() == 719L)
+    // zero data copied: every data file path of v4 lives in d2-*
+    val paths = ZTable.stats(spark, root, 4L)
+      .select("path").as[String].collect()
+    assert(paths.nonEmpty && paths.forall(_.startsWith("d2-")),
+      s"restore must reference, not copy: ${paths.take(3).toSeq}")
+    // committed skipping works off the restored version's stats
+    val scan = ZTable.scanXRange(spark, root, 100L, 180L)
+    assert(scan.select("k").as[Long].collect().sorted.toSeq ==
+      (100L to 180L))
+    assert(scan.inputFiles.length < paths.length)
+    // the feed across the restore is exactly the delete's inverse
+    val feed = ManifestTable.changes(spark, root, 3L, 4L, Seq("k"))
+    assert(feed.filter($"_change_type" === "insert")
+      .select("k").as[Long].collect().sorted.toSeq == (100L to 180L))
+    assert(feed.count() == 81L)
+    // vacuum keeps d2- alive (referenced by retained v4)
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .exists(_.getPath.getName.startsWith("d2-")))
+    assert(ManifestTable.read(spark, root).get.count() == 800L)
+    // restoring a vacuumed version fails loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.restore(spark, root, 1L)
+    }
+  }
+
   test("scoped DML refuses degenerate scopes loudly (nothing " +
       "intersects / everything intersects) and leaves the table " +
       "untouched") {
