@@ -457,6 +457,18 @@ object ManifestTable {
       .filter(_.nonEmpty))
   }
 
+  /** Is a file-list entry an EXTERNAL reference — an absolute path
+    * into ANOTHER table's root (how [[cloneShallow]] points a clone's
+    * v1 at its source's data files, Delta shallow-clone style) —
+    * rather than a `<dir>/<file>` path relative to this root? */
+  private[ops] def isExternalRef(entry: String): Boolean =
+    entry.startsWith("/") || entry.contains("://")
+
+  /** Resolve a file-list entry to a readable path: external refs are
+    * already absolute, everything else is relative to `root`. */
+  private[ops] def resolveRef(root: String, entry: String): String =
+    if (isExternalRef(entry)) entry else s"$root/$entry"
+
   /** Read a resolved data dir — through its `_files` manifest when the
     * version is a file-list version, else the whole dir. (Reading a
     * file-list dir as plain parquet would silently DROP the
@@ -467,7 +479,7 @@ object ManifestTable {
       dir: String): DataFrame =
     fileList(spark, root, dir) match {
       case Some(rels) =>
-        spark.read.parquet(rels.map(r => s"$root/$r"): _*)
+        spark.read.parquet(rels.map(r => resolveRef(root, r)): _*)
       case None => spark.read.parquet(s"$root/$dir")
     }
 
@@ -496,7 +508,9 @@ object ManifestTable {
   def commit(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val next = currentVersion(spark, root).getOrElse(0L) + 1
+    Checks.enforce(spark, root, df, "commit")
     val dir = writeVersionData(df, root, next)
+    writeOpMeta(spark, root, dir, "WRITE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root)
     next
@@ -517,6 +531,22 @@ object ManifestTable {
     * must share. */
   private[ops] def newDataDirName(v: Long): String =
     s"d$v-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Record the OPERATION that produced a version (`WRITE` / `MERGE` /
+    * `DELETE` / `UPDATE` / `OPTIMIZE` / `RESTORE` / `CLONE`) as a tiny
+    * `_op` file INSIDE the version's data dir — written between data
+    * and marker, so it is atomic with the commit (an orphaned dir's
+    * `_op` is invisible, a committed version's can never be missing
+    * unless the version predates this metadata or was vacuumed).
+    * Underscore-prefixed: plain parquet readers skip it, same as
+    * `_files`/`_stats`. This is what [[history]] reads — Delta's
+    * `DESCRIBE HISTORY` operation column. */
+  private[ops] def writeOpMeta(spark: SparkSession, root: String,
+      dir: String, op: String): Unit = {
+    val fs = fsOf(spark, root)
+    val out = fs.create(new Path(new Path(root, dir), "_op"), true)
+    try out.write(op.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Step 2 of [[commit]] — the atomic commit point. The marker NAME
     * is version-only (`v<N>`), so ANY two committers of one version —
@@ -693,8 +723,15 @@ object ManifestTable {
           source, keys, updateCols)
       case None => source
     }
+    // checks enforce on the SOURCE batch, not the merged whole:
+    // unchanged target rows passed their own commit-time check
+    // (inductive), and re-validating the table per merge is the
+    // O(table)-per-batch cost a 100 TB sink cannot pay. A check added
+    // AFTER data landed needs one [[Checks.validate]] sweep.
+    Checks.enforce(spark, root, source, "merge source")
     val next = base.getOrElse(0L) + 1
     val dir = writeVersionData(result, root, next)
+    writeOpMeta(spark, root, dir, "MERGE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
     readVersion(spark, root, next)
@@ -719,8 +756,10 @@ object ManifestTable {
           source, keys, updateCols)
       case None => source
     }
+    Checks.enforce(spark, root, source, "merge source")
     val next = base.getOrElse(0L) + 1
     val dir = writeVersionData(result, root, next)
+    writeOpMeta(spark, root, dir, "MERGE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
     readVersion(spark, root, next)
@@ -802,7 +841,9 @@ object ManifestTable {
     val markers = namesOf(live, compacted)
     val next =
       (if (markers.isEmpty) 0L else markers.map(versionOf).max) + 1
+    Checks.enforce(spark, root, df, "commitBatch")
     val dir = writeVersionData(df, root, next)
+    writeOpMeta(spark, root, dir, "WRITE")
     writeMarker(spark, root, next, batchKey, dir)
     maybeAutoCompact(spark, root, live.size + 1)
   }
@@ -860,11 +901,17 @@ object ManifestTable {
     val result = base match {
       case Some(v) =>
         val baseDf = readVersionWith(spark, root, v, live, compacted)
-        Upsert.upsert(baseDf, fold(Some(baseDf)), keys, updateCols)
-      case None => fold(None)
+        val src = fold(Some(baseDf))
+        Checks.enforce(spark, root, src, "mergeBatch source")
+        Upsert.upsert(baseDf, src, keys, updateCols)
+      case None =>
+        val src = fold(None)
+        Checks.enforce(spark, root, src, "mergeBatch source")
+        src
     }
     val next = base.getOrElse(0L) + 1
     val dir = writeVersionData(result, root, next)
+    writeOpMeta(spark, root, dir, "MERGE")
     writeMarker(spark, root, next, batchKey, dir)
     // the sink's own auto-compaction applies the caller's retention
     // horizon, so a long-lived stream's compact file stays O(recent)
@@ -1013,6 +1060,7 @@ object ManifestTable {
         .filter(!org.apache.spark.sql.functions.coalesce(condition,
           org.apache.spark.sql.functions.lit(false))),
       root, next)
+    writeOpMeta(spark, root, dir, "DELETE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
     next
@@ -1046,8 +1094,19 @@ object ManifestTable {
         case None => col(c)
       }
     }: _*)
+    // checks enforce on the POST-image of matched rows only (the
+    // rows this UPDATE can newly break) — O(matched), not O(table).
+    // Built from baseDf (filter THEN assign): filtering the already-
+    // assigned projection would re-evaluate the WHERE against POST
+    // values and miss rows whose SET changed their own predicate
+    val matchedPost = baseDf.filter(cond)
+      .select(baseDf.columns.toIndexedSeq.map { c =>
+        set.get(c).map(_.as(c)).getOrElse(col(c))
+      }: _*)
+    Checks.enforce(spark, root, matchedPost, "update post-image")
     val next = base + 1
     val dir = writeVersionData(result, root, next)
+    writeOpMeta(spark, root, dir, "UPDATE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
     next
@@ -1112,9 +1171,107 @@ object ManifestTable {
     val out = fs.create(mp, true)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    writeOpMeta(spark, root, dir, "RESTORE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root)
     next
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): make
+    * `cloneRoot` a NEW table whose v1 references the SOURCE's current
+    * data files by absolute path — zero data bytes copied at any table
+    * size, O(source files) metadata. From then on the histories are
+    * fully independent: merges/DML on the clone write under the
+    * clone's root (a scoped DML rewrites only intersecting files and
+    * carries the still-external rest forward by reference); the source
+    * never sees clone commits and vice versa. Committed skipping
+    * stats/Bloom frames are carried (file-metadata-sized re-write with
+    * paths absolutized), so [[ZTable.scanXRange]] and scoped DML work
+    * on the clone immediately.
+    *
+    * HAZARD (same as Delta's): the clone BORROWS the source's files —
+    * the source's [[vacuum]] does not know about clones, so vacuuming
+    * the source past the cloned version breaks every clone version
+    * that still references it (reads fail LOUDLY with the missing
+    * path; nothing silent). Deep-copy the clone (e.g. [[optimize]] on
+    * the clone rewrites it fully local) before vacuuming the source,
+    * or keep the source's retention above the clone's lifetime. */
+  def cloneShallow(spark: SparkSession, sourceRoot: String,
+      cloneRoot: String): Long = {
+    require(currentVersion(spark, cloneRoot).isEmpty,
+      s"clone target $cloneRoot already has commits")
+    val v = currentVersion(spark, sourceRoot)
+      .getOrElse(sys.error(s"nothing to clone at $sourceRoot"))
+    val srcDir = versionDataDir(spark, sourceRoot, v) // throws if vacuumed
+    val srcFs = fsOf(spark, sourceRoot)
+    // absolutize: relative entries are relative to the SOURCE root;
+    // a clone of a clone keeps already-absolute refs verbatim
+    val files = fileList(spark, sourceRoot, srcDir).getOrElse {
+      srcFs.listStatus(new Path(sourceRoot, srcDir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"$srcDir/$n")
+    }.map(e => resolveRef(sourceRoot, e))
+    require(files.nonEmpty, s"version $v of $sourceRoot has no data files")
+    val fs = fsOf(spark, cloneRoot)
+    val next = 1L
+    val dir = newDataDirName(next)
+    fs.mkdirs(new Path(cloneRoot, dir))
+    Seq("_stats", "_bloom").foreach { frame =>
+      val src = new Path(s"$sourceRoot/$srcDir/$frame")
+      if (srcFs.exists(src)) {
+        // tiny file-metadata frames; `path` entries become absolute so
+        // the clone's planner resolves them without knowing the source
+        import org.apache.spark.sql.functions.{col, concat, lit, when}
+        spark.read.parquet(src.toString)
+          .withColumn("path",
+            when(col("path").startsWith("/") ||
+                 col("path").contains("://"), col("path"))
+              .otherwise(concat(lit(s"$sourceRoot/"), col("path"))))
+          .repartition(1).write.parquet(s"$cloneRoot/$dir/$frame")
+      }
+    }
+    val out = fs.create(new Path(s"$cloneRoot/$dir/_files"), true)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    writeOpMeta(spark, cloneRoot, dir, "CLONE")
+    writeMarker(spark, cloneRoot, next, dataDir = dir)
+    next
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version, oldest first —
+    * version, the operation that produced it ([[writeOpMeta]]; null
+    * for pre-metadata or vacuumed versions), the batch key it carried
+    * (exactly-once replay identity), whether it is a file-list
+    * version (DML/RESTORE/CLONE — carries files by reference), and
+    * whether its data is still retained (false after [[vacuum]];
+    * commit RECORDS are never dropped, so the row remains). AUDIT
+    * GRAIN: O(versions) driver-side metadata probes — version
+    * resolution rides the compact file, retained/op probes are one
+    * `exists`/small-read per version, never a data scan. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val (live, compacted) = commitState(spark, root)
+    val markers = namesOf(live, compacted)
+    require(markers.nonEmpty, s"no commits at $root")
+    val fs = fsOf(spark, root)
+    val rows = winnersByVersion(markers).toSeq.sortBy(_._1).map {
+      case (v, m) =>
+        val content = contentOf(spark, root, m, live, compacted)
+        val dir = dirPart(content)
+        val key = keyPart(m, content).orNull
+        val retained = fs.exists(new Path(root, dir))
+        val op =
+          if (!retained) null
+          else {
+            val p = new Path(new Path(root, dir), "_op")
+            if (fs.exists(p)) readSmallFile(fs, p) else null
+          }
+        val isFileList =
+          retained && fs.exists(new Path(new Path(root, dir), "_files"))
+        (v, op, key, isFileList, retained)
+    }
+    spark.createDataFrame(rows).toDF(
+      "version", "operation", "batch_key", "is_filelist", "data_retained")
   }
 
   /** OPTIMIZE: rewrite the CURRENT version's data as `targetFiles`
@@ -1141,6 +1298,7 @@ object ManifestTable {
       readVersionWith(spark, root, base, live, compacted)
         .repartition(targetFiles),
       root, next)
+    writeOpMeta(spark, root, dir, "OPTIMIZE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
     next
@@ -1201,9 +1359,15 @@ object ManifestTable {
       // Coarse by design: one referenced file keeps the whole dir
       // (dirs are the vacuum grain; the space cost is bounded by the
       // pre-DML version the references came from).
+      // external refs (a shallow clone's pointers into its SOURCE
+      // root) are not under this root — this vacuum can neither
+      // protect nor collect them; the SOURCE's vacuum governs their
+      // lifetime (the Delta shallow-clone hazard, documented on
+      // [[cloneShallow]])
       def dirsNeededBy(dir: String): Set[String] =
         try fileList(spark, root, dir)
-          .map(_.map(_.takeWhile(_ != '/')).toSet + dir)
+          .map(_.filterNot(isExternalRef)
+            .map(_.takeWhile(_ != '/')).toSet + dir)
           .getOrElse(Set(dir))
         catch { // already-vacuumed dir: nothing to protect
           case _: java.io.FileNotFoundException => Set(dir)

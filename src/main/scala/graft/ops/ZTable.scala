@@ -118,6 +118,7 @@ object ZTable {
       .write.parquet(s"$root/$dir")
     writeStats(spark, root, dir, dataPaths(spark, root, dir),
       xCol, yCol, bloomCol, carriedStats = None, carriedBloom = None)
+    ManifestTable.writeOpMeta(spark, root, dir, "OPTIMIZE")
     ManifestTable.writeMarker(spark, root, next, dataDir = dir)
     ManifestTable.maybeAutoCompact(spark, root)
     next
@@ -170,7 +171,8 @@ object ZTable {
     val pruned =
       if (keep.isEmpty)
         ManifestTable.readVersion(spark, root, v).filter(lit(false))
-      else spark.read.parquet(keep.map(p => s"$root/$p"): _*)
+      else spark.read.parquet(
+        keep.map(p => ManifestTable.resolveRef(root, p)): _*)
     pruned.filter(col(xCol).cast("long").between(lo, hi))
   }
 
@@ -189,7 +191,7 @@ object ZTable {
     * everything has no scope to exploit). */
   def deleteWhereScoped(spark: SparkSession, root: String, lo: Long,
       hi: Long, extra: Column = lit(true)): Long =
-    rewriteScoped(spark, root, lo, hi) { (df, xCol) =>
+    rewriteScoped(spark, root, lo, hi, "DELETE") { (df, xCol) =>
       val cond = col(xCol).cast("long").between(lo, hi) && extra
       df.filter(!coalesce(cond, lit(false)))
     }
@@ -202,12 +204,19 @@ object ZTable {
   def updateWhereScoped(spark: SparkSession, root: String, lo: Long,
       hi: Long, set: Map[String, Column],
       extra: Column = lit(true)): Long =
-    rewriteScoped(spark, root, lo, hi) { (df, xCol) =>
+    rewriteScoped(spark, root, lo, hi, "UPDATE") { (df, xCol) =>
       require(set.keySet.subsetOf(df.columns.toSet),
         s"unknown columns in SET: ${set.keySet -- df.columns}")
       val cond =
         coalesce(col(xCol).cast("long").between(lo, hi) && extra,
           lit(false))
+      // CHECK constraints on the post-image of matched rows only —
+      // filter-then-assign so the WHERE sees pre-update values (same
+      // shape as [[ManifestTable.updateWhere]]'s enforcement)
+      Checks.enforce(spark, root,
+        df.filter(cond).select(df.columns.toIndexedSeq.map { c =>
+          set.get(c).map(_.as(c)).getOrElse(col(c))
+        }: _*), "update post-image")
       df.select(df.columns.toIndexedSeq.map { c =>
         set.get(c) match {
           case Some(e) => when(cond, e).otherwise(col(c)).as(c)
@@ -222,7 +231,8 @@ object ZTable {
     * reference, recompute stats/Bloom for the rewritten files only,
     * and commit file-list + stats + bloom as the next version. */
   private def rewriteScoped(spark: SparkSession, root: String, lo: Long,
-      hi: Long)(transform: (DataFrame, String) => DataFrame): Long = {
+      hi: Long, op: String)(
+      transform: (DataFrame, String) => DataFrame): Long = {
     val base = ManifestTable.currentVersion(spark, root)
       .getOrElse(sys.error(s"no committed version at $root"))
     val stDf = stats(spark, root, base)
@@ -249,7 +259,9 @@ object ZTable {
     val dir = ManifestTable.newDataDirName(next)
     val touchedPaths = touched.map(r => s(r, "path")).toIndexedSeq
     transform(
-      spark.read.parquet(touchedPaths.map(p => s"$root/$p"): _*), xCol)
+      spark.read.parquet(
+        touchedPaths.map(p => ManifestTable.resolveRef(root, p)): _*),
+      xCol)
       .write.parquet(s"$root/$dir")
     val newPaths = dataPaths(spark, root, dir)
     val untouchedPaths = untouched.map(r => s(r, "path")).toIndexedSeq
@@ -268,6 +280,7 @@ object ZTable {
     val mp = new org.apache.hadoop.fs.Path(s"$root/$dir/_files")
     val out = f.create(mp, true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    ManifestTable.writeOpMeta(spark, root, dir, op)
     ManifestTable.writeMarker(spark, root, next, dataDir = dir)
     ManifestTable.maybeAutoCompact(spark, root)
     next

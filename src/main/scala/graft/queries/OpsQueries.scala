@@ -1059,7 +1059,230 @@ object OpsQueries extends QueryPack {
       FROM target GROUP BY 1 ORDER BY 1"""),
     covers = Seq("TD-time-travel", "TD-restore", "TD-change-feed"))
 
+  /** SHALLOW CLONE + divergence ([[graft.ops.ManifestTable
+    * .cloneShallow]] — Delta's `SHALLOW CLONE`): the clone's v1
+    * references the source's files by absolute path (`zero_copy`
+    * asserts every stats path of clone v1 points OUTSIDE the clone
+    * root — zero data bytes copied at any table size), then the two
+    * histories diverge independently: a scoped UPDATE + a MERGE land
+    * on the clone (the scoped DML rewrites only intersecting files
+    * and carries still-external refs forward), a scoped DELETE lands
+    * on the source — and neither table sees the other's commits. The
+    * oracle computes both final states relationally. */
+  val q228 = Q(
+    "q228_clone_divergence",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{ManifestTable, ZTable}
+      val cut = lit("1999-01-01").cast("timestamp")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          (datediff($"o_orderdate".cast("date"), lit("1995-01-01")) % 32)
+            .cast("long").as("o_day_slot"))
+      val orders = Tables(s, dir, "orders")
+      val target = shaped(orders.filter($"o_orderdate" < cut))
+      val source1 = shaped(orders.filter($"o_orderdate" >= cut))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q228_").toString
+      val (src, cl) = (s"$base/src_tbl", s"$base/clone_tbl")
+      ManifestTable.commit(target, src)                         // src v1
+      ZTable.optimizeZOrder(s, src, "o_custkey", "o_day_slot",
+        "o_orderkey", nFiles = 16)                              // src v2
+      ManifestTable.cloneShallow(s, src, cl)                    // clone v1
+      val zeroCopy = ZTable.stats(s, cl, 1L).select($"path")
+        .as[String].collect()
+        .forall(p => p.startsWith("/") || p.contains("://"))
+      ZTable.updateWhereScoped(s, cl, 20L, 40L,
+        Map("o_totalprice" -> ($"o_totalprice" * 2)),
+        extra = $"o_orderstatus" === "O")                       // clone v2
+      ManifestTable.merge(s, cl, source1, Seq("o_orderkey"))    // clone v3
+      ZTable.deleteWhereScoped(s, src, 50L, 80L)                // src v3
+      def aggOf(root: String, tag: String) =
+        ManifestTable.read(s, root).get
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"o_totalprice".cast("decimal(18,6)"))
+              .cast("double").as("sum_price"))
+          .withColumn("tbl", lit(tag))
+      aggOf(src, "source").unionByName(aggOf(cl, "clone"))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .select($"tbl", $"o_orderstatus", $"n_rows", $"sum_price",
+          $"zero_copy")
+        .orderBy($"tbl", $"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      src_final AS (
+        SELECT * FROM target WHERE NOT (o_custkey BETWEEN 50 AND 80)),
+      clone_upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_custkey BETWEEN 20 AND 40
+                         AND o_orderstatus = 'O'
+                    THEN o_totalprice * 2 ELSE o_totalprice END
+                 AS o_totalprice
+        FROM target),
+      source1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      clone_final AS (
+        SELECT * FROM clone_upd UNION ALL SELECT * FROM source1),
+      both_tbls AS (
+        SELECT 'source' AS tbl, o_orderstatus, o_totalprice FROM src_final
+        UNION ALL
+        SELECT 'clone' AS tbl, o_orderstatus, o_totalprice
+        FROM clone_final)
+      SELECT tbl, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS zero_copy
+      FROM both_tbls GROUP BY 1, 2 ORDER BY 1, 2"""),
+    covers = Seq("TD-clone", "TD-time-travel", "TD-scoped-dml"))
+
+  /** DESCRIBE HISTORY ([[graft.ops.ManifestTable.history]] — Delta's
+    * `DESCRIBE HISTORY`): a six-commit lifecycle (WRITE, keyed MERGE,
+    * UPDATE, DELETE, OPTIMIZE, RESTORE) read back as the table's
+    * audit log — version, the operation that produced it, the batch
+    * key it carried, whether it is a file-list version — each joined
+    * with that version's actual time-travel row count. Everything
+    * here is O(versions) metadata plus one count per version (audit
+    * grain); the oracle pins the exact expected log as VALUES with
+    * relationally-computed counts. */
+  val q229 = Q(
+    "q229_table_history",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ManifestTable
+      val cut = lit("1999-01-01").cast("timestamp")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val orders = Tables(s, dir, "orders")
+      val target = shaped(orders.filter($"o_orderdate" < cut))
+      val source = shaped(orders.filter($"o_orderdate" >= cut))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q229_").toString + "/orders_tbl"
+      ManifestTable.commit(target, root)                          // v1
+      ManifestTable.mergeBatch(s, root, source, Seq("o_orderkey"),
+        batchKey = "demo-1")                                      // v2
+      ManifestTable.updateWhere(s, root, $"o_custkey" % 5 === 0,
+        Map("o_totalprice" -> ($"o_totalprice" * 2)))             // v3
+      ManifestTable.deleteWhere(s, root, $"o_custkey" % 7 === 3)  // v4
+      ManifestTable.optimize(s, root, targetFiles = 4)            // v5
+      ManifestTable.restore(s, root, 3L)                          // v6
+      val rows = ManifestTable.history(s, root).collect().toIndexedSeq
+        .map { r =>
+          val v = r.getLong(r.fieldIndex("version"))
+          (v, r.getString(r.fieldIndex("operation")),
+            r.getString(r.fieldIndex("batch_key")),
+            r.getBoolean(r.fieldIndex("is_filelist")),
+            ManifestTable.readVersion(s, root, v).count())
+        }
+      s.createDataFrame(rows)
+        .toDF("version", "operation", "batch_key", "is_filelist",
+          "n_rows")
+        .orderBy($"version")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      source AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      merged AS (SELECT * FROM target UNION ALL SELECT * FROM source),
+      after_delete AS (
+        SELECT * FROM merged WHERE NOT (o_custkey % 7 = 3))
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'WRITE', CAST(NULL AS VARCHAR), false,
+         (SELECT count(*) FROM target)),
+        (CAST(2 AS BIGINT), 'MERGE', 'demo-1', false,
+         (SELECT count(*) FROM merged)),
+        (CAST(3 AS BIGINT), 'UPDATE', CAST(NULL AS VARCHAR), false,
+         (SELECT count(*) FROM merged)),
+        (CAST(4 AS BIGINT), 'DELETE', CAST(NULL AS VARCHAR), false,
+         (SELECT count(*) FROM after_delete)),
+        (CAST(5 AS BIGINT), 'OPTIMIZE', CAST(NULL AS VARCHAR), false,
+         (SELECT count(*) FROM after_delete)),
+        (CAST(6 AS BIGINT), 'RESTORE', CAST(NULL AS VARCHAR), true,
+         (SELECT count(*) FROM merged))
+      ) AS t(version, operation, batch_key, is_filelist, n_rows)
+      ORDER BY version"""),
+    covers = Seq("TD-history", "TD-time-travel"))
+
+  /** CHECK constraints ([[graft.ops.Checks]] — Delta's `ADD
+    * CONSTRAINT … CHECK`): two named constraints registered on the
+    * root; valid WRITE and MERGE commit normally; a MERGE whose
+    * source violates one and an UPDATE whose post-image violates the
+    * other are both REJECTED before any data lands (`table_version`
+    * pins that the table never advanced past the valid commits);
+    * [[graft.ops.Checks.validate]] certifies the surviving state
+    * clean with one aggregate scan. The final content equals the two
+    * valid commits — which is the oracle. */
+  val q230 = Q(
+    "q230_check_constraints",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{CheckViolationException, Checks, ManifestTable}
+      val cut = lit("1999-01-01").cast("timestamp")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val orders = Tables(s, dir, "orders")
+      val target = shaped(orders.filter($"o_orderdate" < cut))
+      val source = shaped(orders.filter($"o_orderdate" >= cut))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q230_").toString + "/orders_tbl"
+      Checks.setCheck(s, root, "price_positive", "o_totalprice > 0")
+      Checks.setCheck(s, root, "status_known",
+        "o_orderstatus IN ('O', 'F', 'P')")
+      ManifestTable.commit(target, root)                          // v1
+      ManifestTable.merge(s, root, source, Seq("o_orderkey"))     // v2
+      val rejectedMerge =
+        try {
+          ManifestTable.merge(s, root,
+            source.withColumn("o_totalprice", -$"o_totalprice"),
+            Seq("o_orderkey"))
+          false
+        } catch { case _: CheckViolationException => true }
+      val rejectedUpdate =
+        try {
+          ManifestTable.updateWhere(s, root, $"o_custkey" % 3 === 0,
+            Map("o_orderstatus" -> lit("X")))
+          false
+        } catch { case _: CheckViolationException => true }
+      val certified = Checks.validate(s, root).values.forall(_ == 0L)
+      val vNow = ManifestTable.currentVersion(s, root).get
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("rejected_merge", lit(rejectedMerge))
+        .withColumn("rejected_update", lit(rejectedUpdate))
+        .withColumn("table_version", lit(vNow))
+        .withColumn("certified", lit(certified))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      source AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      final AS (SELECT * FROM target UNION ALL SELECT * FROM source)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS rejected_merge, true AS rejected_update,
+             CAST(2 AS BIGINT) AS table_version, true AS certified
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-constraints", "TD-quality"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
-      q223, q224, q225, q226, q227)
+      q223, q224, q225, q226, q227, q228, q229, q230)
 }
