@@ -488,6 +488,16 @@ object ManifestTable {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
     readDataDir(spark, root, versionDataDir(spark, root, v))
 
+  /** The file references a committed version carries when it is a
+    * file-list version ([[fileList]] of its resolved dir): relative
+    * `<dir>/<file>` entries or absolute external refs (shallow
+    * clones). None = a plain whole-dir version. Public so callers can
+    * AUDIT reference reuse (zero-copy proofs in q225/q227/q228/q231)
+    * without touching the dir layout. */
+  def versionFileRefs(spark: SparkSession, root: String,
+      v: Long): Option[Seq[String]] =
+    fileList(spark, root, versionDataDir(spark, root, v))
+
   /** [[readVersion]] against an already-taken commit-state snapshot —
     * the merge paths read the base version right after resolving it
     * and must not pay a second `_commits` listing for the same state
@@ -533,19 +543,36 @@ object ManifestTable {
     s"d$v-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** Record the OPERATION that produced a version (`WRITE` / `MERGE` /
-    * `DELETE` / `UPDATE` / `OPTIMIZE` / `RESTORE` / `CLONE`) as a tiny
-    * `_op` file INSIDE the version's data dir — written between data
-    * and marker, so it is atomic with the commit (an orphaned dir's
-    * `_op` is invisible, a committed version's can never be missing
-    * unless the version predates this metadata or was vacuumed).
-    * Underscore-prefixed: plain parquet readers skip it, same as
-    * `_files`/`_stats`. This is what [[history]] reads — Delta's
-    * `DESCRIBE HISTORY` operation column. */
+    * `DELETE` / `UPDATE` / `OPTIMIZE` / `RESTORE` / `CLONE` /
+    * `CONVERT`) plus the commit wall-clock (millis, second line) as a
+    * tiny `_op` file INSIDE the version's data dir — written between
+    * data and marker, so it is atomic with the commit (an orphaned
+    * dir's `_op` is invisible, a committed version's can never be
+    * missing unless the version predates this metadata or was
+    * vacuumed). Underscore-prefixed: plain parquet readers skip it,
+    * same as `_files`/`_stats`. This is what [[history]] reads —
+    * Delta's `DESCRIBE HISTORY` operation + timestamp columns — and
+    * what [[versionAsOf]] resolves `TIMESTAMP AS OF` against. */
   private[ops] def writeOpMeta(spark: SparkSession, root: String,
       dir: String, op: String): Unit = {
     val fs = fsOf(spark, root)
     val out = fs.create(new Path(new Path(root, dir), "_op"), true)
-    try out.write(op.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$op\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The (operation, commitTsMillis) a version dir recorded; None for
+    * pre-metadata dirs. Single-line legacy `_op` files read as
+    * (op, None). */
+  private def readOpMeta(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, dir: String): Option[(String, Option[Long])] = {
+    val p = new Path(new Path(root, dir), "_op")
+    if (!fs.exists(p)) None
+    else {
+      val lines = readSmallFile(fs, p).split("\n")
+      Some((lines(0),
+        lines.drop(1).headOption.flatMap(_.trim.toLongOption)))
+    }
   }
 
   /** Step 2 of [[commit]] — the atomic commit point. The marker NAME
@@ -1239,6 +1266,66 @@ object ManifestTable {
     next
   }
 
+  /** DEEP CLONE: materialize the source's current version as the
+    * clone's own v1 — one full copy scan+write, after which the clone
+    * holds no external references (the escape hatch from
+    * [[cloneShallow]]'s source-vacuum hazard; Delta's deep clone /
+    * "un-shallow before vacuuming the source" guidance). Also valid
+    * ON a shallow clone root that already advanced: since
+    * `cloneRoot` must be fresh, deep-copy an existing shallow clone
+    * by [[optimize]] instead (a full local rewrite). */
+  def cloneDeep(spark: SparkSession, sourceRoot: String,
+      cloneRoot: String): Long = {
+    require(currentVersion(spark, cloneRoot).isEmpty,
+      s"clone target $cloneRoot already has commits")
+    val df = read(spark, sourceRoot)
+      .getOrElse(sys.error(s"nothing to clone at $sourceRoot"))
+    val dir = writeVersionData(df, cloneRoot, 1L)
+    writeOpMeta(spark, cloneRoot, dir, "CLONE")
+    writeMarker(spark, cloneRoot, 1L, dataDir = dir)
+    1L
+  }
+
+  /** CONVERT an existing plain-parquet directory into a manifest
+    * table IN PLACE (Delta's `CONVERT TO DELTA`): v1 is a `_files`
+    * manifest referencing the directory's current parquet files —
+    * O(files) metadata, zero data bytes moved or rewritten, at any
+    * table size (converting a 100 TB landing dir must not cost a
+    * 100 TB rewrite). `dataDir` is relative to `root` (the usual
+    * layout: `<root>/raw` holds the legacy files, commits go to
+    * `<root>/_commits`). From v1 on, the full surface applies —
+    * MERGE, DML, time travel, CDF, CLONE.
+    *
+    * Contract: the legacy files become TABLE-OWNED — stop writing
+    * into `dataDir` after the convert (a late file would be invisible
+    * to v1 and silently absent from every version; Delta's convert
+    * has the same freeze requirement). [[vacuum]] protects the dir
+    * while any retained version references it, but never DELETES
+    * conversion-source files (they are user-placed; orphan collection
+    * only touches `d<N>-*` commit-attempt dirs). */
+  def convertInPlace(spark: SparkSession, root: String,
+      dataDir: String): Long = {
+    require(currentVersion(spark, root).isEmpty,
+      s"$root already has commits")
+    require(!dataDir.startsWith("/") && !dataDir.contains("://"),
+      s"dataDir must be relative to the table root: $dataDir")
+    val fs = fsOf(spark, root)
+    val p = new Path(root, dataDir)
+    require(fs.exists(p), s"no directory $dataDir under $root")
+    val files = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .map(n => s"$dataDir/$n")
+    require(files.nonEmpty, s"$root/$dataDir has no data files")
+    val dir = newDataDirName(1L)
+    fs.mkdirs(new Path(root, dir))
+    val out = fs.create(new Path(new Path(root, dir), "_files"), true)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    writeOpMeta(spark, root, dir, "CONVERT")
+    writeMarker(spark, root, 1L, dataDir = dir)
+    1L
+  }
+
   /** DESCRIBE HISTORY: one row per committed version, oldest first —
     * version, the operation that produced it ([[writeOpMeta]]; null
     * for pre-metadata or vacuumed versions), the batch key it carried
@@ -1260,19 +1347,42 @@ object ManifestTable {
         val dir = dirPart(content)
         val key = keyPart(m, content).orNull
         val retained = fs.exists(new Path(root, dir))
-        val op =
-          if (!retained) null
-          else {
-            val p = new Path(new Path(root, dir), "_op")
-            if (fs.exists(p)) readSmallFile(fs, p) else null
-          }
+        val meta = if (retained) readOpMeta(fs, root, dir) else None
         val isFileList =
           retained && fs.exists(new Path(new Path(root, dir), "_files"))
-        (v, op, key, isFileList, retained)
+        (v, meta.map(_._1).orNull, key, isFileList, retained,
+          meta.flatMap(_._2))
     }
     spark.createDataFrame(rows).toDF(
-      "version", "operation", "batch_key", "is_filelist", "data_retained")
+      "version", "operation", "batch_key", "is_filelist",
+      "data_retained", "commit_ts")
   }
+
+  /** `TIMESTAMP AS OF`: the version that was CURRENT at `tsMillis` —
+    * the max version whose recorded commit time is <= the bound
+    * (Delta resolves against log-file timestamps the same way).
+    * Commit times live in `_op` version payload, so they survive
+    * marker compaction; versions whose data was vacuumed (or predates
+    * op metadata) carry no timestamp and are skipped — they could not
+    * be read anyway. Fails loudly when every retained commit is newer
+    * than the bound. */
+  def versionAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val h = history(spark, root)
+      .filter(col("commit_ts").isNotNull &&
+        col("commit_ts") <= tsMillis)
+      .agg(org.apache.spark.sql.functions.max(col("version")))
+      .collect().head
+    require(!h.isNullAt(0),
+      s"no retained version of $root committed at or before $tsMillis")
+    h.getLong(0)
+  }
+
+  /** Time travel by wall clock: [[readVersion]] of [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, tsMillis))
 
   /** OPTIMIZE: rewrite the CURRENT version's data as `targetFiles`
     * right-sized files and commit the rewrite as a new version — the

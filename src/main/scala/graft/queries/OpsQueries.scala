@@ -1282,7 +1282,74 @@ object OpsQueries extends QueryPack {
       FROM final GROUP BY 1 ORDER BY 1"""),
     covers = Seq("TD-constraints", "TD-quality"))
 
+  /** CONVERT TO manifest table IN PLACE ([[graft.ops.ManifestTable
+    * .convertInPlace]] — Delta's `CONVERT TO DELTA`): a plain parquet
+    * landing directory becomes v1 of a transactional table by
+    * REFERENCE (`zero_copy` asserts every v1 entry points into the
+    * legacy `raw/` dir — zero bytes moved at any table size, the
+    * whole point of converting a 100 TB landing zone), then the full
+    * surface applies on top: a MERGE (v2, whose change feed against
+    * the converted v1 is exactly the inserted batch — `n_feed_inserts`
+    * hash-checked), a DELETE (v3), and the audit log records
+    * CONVERT/MERGE/DELETE. Final content = the declarative
+    * equivalent, which is the oracle. */
+  val q231 = Q(
+    "q231_convert_in_place",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ManifestTable
+      val cut = lit("1999-01-01").cast("timestamp")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val orders = Tables(s, dir, "orders")
+      val target = shaped(orders.filter($"o_orderdate" < cut))
+      val source = shaped(orders.filter($"o_orderdate" >= cut))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q231_").toString + "/orders_tbl"
+      // the legacy landing dir a real deployment already has
+      target.write.parquet(s"$root/raw")
+      ManifestTable.convertInPlace(s, root, "raw")              // v1
+      val zeroCopy = ManifestTable.versionFileRefs(s, root, 1L).get
+        .forall(_.startsWith("raw/"))
+      ManifestTable.merge(s, root, source, Seq("o_orderkey"))   // v2
+      ManifestTable.deleteWhere(s, root, $"o_custkey" % 7 === 3) // v3
+      val nIns = ManifestTable.changes(s, root, 1L, 2L,
+        Seq("o_orderkey"))
+        .filter($"_change_type" === "insert").count()
+      val ops = ManifestTable.history(s, root)
+        .orderBy($"version").select($"operation").as[String]
+        .collect().mkString(",")
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .withColumn("n_feed_inserts", lit(nIns))
+        .withColumn("op_log", lit(ops))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      source AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      merged AS (SELECT * FROM target UNION ALL SELECT * FROM source),
+      final AS (SELECT * FROM merged WHERE NOT (o_custkey % 7 = 3))
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS zero_copy,
+             (SELECT CAST(count(*) AS BIGINT) FROM source)
+               AS n_feed_inserts,
+             'CONVERT,MERGE,DELETE' AS op_log
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-convert", "TD-history", "TD-change-feed"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
-      q223, q224, q225, q226, q227, q228, q229, q230)
+      q223, q224, q225, q226, q227, q228, q229, q230, q231)
 }

@@ -101,6 +101,75 @@ class CloneHistoryChecksSpec extends SparkSpec {
     assert(ManifestTable.read(spark, src).get.count() == 400L)
   }
 
+  test("cloneDeep materializes — no external refs, hazard-free") {
+    val base = freshBase()
+    val (src, cl) = (s"$base/src", s"$base/cl")
+    ManifestTable.commit(kv(1L -> 10L, 2L -> 20L), src)
+    ManifestTable.cloneDeep(spark, src, cl)
+    // the deep clone's v1 is a plain local dir — no _files manifest
+    assert(ManifestTable.fileList(spark, cl,
+      ManifestTable.versionDataDir(spark, cl, 1L)).isEmpty)
+    // source vacuumed away entirely: the deep clone is unaffected
+    ManifestTable.commit(kv(1L -> 11L), src)
+    ManifestTable.vacuum(spark, src, keepLast = 1)
+    assert(ManifestTable.read(spark, cl).get.as[(Long, Long)]
+      .collect().sorted.toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
+
+  // -------------------------------------------------------- convert
+
+  test("convertInPlace: legacy dir becomes v1 by reference") {
+    val root = freshBase() + "/tbl"
+    kv(1L -> 10L, 2L -> 20L, 3L -> 30L).write.parquet(s"$root/raw")
+    assert(ManifestTable.convertInPlace(spark, root, "raw") == 1L)
+    val refs = ManifestTable.fileList(spark, root,
+      ManifestTable.versionDataDir(spark, root, 1L)).get
+    assert(refs.nonEmpty && refs.forall(_.startsWith("raw/")))
+    // the full surface applies on top of the converted v1
+    ManifestTable.merge(spark, root, kv(4L -> 40L), Seq("k"))
+    ManifestTable.deleteWhere(spark, root, col("k") === 1L)
+    assert(ManifestTable.read(spark, root).get.as[(Long, Long)]
+      .collect().sorted.toSeq ==
+      Seq((2L, 20L), (3L, 30L), (4L, 40L)))
+    // time travel back to the converted version still works
+    assert(ManifestTable.readVersion(spark, root, 1L).count() == 3L)
+    // vacuum protects the legacy dir while v1-referencing versions
+    // are retained, and never deletes user-placed conversion sources
+    ManifestTable.vacuum(spark, root, keepLast = 1,
+      dropOrphans = true, orphanAgeFloorMs = 0L)
+    assert(ManifestTable.read(spark, root).get.count() == 3L)
+    // double-convert and absolute dataDir are refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.convertInPlace(spark, root, "raw")
+    }
+  }
+
+  // ---------------------------------------------- timestamp travel
+
+  test("versionAsOf / readAsOf resolve TIMESTAMP AS OF semantics") {
+    val root = freshBase() + "/tbl"
+    ManifestTable.commit(kv(1L -> 10L), root)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    ManifestTable.commit(kv(1L -> 11L), root)
+    Thread.sleep(15)
+    ManifestTable.commit(kv(1L -> 12L), root)
+    val now = System.currentTimeMillis()
+    assert(ManifestTable.versionAsOf(spark, root, afterV1) == 1L)
+    assert(ManifestTable.versionAsOf(spark, root, now) == 3L)
+    assert(ManifestTable.readAsOf(spark, root, afterV1)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    // a bound before the first commit fails loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(spark, root, afterV1 - 3600 * 1000L)
+    }
+    // history carries monotone non-null commit timestamps
+    val ts = ManifestTable.history(spark, root)
+      .orderBy(col("version")).select("commit_ts")
+      .as[Option[Long]].collect().toSeq
+    assert(ts.forall(_.isDefined) && ts == ts.sorted)
+  }
+
   // -------------------------------------------------------- history
 
   test("history records version, operation, batch key, file-list") {
