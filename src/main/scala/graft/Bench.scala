@@ -122,9 +122,11 @@ object Bench {
       // stats readback + scoped DML / chained sync commits per run)
       "q224_committed_skipping", "q225_scoped_dml",
       "q226_cdf_chained_consumer",
-      // clone/history/checks lifecycles (multi-commit per run)
+      // clone/history/checks/convert/generated lifecycles
+      // (multi-commit per run)
       "q228_clone_divergence", "q229_table_history",
-      "q230_check_constraints")
+      "q230_check_constraints", "q231_convert_in_place",
+      "q232_generated_columns")
     val rank = heavyFirst.zipWithIndex.toMap
     // per-query OUTPUT row counts (round-9 VERDICT ask #7): lets a
     // ledger reader separate output-bound growth (the q25/q206 effect

@@ -518,8 +518,10 @@ object ManifestTable {
   def commit(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val next = currentVersion(spark, root).getOrElse(0L) + 1
-    Checks.enforce(spark, root, df, "commit")
-    val dir = writeVersionData(df, root, next)
+    // generated columns first (checks may reference them)
+    val full = Generated(spark, root, df, "commit")
+    Checks.enforce(spark, root, full, "commit")
+    val dir = writeVersionData(full, root, next)
     writeOpMeta(spark, root, dir, "WRITE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root)
@@ -744,18 +746,19 @@ object ManifestTable {
     val (live, compacted) = commitState(spark, root)
     val markers = namesOf(live, compacted)
     val base = if (markers.isEmpty) None else Some(markers.map(versionOf).max)
+    val src = Generated(spark, root, source, "merge source")
     val result = base match {
       case Some(v) =>
         Upsert.upsert(readVersionWith(spark, root, v, live, compacted),
-          source, keys, updateCols)
-      case None => source
+          src, keys, updateCols)
+      case None => src
     }
     // checks enforce on the SOURCE batch, not the merged whole:
     // unchanged target rows passed their own commit-time check
     // (inductive), and re-validating the table per merge is the
     // O(table)-per-batch cost a 100 TB sink cannot pay. A check added
     // AFTER data landed needs one [[Checks.validate]] sweep.
-    Checks.enforce(spark, root, source, "merge source")
+    Checks.enforce(spark, root, src, "merge source")
     val next = base.getOrElse(0L) + 1
     val dir = writeVersionData(result, root, next)
     writeOpMeta(spark, root, dir, "MERGE")
@@ -776,14 +779,15 @@ object ManifestTable {
     val (live, compacted) = commitState(spark, root)
     val markers = namesOf(live, compacted)
     val base = if (markers.isEmpty) None else Some(markers.map(versionOf).max)
+    val src = Generated(spark, root, source, "merge source")
     val result = base match {
       case Some(v) =>
         Upsert.upsertEvolve(
           readVersionWith(spark, root, v, live, compacted),
-          source, keys, updateCols)
-      case None => source
+          src, keys, updateCols)
+      case None => src
     }
-    Checks.enforce(spark, root, source, "merge source")
+    Checks.enforce(spark, root, src, "merge source")
     val next = base.getOrElse(0L) + 1
     val dir = writeVersionData(result, root, next)
     writeOpMeta(spark, root, dir, "MERGE")
@@ -868,8 +872,9 @@ object ManifestTable {
     val markers = namesOf(live, compacted)
     val next =
       (if (markers.isEmpty) 0L else markers.map(versionOf).max) + 1
-    Checks.enforce(spark, root, df, "commitBatch")
-    val dir = writeVersionData(df, root, next)
+    val full = Generated(spark, root, df, "commitBatch")
+    Checks.enforce(spark, root, full, "commitBatch")
+    val dir = writeVersionData(full, root, next)
     writeOpMeta(spark, root, dir, "WRITE")
     writeMarker(spark, root, next, batchKey, dir)
     maybeAutoCompact(spark, root, live.size + 1)
@@ -928,11 +933,12 @@ object ManifestTable {
     val result = base match {
       case Some(v) =>
         val baseDf = readVersionWith(spark, root, v, live, compacted)
-        val src = fold(Some(baseDf))
+        val src = Generated(spark, root, fold(Some(baseDf)),
+          "mergeBatch source")
         Checks.enforce(spark, root, src, "mergeBatch source")
         Upsert.upsert(baseDf, src, keys, updateCols)
       case None =>
-        val src = fold(None)
+        val src = Generated(spark, root, fold(None), "mergeBatch source")
         Checks.enforce(spark, root, src, "mergeBatch source")
         src
     }
@@ -1450,8 +1456,25 @@ object ManifestTable {
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
       dropOrphans: Boolean = false,
       orphanAgeFloorMs: Long = 10 * 60 * 1000L): Unit = {
+    val fs = fsOf(spark, root)
+    vacuumPlan(spark, root, keepLast, dropOrphans, orphanAgeFloorMs)
+      .foreach(d => fs.delete(new Path(root, d), true))
+  }
+
+  /** DRY RUN: the directory names (relative to `root`) that [[vacuum]]
+    * with the same arguments would delete, deleting nothing — the
+    * audit form an operator runs before reclaiming a 100 TB table's
+    * history. Deterministic against one commit-state snapshot (a
+    * concurrent commit between plan and a later vacuum can only ADD
+    * retained versions, never un-retain one, so acting on a stale
+    * plan is safe: the plan is a subset of what a fresh vacuum would
+    * reclaim). */
+  def vacuumPlan(spark: SparkSession, root: String, keepLast: Int,
+      dropOrphans: Boolean = false,
+      orphanAgeFloorMs: Long = 10 * 60 * 1000L): Seq[String] = {
     require(keepLast >= 1, "must keep at least the current version")
     val fs = fsOf(spark, root)
+    val doomed = scala.collection.mutable.ListBuffer.empty[String]
     // ONE commit-state snapshot for the whole pass: per-marker
     // re-listing would cost O(markers) listStatus RPCs — exactly the
     // listing growth compaction exists to bound
@@ -1487,7 +1510,8 @@ object ManifestTable {
         .toSet
       markers.filter(versionOf(_) < cutoff).foreach { m =>
         val d = dirOf(spark, root, m, live, compacted)
-        if (!needed.contains(d)) fs.delete(new Path(root, d), true)
+        if (!needed.contains(d) && fs.exists(new Path(root, d)))
+          doomed += d
       }
       if (dropOrphans) {
         val referenced = markers
@@ -1516,8 +1540,47 @@ object ManifestTable {
             n.matches("(d\\d+-.+|v\\d+)") && !referenced.contains(n) &&
               newestWriteMs(st) < floor
           }
-          .foreach(st => fs.delete(st.getPath, true))
+          .foreach(st => doomed += st.getPath.getName)
       }
     }
+    doomed.distinct.toSeq
+  }
+
+  /** DESCRIBE DETAIL: one metadata row for the CURRENT version —
+    * version number, retained-version count, the current version's
+    * file count and total bytes (O(files) metadata, never a data
+    * scan), whether it is a file-list version, whether committed
+    * skipping stats / Bloom registers ride it, and the registered
+    * CHECK / generated-column counts. */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    val fs = fsOf(spark, root)
+    val (live, compacted) = commitState(spark, root)
+    val markers = namesOf(live, compacted)
+    require(markers.nonEmpty, s"no commits at $root")
+    val cur = markers.map(versionOf).max
+    val retained = winnersByVersion(markers).toSeq.count { case (_, m) =>
+      fs.exists(new Path(root, dirOf(spark, root, m, live, compacted)))
+    }
+    val dir = dirOf(spark, root,
+      winnersByVersion(markers)(cur), live, compacted)
+    val refs = fileList(spark, root, dir)
+    val paths = refs.getOrElse(
+      fs.listStatus(new Path(root, dir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"$dir/$n"))
+    val bytes = paths.map { r =>
+      try fs.getFileStatus(new Path(resolveRef(root, r))).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+    val rows = Seq((cur, retained.toLong, paths.size.toLong, bytes,
+      refs.isDefined,
+      fs.exists(new Path(s"$root/$dir/_stats")),
+      fs.exists(new Path(s"$root/$dir/_bloom")),
+      Checks.checks(spark, root).size.toLong,
+      Generated.generated(spark, root).size.toLong))
+    spark.createDataFrame(rows).toDF("version", "n_versions_retained",
+      "n_files", "size_bytes", "is_filelist", "has_stats", "has_bloom",
+      "n_checks", "n_generated")
   }
 }

@@ -1349,7 +1349,69 @@ object OpsQueries extends QueryPack {
       FROM final GROUP BY 1 ORDER BY 1"""),
     covers = Seq("TD-convert", "TD-history", "TD-change-feed"))
 
+  /** GENERATED ALWAYS AS columns ([[graft.ops.Generated]] — Delta's
+    * generated-column semantic): `o_price_band` is registered as
+    * `FLOOR(o_totalprice / 50000)`; the initial WRITE and the first
+    * MERGE provide NO such column and get it computed inside the
+    * write plan; a second MERGE provides WRONG values and is rejected
+    * whole before anything lands (`table_version` pins no advance); a
+    * third provides correct values and commits. The final per-band
+    * aggregate — grouped BY the generated column — equals the oracle
+    * computing the band relationally. */
+  val q232 = Q(
+    "q232_generated_columns",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{Generated, GeneratedColumnViolation, ManifestTable}
+      val cut = lit("1999-01-01").cast("timestamp")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val orders = Tables(s, dir, "orders")
+      val target = shaped(orders.filter($"o_orderdate" < cut))
+      val post = orders.filter($"o_orderdate" >= cut)
+      val source1 = shaped(post.filter($"o_custkey" % 2 === 0))
+      val source2 = shaped(post.filter($"o_custkey" % 2 === 1))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q232_").toString + "/orders_tbl"
+      Generated.setGenerated(s, root, "o_price_band",
+        "CAST(FLOOR(o_totalprice / 50000) AS BIGINT)")
+      ManifestTable.commit(target, root)                          // v1
+      ManifestTable.merge(s, root, source1, Seq("o_orderkey"))    // v2
+      val rejected =
+        try {
+          ManifestTable.merge(s, root,
+            source2.withColumn("o_price_band", lit(-999L)),
+            Seq("o_orderkey"))
+          false
+        } catch { case _: GeneratedColumnViolation => true }
+      ManifestTable.merge(s, root,                                // v3
+        source2.withColumn("o_price_band",
+          floor($"o_totalprice" / 50000).cast("long")),
+        Seq("o_orderkey"))
+      val vNow = ManifestTable.currentVersion(s, root).get
+      ManifestTable.read(s, root).get
+        .groupBy($"o_price_band")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("rejected_bad_values", lit(rejected))
+        .withColumn("table_version", lit(vNow))
+        .orderBy($"o_price_band")
+    },
+    Some("""
+      WITH final AS (
+        SELECT o_totalprice FROM orders)
+      SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS o_price_band,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS rejected_bad_values,
+             CAST(3 AS BIGINT) AS table_version
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-generated-columns", "TD-constraints"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
-      q223, q224, q225, q226, q227, q228, q229, q230, q231)
+      q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
 }

@@ -287,4 +287,70 @@ class CloneHistoryChecksSpec extends SparkSpec {
     assert(Checks.validate(spark, root) ==
       Map("n_positive" -> 2L, "k_small" -> 0L))
   }
+
+  // ----------------------------------------------------- generated
+
+  test("generated columns: computed when missing, validated when given") {
+    val root = freshBase() + "/tbl"
+    Generated.setGenerated(spark, root, "n2", "n * 2")
+    ManifestTable.commit(kv(1L -> 10L), root) // computed
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 10L, 20L)))
+    // provided-and-correct passes, provided-and-wrong rejects whole
+    ManifestTable.merge(spark, root,
+      Seq((2L, 20L, 40L)).toDF("k", "n", "n2"), Seq("k"))
+    val e = intercept[GeneratedColumnViolation] {
+      ManifestTable.merge(spark, root,
+        Seq((3L, 30L, 999L)).toDF("k", "n", "n2"), Seq("k"))
+    }
+    assert(e.column == "n2")
+    assert(ManifestTable.currentVersion(spark, root).contains(2L))
+    // checks compose: they see the completed (generated) row
+    Checks.setCheck(spark, root, "n2_bounded", "n2 < 100")
+    intercept[CheckViolationException] {
+      ManifestTable.merge(spark, root, kv(4L -> 60L), Seq("k")) // n2=120
+    }
+    ManifestTable.merge(spark, root, kv(4L -> 40L), Seq("k"))
+    assert(ManifestTable.read(spark, root).get.count() == 3L)
+  }
+
+  // ------------------------------------------- vacuum plan / detail
+
+  test("vacuumPlan is the exact dry-run of vacuum") {
+    val root = freshBase() + "/tbl"
+    ManifestTable.commit(kv(1L -> 10L), root)
+    ManifestTable.commit(kv(1L -> 11L), root)
+    ManifestTable.commit(kv(1L -> 12L), root)
+    // an orphan from a crashed attempt
+    ManifestTable.writeVersionData(kv(9L -> 90L).toDF("k", "n"), root, 9L)
+    val plan = ManifestTable.vacuumPlan(spark, root, keepLast = 1,
+      dropOrphans = true, orphanAgeFloorMs = 0L)
+    assert(plan.count(_.startsWith("d1-")) == 1)
+    assert(plan.count(_.startsWith("d2-")) == 1)
+    assert(plan.count(_.startsWith("d9-")) == 1)
+    assert(plan.size == 3)
+    // planning deleted NOTHING
+    assert(ManifestTable.readVersion(spark, root, 1L).count() == 1L)
+    // the real vacuum deletes exactly the plan
+    ManifestTable.vacuum(spark, root, keepLast = 1,
+      dropOrphans = true, orphanAgeFloorMs = 0L)
+    val left = ManifestTable.vacuumPlan(spark, root, keepLast = 1,
+      dropOrphans = true, orphanAgeFloorMs = 0L)
+    assert(left.isEmpty)
+    assert(ManifestTable.read(spark, root).get.count() == 1L)
+  }
+
+  test("detail reports current-version metadata") {
+    val root = freshBase() + "/tbl"
+    Checks.setCheck(spark, root, "n_pos", "n > 0")
+    ManifestTable.commit(kv(1L -> 10L, 2L -> 20L), root)
+    ManifestTable.commit(kv(1L -> 11L, 2L -> 20L, 3L -> 30L), root)
+    val d = ManifestTable.detail(spark, root).collect().head
+    def f[A](n: String): A = d.getAs[A](n)
+    assert(f[Long]("version") == 2L)
+    assert(f[Long]("n_versions_retained") == 2L)
+    assert(f[Long]("n_files") >= 1L && f[Long]("size_bytes") > 0L)
+    assert(!f[Boolean]("is_filelist") && !f[Boolean]("has_stats"))
+    assert(f[Long]("n_checks") == 1L && f[Long]("n_generated") == 0L)
+  }
 }
