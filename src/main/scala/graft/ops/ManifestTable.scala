@@ -469,19 +469,66 @@ object ManifestTable {
   private[ops] def resolveRef(root: String, entry: String): String =
     if (isExternalRef(entry)) entry else s"$root/$entry"
 
+  /** The canonical per-file identity used by DELETION VECTORS (and
+    * the stats frames): the last two path components `<dir>/<file>` —
+    * stable across carry-by-reference (a file keeps its dir/file name
+    * however many versions reference it) and across shallow clones
+    * (an absolute external ref ends in the same two components). */
+  private[ops] def fileKeyOf(entry: String): String =
+    entry.split('/').takeRight(2).mkString("/")
+
+  /** A version's DELETION VECTOR, if it carries one: rows of
+    * (`path` = the [[fileKeyOf]] file key, `row_index` = the position
+    * within that file, from `_metadata.row_index`) for every row the
+    * version considers DELETED without having rewritten its file —
+    * Delta's deletion-vector / Iceberg's position-delete shape.
+    * Cumulative: a version's `_dv` is the COMPLETE deleted set over
+    * its files (each [[deleteWhereDV]] unions the prior vector), so a
+    * reader consults exactly one frame. */
+  private[ops] def dvOf(spark: SparkSession, root: String,
+      dir: String): Option[DataFrame] = {
+    val p = new Path(new Path(root, dir), "_dv")
+    if (fsOf(spark, root).exists(p))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Anti-join `raw` (a file-source read) against a deletion vector:
+    * rows whose (file key, row index) appear in `dv` disappear. The
+    * join is keyed on metadata columns computed in the scan itself;
+    * the vector is O(deleted) rows and AQE broadcasts it when small —
+    * the merge-on-read price is one anti-join, never a rewrite. */
+  private[ops] def applyDv(raw: DataFrame, dv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val cols = raw.columns.toIndexedSeq
+    raw
+      .withColumn("__dv_path",
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+      .withColumn("__dv_ri", col("_metadata.row_index"))
+      .join(dv.select(col("path").as("__dv_path"),
+          col("row_index").as("__dv_ri")),
+        Seq("__dv_path", "__dv_ri"), "left_anti")
+      .select(cols.map(col): _*)
+  }
+
   /** Read a resolved data dir — through its `_files` manifest when the
-    * version is a file-list version, else the whole dir. (Reading a
+    * version is a file-list version, else the whole dir (reading a
     * file-list dir as plain parquet would silently DROP the
     * carried-forward files: Spark's file index skips the
     * underscore-prefixed `_files`/`_stats`, so the plain read sees
-    * only the rewritten files.) */
+    * only the rewritten files) — then through its deletion vector
+    * when it carries one (rows deleted merge-on-read disappear here,
+    * so EVERY consumer — merge bases, change feeds, DML rewrites,
+    * OPTIMIZE — sees post-delete truth with no special cases). */
   private[ops] def readDataDir(spark: SparkSession, root: String,
-      dir: String): DataFrame =
-    fileList(spark, root, dir) match {
+      dir: String): DataFrame = {
+    val raw = fileList(spark, root, dir) match {
       case Some(rels) =>
         spark.read.parquet(rels.map(r => resolveRef(root, r)): _*)
       case None => spark.read.parquet(s"$root/$dir")
     }
+    dvOf(spark, root, dir).fold(raw)(applyDv(raw, _))
+  }
 
   /** Time travel: read a specific committed version. Fails loudly if
     * the version was never committed OR its data was vacuumed. */
@@ -1099,6 +1146,80 @@ object ManifestTable {
     next
   }
 
+  /** DELETE via DELETION VECTOR — merge-on-read (Delta's deletion
+    * vectors / Iceberg v2 position deletes): the new version carries
+    * the base version's files UNCHANGED (a `_files` manifest of the
+    * same references — zero data bytes rewritten at any table size)
+    * plus a `_dv` frame of the (file key, row index) positions now
+    * deleted, CUMULATIVE over any prior vector. Readers pay one
+    * anti-join against the O(deleted) vector ([[applyDv]], inside
+    * [[readDataDir]] — so merges, feeds, DML and OPTIMIZE all see
+    * post-delete truth automatically); a 100 TB DELETE costs one scan
+    * to FIND the positions and O(deleted) metadata to commit, where
+    * the copy-on-write [[deleteWhere]] costs a table rewrite. Any
+    * rewriting commit ([[optimize]], the full-rewrite DML, a plain
+    * MERGE) MATERIALIZES the deletions and drops the vector — Delta's
+    * DV-compaction semantic for free. Stats/Bloom frames are carried:
+    * deletion only shrinks per-file content, so min/max pruning stays
+    * a sound superset. SQL NULL-predicate semantics (NULL = not
+    * matched = kept). Returns the new version. */
+  def deleteWhereDV(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit,
+      regexp_extract}
+    val (live, compacted) = commitState(spark, root)
+    val markers = namesOf(live, compacted)
+    require(markers.nonEmpty, s"nothing to delete from at $root")
+    val base = markers.map(versionOf).max
+    val baseDir = dirOf(spark, root,
+      winnersByVersion(markers)(base), live, compacted)
+    val refs = fileList(spark, root, baseDir).getOrElse {
+      fsOf(spark, root).listStatus(new Path(root, baseDir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"$baseDir/$n")
+    }
+    require(refs.nonEmpty, s"version $base of $root has no data files")
+    val prior = dvOf(spark, root, baseDir)
+    // one scan to FIND positions: current (post-prior-DV) rows
+    // matching the predicate, keyed by (file key, row index). The
+    // position columns are computed ONCE at the scan, before any
+    // join, so metadata-column lineage is never in question
+    val tagged = spark.read
+      .parquet(refs.map(r => resolveRef(root, r)): _*)
+      .withColumn("__path",
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+      .withColumn("__ri", col("_metadata.row_index"))
+    val current = prior.fold(tagged)(dv =>
+      tagged.join(dv.select(col("path").as("__path"),
+          col("row_index").as("__ri")),
+        Seq("__path", "__ri"), "left_anti"))
+    val fresh = current.filter(coalesce(condition, lit(false)))
+      .select(col("__path").as("path"), col("__ri").as("row_index"))
+    val newDv = prior.fold(fresh)(p =>
+      p.select(col("path"), col("row_index")).unionByName(fresh))
+    val fs = fsOf(spark, root)
+    val next = base + 1
+    val dir = newDataDirName(next)
+    fs.mkdirs(new Path(root, dir))
+    // the vector is file-metadata-shaped in the common case; a single
+    // file keeps the reader's join build side one footer away
+    newDv.repartition(1).write.parquet(s"$root/$dir/_dv")
+    Seq("_stats", "_bloom").foreach { frame =>
+      val src = new Path(s"$root/$baseDir/$frame")
+      if (fs.exists(src))
+        spark.read.parquet(src.toString).repartition(1)
+          .write.parquet(s"$root/$dir/$frame")
+    }
+    val out = fs.create(new Path(new Path(root, dir), "_files"), true)
+    try out.write(refs.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    writeOpMeta(spark, root, dir, "DELETE")
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root, live.size + 1)
+    next
+  }
+
   /** UPDATE … SET … WHERE as a committed version: matching rows get
     * each assignment applied, others carried unchanged — ONE projection
     * over the current version, committed whole, so every SET
@@ -1194,7 +1315,9 @@ object ManifestTable {
     val next = cur + 1
     val dir = newDataDirName(next)
     fs.mkdirs(new Path(root, dir))
-    Seq("_stats", "_bloom").foreach { frame =>
+    // _dv rides too: restoring a merge-on-read version restores its
+    // deletions (file keys are dir/file, valid across the carry)
+    Seq("_stats", "_bloom", "_dv").foreach { frame =>
       val src = new Path(s"$root/$srcDir/$frame")
       if (fs.exists(src)) // tiny file-metadata frames: re-write whole
         spark.read.parquet(src.toString).repartition(1)
@@ -1264,6 +1387,12 @@ object ManifestTable {
           .repartition(1).write.parquet(s"$cloneRoot/$dir/$frame")
       }
     }
+    // the deletion vector rides VERBATIM: its `path` column is the
+    // dir/file key, which an absolute external ref still ends in
+    val dvSrc = new Path(s"$sourceRoot/$srcDir/_dv")
+    if (srcFs.exists(dvSrc))
+      spark.read.parquet(dvSrc.toString).repartition(1)
+        .write.parquet(s"$cloneRoot/$dir/_dv")
     val out = fs.create(new Path(s"$cloneRoot/$dir/_files"), true)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()

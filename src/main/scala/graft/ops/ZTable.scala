@@ -171,8 +171,16 @@ object ZTable {
     val pruned =
       if (keep.isEmpty)
         ManifestTable.readVersion(spark, root, v).filter(lit(false))
-      else spark.read.parquet(
-        keep.map(p => ManifestTable.resolveRef(root, p)): _*)
+      else {
+        val raw = spark.read.parquet(
+          keep.map(p => ManifestTable.resolveRef(root, p)): _*)
+        // a merge-on-read version's deletions apply to the pruned
+        // read too (stats keep pre-delete bounds — still a sound
+        // SUPERSET, deletion only shrinks file content)
+        ManifestTable.dvOf(spark, root,
+          ManifestTable.versionDataDir(spark, root, v))
+          .fold(raw)(ManifestTable.applyDv(raw, _))
+      }
     pruned.filter(col(xCol).cast("long").between(lo, hi))
   }
 
@@ -258,10 +266,16 @@ object ZTable {
     val next = base + 1
     val dir = ManifestTable.newDataDirName(next)
     val touchedPaths = touched.map(r => s(r, "path")).toIndexedSeq
-    transform(
-      spark.read.parquet(
-        touchedPaths.map(p => ManifestTable.resolveRef(root, p)): _*),
-      xCol)
+    val baseDir = ManifestTable.versionDataDir(spark, root, base)
+    val dv = ManifestTable.dvOf(spark, root, baseDir)
+    val touchedRaw = spark.read.parquet(
+      touchedPaths.map(p => ManifestTable.resolveRef(root, p)): _*)
+    // a merge-on-read version's deletions MATERIALIZE for the files
+    // this rewrite touches (they are being rewritten anyway) and are
+    // CARRIED for the untouched rest
+    val touchedCur = dv.fold(touchedRaw)(
+      ManifestTable.applyDv(touchedRaw, _))
+    transform(touchedCur, xCol)
       .write.parquet(s"$root/$dir")
     val newPaths = dataPaths(spark, root, dir)
     val untouchedPaths = untouched.map(r => s(r, "path")).toIndexedSeq
@@ -275,6 +289,14 @@ object ZTable {
       .map(_.filter(col("path").isin(untouchedPaths: _*)))
     writeStats(spark, root, dir, newPaths, xCol, yCol, bloomCol,
       Some(carriedStats), carriedBloom)
+    dv.foreach { d =>
+      val untouchedKeys = untouchedPaths
+        .map(ManifestTable.fileKeyOf).toSet
+      val carried = d.filter(col("path")
+        .isin(untouchedKeys.toSeq: _*))
+      if (!carried.isEmpty)
+        carried.repartition(1).write.parquet(s"$root/$dir/_dv")
+    }
     val manifest = (untouchedPaths ++ newPaths).mkString("\n")
     val f = fs(spark, root)
     val mp = new org.apache.hadoop.fs.Path(s"$root/$dir/_files")

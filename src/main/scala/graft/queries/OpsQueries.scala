@@ -1411,7 +1411,87 @@ object OpsQueries extends QueryPack {
       FROM final GROUP BY 1 ORDER BY 1"""),
     covers = Seq("TD-generated-columns", "TD-constraints"))
 
+  /** DELETION VECTORS — merge-on-read DELETE ([[graft.ops
+    * .ManifestTable.deleteWhereDV]] — Delta's deletion vectors /
+    * Iceberg v2 position deletes): two successive DELETEs commit ONLY
+    * (file key, row index) position vectors — `zero_copy` asserts
+    * both versions reference exactly the v1 data files (zero bytes
+    * rewritten; at 100 TB a DELETE costs one scan to find positions
+    * and O(deleted) metadata to commit); readers pay one anti-join.
+    * The feed across each DV commit is exactly its delete set
+    * (`n_dv1_deletes`/`n_dv2_deletes` hash-checked), and the closing
+    * MERGE materializes the vector. The final aggregate equals the
+    * declarative equivalent — the oracle. */
+  val q233 = Q(
+    "q233_deletion_vectors",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ManifestTable
+      val cut = lit("1999-01-01").cast("timestamp")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val orders = Tables(s, dir, "orders")
+      val target = shaped(orders.filter($"o_orderdate" < cut))
+      val source = shaped(orders.filter($"o_orderdate" >= cut))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q233_").toString + "/orders_tbl"
+      ManifestTable.commit(target, root)                          // v1
+      ManifestTable.deleteWhereDV(s, root,
+        $"o_custkey" % 7 === 3)                                   // v2
+      ManifestTable.deleteWhereDV(s, root,
+        $"o_orderstatus" === "F" && $"o_custkey" % 5 === 0)       // v3
+      val zeroCopy = Seq(2L, 3L).forall(v =>
+        ManifestTable.versionFileRefs(s, root, v).exists(refs =>
+          refs.nonEmpty && refs.forall(_.startsWith("d1-"))))
+      val nDv1 = ManifestTable.changes(s, root, 1L, 2L,
+        Seq("o_orderkey"))
+        .filter($"_change_type" === "delete").count()
+      val nDv2 = ManifestTable.changes(s, root, 2L, 3L,
+        Seq("o_orderkey"))
+        .filter($"_change_type" === "delete").count()
+      ManifestTable.merge(s, root, source, Seq("o_orderkey"))     // v4
+      val materialized =
+        ManifestTable.versionFileRefs(s, root, 4L).isEmpty
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .withColumn("n_dv1_deletes", lit(nDv1))
+        .withColumn("n_dv2_deletes", lit(nDv2))
+        .withColumn("merge_materialized", lit(materialized))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      after_dv1 AS (
+        SELECT * FROM target WHERE NOT (o_custkey % 7 = 3)),
+      after_dv2 AS (
+        SELECT * FROM after_dv1
+        WHERE NOT (o_orderstatus = 'F' AND o_custkey % 5 = 0)),
+      source AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      final AS (SELECT * FROM after_dv2 UNION ALL SELECT * FROM source)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS zero_copy,
+             (SELECT CAST(count(*) AS BIGINT) FROM target
+              WHERE o_custkey % 7 = 3) AS n_dv1_deletes,
+             (SELECT CAST(count(*) AS BIGINT) FROM after_dv1
+              WHERE o_orderstatus = 'F' AND o_custkey % 5 = 0)
+               AS n_dv2_deletes,
+             true AS merge_materialized
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-deletion-vectors", "TD-dml-delete-update",
+      "TD-change-feed"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
-      q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
+      q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
 }

@@ -69,6 +69,14 @@ object MetaProbe {
       }
     time("convert_in_place")(
       ManifestTable.convertInPlace(spark, convRoot, "raw"))
+    // merge-on-read vs copy-on-write DELETE, same predicate shape:
+    // the DV commits O(deleted) positions, the CoW rewrites the table
+    time("delete_dv_O(deleted)")(
+      ManifestTable.deleteWhereDV(spark, src,
+        col("o_custkey") % 97L === 0L))
+    time("delete_cow_O(n)")(
+      ManifestTable.deleteWhere(spark, src,
+        col("o_custkey") % 89L === 0L))
     // a few more versions so history has something to walk
     ManifestTable.deleteWhere(spark, src, col("o_custkey") === -1L)
     ManifestTable.optimize(spark, src, targetFiles = nFiles)
