@@ -126,7 +126,8 @@ object Bench {
       // (multi-commit per run)
       "q228_clone_divergence", "q229_table_history",
       "q230_check_constraints", "q231_convert_in_place",
-      "q232_generated_columns", "q233_deletion_vectors")
+      "q232_generated_columns", "q233_deletion_vectors",
+      "q234_mor_update")
     val rank = heavyFirst.zipWithIndex.toMap
     // per-query OUTPUT row counts (round-9 VERDICT ask #7): lets a
     // ledger reader separate output-bound growth (the q25/q206 effect

@@ -1220,6 +1220,89 @@ object ManifestTable {
     next
   }
 
+  /** UPDATE via DELETION VECTOR + APPEND — merge-on-read UPDATE
+    * (Iceberg v2's position-delete-plus-append shape): matched rows'
+    * positions join the cumulative `_dv` (their old images disappear)
+    * and their POST-images land as a small appended file in the new
+    * version's dir; every unmatched byte is carried by reference. At
+    * 100 TB an UPDATE touching 0.01% of rows costs one find-positions
+    * scan + an O(matched) write, never a rewrite ([[updateWhere]]'s
+    * copy-on-write cost). Same single-projection semantics as
+    * [[updateWhere]]: every SET right-hand side and the WHERE resolve
+    * against the PRE-update row. CHECK constraints enforce on the
+    * post-image (O(matched)).
+    *
+    * Committed skipping stats are NOT carried: the appended file has
+    * no stats row, and stats that silently miss a file would turn
+    * pruning from a sound superset into wrong answers — so the new
+    * version drops `_stats`/`_bloom` and [[ZTable.scanXRange]] fails
+    * LOUDLY until the next [[ZTable.optimizeZOrder]] re-establishes
+    * the layout (the Delta behavior: DML invalidates z-clustering
+    * until the next OPTIMIZE). Returns the new version. */
+  def updateWhereDV(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit,
+      regexp_extract}
+    val (live, compacted) = commitState(spark, root)
+    val markers = namesOf(live, compacted)
+    require(markers.nonEmpty, s"nothing to update at $root")
+    val base = markers.map(versionOf).max
+    val baseDir = dirOf(spark, root,
+      winnersByVersion(markers)(base), live, compacted)
+    val refs = fileList(spark, root, baseDir).getOrElse {
+      fsOf(spark, root).listStatus(new Path(root, baseDir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"$baseDir/$n")
+    }
+    require(refs.nonEmpty, s"version $base of $root has no data files")
+    val prior = dvOf(spark, root, baseDir)
+    val tagged = spark.read
+      .parquet(refs.map(r => resolveRef(root, r)): _*)
+      .withColumn("__path",
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+      .withColumn("__ri", col("_metadata.row_index"))
+    val current = prior.fold(tagged)(dv =>
+      tagged.join(dv.select(col("path").as("__path"),
+          col("row_index").as("__ri")),
+        Seq("__path", "__ri"), "left_anti"))
+    val dataCols = current.columns.toIndexedSeq
+      .filter(c => c != "__path" && c != "__ri")
+    require(set.keySet.subsetOf(dataCols.toSet),
+      s"unknown columns in SET: ${set.keySet -- dataCols}")
+    val cond = coalesce(condition, lit(false)) // NULL = no match
+    // filter THEN assign: WHERE and every SET RHS see pre-update rows
+    val matched = current.filter(cond)
+      .localCheckpoint() // positions and post-images must come from
+    // ONE evaluation — a recompute between the two writes could
+    // re-plan the scan and tear position from image
+    val postImage = matched.select(dataCols.map { c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))
+    }: _*)
+    Checks.enforce(spark, root, postImage, "update post-image")
+    val fs = fsOf(spark, root)
+    val next = base + 1
+    val dir = newDataDirName(next)
+    postImage.write.parquet(s"$root/$dir") // the appended post-images
+    val appended = fs.listStatus(new Path(root, dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .map(n => s"$dir/$n")
+    val fresh = matched
+      .select(col("__path").as("path"), col("__ri").as("row_index"))
+    val newDv = prior.fold(fresh)(p =>
+      p.select(col("path"), col("row_index")).unionByName(fresh))
+    newDv.repartition(1).write.parquet(s"$root/$dir/_dv")
+    val out = fs.create(new Path(new Path(root, dir), "_files"), true)
+    try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    writeOpMeta(spark, root, dir, "UPDATE")
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root, live.size + 1)
+    next
+  }
+
   /** UPDATE … SET … WHERE as a committed version: matching rows get
     * each assignment applied, others carried unchanged — ONE projection
     * over the current version, committed whole, so every SET

@@ -1491,7 +1491,80 @@ object OpsQueries extends QueryPack {
     covers = Seq("TD-deletion-vectors", "TD-dml-delete-update",
       "TD-change-feed"))
 
+  /** Merge-on-read UPDATE ([[graft.ops.ManifestTable.updateWhereDV]]
+    * — Iceberg v2's position-delete-plus-append shape): matched rows'
+    * OLD images disappear via the cumulative deletion vector and
+    * their POST-images land as a small appended file; every unmatched
+    * byte is carried by reference (`zero_copy` asserts every v1 file
+    * is referenced verbatim in v2 — zero rewrites; successive-update
+    * cumulativity is spec-pinned in `DeletionVectorSpec`). The feed
+    * across the update is exactly its pre/post pairs (`n_upd_pairs`);
+    * a closing DV DELETE then a MERGE materializes everything.
+    * Oracle = the declarative UPDATE/DELETE/MERGE pipeline. */
+  val q234 = Q(
+    "q234_mor_update",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ManifestTable
+      val cut = lit("1999-01-01").cast("timestamp")
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val orders = Tables(s, dir, "orders")
+      val target = shaped(orders.filter($"o_orderdate" < cut))
+      val source = shaped(orders.filter($"o_orderdate" >= cut))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q234_").toString + "/orders_tbl"
+      ManifestTable.commit(target, root)                          // v1
+      ManifestTable.updateWhereDV(s, root, $"o_custkey" % 10 === 0,
+        Map("o_totalprice" -> ($"o_totalprice" * 2)))             // v2
+      val zeroCopy = {
+        val v1 = ManifestTable.readVersion(s, root, 1L)
+          .inputFiles.length
+        ManifestTable.versionFileRefs(s, root, 2L).exists(
+          _.count(_.startsWith("d1-")) == v1)
+      }
+      val nU1 = ManifestTable.changes(s, root, 1L, 2L,
+        Seq("o_orderkey"))
+        .filter($"_change_type" === "update_postimage").count()
+      ManifestTable.deleteWhereDV(s, root, $"o_custkey" % 9 === 2) // v3
+      ManifestTable.merge(s, root, source, Seq("o_orderkey"))      // v4
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .withColumn("n_upd_pairs", lit(nU1))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      upd1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM target),
+      after_del AS (
+        SELECT * FROM upd1 WHERE NOT (o_custkey % 9 = 2)),
+      source AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      final AS (SELECT * FROM after_del UNION ALL SELECT * FROM source)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS zero_copy,
+             (SELECT CAST(count(*) AS BIGINT) FROM target
+              WHERE o_custkey % 10 = 0) AS n_upd_pairs
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-deletion-vectors", "TD-dml-delete-update",
+      "TD-change-feed"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
-      q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
+      q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
+      q234)
 }

@@ -96,6 +96,62 @@ class DeletionVectorSpec extends SparkSpec {
       (60L to 120L).count(x => x % 10L != 0L).toLong)
   }
 
+  test("DV update appends post-images and rewrites nothing") {
+    val root = freshRoot()
+    ManifestTable.commit(kv((1L to 10L).map(i => i -> i): _*), root)
+    val v1Dir = ManifestTable.versionDataDir(spark, root, 1L)
+    val v1Files = ManifestTable.readVersion(spark, root, 1L)
+      .inputFiles.length
+    ManifestTable.updateWhereDV(spark, root, col("k") % 3L === 0L,
+      Map("n" -> (col("n") * 100L)))                            // v2
+    val refs = ManifestTable.versionFileRefs(spark, root, 2L).get
+    // every v1 file carried by reference, plus small appended files
+    assert(refs.count(_.startsWith(s"$v1Dir/")) == v1Files)
+    assert(refs.exists(r => !r.startsWith(s"$v1Dir/")))
+    assert(ManifestTable.read(spark, root).get.as[(Long, Long)]
+      .collect().sorted.toSeq ==
+      (1L to 10L).map(i => i -> (if (i % 3 == 0) i * 100L else i)))
+    // CDF across the merge-on-read update: exact pre/post pairs
+    val f = ManifestTable.changes(spark, root, 1L, 2L, Seq("k"))
+    assert(f.filter($"_change_type" === "update_preimage").count() == 3L)
+    assert(f.filter($"_change_type" === "update_postimage").count() == 3L)
+    assert(f.count() == 6L)
+    // filter-then-assign: SET a=b, b=a SWAPS against pre-update rows
+    val root2 = freshRoot()
+    ManifestTable.commit(Seq((1L, 10L, 20L)).toDF("k", "a", "b"), root2)
+    ManifestTable.updateWhereDV(spark, root2, col("a") < col("b"),
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(ManifestTable.read(spark, root2).get
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 20L, 10L)))
+  }
+
+  test("DV update enforces checks on the post-image; stats drop loud") {
+    val root = freshRoot()
+    val df = spark.range(1, 101)
+      .select(col("id").as("x"), (col("id") % 8).as("y"),
+        col("id").as("k"), lit(5L).as("n"))
+    ManifestTable.commit(df, root)
+    ZTable.optimizeZOrder(spark, root, "x", "y", "k", nFiles = 4)
+    Checks.setCheck(spark, root, "n_pos", "n > 0")
+    intercept[CheckViolationException] {
+      ManifestTable.updateWhereDV(spark, root, col("x") <= 10L,
+        Map("n" -> lit(-1L)))
+    }
+    assert(ManifestTable.currentVersion(spark, root).contains(2L))
+    ManifestTable.updateWhereDV(spark, root, col("x") <= 10L,
+      Map("n" -> lit(9L)))                                       // v3
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("n") === 9L).count() == 10L)
+    // the appended file has no stats row: committed-stats scans fail
+    // LOUDLY instead of silently missing it
+    intercept[IllegalArgumentException] {
+      ZTable.scanXRange(spark, root, 1L, 50L)
+    }
+    // ...until the next optimize re-establishes the layout
+    ZTable.optimizeZOrder(spark, root, "x", "y", "k", nFiles = 4)
+    assert(ZTable.scanXRange(spark, root, 1L, 10L).count() == 10L)
+  }
+
   test("restore and shallow clone carry the vector") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_dv_").toString
