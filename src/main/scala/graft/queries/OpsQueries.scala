@@ -1427,13 +1427,14 @@ object OpsQueries extends QueryPack {
     (s, dir) => {
       import s.implicits._
       import graft.ops.ManifestTable
-      val cut = lit("1999-01-01").cast("timestamp")
+      val cut = lit("1997-01-01").cast("timestamp")
       def shaped(df: org.apache.spark.sql.DataFrame) =
         df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
           $"o_totalprice")
       val orders = Tables(s, dir, "orders")
+      val hi = lit("2001-01-01").cast("timestamp")
       val target = shaped(orders.filter($"o_orderdate" < cut))
-      val source = shaped(orders.filter($"o_orderdate" >= cut))
+      val source = shaped(orders.filter($"o_orderdate" >= hi))
       val root = java.nio.file.Files
         .createTempDirectory("graft_q233_").toString + "/orders_tbl"
       ManifestTable.commit(target, root)                          // v1
@@ -1467,7 +1468,7 @@ object OpsQueries extends QueryPack {
     Some("""
       WITH target AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
       after_dv1 AS (
         SELECT * FROM target WHERE NOT (o_custkey % 7 = 3)),
       after_dv2 AS (
@@ -1475,7 +1476,7 @@ object OpsQueries extends QueryPack {
         WHERE NOT (o_orderstatus = 'F' AND o_custkey % 5 = 0)),
       source AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'),
       final AS (SELECT * FROM after_dv2 UNION ALL SELECT * FROM source)
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
@@ -1506,13 +1507,14 @@ object OpsQueries extends QueryPack {
     (s, dir) => {
       import s.implicits._
       import graft.ops.ManifestTable
-      val cut = lit("1999-01-01").cast("timestamp")
+      val cut = lit("1997-01-01").cast("timestamp")
       def shaped(df: org.apache.spark.sql.DataFrame) =
         df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
           $"o_totalprice")
       val orders = Tables(s, dir, "orders")
+      val hi = lit("2001-01-01").cast("timestamp")
       val target = shaped(orders.filter($"o_orderdate" < cut))
-      val source = shaped(orders.filter($"o_orderdate" >= cut))
+      val source = shaped(orders.filter($"o_orderdate" >= hi))
       val root = java.nio.file.Files
         .createTempDirectory("graft_q234_").toString + "/orders_tbl"
       ManifestTable.commit(target, root)                          // v1
@@ -1541,7 +1543,7 @@ object OpsQueries extends QueryPack {
     Some("""
       WITH target AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
       upd1 AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 2
@@ -1551,7 +1553,7 @@ object OpsQueries extends QueryPack {
         SELECT * FROM upd1 WHERE NOT (o_custkey % 9 = 2)),
       source AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'),
       final AS (SELECT * FROM after_del UNION ALL SELECT * FROM source)
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
