@@ -1789,10 +1789,11 @@ object ManifestTable {
       refs.isDefined,
       fs.exists(new Path(s"$root/$dir/_stats")),
       fs.exists(new Path(s"$root/$dir/_bloom")),
+      fs.exists(new Path(s"$root/$dir/_dv")),
       Checks.checks(spark, root).size.toLong,
       Generated.generated(spark, root).size.toLong))
     spark.createDataFrame(rows).toDF("version", "n_versions_retained",
       "n_files", "size_bytes", "is_filelist", "has_stats", "has_bloom",
-      "n_checks", "n_generated")
+      "has_dv", "n_checks", "n_generated")
   }
 }

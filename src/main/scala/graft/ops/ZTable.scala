@@ -387,4 +387,24 @@ object ZTable {
       .select(col("path"))
       .collect().map(_.getString(0)).toSeq // O(files)
   }
+
+  /** Read the Bloom candidate files for `key` WITH the current
+    * version's deletion vector applied — the safe composition of
+    * [[bloomCandidateFiles]] with merge-on-read DML (reading the
+    * candidate paths as plain parquet on a DV version would
+    * resurrect deleted rows). Returns an empty (correctly-schemed)
+    * frame when no file can contain the key. */
+  def readBloomCandidates(spark: SparkSession, root: String,
+      key: Column): DataFrame = {
+    val v = ManifestTable.currentVersion(spark, root)
+      .getOrElse(sys.error(s"no committed version at $root"))
+    val cands = bloomCandidateFiles(spark, root, key)
+    if (cands.isEmpty)
+      return ManifestTable.readVersion(spark, root, v).filter(lit(false))
+    val raw = spark.read.parquet(
+      cands.map(p => ManifestTable.resolveRef(root, p)): _*)
+    ManifestTable.dvOf(spark, root,
+      ManifestTable.versionDataDir(spark, root, v))
+      .fold(raw)(ManifestTable.applyDv(raw, _))
+  }
 }

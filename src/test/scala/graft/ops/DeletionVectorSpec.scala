@@ -152,6 +152,28 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ZTable.scanXRange(spark, root, 1L, 10L).count() == 10L)
   }
 
+  test("bloom candidate reads apply the vector; detail reports it") {
+    val root = freshRoot()
+    val df = spark.range(1, 201)
+      .select(col("id").as("x"), (col("id") % 8).as("y"),
+        col("id").as("k"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("w"),
+          col("id")).as("word"))
+    ManifestTable.commit(df, root)
+    ZTable.optimizeZOrder(spark, root, "x", "y", "k", nFiles = 4,
+      bloomCol = Some("word"))
+    ManifestTable.deleteWhereDV(spark, root, col("k") === 42L)
+    // the raw candidate files still CONTAIN the deleted row; the safe
+    // read does not
+    val safe = ZTable.readBloomCandidates(spark, root, lit("w42"))
+    assert(safe.filter(col("word") === "w42").count() == 0L)
+    val other = ZTable.readBloomCandidates(spark, root, lit("w43"))
+    assert(other.filter(col("word") === "w43").count() == 1L)
+    val d = ManifestTable.detail(spark, root).collect().head
+    assert(d.getAs[Boolean]("has_dv") && d.getAs[Boolean]("has_bloom"))
+  }
+
   test("restore and shallow clone carry the vector") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_dv_").toString
