@@ -1565,8 +1565,170 @@ object OpsQueries extends QueryPack {
     covers = Seq("TD-deletion-vectors", "TD-dml-delete-update",
       "TD-change-feed"))
 
+  /** Merge-on-read MERGE ([[graft.ops.ManifestTable.mergeDV]] — the
+    * last O(table) write path made O(delta)): matched target rows'
+    * old images disappear via the cumulative deletion vector, the
+    * post-images (updates + inserts, the upsert kernel on the matched
+    * slice) land as appended files, every unmatched target byte is
+    * carried by reference (`zero_copy`). Two successive DV merges
+    * compose — the second's vector is cumulative over the first's —
+    * and the feed across each is its exact update-pair/insert set
+    * (`n_upd1`/`n_ins1`). At 100 TB a MERGE touching 0.1% of rows
+    * costs one find-positions scan + an O(delta) write, never the
+    * [[graft.ops.ManifestTable.merge]] full-version rewrite. Oracle =
+    * the declarative two-step upsert pipeline. */
+  val q235 = Q(
+    "q235_mor_merge",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ManifestTable
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val orders = Tables(s, dir, "orders")
+      val cut = lit("1997-01-01").cast("timestamp")
+      val lo = lit("1996-06-01").cast("timestamp")
+      val hi = lit("1997-06-01").cast("timestamp")
+      val target = shaped(orders.filter($"o_orderdate" < cut))
+      // straddles the target boundary: the early half UPDATES
+      // (tripled price), the late half INSERTS
+      val src1 = shaped(orders
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi))
+        .withColumn("o_totalprice", $"o_totalprice" * 3)
+      val src2 = shaped(orders
+        .filter($"o_custkey" % 13 === 1 && $"o_orderdate" < lo))
+        .withColumn("o_totalprice", $"o_totalprice" + 1000)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q235_").toString + "/orders_tbl"
+      ManifestTable.commit(target, root)                         // v1
+      val v1Files = ManifestTable.readVersion(s, root, 1L)
+        .inputFiles.length
+      ManifestTable.mergeDV(s, root, src1, Seq("o_orderkey"))    // v2
+      val zeroCopy = ManifestTable.versionFileRefs(s, root, 2L)
+        .exists(refs => refs.count(_.startsWith("d1-")) == v1Files &&
+          refs.exists(_.startsWith("d2-")))
+      val f12 = ManifestTable.changes(s, root, 1L, 2L,
+        Seq("o_orderkey"))
+      val nUpd1 = f12.filter($"_change_type" === "update_postimage")
+        .count()
+      val nIns1 = f12.filter($"_change_type" === "insert").count()
+      ManifestTable.mergeDV(s, root, src2, Seq("o_orderkey"))    // v3
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .withColumn("n_upd1", lit(nUpd1))
+        .withColumn("n_ins1", lit(nIns1))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      src1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 3 AS o_totalprice
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-06-01 00:00:00'),
+      m1 AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src1)
+        UNION ALL SELECT * FROM src1),
+      src2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000 AS o_totalprice
+        FROM orders
+        WHERE o_custkey % 13 = 1
+          AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'),
+      m2 AS (
+        SELECT * FROM m1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src2)
+        UNION ALL SELECT * FROM src2)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS zero_copy,
+             (SELECT CAST(count(*) AS BIGINT) FROM target
+              WHERE o_orderkey IN (SELECT o_orderkey FROM src1))
+               AS n_upd1,
+             (SELECT CAST(count(*) AS BIGINT) FROM src1
+              WHERE o_orderkey NOT IN
+                (SELECT o_orderkey FROM target)) AS n_ins1
+      FROM m2 GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-deletion-vectors", "TD-dml-delete-update",
+      "TD-change-feed"))
+
+  /** REORG … APPLY (PURGE) ([[graft.ops.ManifestTable.reorg]] —
+    * Delta's DV materialization): after a range-scoped DV delete on a
+    * range-partitioned table, the purge rewrites ONLY the files the
+    * vector touches (dirty set = one O(files) planning collect over
+    * the vector's distinct file keys), carries every clean file by
+    * REFERENCE (`carried` asserts verbatim ref reuse + fresh d3-
+    * rewrites), drops the vector (`purged`, via DESCRIBE DETAIL's
+    * `has_dv`), and changes NOTHING observable — the feed across the
+    * reorg is EMPTY (`feed_empty`), the dataChange-false semantic.
+    * Readers stop paying the DV anti-join from this version on. */
+  val q236 = Q(
+    "q236_reorg_purge",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ManifestTable
+      val orders = Tables(s, dir, "orders")
+      val cut = lit("1997-01-01").cast("timestamp")
+      val target = orders.filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val maxKey = target.agg(max($"o_orderkey")).head.getLong(0)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q236_").toString + "/orders_tbl"
+      // range-partitioned so the low-key delete dirties a SUBSET
+      ManifestTable.commit(
+        target.repartitionByRange(8, $"o_orderkey"), root)       // v1
+      ManifestTable.deleteWhereDV(s, root,
+        $"o_orderkey" * 4 <= maxKey)                             // v2
+      val hadDv = ManifestTable.detail(s, root)
+        .select($"has_dv").head.getBoolean(0)
+      val v2Refs = ManifestTable.versionFileRefs(s, root, 2L).get
+      ManifestTable.reorg(s, root)                               // v3
+      val purged = hadDv && !ManifestTable.detail(s, root)
+        .select($"has_dv").head.getBoolean(0)
+      val v3Refs = ManifestTable.versionFileRefs(s, root, 3L).get
+      val carried = v3Refs.exists(v2Refs.contains) &&
+        v3Refs.exists(_.startsWith("d3-")) &&
+        v3Refs.count(v2Refs.contains) < v2Refs.size
+      val feedEmpty = ManifestTable.changes(s, root, 2L, 3L,
+        Seq("o_orderkey")).count() == 0L
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("purged", lit(purged))
+        .withColumn("carried", lit(carried))
+        .withColumn("feed_empty", lit(feedEmpty))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      kept AS (
+        SELECT * FROM target
+        WHERE NOT (o_orderkey * 4 <=
+          (SELECT max(o_orderkey) FROM target)))
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS purged, true AS carried, true AS feed_empty
+      FROM kept GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-deletion-vectors", "TD-optimize-compaction",
+      "TD-change-feed"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234)
+      q234, q235, q236)
 }

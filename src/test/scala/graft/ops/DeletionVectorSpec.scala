@@ -192,4 +192,104 @@ class DeletionVectorSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(ops == Seq("WRITE", "DELETE", "DELETE", "RESTORE"))
   }
+
+  test("mergeDV: O(delta) MERGE — zero rewrite, upsert-identical") {
+    val root = freshRoot()
+    ManifestTable.commit(kv((1L to 10L).map(i => i -> i * 10L): _*), root)
+    val v1Dir = ManifestTable.versionDataDir(spark, root, 1L)
+    // source updates 9,10 and inserts 11,12
+    ManifestTable.mergeDV(spark, root,
+      kv(9L -> 900L, 10L -> 1000L, 11L -> 1100L, 12L -> 1200L),
+      Seq("k"))                                                // v2
+    // zero-copy: every v1 file is referenced verbatim, plus appends
+    val refs = ManifestTable.versionFileRefs(spark, root, 2L).get
+    assert(refs.exists(_.startsWith(s"$v1Dir/")))
+    assert(refs.exists(_.startsWith("d2-")))
+    // result identical to the full upsert kernel
+    val got = ManifestTable.read(spark, root).get.as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == ((1L to 8L).map(i => i -> i * 10L) ++
+      Seq(9L -> 900L, 10L -> 1000L, 11L -> 1100L, 12L -> 1200L)))
+    // the feed across it: exact update pairs + inserts, nothing else
+    val f = ManifestTable.changes(spark, root, 1L, 2L, Seq("k"))
+    assert(f.filter($"_change_type" === "update_postimage")
+      .count() == 2L)
+    assert(f.filter($"_change_type" === "insert").count() == 2L)
+    assert(f.filter($"_change_type" === "delete").count() == 0L)
+    // composes with a prior DV delete (cumulative vector) and a
+    // source row matching only a DV-deleted key is an INSERT
+    ManifestTable.deleteWhereDV(spark, root, col("k") === 1L)  // v3
+    ManifestTable.mergeDV(spark, root, kv(1L -> 111L, 2L -> 222L),
+      Seq("k"))                                                // v4
+    assert(ManifestTable.read(spark, root).get.as[(Long, Long)]
+      .collect().toMap == ((3L to 8L).map(i => i -> i * 10L) ++
+      Seq(1L -> 111L, 2L -> 222L, 9L -> 900L, 10L -> 1000L,
+        11L -> 1100L, 12L -> 1200L)).toMap)
+    val f34 = ManifestTable.changes(spark, root, 3L, 4L, Seq("k"))
+    assert(f34.filter($"_change_type" === "insert")
+      .select($"k").as[Long].collect().toSeq == Seq(1L))
+    // updateCols: untouched columns keep target values on matches
+    val root2 = freshRoot()
+    ManifestTable.commit(
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "n", "t"), root2)
+    ManifestTable.mergeDV(spark, root2,
+      Seq((2L, 99L, "X"), (3L, 30L, "c")).toDF("k", "n", "t"),
+      Seq("k"), updateCols = Some(Seq("n")))
+    assert(ManifestTable.read(spark, root2).get
+      .as[(Long, Long, String)].collect().sorted.toSeq ==
+      Seq((1L, 10L, "a"), (2L, 99L, "b"), (3L, 30L, "c")))
+    // first commit on an empty root is the plain source
+    val root3 = freshRoot()
+    ManifestTable.mergeDV(spark, root3, kv(1L -> 1L), Seq("k"))
+    assert(ManifestTable.read(spark, root3).get.count() == 1L)
+  }
+
+  test("mergeBatchDV: exactly-once under replay") {
+    val root = freshRoot()
+    ManifestTable.commit(kv((1L to 4L).map(i => i -> i): _*), root)
+    ManifestTable.mergeBatchDV(spark, root, kv(1L -> 100L, 5L -> 5L),
+      Seq("k"), batchKey = "run1-b0")
+    val after = ManifestTable.currentVersion(spark, root).get
+    // replay: same key is a no-op — no new version, no double-apply
+    ManifestTable.mergeBatchDV(spark, root, kv(1L -> 100L, 5L -> 5L),
+      Seq("k"), batchKey = "run1-b0")
+    assert(ManifestTable.currentVersion(spark, root).get == after)
+    assert(ManifestTable.read(spark, root).get.as[(Long, Long)]
+      .collect().toMap ==
+      Map(1L -> 100L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("reorg APPLY PURGE: dirty files rewritten, clean carried") {
+    val root = freshRoot()
+    // 4 files of 25 rows each so the vector dirties a strict subset
+    ManifestTable.commit(
+      spark.range(1, 101).select(col("id").as("k"), col("id").as("n"))
+        .repartitionByRange(4, col("id")), root)
+    // vector-less reorg is a no-op: no new commit
+    assert(ManifestTable.reorg(spark, root) == 1L)
+    assert(ManifestTable.currentVersion(spark, root).get == 1L)
+    ManifestTable.deleteWhereDV(spark, root, col("k") <= 10L)  // v2
+    val v2Refs = ManifestTable.versionFileRefs(spark, root, 2L).get
+    val d2 = ManifestTable.versionDataDir(spark, root, 2L)
+    val dirtyKeys = ManifestTable.dvOf(spark, root, d2).get
+      .select("path").distinct().as[String].collect().toSet
+    val clean = v2Refs.filterNot(r =>
+      dirtyKeys.contains(ManifestTable.fileKeyOf(r)))
+    assert(clean.nonEmpty && clean.size < v2Refs.size)
+    val v3 = ManifestTable.reorg(spark, root)                  // v3
+    assert(v3 == 3L)
+    // clean files carried by REFERENCE (same entries verbatim);
+    // dirty ones replaced by rewrites in the new dir; vector gone
+    val v3Refs = ManifestTable.versionFileRefs(spark, root, 3L).get
+    assert(clean.forall(v3Refs.contains))
+    assert(v3Refs.exists(_.startsWith("d3-")))
+    assert(ManifestTable
+      .dvOf(spark, root, ManifestTable.versionDataDir(spark, root, 3L))
+      .isEmpty)
+    // content identical, feed across the reorg EMPTY
+    assert(ManifestTable.read(spark, root).get.as[(Long, Long)]
+      .collect().map(_._1).sorted.toSeq == (11L to 100L))
+    assert(ManifestTable.changes(spark, root, 2L, 3L, Seq("k"))
+      .count() == 0L)
+  }
 }
