@@ -586,7 +586,11 @@ object ManifestTable {
         spark.read.parquet(rels.map(r => resolveRef(root, r)): _*)
       case None => spark.read.parquet(s"$root/$dir")
     }
-    dvOf(spark, root, dir).fold(raw)(applyDv(raw, _))
+    val live = dvOf(spark, root, dir).fold(raw)(applyDv(raw, _))
+    // column mapping LAST: logical names are the only thing any
+    // consumer above this line ever sees (a dropped column's physical
+    // data stays in the files, invisible from here on)
+    colmapOf(spark, root, dir).fold(live)(toLogical(live, _))
   }
 
   /** Time travel: read a specific committed version. Fails loudly if
@@ -1116,39 +1120,51 @@ object ManifestTable {
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val from0 = readVersion(spark, root, fromV)
-    val to0 = readVersion(spark, root, toV)
+    val fromDir = versionDataDir(spark, root, fromV)
+    val toDir = versionDataDir(spark, root, toV)
+    val from0 = readDataDir(spark, root, fromDir)
+    val to0 = readDataDir(spark, root, toDir)
     // SCHEMA-EVOLUTION compose (Delta CDF's semantic): a
     // [[mergeEvolve]] commit between fromV and toV legitimately widens
     // the schema, and refusing to diff across it forced the
     // incremental consumer back to a rescan exactly when the table
-    // changed shape. Align both versions on the UNION of their columns
-    // (to-side order first — the feed reads in the CURRENT schema),
-    // null-filling the narrower side: a pre-evolve row then compares
-    // EQUAL on a new column it never had (null <=> null), so pure
-    // widening emits zero change rows — only real value changes do.
-    // Type CHANGES on a shared column still fail loudly, same contract
-    // as [[Upsert.upsertEvolve]].
+    // changed shape. The feed reads in the CURRENT (to-side) schema;
+    // each to-column is matched to its from-side counterpart by
+    // PHYSICAL identity through the versions' column mappings
+    // (identity when none) — so a metadata-only RENAME or DROP
+    // ([[renameColumn]]/[[dropColumn]]) emits ZERO change rows
+    // (physically nothing moved), and a widening merge null-fills the
+    // from side so a pre-evolve row compares EQUAL on a column it
+    // never had (null <=> null). A from-only column with no physical
+    // counterpart (dropped, or renamed THEN materialized by a
+    // rewrite) is excluded — its history is visible in per-version
+    // slices, the Delta CDF-across-schema-change posture. Type
+    // CHANGES on a matched column still fail loudly. */
+    val fromCmMap = colmapOf(spark, root, fromDir).getOrElse(
+      from0.columns.toSeq.map(c => c -> c)).toMap // logical -> physical
+    val toCmMap = colmapOf(spark, root, toDir).getOrElse(
+      to0.columns.toSeq.map(c => c -> c)).toMap
+    val fromByPhys = fromCmMap.map(_.swap)
+    val cols = to0.columns.toSeq
+    // from-side logical counterpart of each to-column, if any
+    val counterpart: Map[String, String] = cols.flatMap(c =>
+      fromByPhys.get(toCmMap(c)).map(c -> _)).toMap
     val fTypes = from0.schema.map(f => f.name -> f.dataType).toMap
     val tTypes = to0.schema.map(f => f.name -> f.dataType).toMap
-    val conflicts = fTypes.keySet.intersect(tTypes.keySet)
-      .filter(c => fTypes(c) != tTypes(c))
+    val conflicts = counterpart.filter { case (c, fc) =>
+      fTypes(fc) != tTypes(c)
+    }
     require(conflicts.isEmpty,
       s"changes($fromV,$toV) cannot reconcile type changes: " +
-        conflicts.map(c => s"$c (${fTypes(c)} vs ${tTypes(c)})")
-          .mkString(", "))
-    val cols = to0.columns.toSeq ++
-      from0.columns.filterNot(tTypes.contains)
-    val allT = fTypes ++ tTypes
-    def pad(df: DataFrame,
-        have: Map[String, org.apache.spark.sql.types.DataType]) =
-      df.select(cols.map(c =>
-        if (have.contains(c)) col(c)
-        else lit(null).cast(allT(c)).as(c)): _*)
-    val from = pad(from0, fTypes)
-    val to = pad(to0, tTypes)
-    require(keys.nonEmpty &&
-        keys.forall(k => fTypes.contains(k) && tTypes.contains(k)),
+        conflicts.map { case (c, fc) =>
+          s"$c (${fTypes(fc)} vs ${tTypes(c)})"
+        }.mkString(", "))
+    val from = from0.select(cols.map(c =>
+      counterpart.get(c).map(fc => col(fc).as(c))
+        .getOrElse(lit(null).cast(tTypes(c)).as(c))): _*)
+    val to = to0
+    require(keys.nonEmpty && keys.forall(k =>
+        tTypes.contains(k) && counterpart.contains(k)),
       s"keys ${keys.mkString(",")} must be columns of BOTH versions")
     val vcols = cols.filterNot(keys.contains)
     // side-presence FLAGS, not key-nullness: a legitimately-NULL key
@@ -1249,10 +1265,14 @@ object ManifestTable {
       .withColumn("__path",
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("__ri", col("_metadata.row_index"))
-    val current = prior.fold(tagged)(dv =>
+    val cm = colmapOf(spark, root, baseDir)
+    val current0 = prior.fold(tagged)(dv =>
       tagged.join(dv.select(col("path").as("__path"),
           col("row_index").as("__ri")),
         Seq("__path", "__ri"), "left_anti"))
+    // LOGICAL view for the predicate when a column mapping is active
+    val current = cm.fold(current0)(
+      toLogical(current0, _, passthrough = Seq("__path", "__ri")))
     val fresh = current.filter(coalesce(condition, lit(false)))
       .select(col("__path").as("path"), col("__ri").as("row_index"))
     val newDv = prior.fold(fresh)(p =>
@@ -1273,6 +1293,7 @@ object ManifestTable {
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write(refs.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    carryColmap(spark, root, baseDir, dir)
     writeOpMeta(spark, root, dir, "DELETE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
@@ -1322,10 +1343,14 @@ object ManifestTable {
       .withColumn("__path",
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("__ri", col("_metadata.row_index"))
-    val current = prior.fold(tagged)(dv =>
+    val cm = colmapOf(spark, root, baseDir)
+    val current0 = prior.fold(tagged)(dv =>
       tagged.join(dv.select(col("path").as("__path"),
           col("row_index").as("__ri")),
         Seq("__path", "__ri"), "left_anti"))
+    // LOGICAL view: WHERE, SET and checks all resolve logical names
+    val current = cm.fold(current0)(
+      toLogical(current0, _, passthrough = Seq("__path", "__ri")))
     val dataCols = current.columns.toIndexedSeq
       .filter(c => c != "__path" && c != "__ri")
     require(set.keySet.subsetOf(dataCols.toSet),
@@ -1343,7 +1368,9 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val next = base + 1
     val dir = newDataDirName(next)
-    postImage.write.parquet(s"$root/$dir") // the appended post-images
+    // appended files must share the carried files' PHYSICAL schema
+    cm.fold(postImage)(toPhysical(postImage, _))
+      .write.parquet(s"$root/$dir") // the appended post-images
     val appended = fs.listStatus(new Path(root, dir)).toSeq
       .map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
@@ -1356,6 +1383,7 @@ object ManifestTable {
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    carryColmap(spark, root, baseDir, dir)
     writeOpMeta(spark, root, dir, "UPDATE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
@@ -1398,6 +1426,31 @@ object ManifestTable {
     ()
   }
 
+  /** [[mergeBatchDV]] with the rebase-retry loop — the multi-writer
+    * merge-on-read streaming form: concurrent DV merges into one root
+    * serialize via OCC (each attempt recomputes its positions and
+    * post-images against the FRESH base version, so a loser never
+    * hides a winner's rows behind a stale vector), each batch key
+    * stays exactly-once via the normal replay check. */
+  def mergeBatchDVWithRetry(spark: SparkSession, root: String,
+      source: DataFrame, keys: Seq[String], batchKey: String,
+      updateCols: Option[Seq[String]] = None,
+      batchKeyRetention: Long = Long.MaxValue,
+      maxAttempts: Int = 10): Unit = {
+    var attempt = 1
+    while (true) {
+      try {
+        mergeBatchDV(spark, root, source, keys, batchKey, updateCols,
+          batchKeyRetention)
+        return
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+  }
+
   private def mergeDVImpl(spark: SparkSession, root: String,
       source: DataFrame, keys: Seq[String],
       updateCols: Option[Seq[String]], batchKey: String,
@@ -1432,10 +1485,15 @@ object ManifestTable {
       .withColumn("__path",
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("__ri", col("_metadata.row_index"))
-    val current = prior.fold(tagged)(dv =>
+    val cm = colmapOf(spark, root, baseDir)
+    val current0 = prior.fold(tagged)(dv =>
       tagged.join(dv.select(col("path").as("__path"),
           col("row_index").as("__ri")),
         Seq("__path", "__ri"), "left_anti"))
+    // LOGICAL view: keys, source columns and the kernel all resolve
+    // logical names when a column mapping is active
+    val current = cm.fold(current0)(
+      toLogical(current0, _, passthrough = Seq("__path", "__ri")))
     val dataCols = current.columns.toIndexedSeq
       .filter(c => c != "__path" && c != "__ri")
     require(keys.forall(dataCols.contains),
@@ -1461,7 +1519,9 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val next = base + 1
     val dir = newDataDirName(next)
-    postImage.write.parquet(s"$root/$dir")
+    // appended files must share the carried files' PHYSICAL schema
+    cm.fold(postImage)(toPhysical(postImage, _))
+      .write.parquet(s"$root/$dir")
     val appended = fs.listStatus(new Path(root, dir)).toSeq
       .map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
@@ -1472,6 +1532,7 @@ object ManifestTable {
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    carryColmap(spark, root, baseDir, dir)
     writeOpMeta(spark, root, dir, "MERGE")
     writeMarker(spark, root, next, batchKey, dir)
     maybeAutoCompact(spark, root, live.size + 1, batchKeyRetention)
@@ -1534,7 +1595,109 @@ object ManifestTable {
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((clean ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    carryColmap(spark, root, baseDir, dir)
     writeOpMeta(spark, root, dir, "REORG")
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root, live.size + 1)
+    next
+  }
+
+  /** RENAME COLUMN — metadata-only (Delta's column-mapping mode): the
+    * new version carries the base's files AND deletion vector
+    * verbatim; only the `_colmap` logical→physical mapping changes.
+    * Zero data bytes rewritten at any table size. Readers see the new
+    * logical name ([[readDataDir]] applies the mapping centrally);
+    * writers keep using logical names — any full-rewrite commit
+    * (MERGE, OPTIMIZE, copy-on-write DML) writes logical names
+    * physically and MATERIALIZES the mapping away, while file-list
+    * commits (DV DML, [[reorg]]) translate appended files back to
+    * physical names so every file in a version shares one physical
+    * schema. Committed skipping stats/Bloom are DROPPED (their dim
+    * names are physical — stale names would prune wrongly);
+    * re-establish with [[ZTable.optimizeZOrder]], which also
+    * materializes the mapping. [[changes]] across a rename is EMPTY
+    * (physically nothing moved — the diff aligns on physical
+    * identity). Returns the new version. */
+  def renameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String): Long = {
+    val cm0 = currentColmap(spark, root)
+    require(cm0.exists(_._1 == oldName),
+      s"no column $oldName at $root (has ${cm0.map(_._1)})")
+    require(!cm0.exists(_._1 == newName),
+      s"column $newName already exists at $root")
+    commitMapping(spark, root,
+      cm0.map { case (l, p) => (if (l == oldName) newName else l, p) },
+      "RENAME COLUMN")
+  }
+
+  /** DROP COLUMN — metadata-only (the [[renameColumn]] machinery):
+    * the column's physical data stays in the files, invisible behind
+    * the mapping; the next full rewrite materializes the drop. A
+    * registered CHECK or generated column referencing the dropped
+    * name fails loudly at its next enforcement (analysis error), not
+    * silently. Returns the new version. */
+  def dropColumn(spark: SparkSession, root: String,
+      name: String): Long = {
+    val cm0 = currentColmap(spark, root)
+    require(cm0.exists(_._1 == name),
+      s"no column $name at $root (has ${cm0.map(_._1)})")
+    require(cm0.size > 1, s"cannot drop the only column of $root")
+    commitMapping(spark, root, cm0.filterNot(_._1 == name),
+      "DROP COLUMN")
+  }
+
+  /** The current version's logical→physical mapping — the committed
+    * `_colmap`, or the identity mapping read from ONE parquet footer
+    * (field order = logical order) when none exists. */
+  private def currentColmap(spark: SparkSession,
+      root: String): Seq[(String, String)] = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(sys.error(s"no committed version at $root"))
+    val dir = versionDataDir(spark, root, cur)
+    colmapOf(spark, root, dir).getOrElse {
+      val refs = fileList(spark, root, dir).getOrElse {
+        fsOf(spark, root).listStatus(new Path(root, dir)).toSeq
+          .map(_.getPath.getName)
+          .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          .map(n => s"$dir/$n")
+      }
+      require(refs.nonEmpty, s"current version of $root has no data")
+      spark.read.parquet(resolveRef(root, refs.head)).schema
+        .map(f => f.name -> f.name)
+    }
+  }
+
+  private def commitMapping(spark: SparkSession, root: String,
+      cm: Seq[(String, String)], op: String): Long = {
+    val (live, compacted) = commitState(spark, root)
+    val markers = namesOf(live, compacted)
+    require(markers.nonEmpty, s"nothing to alter at $root")
+    val base = markers.map(versionOf).max
+    val baseDir = dirOf(spark, root,
+      winnersByVersion(markers)(base), live, compacted)
+    val refs = fileList(spark, root, baseDir).getOrElse {
+      fsOf(spark, root).listStatus(new Path(root, baseDir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"$baseDir/$n")
+    }
+    require(refs.nonEmpty, s"version $base of $root has no data files")
+    val fs = fsOf(spark, root)
+    val next = base + 1
+    val dir = newDataDirName(next)
+    fs.mkdirs(new Path(root, dir))
+    // carry the deletion vector (file keys unchanged); stats/Bloom
+    // DROP — their dim names are physical and a consumer resolving
+    // them through the new logical schema would prune wrongly
+    val dvSrc = new Path(s"$root/$baseDir/_dv")
+    if (fs.exists(dvSrc))
+      spark.read.parquet(dvSrc.toString).repartition(1)
+        .write.parquet(s"$root/$dir/_dv")
+    writeColmap(spark, root, dir, cm)
+    val out = fs.create(new Path(new Path(root, dir), "_files"), true)
+    try out.write(refs.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    writeOpMeta(spark, root, dir, op)
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
     next
@@ -1643,6 +1806,8 @@ object ManifestTable {
         spark.read.parquet(src.toString).repartition(1)
           .write.parquet(s"$root/$dir/$frame")
     }
+    // the restored version's logical schema rides with its mapping
+    carryColmap(spark, root, srcDir, dir)
     val mp = new Path(s"$root/$dir/_files")
     val out = fs.create(mp, true)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
@@ -1713,6 +1878,9 @@ object ManifestTable {
     if (srcFs.exists(dvSrc))
       spark.read.parquet(dvSrc.toString).repartition(1)
         .write.parquet(s"$cloneRoot/$dir/_dv")
+    // the clone inherits the source's logical schema mapping
+    colmapOf(spark, sourceRoot, srcDir).foreach(cmS =>
+      writeColmap(spark, cloneRoot, dir, cmS))
     val out = fs.create(new Path(s"$cloneRoot/$dir/_files"), true)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()

@@ -1727,8 +1727,81 @@ object OpsQueries extends QueryPack {
     covers = Seq("TD-deletion-vectors", "TD-optimize-compaction",
       "TD-change-feed"))
 
+  /** Column mapping ([[graft.ops.ManifestTable.renameColumn]] /
+    * [[graft.ops.ManifestTable.dropColumn]] — Delta's column-mapping
+    * mode): RENAME and DROP are metadata-only commits carrying the
+    * base's files verbatim (`zero_copy` asserts both versions
+    * reference exactly the v1 files — zero bytes rewritten at any
+    * table size); the feed across BOTH is EMPTY (`feed_empty` —
+    * physically nothing moved; the diff aligns on physical identity
+    * through the mapping); then merge-on-read DML runs against the
+    * NEW logical schema — a DV DELETE predicated on the renamed
+    * column and a DV MERGE whose appended files are translated back
+    * to the carried files' physical names (one mixed read, no tear).
+    * Oracle = the declarative projection + delete + upsert pipeline. */
+  val q237 = Q(
+    "q237_column_mapping",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ManifestTable
+      val orders = Tables(s, dir, "orders")
+      val cut = lit("1997-01-01").cast("timestamp")
+      val target = orders.filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val source = orders.filter($"o_orderdate" >= lit("2001-01-01")
+          .cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus",
+          ($"o_totalprice" * 2).as("price"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q237_").toString + "/orders_tbl"
+      ManifestTable.commit(target, root)                        // v1
+      val v1Files = ManifestTable.readVersion(s, root, 1L)
+        .inputFiles.length
+      ManifestTable.renameColumn(s, root, "o_totalprice", "price") // v2
+      ManifestTable.dropColumn(s, root, "o_custkey")            // v3
+      val zeroCopy = Seq(2L, 3L).forall(v =>
+        ManifestTable.versionFileRefs(s, root, v).exists(refs =>
+          refs.count(_.startsWith("d1-")) == v1Files))
+      val feedEmpty = ManifestTable.changes(s, root, 1L, 3L,
+        Seq("o_orderkey")).count() == 0L
+      ManifestTable.deleteWhereDV(s, root,
+        $"price" < 50000 && $"o_orderstatus" === "F")           // v4
+      ManifestTable.mergeDV(s, root, source, Seq("o_orderkey")) // v5
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"price".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .withColumn("feed_empty", lit(feedEmpty))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      after_del AS (
+        SELECT * FROM target
+        WHERE NOT (price < 50000 AND o_orderstatus = 'F')),
+      src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'),
+      final AS (
+        SELECT * FROM after_del
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL SELECT * FROM src)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(price AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS zero_copy, true AS feed_empty
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-column-mapping", "TD-deletion-vectors",
+      "TD-change-feed"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236)
+      q234, q235, q236, q237)
 }

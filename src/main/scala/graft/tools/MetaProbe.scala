@@ -77,6 +77,31 @@ object MetaProbe {
     time("delete_cow_O(n)")(
       ManifestTable.deleteWhere(spark, src,
         col("o_custkey") % 89L === 0L))
+    // merge-on-read vs copy-on-write MERGE, same ~1% source slice
+    // (half updates, half inserts): the DV merge pays one
+    // find-positions scan + an O(delta) append; the CoW merge
+    // rewrites the whole version
+    val delta = target
+      .filter(col("o_custkey") % 101L === 0L)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderkey",
+        when(col("o_custkey") % 202L === 0L,
+          col("o_orderkey") + 4000000000L)
+          .otherwise(col("o_orderkey")))
+    time("merge_dv_O(delta)")(
+      ManifestTable.mergeDV(spark, src, delta, Seq("o_orderkey")))
+    time("merge_cow_O(n)")(
+      ManifestTable.merge(spark, src, delta, Seq("o_orderkey")))
+    // REORG APPLY PURGE after a fresh range-scoped DV delete: dirty
+    // files only — the clean carry is the flat term
+    ManifestTable.deleteWhereDV(spark, src,
+      col("o_orderkey") % 997L === 0L)
+    time("reorg_purge")(ManifestTable.reorg(spark, src))
+    // column mapping: metadata-only — flat at any scale
+    time("rename_column_O(meta)")(
+      ManifestTable.renameColumn(spark, src, "o_totalprice", "price"))
+    time("drop_column_O(meta)")(
+      ManifestTable.dropColumn(spark, src, "o_day_slot"))
     // a few more versions so history has something to walk
     ManifestTable.deleteWhere(spark, src, col("o_custkey") === -1L)
     ManifestTable.optimize(spark, src, targetFiles = nFiles)

@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Column mapping (Delta's column-mapping mode): RENAME/DROP COLUMN
+  * as metadata-only commits — the version carries the base's files
+  * and vector verbatim, only the logical→physical `_colmap` changes;
+  * full rewrites materialize the mapping, file-list commits translate
+  * appended files to physical names. */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = java.nio.file.Files
+    .createTempDirectory("graft_cm_").toString + "/tbl"
+
+  private def kv(rows: (Long, Long)*) = rows.toSeq.toDF("k", "n")
+
+  test("RENAME COLUMN is metadata-only; readers see the new name") {
+    val root = freshRoot()
+    ManifestTable.commit(kv((1L to 5L).map(i => i -> i * 10L): _*), root)
+    val v1Refs = ManifestTable.readVersion(spark, root, 1L).inputFiles
+    ManifestTable.renameColumn(spark, root, "n", "amount")    // v2
+    // zero-copy: v2 references exactly v1's files
+    val refs = ManifestTable.versionFileRefs(spark, root, 2L).get
+    assert(refs.size == v1Refs.length &&
+      refs.forall(_.startsWith("d1-")))
+    // logical view: new name, same values
+    val df = ManifestTable.read(spark, root).get
+    assert(df.columns.toSeq == Seq("k", "amount"))
+    assert(df.as[(Long, Long)].collect().sorted.toSeq ==
+      (1L to 5L).map(i => i -> i * 10L))
+    // time travel: v1 still reads the OLD name
+    assert(ManifestTable.readVersion(spark, root, 1L)
+      .columns.toSeq == Seq("k", "n"))
+    // guards: unknown source, colliding target
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "n", "x")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "amount", "k")
+    }
+    // history records the op
+    assert(ManifestTable.history(spark, root)
+      .filter($"version" === 2L).select("operation")
+      .as[String].head() == "RENAME COLUMN")
+  }
+
+  test("DROP COLUMN hides the column; physical data survives") {
+    val root = freshRoot()
+    ManifestTable.commit(
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "n", "t"), root)
+    ManifestTable.dropColumn(spark, root, "t")                // v2
+    val df = ManifestTable.read(spark, root).get
+    assert(df.columns.toSeq == Seq("k", "n"))
+    // the physical column is still IN the carried files (zero-copy
+    // drop — invisible behind the mapping, not rewritten away)
+    val refs = ManifestTable.versionFileRefs(spark, root, 2L).get
+    val raw = spark.read.parquet(
+      refs.map(r => s"$root/$r"): _*)
+    assert(raw.columns.contains("t"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, root, "t") // already gone
+    }
+  }
+
+  test("feed across RENAME and DROP is EMPTY; real changes still show") {
+    val root = freshRoot()
+    ManifestTable.commit(
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "n", "t"), root)
+    ManifestTable.renameColumn(spark, root, "n", "amount")    // v2
+    assert(ManifestTable.changes(spark, root, 1L, 2L, Seq("k"))
+      .count() == 0L)
+    ManifestTable.dropColumn(spark, root, "t")                // v3
+    assert(ManifestTable.changes(spark, root, 2L, 3L, Seq("k"))
+      .count() == 0L)
+    // and across BOTH metadata commits at once
+    assert(ManifestTable.changes(spark, root, 1L, 3L, Seq("k"))
+      .count() == 0L)
+    // a DV delete on the mapped table: predicate on the NEW name,
+    // feed shows the exact delete in the CURRENT schema
+    ManifestTable.deleteWhereDV(spark, root, col("amount") === 20L) // v4
+    val f = ManifestTable.changes(spark, root, 3L, 4L, Seq("k"))
+    assert(f.filter($"_change_type" === "delete")
+      .select($"k").as[Long].collect().toSeq == Seq(2L))
+    assert(f.columns.toSet == Set("k", "amount", "_change_type"))
+  }
+
+  test("DV update and merge on a mapped table write PHYSICAL appends") {
+    val root = freshRoot()
+    ManifestTable.commit(kv((1L to 6L).map(i => i -> i): _*), root)
+    ManifestTable.renameColumn(spark, root, "n", "amount")    // v2
+    ManifestTable.updateWhereDV(spark, root, col("k") === 3L,
+      Map("amount" -> lit(333L)))                             // v3
+    // appended post-image files share the carried files' physical
+    // schema — one mixed read must not tear
+    assert(ManifestTable.read(spark, root).get
+      .filter($"k" === 3L).select($"amount").as[Long].head() == 333L)
+    ManifestTable.mergeDV(spark, root,
+      Seq((6L, 60L), (7L, 70L)).toDF("k", "amount"), Seq("k")) // v4
+    val got = ManifestTable.read(spark, root).get
+    assert(got.columns.toSeq == Seq("k", "amount"))
+    assert(got.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 333L, 4L -> 4L, 5L -> 5L,
+        6L -> 60L, 7L -> 70L))
+    // the mapping rides every file-list commit
+    val d4 = ManifestTable.versionDataDir(spark, root, 4L)
+    assert(ManifestTable.colmapOf(spark, root, d4).isDefined)
+  }
+
+  test("a full rewrite MATERIALIZES the mapping") {
+    val root = freshRoot()
+    ManifestTable.commit(kv((1L to 4L).map(i => i -> i): _*), root)
+    ManifestTable.renameColumn(spark, root, "n", "amount")    // v2
+    ManifestTable.merge(spark, root,
+      Seq((1L, 100L)).toDF("k", "amount"), Seq("k"))          // v3
+    val d3 = ManifestTable.versionDataDir(spark, root, 3L)
+    assert(ManifestTable.colmapOf(spark, root, d3).isEmpty)
+    // files now carry the logical name physically
+    val raw = spark.read.parquet(s"$root/$d3")
+    assert(raw.columns.toSeq == Seq("k", "amount"))
+    assert(ManifestTable.read(spark, root).get.as[(Long, Long)]
+      .collect().toMap ==
+      Map(1L -> 100L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("restore and shallow clone carry the mapping") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cm_").toString
+    val (src, cl) = (s"$base/src", s"$base/cl")
+    ManifestTable.commit(kv((1L to 4L).map(i => i -> i): _*), src)
+    ManifestTable.renameColumn(spark, src, "n", "amount")     // v2
+    ManifestTable.cloneShallow(spark, src, cl)
+    assert(ManifestTable.read(spark, cl).get
+      .columns.toSeq == Seq("k", "amount"))
+    ManifestTable.merge(spark, src,
+      Seq((1L, 9L)).toDF("k", "amount"), Seq("k"))            // v3
+    ManifestTable.restore(spark, src, 2L)                     // v4
+    val restored = ManifestTable.read(spark, src).get
+    assert(restored.columns.toSeq == Seq("k", "amount"))
+    assert(restored.as[(Long, Long)].collect().toMap ==
+      (1L to 4L).map(i => i -> i).toMap)
+  }
+
+  test("reorg on a mapped table keeps the logical schema") {
+    val root = freshRoot()
+    ManifestTable.commit(
+      spark.range(1, 101).select(col("id").as("k"), col("id").as("n"))
+        .repartitionByRange(4, col("id")), root)
+    ManifestTable.renameColumn(spark, root, "n", "amount")    // v2
+    ManifestTable.deleteWhereDV(spark, root, col("k") <= 10L) // v3
+    ManifestTable.reorg(spark, root)                          // v4
+    val df = ManifestTable.read(spark, root).get
+    assert(df.columns.toSeq == Seq("k", "amount"))
+    assert(df.count() == 90L)
+    assert(ManifestTable.changes(spark, root, 3L, 4L, Seq("k"))
+      .count() == 0L)
+  }
+}

@@ -259,6 +259,41 @@ class DeletionVectorSpec extends SparkSpec {
       Map(1L -> 100L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
   }
 
+  test("two concurrent DV-merge writers: serialized, no lost rows, " +
+      "both batch keys exactly-once") {
+    val root = freshRoot()
+    ManifestTable.commit(kv((0L to 3L).map(i => i -> i): _*), root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def writer(idBase: Long): java.util.concurrent.Future[Unit] =
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          gate.await()
+          (0 until 3).foreach { i =>
+            ManifestTable.mergeBatchDVWithRetry(spark, root,
+              kv((idBase + i) -> (idBase + i)), Seq("k"),
+              batchKey = s"w$idBase-b$i")
+          }
+        }
+      })
+    val fa = writer(100L); val fb = writer(200L)
+    gate.countDown()
+    fa.get(); fb.get(); pool.shutdown()
+    val rows = ManifestTable.read(spark, root).get
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(rows == Seq(0L, 1L, 2L, 3L, 100L, 101L, 102L,
+      200L, 201L, 202L), s"lost rows: $rows")
+    // serialized: 1 base + 6 DV-merge commits; all keys applied
+    assert(ManifestTable.currentVersion(spark, root).contains(7L))
+    val applied = ManifestTable.appliedBatchKeys(spark, root)
+    assert((0 until 3).forall(i => applied.contains(s"w100-b$i") &&
+      applied.contains(s"w200-b$i")))
+    // a replay of any batch after the storm is still a no-op
+    ManifestTable.mergeBatchDVWithRetry(spark, root,
+      kv(100L -> 100L), Seq("k"), batchKey = "w100-b0")
+    assert(ManifestTable.currentVersion(spark, root).contains(7L))
+  }
+
   test("reorg APPLY PURGE: dirty files rewritten, clean carried") {
     val root = freshRoot()
     // 4 files of 25 rows each so the vector dirties a strict subset
