@@ -1322,8 +1322,8 @@ object ManifestTable {
   def updateWhereDV(spark: SparkSession, root: String,
       condition: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit,
-      regexp_extract}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col,
+      lit, regexp_extract}
     val (live, compacted) = commitState(spark, root)
     val markers = namesOf(live, compacted)
     require(markers.nonEmpty, s"nothing to update at $root")
@@ -1344,9 +1344,13 @@ object ManifestTable {
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("__ri", col("_metadata.row_index"))
     val cm = colmapOf(spark, root, baseDir)
+    // broadcast hint: the localCheckpoint below compiles outside AQE,
+    // where an un-hinted anti-join degrades to a full-table
+    // sort-merge shuffle (the mergeDV lesson — DvMergeProbe); the
+    // vector is O(deleted) by contract
     val current0 = prior.fold(tagged)(dv =>
-      tagged.join(dv.select(col("path").as("__path"),
-          col("row_index").as("__ri")),
+      tagged.join(broadcast(dv.select(col("path").as("__path"),
+          col("row_index").as("__ri"))),
         Seq("__path", "__ri"), "left_anti"))
     // LOGICAL view: WHERE, SET and checks all resolve logical names
     val current = cm.fold(current0)(
@@ -1455,7 +1459,8 @@ object ManifestTable {
       source: DataFrame, keys: Seq[String],
       updateCols: Option[Seq[String]], batchKey: String,
       batchKeyRetention: Long = Long.MaxValue): Long = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import org.apache.spark.sql.functions.{broadcast, col,
+      regexp_extract}
     val (live, compacted) = commitState(spark, root)
     val markers = namesOf(live, compacted)
     if (batchKey.nonEmpty &&
@@ -1486,9 +1491,16 @@ object ManifestTable {
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("__ri", col("_metadata.row_index"))
     val cm = colmapOf(spark, root, baseDir)
+    // EXPLICIT broadcast hints on the delta-sized sides: the
+    // localCheckpoint below compiles its plan OUTSIDE AQE (RDD
+    // conversion), where the un-hinted joins degrade to sort-merge
+    // shuffles of the FULL table scan — measured 43 s vs 3.6 s at
+    // 100× (DvMergeProbe). The vector and the batch's key set are
+    // O(delta) by the merge-on-read contract; a delta too large to
+    // broadcast belongs on the copy-on-write [[merge]] path anyway
     val current0 = prior.fold(tagged)(dv =>
-      tagged.join(dv.select(col("path").as("__path"),
-          col("row_index").as("__ri")),
+      tagged.join(broadcast(dv.select(col("path").as("__path"),
+          col("row_index").as("__ri"))),
         Seq("__path", "__ri"), "left_anti"))
     // LOGICAL view: keys, source columns and the kernel all resolve
     // logical names when a column mapping is active
@@ -1504,8 +1516,8 @@ object ManifestTable {
     // post-image write could re-plan the scan and tear them apart.
     // O(matched) rows, the merge-on-read price
     val matched = current
-      .join(srcProj.select(keys.map(col): _*).distinct(), keys,
-        "left_semi")
+      .join(broadcast(srcProj.select(keys.map(col): _*).distinct()),
+        keys, "left_semi")
       .localCheckpoint()
     val positions = matched
       .select(col("__path").as("path"), col("__ri").as("row_index"))
