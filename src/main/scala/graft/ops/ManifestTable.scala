@@ -1146,9 +1146,15 @@ object ManifestTable {
       to0.columns.toSeq.map(c => c -> c)).toMap
     val fromByPhys = fromCmMap.map(_.swap)
     val cols = to0.columns.toSeq
-    // from-side logical counterpart of each to-column, if any
+    // from-side logical counterpart of each to-column: PHYSICAL
+    // identity first (a renamed column matches its pre-rename self),
+    // then LOGICAL name (a materializing rewrite re-keys physical
+    // names to logical — the same column must stay linked across
+    // that boundary)
     val counterpart: Map[String, String] = cols.flatMap(c =>
-      fromByPhys.get(toCmMap(c)).map(c -> _)).toMap
+      fromByPhys.get(toCmMap(c))
+        .orElse(if (fromCmMap.contains(c)) Some(c) else None)
+        .map(c -> _)).toMap
     val fTypes = from0.schema.map(f => f.name -> f.dataType).toMap
     val tTypes = to0.schema.map(f => f.name -> f.dataType).toMap
     val conflicts = counterpart.filter { case (c, fc) =>

@@ -142,6 +142,56 @@ class ColumnMappingSpec extends SparkSpec {
       (1L to 4L).map(i => i -> i).toMap)
   }
 
+  test("optimizeZOrder on a mapped table materializes and re-arms " +
+      "committed skipping on the NEW logical names") {
+    val root = freshRoot()
+    ManifestTable.commit(
+      spark.range(1, 201).select(col("id").as("x"), (col("id") % 8)
+        .as("y"), col("id").as("k")), root)
+    ManifestTable.renameColumn(spark, root, "x", "xid")        // v2
+    // stats were dropped by the mapping commit; re-establish on the
+    // new logical schema — the rewrite also materializes the mapping
+    ZTable.optimizeZOrder(spark, root, "xid", "y", "k", nFiles = 4) // v3
+    val d3 = ManifestTable.versionDataDir(spark, root, 3L)
+    assert(ManifestTable.colmapOf(spark, root, d3).isEmpty)
+    val scan = ZTable.scanXRange(spark, root, 50L, 120L)
+    assert(scan.columns.contains("xid"))
+    assert(scan.count() == 71L)
+    // feed across the materializing layout commit is still EMPTY
+    assert(ManifestTable.changes(spark, root, 2L, 3L, Seq("k"))
+      .count() == 0L)
+  }
+
+  test("change-feed consumer stays exact across DV merges; a rename " +
+      "of an unconsumed column is an empty step") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cm_").toString
+    val (src, sink) = (s"$base/src", s"$base/sink")
+    def rows(xs: (Long, String, Double)*) =
+      xs.toSeq.toDF("k", "g", "v")
+    ManifestTable.commit(
+      rows((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 5.0)), src)
+    def step() = ChangeFeed.sync(spark, src, sink,
+      keys = Seq("k"), groupCols = Seq("g"),
+      col("v").cast("decimal(18,6)"), "sum_v")
+    step() // bootstrap at v1
+    // merge-on-read commits feed the consumer exactly
+    ManifestTable.mergeDV(spark, src,
+      rows((2L, "b", 25.0), (4L, "c", 1.0)), Seq("k"))         // v2
+    ManifestTable.deleteWhereDV(spark, src, col("k") === 3L)   // v3
+    step()
+    // a rename of a column the consumer never references: the feed
+    // across it is EMPTY, the sync applies an identity step
+    ManifestTable.renameColumn(spark, src, "k", "id")          // v4
+    ChangeFeed.sync(spark, src, sink, keys = Seq("id"),
+      groupCols = Seq("g"), col("v").cast("decimal(18,6)"), "sum_v")
+    val got = ManifestTable.read(spark, sink).get
+      .select(col("g"), col("sum_v").cast("double"))
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 10.0, "b" -> 25.0, "c" -> 1.0),
+      s"got $got")
+  }
+
   test("reorg on a mapped table keeps the logical schema") {
     val root = freshRoot()
     ManifestTable.commit(
