@@ -2055,6 +2055,79 @@ object ManifestTable {
     next
   }
 
+  /** Incremental OPTIMIZE — bin-pack ONLY the small files (Delta's
+    * actual OPTIMIZE semantic: files under `minFileBytes` compact,
+    * everything else is untouched): the small set comes from one
+    * O(files) metadata listing, the rewrite reads just those files
+    * (with their deletion-vector rows applied — their slice of the
+    * vector materializes), every large file is carried by REFERENCE
+    * with its surviving vector rows intact. dataChange-false: content
+    * identical, [[changes]] across it EMPTY (spec-pinned). After a
+    * thousand streaming [[mergeBatchDV]] commits each appending a
+    * small post-image file, one binPack folds the accumulated
+    * fragments at O(fragments) cost — the full [[optimize]] rewrite
+    * is never needed just for file-count hygiene. No-op (returns the
+    * current version, no commit) when fewer than two small files
+    * exist. Skipping stats drop (rewritten keys change);
+    * [[ZTable.optimizeZOrder]] re-establishes. Returns the committed
+    * (or current) version. */
+  def optimizeBinPack(spark: SparkSession, root: String,
+      minFileBytes: Long = 32L * 1024 * 1024,
+      targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val (live, compacted) = commitState(spark, root)
+    val markers = namesOf(live, compacted)
+    require(markers.nonEmpty, s"nothing to optimize at $root")
+    val base = markers.map(versionOf).max
+    val baseDir = dirOf(spark, root,
+      winnersByVersion(markers)(base), live, compacted)
+    val refs = fileList(spark, root, baseDir).getOrElse {
+      fsOf(spark, root).listStatus(new Path(root, baseDir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"$baseDir/$n")
+    }
+    require(refs.nonEmpty, s"version $base of $root has no data files")
+    val fs = fsOf(spark, root)
+    // O(files) metadata listing — the planning grain
+    val (small, large) = refs.partition(r =>
+      fs.getFileStatus(new Path(resolveRef(root, r))).getLen
+        < minFileBytes)
+    if (small.size < 2) return base
+    val dv = dvOf(spark, root, baseDir)
+    val smallKeys = small.map(fileKeyOf)
+    // rewrite the small files RAW (physical names preserved — the
+    // carried large files keep theirs, one mixed read must not tear);
+    // their vector slice materializes in the rewrite
+    val raw = spark.read
+      .parquet(small.map(r => resolveRef(root, r)): _*)
+    val next = base + 1
+    val dir = newDataDirName(next)
+    dv.fold(raw)(applyDv(raw, _))
+      .repartition(targetFiles).write.parquet(s"$root/$dir")
+    val appended = fs.listStatus(new Path(root, dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .map(n => s"$dir/$n")
+    // vector rows hitting LARGE files survive; joined against the
+    // small-key set as a frame, never an O(files) literal expression
+    dv.foreach { v =>
+      import spark.implicits._
+      val surviving = v.join(
+        smallKeys.toDF("path"), Seq("path"), "left_anti")
+      if (surviving.limit(1).count() > 0)
+        surviving.repartition(1).write.parquet(s"$root/$dir/_dv")
+    }
+    val out = fs.create(new Path(new Path(root, dir), "_files"), true)
+    try out.write((large ++ appended).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    carryColmap(spark, root, baseDir, dir)
+    writeOpMeta(spark, root, dir, "OPTIMIZE")
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root, live.size + 1)
+    next
+  }
+
   /** Drop the DATA of all versions older than the newest `keepLast`
     * (never the current version; never any commit RECORD — time-travel
     * reads of vacuumed versions fail loudly and [[batchApplied]] stays
@@ -2214,9 +2287,10 @@ object ManifestTable {
       fs.exists(new Path(s"$root/$dir/_bloom")),
       fs.exists(new Path(s"$root/$dir/_dv")),
       Checks.checks(spark, root).size.toLong,
-      Generated.generated(spark, root).size.toLong))
+      Generated.generated(spark, root).size.toLong,
+      fs.exists(new Path(s"$root/$dir/_colmap"))))
     spark.createDataFrame(rows).toDF("version", "n_versions_retained",
       "n_files", "size_bytes", "is_filelist", "has_stats", "has_bloom",
-      "has_dv", "n_checks", "n_generated")
+      "has_dv", "n_checks", "n_generated", "has_colmap")
   }
 }

@@ -1800,8 +1800,99 @@ object OpsQueries extends QueryPack {
     covers = Seq("TD-column-mapping", "TD-deletion-vectors",
       "TD-change-feed"))
 
+  /** Incremental bin-pack OPTIMIZE
+    * ([[graft.ops.ManifestTable.optimizeBinPack]] — Delta's actual
+    * OPTIMIZE semantic: only files under the size floor compact):
+    * after a streaming run of three exactly-once DV merges (each
+    * appending a small post-image fragment) and a DV delete, one
+    * binPack folds the fragments at O(fragments) cost — the large
+    * base file is carried by REFERENCE (`carried`), its surviving
+    * deletion-vector rows ride along (`dv_kept`), file count drops
+    * (`packed`), and content is IDENTICAL — the feed across the
+    * binPack is EMPTY (`feed_empty`, dataChange-false). At 100 TB
+    * this is the file-count hygiene pass a streaming MoR sink needs,
+    * at fragment cost instead of table cost. */
+  val q238 = Q(
+    "q238_binpack_optimize",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ManifestTable
+      val orders = Tables(s, dir, "orders")
+      val cut = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-07-01").cast("timestamp")
+      val target = orders.filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice").coalesce(1)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q238_").toString + "/orders_tbl"
+      ManifestTable.commit(target, root)                        // v1
+      // three streaming micro-batches, merge-on-read: each appends a
+      // small fragment + grows the vector with its matched pre-images
+      (0 until 3).foreach { i =>
+        val batch = orders
+          .filter($"o_orderdate" >= cut && $"o_orderdate" < hi &&
+            $"o_custkey" % 3 === i)
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+            $"o_totalprice")
+        ManifestTable.mergeBatchDV(s, root, batch,
+          Seq("o_orderkey"), batchKey = s"run1-b$i")          // v2..v4
+      }
+      ManifestTable.deleteWhereDV(s, root,
+        $"o_custkey" % 11 === 5)                               // v5
+      val before = ManifestTable.versionFileRefs(s, root, 5L).get
+      val big = before.filter(_.startsWith("d1-"))
+      // size floor = the largest file's size (strict <): the base
+      // file is never "small" at any SF, the fragments always are
+      val fsq = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val maxLen = before.map(r => fsq.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/$r")).getLen).max
+      val v6 = ManifestTable.optimizeBinPack(s, root,
+        minFileBytes = maxLen)
+      val after = ManifestTable.versionFileRefs(s, root, 6L).get
+      val carried = big.nonEmpty && big.forall(after.contains)
+      val packed = after.size < before.size
+      val dvKept = ManifestTable.detail(s, root)
+        .select($"has_dv").head.getBoolean(0)
+      val feedEmpty = v6 == 6L && ManifestTable.changes(s, root,
+        5L, 6L, Seq("o_orderkey")).count() == 0L
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("carried", lit(carried))
+        .withColumn("packed", lit(packed))
+        .withColumn("dv_kept", lit(dvKept))
+        .withColumn("feed_empty", lit(feedEmpty))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+      src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'),
+      merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL SELECT * FROM src),
+      final AS (
+        SELECT * FROM merged WHERE NOT (o_custkey % 11 = 5))
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS carried, true AS packed, true AS dv_kept,
+             true AS feed_empty
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-deletion-vectors", "TD-optimize-compaction",
+      "TD-change-feed"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236, q237)
+      q234, q235, q236, q237, q238)
 }

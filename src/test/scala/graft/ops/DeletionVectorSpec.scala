@@ -294,6 +294,47 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(spark, root).contains(7L))
   }
 
+  test("optimizeBinPack: small files fold, large carried with their " +
+      "vector rows; content identical, feed empty") {
+    val root = freshRoot()
+    // one big file + a stream of small append fragments via DV merges
+    ManifestTable.commit(
+      spark.range(1, 1001).select(col("id").as("k"),
+        col("id").as("n")).coalesce(1), root)
+    (0 until 3).foreach(i =>
+      ManifestTable.mergeBatchDV(spark, root,
+        kv((2000L + i) -> (2000L + i), (1L + i) -> (9000L + i)),
+        Seq("k"), batchKey = s"bp-$i"))                       // v2..v4
+    ManifestTable.deleteWhereDV(spark, root, col("k") === 500L) // v5
+    val before = ManifestTable.versionFileRefs(spark, root, 5L).get
+    val big = before.filter(_.startsWith("d1-"))
+    assert(big.size == 1 && before.size >= 4)
+    // the big file is far over the tiny threshold; fragments under it
+    val v6 = ManifestTable.optimizeBinPack(spark, root,
+      minFileBytes = 4096L)
+    assert(v6 == 6L)
+    val after = ManifestTable.versionFileRefs(spark, root, 6L).get
+    // big file carried by reference; fragments folded to one
+    assert(big.forall(after.contains))
+    assert(after.size < before.size)
+    // the vector survives for the big file's deleted row (k=500 and
+    // the three updated pre-images all live in the big file)
+    val d6 = ManifestTable.versionDataDir(spark, root, 6L)
+    assert(ManifestTable.dvOf(spark, root, d6).isDefined)
+    // content identical to pre-binpack; feed across it EMPTY
+    assert(ManifestTable.read(spark, root).get.as[(Long, Long)]
+      .collect().toMap ==
+      ((4L to 999L).filter(_ != 500L).map(i => i -> i) ++
+        Seq(1000L -> 1000L) ++
+        (0 until 3).flatMap(i => Seq((2000L + i) -> (2000L + i),
+          (1L + i) -> (9000L + i)))).toMap)
+    assert(ManifestTable.changes(spark, root, 5L, 6L, Seq("k"))
+      .count() == 0L)
+    // idempotent-ish: a second binPack with one small file is a no-op
+    assert(ManifestTable.optimizeBinPack(spark, root,
+      minFileBytes = 4096L) == 6L)
+  }
+
   test("reorg APPLY PURGE: dirty files rewritten, clean carried") {
     val root = freshRoot()
     // 4 files of 25 rows each so the vector dirties a strict subset
