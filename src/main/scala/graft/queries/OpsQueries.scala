@@ -1818,8 +1818,8 @@ object OpsQueries extends QueryPack {
       import s.implicits._
       import graft.ops.ManifestTable
       val orders = Tables(s, dir, "orders")
-      val cut = lit("1996-01-01").cast("timestamp")
-      val hi = lit("1996-07-01").cast("timestamp")
+      val cut = lit("1995-04-01").cast("timestamp")
+      val hi = lit("1995-10-01").cast("timestamp")
       val target = orders.filter($"o_orderdate" < cut)
         .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
           $"o_totalprice").coalesce(1)
@@ -1870,12 +1870,12 @@ object OpsQueries extends QueryPack {
     Some("""
       WITH target AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
       src AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'),
+        WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'),
       merged AS (
         SELECT * FROM target
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
