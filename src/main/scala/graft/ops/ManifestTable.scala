@@ -532,13 +532,28 @@ object ManifestTable {
     colmapOf(spark, root, fromDir).foreach(cm =>
       writeColmap(spark, root, toDir, cm))
 
+  /** Sentinel prefix marking an UNBACKED mapping entry — a column
+    * added metadata-only ([[addColumn]]): the "physical" slot carries
+    * NUL + the column's DDL type instead of a file column name (NUL
+    * can never appear in a physical parquet field we wrote), and
+    * readers null-fill at the declared type. */
+  private val Unbacked = "\u0000"
+
+  private[ops] def isUnbacked(physical: String): Boolean =
+    physical.startsWith(Unbacked)
+
   /** Present a physical-schema frame in LOGICAL names (+ passthrough
-    * columns kept verbatim, for the DV paths' `__path`/`__ri`). */
+    * columns kept verbatim, for the DV paths' `__path`/`__ri`).
+    * Unbacked entries read as typed NULL. */
   private def toLogical(df: DataFrame, cm: Seq[(String, String)],
       passthrough: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    df.select(cm.map { case (l, p) => col(p).as(l) } ++
-      passthrough.map(col): _*)
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(cm.map {
+      case (l, p) if isUnbacked(p) =>
+        lit(null).cast(org.apache.spark.sql.types.DataType
+          .fromDDL(p.substring(1))).as(l)
+      case (l, p) => col(p).as(l)
+    } ++ passthrough.map(col): _*)
   }
 
   /** Rename a logical-schema frame back to PHYSICAL names — what a
@@ -1350,6 +1365,10 @@ object ManifestTable {
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("__ri", col("_metadata.row_index"))
     val cm = colmapOf(spark, root, baseDir)
+    cm.foreach(m => require(!m.exists(e => isUnbacked(e._2)),
+      "table has a metadata-only ADD COLUMN pending — materialize " +
+        "with a full rewrite (merge/optimize/optimizeZOrder) before " +
+        "merge-on-read UPDATE"))
     // broadcast hint: the localCheckpoint below compiles outside AQE,
     // where an un-hinted anti-join degrades to a full-table
     // sort-merge shuffle (the mergeDV lesson — DvMergeProbe); the
@@ -1497,6 +1516,10 @@ object ManifestTable {
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("__ri", col("_metadata.row_index"))
     val cm = colmapOf(spark, root, baseDir)
+    cm.foreach(m => require(!m.exists(e => isUnbacked(e._2)),
+      "table has a metadata-only ADD COLUMN pending — materialize " +
+        "with a full rewrite (merge/optimize/optimizeZOrder) before " +
+        "merge-on-read MERGE"))
     // EXPLICIT broadcast hints on the delta-sized sides: the
     // localCheckpoint below compiles its plan OUTSIDE AQE (RDD
     // conversion), where the un-hinted joins degrade to sort-merge
@@ -1662,6 +1685,30 @@ object ManifestTable {
     require(cm0.size > 1, s"cannot drop the only column of $root")
     commitMapping(spark, root, cm0.filterNot(_._1 == name),
       "DROP COLUMN")
+  }
+
+  /** ADD COLUMN — metadata-only (the [[renameColumn]] machinery,
+    * completing the ALTER TABLE triple): the new column exists only
+    * as an UNBACKED mapping entry carrying its DDL type; readers
+    * null-fill it at that type, zero bytes written at any table size.
+    * Any full-rewrite commit (MERGE, OPTIMIZE, copy-on-write DML,
+    * [[ZTable.optimizeZOrder]]) MATERIALIZES it into real columns.
+    * Until then the merge-on-read writers ([[mergeDV]],
+    * [[updateWhereDV]]) refuse loudly — their appended files would
+    * back the column while carried files don't, and a mixed read
+    * must never tear ([[deleteWhereDV]] writes no data files and
+    * stays available). The feed across the add is EMPTY (widening
+    * null<=>null). Returns the new version. */
+  def addColumn(spark: SparkSession, root: String, name: String,
+      ddlType: String): Long = {
+    // validate the type EARLY — a bad DDL string must fail here, not
+    // at first read
+    org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+    val cm0 = currentColmap(spark, root)
+    require(!cm0.exists(_._1 == name),
+      s"column $name already exists at $root")
+    commitMapping(spark, root, cm0 :+ (name -> (Unbacked + ddlType)),
+      "ADD COLUMN")
   }
 
   /** The current version's logical→physical mapping — the committed

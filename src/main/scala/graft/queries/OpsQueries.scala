@@ -1586,9 +1586,9 @@ object OpsQueries extends QueryPack {
         df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
           $"o_totalprice")
       val orders = Tables(s, dir, "orders")
-      val cut = lit("1997-01-01").cast("timestamp")
-      val lo = lit("1996-06-01").cast("timestamp")
-      val hi = lit("1997-06-01").cast("timestamp")
+      val cut = lit("1995-07-01").cast("timestamp")
+      val lo = lit("1995-04-01").cast("timestamp")
+      val hi = lit("1995-10-01").cast("timestamp")
       val target = shaped(orders.filter($"o_orderdate" < cut))
       // straddles the target boundary: the early half UPDATES
       // (tripled price), the late half INSERTS
@@ -1626,13 +1626,13 @@ object OpsQueries extends QueryPack {
     Some("""
       WITH target AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'),
       src1 AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
                o_totalprice * 3 AS o_totalprice
         FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
-          AND o_orderdate <  TIMESTAMP '1997-06-01 00:00:00'),
+        WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'),
       m1 AS (
         SELECT * FROM target
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src1)
@@ -1642,7 +1642,7 @@ object OpsQueries extends QueryPack {
                o_totalprice + 1000 AS o_totalprice
         FROM orders
         WHERE o_custkey % 13 = 1
-          AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'),
+          AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
       m2 AS (
         SELECT * FROM m1
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src2)
@@ -1745,7 +1745,7 @@ object OpsQueries extends QueryPack {
       import s.implicits._
       import graft.ops.ManifestTable
       val orders = Tables(s, dir, "orders")
-      val cut = lit("1997-01-01").cast("timestamp")
+      val cut = lit("1995-07-01").cast("timestamp")
       val target = orders.filter($"o_orderdate" < cut)
         .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
           $"o_totalprice")
@@ -1780,7 +1780,7 @@ object OpsQueries extends QueryPack {
     Some("""
       WITH target AS (
         SELECT o_orderkey, o_orderstatus, o_totalprice AS price
-        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'),
       after_del AS (
         SELECT * FROM target
         WHERE NOT (price < 50000 AND o_orderstatus = 'F')),
@@ -1891,8 +1891,86 @@ object OpsQueries extends QueryPack {
     covers = Seq("TD-deletion-vectors", "TD-optimize-compaction",
       "TD-change-feed"))
 
+  /** Metadata-only ADD COLUMN ([[graft.ops.ManifestTable.addColumn]]
+    * — completes the ALTER TABLE triple with rename/drop): the new
+    * column exists only as a typed unbacked mapping entry
+    * (`zero_copy` — v2 references exactly the v1 files), reads as
+    * typed NULL, the feed across the add is EMPTY (`feed_empty`,
+    * widening); a DV DELETE still runs merge-on-read (writes no data
+    * files), and the closing CoW MERGE materializes the column with
+    * real values — nulls on pre-existing rows, source values on
+    * inserts (`n_disc_null`/`sum_disc` pin both). Oracle = the
+    * declarative NULL-projection + delete + upsert pipeline. */
+  val q239 = Q(
+    "q239_add_column",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ManifestTable
+      val orders = Tables(s, dir, "orders")
+      val cut = lit("1995-07-01").cast("timestamp")
+      val target = orders.filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val source = orders.filter($"o_orderdate" >= lit("2001-01-01")
+          .cast("timestamp"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          ($"o_totalprice" * 0.9).as("o_discounted"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q239_").toString + "/orders_tbl"
+      ManifestTable.commit(target, root)                        // v1
+      val v1Files = ManifestTable.readVersion(s, root, 1L)
+        .inputFiles.length
+      ManifestTable.addColumn(s, root, "o_discounted", "double") // v2
+      val zeroCopy = ManifestTable.versionFileRefs(s, root, 2L)
+        .exists(refs => refs.count(_.startsWith("d1-")) == v1Files)
+      val feedEmpty = ManifestTable.changes(s, root, 1L, 2L,
+        Seq("o_orderkey")).count() == 0L
+      ManifestTable.deleteWhereDV(s, root,
+        $"o_totalprice" < 30000 && $"o_orderstatus" === "F")    // v3
+      ManifestTable.merge(s, root, source, Seq("o_orderkey"))   // v4
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"),
+          count(when($"o_discounted".isNull, lit(1)))
+            .as("n_disc_null"),
+          sum(coalesce($"o_discounted", lit(0.0))
+            .cast("decimal(18,6)")).cast("double").as("sum_disc"))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .withColumn("feed_empty", lit(feedEmpty))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(NULL AS DOUBLE) AS o_discounted
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'),
+      after_del AS (
+        SELECT * FROM target
+        WHERE NOT (o_totalprice < 30000 AND o_orderstatus = 'F')),
+      src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               o_totalprice * 0.9 AS o_discounted
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'),
+      final AS (
+        SELECT * FROM after_del
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL SELECT * FROM src)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             CAST(count(CASE WHEN o_discounted IS NULL THEN 1 END)
+               AS BIGINT) AS n_disc_null,
+             CAST(CAST(sum(CAST(COALESCE(o_discounted, 0.0)
+               AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc,
+             true AS zero_copy, true AS feed_empty
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-column-mapping", "TD-deletion-vectors",
+      "TD-change-feed"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236, q237, q238)
+      q234, q235, q236, q237, q238, q239)
 }

@@ -192,6 +192,53 @@ class ColumnMappingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("ADD COLUMN is metadata-only: typed null until a full rewrite " +
+      "materializes; MoR writers refuse until then") {
+    val root = freshRoot()
+    ManifestTable.commit(kv((1L to 4L).map(i => i -> i): _*), root)
+    ManifestTable.addColumn(spark, root, "w", "double")        // v2
+    // zero-copy + typed-null reads
+    assert(ManifestTable.versionFileRefs(spark, root, 2L).get
+      .forall(_.startsWith("d1-")))
+    val df = ManifestTable.read(spark, root).get
+    assert(df.columns.toSeq == Seq("k", "n", "w"))
+    assert(df.schema("w").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(df.filter(col("w").isNull).count() == 4L)
+    // feed across the add is EMPTY (widening)
+    assert(ManifestTable.changes(spark, root, 1L, 2L, Seq("k"))
+      .count() == 0L)
+    // merge-on-read writers refuse while the column is unbacked
+    intercept[IllegalArgumentException] {
+      ManifestTable.mergeDV(spark, root,
+        Seq((5L, 5L, 1.5)).toDF("k", "n", "w"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhereDV(spark, root, col("k") === 1L,
+        Map("w" -> lit(2.5)))
+    }
+    // DV DELETE stays available (writes no data files)
+    ManifestTable.deleteWhereDV(spark, root, col("k") === 4L)  // v3
+    // a CoW merge MATERIALIZES: values land, mapping gone
+    ManifestTable.merge(spark, root,
+      Seq((1L, 1L, 9.5), (5L, 5L, 1.5)).toDF("k", "n", "w"),
+      Seq("k"))                                                // v4
+    val d4 = ManifestTable.versionDataDir(spark, root, 4L)
+    assert(ManifestTable.colmapOf(spark, root, d4).isEmpty)
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t._3).toMap ==
+      Map(1L -> Some(9.5), 2L -> None, 3L -> None, 5L -> Some(1.5)))
+    // and MoR writers work again after materialization
+    ManifestTable.mergeDV(spark, root,
+      Seq((6L, 6L, 3.5)).toDF("k", "n", "w"), Seq("k"))        // v5
+    assert(ManifestTable.read(spark, root).get.count() == 5L)
+    // invalid DDL fails at ADD time, not first read
+    intercept[Exception] {
+      ManifestTable.addColumn(spark, root, "bad", "not a type")
+    }
+  }
+
   test("reorg on a mapped table keeps the logical schema") {
     val root = freshRoot()
     ManifestTable.commit(
