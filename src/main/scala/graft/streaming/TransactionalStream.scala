@@ -55,4 +55,48 @@ object TransactionalStream {
       }
       .start()
   }
+
+  /** [[runMergeSink]] in MERGE-ON-READ form
+    * ([[ManifestTable.mergeBatchDVWithRetry]]): each micro-batch
+    * commits O(batch) bytes — matched rows' positions join the
+    * cumulative deletion vector, post-images append as a small
+    * fragment, every unmatched table byte carries by reference —
+    * where the copy-on-write sink pays an O(table) version write per
+    * batch. The operational pair is a periodic
+    * [[ManifestTable.optimizeBinPack]] (folds the accumulated
+    * fragments at O(fragments) cost) + [[ManifestTable.reorg]] (purges
+    * the vector); both are dataChange-false, so a change-feed consumer
+    * downstream never sees them. Same exactly-once batch-key
+    * namespacing and multi-writer rebase as [[runMergeSink]]. This is
+    * the sink for a LARGE table fed by SMALL batches — the 100 TB
+    * streaming shape; for a small hot table the CoW sink's simpler
+    * whole-dir versions read faster. */
+  def runMorMergeSink(source: DataFrame, root: String,
+      keys: Seq[String], checkpoint: String,
+      updateCols: Option[Seq[String]] = None,
+      dedupOrder: Option[Seq[Column]] = None,
+      binPackEvery: Int = 0,
+      binPackMinFileBytes: Long = 32L * 1024 * 1024): StreamingQuery = {
+    val ns = BatchKeys.namespace(checkpoint)
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val src = dedupOrder match {
+          case Some(ord) => Upsert.dedupLatest(batch, keys, ord)
+          case None => batch
+        }
+        ManifestTable.mergeBatchDVWithRetry(batch.sparkSession, root,
+          src, keys, s"$ns-$bid", updateCols)
+        // in-line maintenance tick: fragment-count hygiene at
+        // O(fragments) cost, dataChange-false (replay-safe: a binPack
+        // after a replayed no-op batch is itself a no-op when nothing
+        // small accumulated)
+        if (binPackEvery > 0 && bid > 0 && bid % binPackEvery == 0)
+          ManifestTable.optimizeBinPack(batch.sparkSession, root,
+            binPackMinFileBytes)
+        ()
+      }
+      .start()
+  }
 }

@@ -294,6 +294,28 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(spark, root).contains(7L))
   }
 
+  test("vacuum is reference-aware across DV-merge chains: carried " +
+      "dirs survive keepLast while referenced, reclaim after rewrite") {
+    val root = freshRoot()
+    ManifestTable.commit(kv((1L to 50L).map(i => i -> i): _*), root)
+    ManifestTable.mergeDV(spark, root, kv(1L -> 100L), Seq("k"))  // v2
+    ManifestTable.mergeDV(spark, root, kv(60L -> 60L), Seq("k"))  // v3
+    // keepLast=1 retains only v3 — but v3's file list references d1
+    // and d2 dirs, so their DATA must survive the vacuum
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+    assert(ManifestTable.read(spark, root).get.as[(Long, Long)]
+      .collect().toMap ==
+      ((2L to 50L).map(i => i -> i) ++ Seq(1L -> 100L, 60L -> 60L))
+        .toMap)
+    // a full rewrite drops the references; the next vacuum reclaims
+    ManifestTable.optimize(spark, root)                            // v4
+    ManifestTable.vacuum(spark, root, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readVersion(spark, root, 2L) // vacuumed, loud
+    }
+    assert(ManifestTable.read(spark, root).get.count() == 51L)
+  }
+
   test("optimizeBinPack: small files fold, large carried with their " +
       "vector rows; content identical, feed empty") {
     val root = freshRoot()

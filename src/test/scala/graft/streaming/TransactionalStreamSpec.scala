@@ -111,4 +111,52 @@ class TransactionalStreamSpec extends SparkSpec {
     // both namespaces committed each of their 4 batches exactly once
     assert(ManifestTable.appliedBatchKeys(spark, root).size == 8)
   }
+
+  test("merge-on-read sink: O(batch) commits carry the base by " +
+      "reference; binPack tick folds fragments; replays exactly-once") {
+    val landing = Files.createTempDirectory("graft_morstream_landing_")
+    val work = Files.createTempDirectory("graft_morstream_")
+    val root = s"$work/tbl"; val ckpt = s"$work/ckpt"
+    // a pre-existing large-ish base the stream merges INTO
+    ManifestTable.commit(
+      spark.range(1, 501).selectExpr("id as k",
+        "concat('base', id) as v").coalesce(1), root)
+
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("k BIGINT, v STRING")
+        .json(landing.toString)
+      val q = TransactionalStream.runMorMergeSink(src, root, Seq("k"),
+        ckpt, binPackEvery = 2, binPackMinFileBytes = 2048L)
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    drop(landing, "b1.json", row(10, "x"), row(600, "ins"))
+    runOnce()
+    // v2 is a file-list version: the base's files carried verbatim
+    val v2Refs = ManifestTable.versionFileRefs(spark, root, 2L).get
+    assert(v2Refs.exists(_.startsWith("d1-")))
+    assert(ManifestTable.read(spark, root).get.count() == 501L)
+    assert(ManifestTable.read(spark, root).get
+      .filter($"k" === 10L).select("v").as[String].head() == "x")
+
+    // two more batches: the second (bid=2, binPackEvery=2) triggers
+    // the in-line binPack tick — fragments fold, base still carried
+    drop(landing, "b2.json", row(20, "y"))
+    runOnce()
+    drop(landing, "b3.json", row(30, "z"), row(601, "ins2"))
+    runOnce()
+    val cur = ManifestTable.currentVersion(spark, root).get
+    val curRefs = ManifestTable
+      .versionFileRefs(spark, root, cur).get
+    assert(curRefs.exists(_.startsWith("d1-")),
+      "base file must still be carried by reference")
+    val got = ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 502 && got(10L) == "x" && got(20L) == "y" &&
+      got(30L) == "z" && got(600L) == "ins" && got(601L) == "ins2")
+    // replay with no new files: nothing advances
+    runOnce()
+    assert(ManifestTable.currentVersion(spark, root).contains(cur))
+  }
 }
