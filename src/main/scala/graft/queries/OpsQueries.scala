@@ -1427,7 +1427,7 @@ object OpsQueries extends QueryPack {
     (s, dir) => {
       import s.implicits._
       import graft.ops.ManifestTable
-      val cut = lit("1997-01-01").cast("timestamp")
+      val cut = lit("1995-07-01").cast("timestamp")
       def shaped(df: org.apache.spark.sql.DataFrame) =
         df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
           $"o_totalprice")
@@ -1468,7 +1468,7 @@ object OpsQueries extends QueryPack {
     Some("""
       WITH target AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'),
       after_dv1 AS (
         SELECT * FROM target WHERE NOT (o_custkey % 7 = 3)),
       after_dv2 AS (
@@ -1507,7 +1507,7 @@ object OpsQueries extends QueryPack {
     (s, dir) => {
       import s.implicits._
       import graft.ops.ManifestTable
-      val cut = lit("1997-01-01").cast("timestamp")
+      val cut = lit("1995-07-01").cast("timestamp")
       def shaped(df: org.apache.spark.sql.DataFrame) =
         df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
           $"o_totalprice")
@@ -1543,7 +1543,7 @@ object OpsQueries extends QueryPack {
     Some("""
       WITH target AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'),
       upd1 AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 2
