@@ -2216,6 +2216,35 @@ object ManifestTable {
       .foreach(d => fs.delete(new Path(root, d), true))
   }
 
+  /** Time-based retention — Delta's `VACUUM … RETAIN n HOURS` form on
+    * commit wall-clock: keep every version committed at or after
+    * `cutoffMillis` (always at least the current version), vacuum the
+    * rest. The cutoff maps to a version count through the in-band
+    * `_op` commit timestamps ([[history]] — O(versions) metadata) and
+    * delegates to the count-based [[vacuum]], so reference-awareness
+    * and the orphan rules apply unchanged. A version with no recorded
+    * timestamp (pre-`_op` legacy commits) counts as OLD. */
+  def vacuumOlderThan(spark: SparkSession, root: String,
+      cutoffMillis: Long, dropOrphans: Boolean = false,
+      orphanAgeFloorMs: Long = 10 * 60 * 1000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (currentVersion(spark, root).isEmpty) return
+    val keep = history(spark, root)
+      .filter(col("commit_ts").isNotNull &&
+        col("commit_ts") >= cutoffMillis)
+      .count().toInt
+    vacuum(spark, root, math.max(1, keep), dropOrphans,
+      orphanAgeFloorMs)
+  }
+
+  /** RESTORE … TO TIMESTAMP AS OF — [[restore]] of [[versionAsOf]]'s
+    * resolution: the table's content as of the wall-clock instant
+    * becomes the current version again, O(metadata), by reference.
+    * Returns the new version. */
+  def restoreAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): Long =
+    restore(spark, root, versionAsOf(spark, root, tsMillis))
+
   /** DRY RUN: the directory names (relative to `root`) that [[vacuum]]
     * with the same arguments would delete, deleting nothing — the
     * audit form an operator runs before reclaiming a 100 TB table's

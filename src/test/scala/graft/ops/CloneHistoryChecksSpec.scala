@@ -353,4 +353,34 @@ class CloneHistoryChecksSpec extends SparkSpec {
     assert(!f[Boolean]("is_filelist") && !f[Boolean]("has_stats"))
     assert(f[Long]("n_checks") == 1L && f[Long]("n_generated") == 0L)
   }
+
+  test("time-based retention and RESTORE TO TIMESTAMP: wall-clock " +
+      "cutoffs map to versions through in-band commit timestamps") {
+    val root = freshBase() + "/tbl"
+    ManifestTable.commit(kv(1L -> 1L), root)                    // v1
+    Thread.sleep(15)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    ManifestTable.commit(kv(1L -> 1L, 2L -> 2L), root)          // v2
+    Thread.sleep(15)
+    val afterV2 = System.currentTimeMillis()
+    Thread.sleep(15)
+    ManifestTable.commit(kv(1L -> 1L, 2L -> 2L, 3L -> 3L), root) // v3
+    // restore to the instant after v2: content is exactly v2's
+    val v4 = ManifestTable.restoreAsOf(spark, root, afterV2)
+    assert(v4 == 4L)
+    assert(ManifestTable.read(spark, root).get.count() == 2L)
+    // retain only versions committed after v1's instant: v1's data
+    // drops, newer versions stay readable; commit record survives
+    ManifestTable.vacuumOlderThan(spark, root, afterV1)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readVersion(spark, root, 1L)
+    }
+    assert(ManifestTable.readVersion(spark, root, 3L).count() == 3L)
+    assert(ManifestTable.read(spark, root).get.count() == 2L)
+    // a cutoff in the future still keeps the current version
+    ManifestTable.vacuumOlderThan(spark, root,
+      System.currentTimeMillis() + 60000L)
+    assert(ManifestTable.read(spark, root).get.count() == 2L)
+  }
 }
