@@ -1711,6 +1711,19 @@ object ManifestTable {
       "ADD COLUMN")
   }
 
+  /** DESCRIBE COLUMNS — the current logical schema with its mapping
+    * state: one row per logical column with its physical name (file
+    * column, or the declared type for a metadata-only ADD) and
+    * whether file bytes back it yet. O(metadata): one `_colmap` read
+    * or one parquet footer. */
+  def describeColumns(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    currentColmap(spark, root).map { case (l, p) =>
+      if (isUnbacked(p)) (l, null: String, p.substring(1), false)
+      else (l, p, null: String, true)
+    }.toDF("column", "physical_name", "pending_type", "backed")
+  }
+
   /** The current version's logical→physical mapping — the committed
     * `_colmap`, or the identity mapping read from ONE parquet footer
     * (field order = logical order) when none exists. */

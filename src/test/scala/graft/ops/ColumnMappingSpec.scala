@@ -239,6 +239,27 @@ class ColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("describeColumns reports logical schema, physical names and " +
+      "pending (unbacked) adds") {
+    val root = freshRoot()
+    ManifestTable.commit(kv(1L -> 1L), root)
+    ManifestTable.renameColumn(spark, root, "n", "amount")     // v2
+    ManifestTable.addColumn(spark, root, "w", "double")        // v3
+    val d = ManifestTable.describeColumns(spark, root)
+      .as[(String, String, String, Boolean)].collect().toSeq
+    assert(d == Seq(
+      ("k", "k", null, true),
+      ("amount", "n", null, true),
+      ("w", null, "double", false)))
+    // after a materializing rewrite: identity mapping, all backed
+    ManifestTable.merge(spark, root,
+      Seq((1L, 2L, 0.5)).toDF("k", "amount", "w"), Seq("k"))   // v4
+    assert(ManifestTable.describeColumns(spark, root)
+      .as[(String, String, String, Boolean)].collect().toSeq ==
+      Seq(("k", "k", null, true), ("amount", "amount", null, true),
+        ("w", "w", null, true)))
+  }
+
   test("reorg on a mapped table keeps the logical schema") {
     val root = freshRoot()
     ManifestTable.commit(
