@@ -493,6 +493,36 @@ object ManifestTable {
     else None
   }
 
+  /** On-disk parquet footprint of a version's deletion vector, 0 when
+    * none — the O(files-under-`_dv`) metadata probe that gates the
+    * broadcast hint below. */
+  private def dvBytesOf(spark: SparkSession, root: String,
+      dir: String): Long = {
+    val fs = fsOf(spark, root)
+    val p = new Path(new Path(root, dir), "_dv")
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(_.getLen).sum
+  }
+
+  /** Broadcast hint for the delta-sized side of a checkpoint-pinned
+    * join (the DvMergeProbe lesson: `localCheckpoint` plans compile
+    * OUTSIDE AQE, where an un-hinted join degrades to a full-table
+    * sort-merge shuffle) — GUARDED by the frame's on-disk footprint.
+    * The cumulative vector grows monotonically across MoR commits
+    * until a [[reorg]]/[[optimize]]; un-guarded, a long-lived table
+    * whose vector outgrew Spark's broadcast limit (or driver memory)
+    * would make EVERY MoR DML fail until an out-of-band reorg. Past
+    * the cap we fall back to the un-hinted join — slower (sort-merge)
+    * but correct, and the right call is then a [[reorg]] anyway. The
+    * cap is parquet-footprint-based (decoded rows ~3-5× larger):
+    * 512 MiB on disk keeps the decoded build side comfortably inside
+    * executor broadcast budgets. */
+  private val broadcastCapBytes = 512L * 1024 * 1024
+  private def hintIfSmall(df: DataFrame, bytes: Long): DataFrame =
+    if (bytes <= broadcastCapBytes)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+
   /** A version's COLUMN MAPPING, if it carries one (`_colmap`, a tiny
     * text file of `logical\tphysical` lines in logical schema order —
     * Delta's column-mapping mode): logical names are what every reader
@@ -534,13 +564,36 @@ object ManifestTable {
 
   /** Sentinel prefix marking an UNBACKED mapping entry — a column
     * added metadata-only ([[addColumn]]): the "physical" slot carries
-    * NUL + the column's DDL type instead of a file column name (NUL
-    * can never appear in a physical parquet field we wrote), and
-    * readers null-fill at the declared type. */
+    * NUL + logicalName + NUL + the column's DDL type instead of a
+    * file column name (NUL can never appear in a physical parquet
+    * field we wrote), and readers null-fill at the declared type.
+    * The logical name rides INSIDE the sentinel so two unbacked adds
+    * of the same DDL type never share a physical value — physical
+    * identity (the [[changes]] alignment key, built by swapping the
+    * map) must be unique per column, or the feed could cross-link
+    * them. Legacy single-segment sentinels (NUL + type, pre-round-13)
+    * still parse: type = everything after the LAST NUL either way. */
   private val Unbacked = "\u0000"
 
   private[ops] def isUnbacked(physical: String): Boolean =
     physical.startsWith(Unbacked)
+
+  /** The declared DDL type inside an unbacked sentinel (either
+    * format). */
+  private[ops] def unbackedType(physical: String): String =
+    physical.substring(physical.lastIndexOf('\u0000') + 1)
+
+  /** Logical column names ride tab-separated `_colmap` lines and NUL
+    * sentinels — reject the characters that would corrupt either
+    * format at the entry points ([[renameColumn]]/[[addColumn]]),
+    * mirroring [[writeMarker]]'s batch-key guard: a tab in a name
+    * shifts the physical slot on parse, a newline fabricates a bogus
+    * line, a NUL collides with the [[Unbacked]] sentinel. */
+  private def validateColName(name: String): Unit =
+    require(name.nonEmpty && !name.exists(c =>
+        c == '\t' || c == '\n' || c == '\r' || c == '\u0000'),
+      s"illegal column name ${name.trim}: must be non-empty and " +
+        "contain no tab/newline/CR/NUL characters")
 
   /** Present a physical-schema frame in LOGICAL names (+ passthrough
     * columns kept verbatim, for the DV paths' `__path`/`__ri`).
@@ -551,7 +604,7 @@ object ManifestTable {
     df.select(cm.map {
       case (l, p) if isUnbacked(p) =>
         lit(null).cast(org.apache.spark.sql.types.DataType
-          .fromDDL(p.substring(1))).as(l)
+          .fromDDL(unbackedType(p))).as(l)
       case (l, p) => col(p).as(l)
     } ++ passthrough.map(col): _*)
   }
@@ -1119,6 +1172,74 @@ object ManifestTable {
     }
   }
 
+  /** Mapping-THREAD counterpart resolution for [[changes]] when the
+    * two-endpoint match is inconclusive: walk the commits from `toV`
+    * back to `fromV`, linking column identity one step at a time —
+    * across a metadata-only mapping commit (RENAME/DROP/ADD COLUMN)
+    * identity is PHYSICAL (the mapping is all that moved), across any
+    * data commit identity is LOGICAL (every rewrite re-keys physical
+    * names to logical — [[renameColumn]]'s materialization). This is
+    * what keeps a window containing BOTH a rename and a later
+    * materializing rewrite honest: the endpoint match fails there
+    * (physical re-keyed, logical renamed) and a naive null-fill would
+    * emit a spurious full-table update feed. None = the thread cannot
+    * be established (a pre-`_op` commit, a vacuumed intermediate
+    * version, a RESTORE that changed the mapping, or duplicate
+    * physical values from legacy shared unbacked sentinels) — the
+    * caller then fails loudly instead of emitting wrong rows (the
+    * Delta CDF refuse-across-mapping-change posture). */
+  private def threadCounterparts(spark: SparkSession, root: String,
+      fromV: Long, toV: Long, toCols: Seq[String])
+      : Option[Map[String, String]] = {
+    val mappingOps = Set("RENAME COLUMN", "DROP COLUMN", "ADD COLUMN")
+    try {
+      val fs = fsOf(spark, root)
+      var m: Map[String, String] = toCols.map(c => c -> c).toMap
+      var v = toV
+      while (v > fromV) {
+        val dir = versionDataDir(spark, root, v)
+        val prevDir = versionDataDir(spark, root, v - 1)
+        val op = readOpMeta(fs, root, dir).map(_._1).getOrElse("")
+        if (op.isEmpty) return None // pre-metadata commit
+        val cmV = colmapOf(spark, root, dir)
+        val cmPrev = colmapOf(spark, root, prevDir)
+        if (mappingOps.contains(op)) {
+          val byLogical = cmV.getOrElse(return None).toMap
+          // physical identity across the step; the swap must be
+          // injective or two columns would cross-link
+          if (byLogical.values.toSeq.distinct.size != byLogical.size)
+            return None
+          val prevByPhys = cmPrev.map(_.map(_.swap).toMap)
+          if (prevByPhys.exists(_.size != cmPrev.get.size)) return None
+          m = m.flatMap { case (t, name) =>
+            byLogical.get(name).flatMap { p =>
+              prevByPhys match {
+                case Some(pb) => pb.get(p).map(t -> _)
+                // no prior mapping: physical IS the v-1 logical name;
+                // an unbacked sentinel means the column was ADDED at
+                // this step — no earlier self
+                case None => if (isUnbacked(p)) None else Some(t -> p)
+              }
+            }
+          }
+        } else if (op == "RESTORE" && cmV != cmPrev) {
+          // a restore ACROSS a mapping change re-labels columns to the
+          // restore target's logical schema — neither physical nor
+          // v-1-logical linking is sound here
+          return None
+        }
+        // all other commits (WRITE/MERGE/DELETE/UPDATE/OPTIMIZE/REORG)
+        // preserve logical names: nothing to translate; a column the
+        // commit introduced (schema-evolving merge) has no earlier
+        // self and is caught by the caller's fromV-columns filter
+        v -= 1
+      }
+      Some(m)
+    } catch {
+      case _: Exception => None // vacuumed / unreadable intermediate
+    }
+  }
+
   /** Change-data-feed between two committed versions — the NET diff,
     * keyed by `keys`, in Delta CDF vocabulary: one `insert` row per
     * key only in `toV`, one `delete` row (with the FROM-side values)
@@ -1166,10 +1287,34 @@ object ManifestTable {
     // then LOGICAL name (a materializing rewrite re-keys physical
     // names to logical — the same column must stay linked across
     // that boundary)
-    val counterpart: Map[String, String] = cols.flatMap(c =>
+    val endpointMatch: Map[String, String] = cols.flatMap(c =>
       fromByPhys.get(toCmMap(c))
         .orElse(if (fromCmMap.contains(c)) Some(c) else None)
         .map(c -> _)).toMap
+    // the endpoint match is inconclusive when BOTH sides have an
+    // unmatched column — e.g. a rename followed by a materializing
+    // rewrite re-keyed physical names AND changed the logical name,
+    // so the renamed column matches nothing at either identity and a
+    // naive null-fill would emit update pre/post pairs for EVERY row
+    // (a spurious full-table feed). Resolve through the mapping
+    // THREAD ([[threadCounterparts]]); if the thread cannot be
+    // established, FAIL rather than emit wrong rows — split the read
+    // at the schema-change commit ([[changesPerVersion]] reads each
+    // step with exact identity).
+    val counterpart: Map[String, String] =
+      if (cols.forall(endpointMatch.contains) ||
+          fromCmMap.keySet.subsetOf(endpointMatch.values.toSet))
+        endpointMatch
+      else threadCounterparts(spark, root, fromV, toV, cols) match {
+        case Some(m) => m.filter { case (_, fc) => fromCmMap.contains(fc) }
+        case None => throw new IllegalStateException(
+          s"changes($fromV,$toV) on $root cannot align columns across " +
+            "the schema changes inside this window (a rename combined " +
+            "with adds/drops or rewrites whose identity thread is " +
+            "broken) — read the feed in smaller windows split at the " +
+            "schema-change commit (changesPerVersion gives per-commit " +
+            "slices with exact identity)")
+      }
     val fTypes = from0.schema.map(f => f.name -> f.dataType).toMap
     val tTypes = to0.schema.map(f => f.name -> f.dataType).toMap
     val conflicts = counterpart.filter { case (c, fc) =>
@@ -1333,13 +1478,14 @@ object ManifestTable {
     * against the PRE-update row. CHECK constraints enforce on the
     * post-image (O(matched)).
     *
-    * Committed skipping stats are NOT carried: the appended file has
-    * no stats row, and stats that silently miss a file would turn
-    * pruning from a sound superset into wrong answers — so the new
-    * version drops `_stats`/`_bloom` and [[ZTable.scanXRange]] fails
-    * LOUDLY until the next [[ZTable.optimizeZOrder]] re-establishes
-    * the layout (the Delta behavior: DML invalidates z-clustering
-    * until the next OPTIMIZE). Returns the new version. */
+    * Committed skipping stats are EXTENDED, not dropped
+    * ([[ZTable.extendStats]]): carried files keep their stats/Bloom
+    * rows, appended post-image files get fresh rows computed by
+    * reading them back — O(matched) extra, the merge-on-read grain —
+    * so [[ZTable.scanXRange]]/[[ZTable.bloomCandidateFiles]] keep
+    * pruning across MoR DML with no re-optimize (Snowflake stamps
+    * micro-partition metadata on every write; Delta/Iceberg write
+    * per-file stats in each commit). Returns the new version. */
   def updateWhereDV(spark: SparkSession, root: String,
       condition: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
@@ -1372,10 +1518,13 @@ object ManifestTable {
     // broadcast hint: the localCheckpoint below compiles outside AQE,
     // where an un-hinted anti-join degrades to a full-table
     // sort-merge shuffle (the mergeDV lesson — DvMergeProbe); the
-    // vector is O(deleted) by contract
+    // vector is O(deleted) by contract, and the hint is size-guarded
+    // ([[hintIfSmall]]) so a vector grown past broadcast limits falls
+    // back to the un-hinted join instead of failing every MoR DML
+    val dvFootprint = dvBytesOf(spark, root, baseDir)
     val current0 = prior.fold(tagged)(dv =>
-      tagged.join(broadcast(dv.select(col("path").as("__path"),
-          col("row_index").as("__ri"))),
+      tagged.join(hintIfSmall(dv.select(col("path").as("__path"),
+          col("row_index").as("__ri")), dvFootprint),
         Seq("__path", "__ri"), "left_anti"))
     // LOGICAL view: WHERE, SET and checks all resolve logical names
     val current = cm.fold(current0)(
@@ -1413,6 +1562,9 @@ object ManifestTable {
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     carryColmap(spark, root, baseDir, dir)
+    // committed skipping survives MoR DML: carried rows ride, appended
+    // post-images get fresh read-back stats (O(matched))
+    ZTable.extendStats(spark, root, baseDir, dir, appended)
     writeOpMeta(spark, root, dir, "UPDATE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
@@ -1431,10 +1583,11 @@ object ManifestTable {
     * 100 TB table costs one find-positions scan + an O(delta) write
     * instead of a table rewrite. Same pinned-version OCC commit as
     * [[merge]]. CHECK constraints enforce on the source batch (the
-    * [[merge]] inductive contract). Committed skipping stats are NOT
-    * carried (appended files have no stats row — the
-    * [[updateWhereDV]] rationale); the next [[ZTable.optimizeZOrder]]
-    * re-establishes the layout. Returns the new version. */
+    * [[merge]] inductive contract). Committed skipping stats are
+    * EXTENDED across the commit ([[ZTable.extendStats]] — carried
+    * rows ride, appended fragments get fresh read-back rows at
+    * O(delta)), so the streaming MoR sink stays prunable between
+    * optimizes. Returns the new version. */
   def mergeDV(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String], updateCols: Option[Seq[String]] = None): Long =
     mergeDVImpl(spark, root, source, keys, updateCols, batchKey = "")
@@ -1526,10 +1679,14 @@ object ManifestTable {
     // shuffles of the FULL table scan — measured 43 s vs 3.6 s at
     // 100× (DvMergeProbe). The vector and the batch's key set are
     // O(delta) by the merge-on-read contract; a delta too large to
-    // broadcast belongs on the copy-on-write [[merge]] path anyway
+    // broadcast belongs on the copy-on-write [[merge]] path anyway.
+    // The VECTOR hint is size-guarded ([[hintIfSmall]]): it grows
+    // cumulatively until a reorg, and an unconditional hint would
+    // make every MoR DML fail once it outgrew broadcast limits
+    val dvFootprint = dvBytesOf(spark, root, baseDir)
     val current0 = prior.fold(tagged)(dv =>
-      tagged.join(broadcast(dv.select(col("path").as("__path"),
-          col("row_index").as("__ri"))),
+      tagged.join(hintIfSmall(dv.select(col("path").as("__path"),
+          col("row_index").as("__ri")), dvFootprint),
         Seq("__path", "__ri"), "left_anti"))
     // LOGICAL view: keys, source columns and the kernel all resolve
     // logical names when a column mapping is active
@@ -1574,6 +1731,9 @@ object ManifestTable {
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     carryColmap(spark, root, baseDir, dir)
+    // committed skipping survives the MoR merge: carried rows ride,
+    // appended fragments get fresh read-back stats (O(delta))
+    ZTable.extendStats(spark, root, baseDir, dir, appended)
     writeOpMeta(spark, root, dir, "MERGE")
     writeMarker(spark, root, next, batchKey, dir)
     maybeAutoCompact(spark, root, live.size + 1, batchKeyRetention)
@@ -1591,11 +1751,10 @@ object ManifestTable {
     * construction, and [[changes]] across the reorg is EMPTY
     * (spec-pinned), the dataChange-false semantic [[optimize]]
     * established. A vector-less current version is a no-op (returns
-    * the current version, no new commit). Skipping stats are dropped
-    * (rewritten files have new keys — partial stats would turn
-    * pruning into wrong answers); re-establish with
-    * [[ZTable.optimizeZOrder]]. Returns the committed (or current)
-    * version. */
+    * the current version, no new commit). Skipping stats are
+    * EXTENDED ([[ZTable.extendStats]]): clean files keep their rows,
+    * purged rewrites get fresh read-back rows — pruning survives the
+    * purge. Returns the committed (or current) version. */
   def reorg(spark: SparkSession, root: String): Long = {
     val (live, compacted) = commitState(spark, root)
     val markers = namesOf(live, compacted)
@@ -1637,6 +1796,10 @@ object ManifestTable {
     try out.write((clean ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     carryColmap(spark, root, baseDir, dir)
+    // skipping stats survive the purge: clean files' rows carried,
+    // purged rewrites get fresh read-back rows (exact, vector gone)
+    ZTable.extendStats(spark, root, baseDir, dir, appended,
+      carriedPaths = Some(clean))
     writeOpMeta(spark, root, dir, "REORG")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
@@ -1661,6 +1824,7 @@ object ManifestTable {
     * identity). Returns the new version. */
   def renameColumn(spark: SparkSession, root: String,
       oldName: String, newName: String): Long = {
+    validateColName(newName)
     val cm0 = currentColmap(spark, root)
     require(cm0.exists(_._1 == oldName),
       s"no column $oldName at $root (has ${cm0.map(_._1)})")
@@ -1701,13 +1865,17 @@ object ManifestTable {
     * null<=>null). Returns the new version. */
   def addColumn(spark: SparkSession, root: String, name: String,
       ddlType: String): Long = {
+    validateColName(name)
     // validate the type EARLY — a bad DDL string must fail here, not
     // at first read
     org.apache.spark.sql.types.DataType.fromDDL(ddlType)
     val cm0 = currentColmap(spark, root)
     require(!cm0.exists(_._1 == name),
       s"column $name already exists at $root")
-    commitMapping(spark, root, cm0 :+ (name -> (Unbacked + ddlType)),
+    // sentinel carries the logical name so the physical value is
+    // UNIQUE per column (see [[Unbacked]])
+    commitMapping(spark, root,
+      cm0 :+ (name -> (Unbacked + name + Unbacked + ddlType)),
       "ADD COLUMN")
   }
 
@@ -1719,7 +1887,7 @@ object ManifestTable {
   def describeColumns(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     currentColmap(spark, root).map { case (l, p) =>
-      if (isUnbacked(p)) (l, null: String, p.substring(1), false)
+      if (isUnbacked(p)) (l, null: String, unbackedType(p), false)
       else (l, p, null: String, true)
     }.toDF("column", "physical_name", "pending_type", "backed")
   }
@@ -2128,9 +2296,12 @@ object ManifestTable {
     * fragments at O(fragments) cost — the full [[optimize]] rewrite
     * is never needed just for file-count hygiene. No-op (returns the
     * current version, no commit) when fewer than two small files
-    * exist. Skipping stats drop (rewritten keys change);
-    * [[ZTable.optimizeZOrder]] re-establishes. Returns the committed
-    * (or current) version. */
+    * exist. Committed skipping stats are EXTENDED
+    * ([[ZTable.extendStats]]): carried large files keep their rows,
+    * compacted output files get fresh read-back rows (exact — their
+    * vector slice materialized in the rewrite; not z-clustered, so
+    * ranges may be wide but stay sound). Returns the committed (or
+    * current) version. */
   def optimizeBinPack(spark: SparkSession, root: String,
       minFileBytes: Long = 32L * 1024 * 1024,
       targetFiles: Int = 1): Long = {
@@ -2182,6 +2353,10 @@ object ManifestTable {
     try out.write((large ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     carryColmap(spark, root, baseDir, dir)
+    // skipping stats survive the binPack: large files' rows carried,
+    // compacted output gets fresh read-back rows (exact post-DV)
+    ZTable.extendStats(spark, root, baseDir, dir, appended,
+      carriedPaths = Some(large))
     writeOpMeta(spark, root, dir, "OPTIMIZE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)

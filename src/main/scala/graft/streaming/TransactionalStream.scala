@@ -91,10 +91,16 @@ object TransactionalStream {
         // in-line maintenance tick: fragment-count hygiene at
         // O(fragments) cost, dataChange-false (replay-safe: a binPack
         // after a replayed no-op batch is itself a no-op when nothing
-        // small accumulated)
+        // small accumulated). A LOST VERSION RACE here is swallowed,
+        // not retried: under the documented multi-writer scenario the
+        // batch's own merge already committed (it has its own rebase
+        // loop), and the tick is pure hygiene — failing the whole
+        // streaming query over a lost hygiene race would be wrong,
+        // and the next tick compacts whatever accumulated anyway.
         if (binPackEvery > 0 && bid > 0 && bid % binPackEvery == 0)
-          ManifestTable.optimizeBinPack(batch.sparkSession, root,
+          try ManifestTable.optimizeBinPack(batch.sparkSession, root,
             binPackMinFileBytes)
+          catch { case _: graft.ops.ConcurrentCommitException => () }
         ()
       }
       .start()

@@ -260,6 +260,68 @@ class ColumnMappingSpec extends SparkSpec {
         ("w", "w", null, true)))
   }
 
+  test("changes() across a rename + a later materializing rewrite " +
+      "threads column identity (no spurious full-table feed)") {
+    val root = freshRoot()
+    ManifestTable.commit(kv((1L to 5L).map(i => i -> i * 10L): _*), root)
+    ManifestTable.renameColumn(spark, root, "n", "amount")     // v2
+    // materializing rewrite: physical names re-keyed to logical —
+    // the ENDPOINT match fails for this window (physical differs,
+    // logical renamed); the mapping-thread walk must still link
+    // amount(v3) -> n(v1) so the feed is exactly the ONE real change
+    ManifestTable.merge(spark, root,
+      Seq((1L, 100L)).toDF("k", "amount"), Seq("k"))           // v3
+    val f = ManifestTable.changes(spark, root, 1L, 3L, Seq("k"))
+      .collect()
+    assert(f.length == 2, s"expected one update pair, got ${f.toSeq}")
+    assert(f.map(_.getAs[String]("_change_type")).sorted.toSeq ==
+      Seq("update_postimage", "update_preimage"))
+    assert(f.forall(_.getAs[Long]("k") == 1L))
+    // and each sub-window stays empty/exact as before
+    assert(ManifestTable.changes(spark, root, 1L, 2L, Seq("k"))
+      .count() == 0L)
+  }
+
+  test("logical names with tab/newline/NUL are rejected at the entry " +
+      "points (they would corrupt the _colmap format)") {
+    val root = freshRoot()
+    ManifestTable.commit(kv(1L -> 1L), root)
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "n", "a\tb")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "n", "a\nb")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumn(spark, root, " w", "double")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumn(spark, root, "w\rv", "double")
+    }
+    // the table is untouched by the rejected DDL
+    assert(ManifestTable.currentVersion(spark, root).contains(1L))
+  }
+
+  test("two unbacked ADD COLUMNs of one DDL type keep distinct " +
+      "physical identities") {
+    val root = freshRoot()
+    ManifestTable.commit(kv(1L -> 1L), root)
+    ManifestTable.addColumn(spark, root, "a", "double")        // v2
+    ManifestTable.addColumn(spark, root, "b", "double")        // v3
+    val cm = ManifestTable.colmapOf(spark, root,
+      ManifestTable.versionDataDir(spark, root, 3L)).get
+    // the sentinel "physical" values must be unique per column — a
+    // shared value would collide the swapped physical-identity map
+    // and let changes() cross-link the two columns
+    assert(cm.map(_._2).distinct.size == cm.size)
+    assert(ManifestTable.changes(spark, root, 1L, 3L, Seq("k"))
+      .count() == 0L)
+    val d = ManifestTable.describeColumns(spark, root)
+      .as[(String, String, String, Boolean)].collect().toSeq
+    assert(d.map(_._1) == Seq("k", "n", "a", "b"))
+    assert(d.filter(!_._4).map(_._3) == Seq("double", "double"))
+  }
+
   test("reorg on a mapped table keeps the logical schema") {
     val root = freshRoot()
     ManifestTable.commit(
