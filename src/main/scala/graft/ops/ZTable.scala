@@ -308,6 +308,59 @@ object ZTable {
     next
   }
 
+  /** Extend a base version's COMMITTED skipping stats across a
+    * file-list commit (the round-12 gap closed: MoR-appended
+    * fragments used to DROP the `_stats`/`_bloom` frames until the
+    * next [[optimizeZOrder]], leaving the flagship streaming-sink
+    * shape unprunable between optimizes — where Snowflake stamps
+    * micro-partition metadata on EVERY write and Delta/Iceberg write
+    * per-file stats in each commit). Fresh per-file stats (and Bloom
+    * registers, when the base carries them) are computed for
+    * `appendedPaths` by reading them back as written — O(appended
+    * bytes), the merge-on-read grain — and the base's rows are
+    * CARRIED (filtered to `carriedPaths` when given; all when None).
+    * Appended fragments are not z-clustered, so their ranges may be
+    * wide — pruning stays SOUND (read-back min/max are exact), just
+    * less selective on fragments until the next re-cluster. No-op
+    * when the base version has no committed stats. Returns true iff
+    * frames were written. */
+  private[ops] def extendStats(spark: SparkSession, root: String,
+      baseDir: String, newDir: String, appendedPaths: Seq[String],
+      carriedPaths: Option[Seq[String]] = None): Boolean = {
+    val f = fs(spark, root)
+    val stPath = new org.apache.hadoop.fs.Path(s"$root/$baseDir/_stats")
+    if (!f.exists(stPath)) return false
+    val stDf0 = spark.read.parquet(stPath.toString)
+    val head = stDf0.limit(1).collect().headOption.getOrElse(return false)
+    def s(c: String) = head.getString(head.fieldIndex(c))
+    val xCol = s("x_col")
+    val yCol = s("y_col")
+    val bloomCol = Option(head.get(head.fieldIndex("bloom_col")))
+      .map(_.toString)
+    def keep(df: DataFrame): DataFrame = carriedPaths match {
+      case None => df
+      case Some(ps) =>
+        import spark.implicits._
+        // join, not an O(files) isin literal — the planner grain
+        df.join(broadcast(ps.toDF("path")), Seq("path"), "left_semi")
+    }
+    val carriedStats = keep(stDf0)
+    val carriedBloom = {
+      val bp = new org.apache.hadoop.fs.Path(s"$root/$baseDir/_bloom")
+      if (f.exists(bp)) Some(keep(spark.read.parquet(bp.toString)))
+      else None
+    }
+    if (appendedPaths.isEmpty) {
+      // nothing appended: the carried frames ARE the new version's
+      carriedStats.repartition(1).write.parquet(s"$root/$newDir/_stats")
+      carriedBloom.foreach(_.repartition(1)
+        .write.parquet(s"$root/$newDir/_bloom"))
+    } else
+      writeStats(spark, root, newDir, appendedPaths, xCol, yCol,
+        bloomCol, Some(carriedStats), carriedBloom)
+    true
+  }
+
   /** The data files of a freshly-written dir, as root-relative paths
     * (`<dir>/<file>`). */
   private def dataPaths(spark: SparkSession, root: String,
@@ -331,7 +384,7 @@ object ZTable {
     val df = spark.read.parquet(paths.map(p => s"$root/$p"): _*)
     val withPath = df.withColumn("__path",
       regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
-    val fresh = withPath.groupBy(col("__path").as("path"))
+    val fresh0 = withPath.groupBy(col("__path").as("path"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(xCol).cast("long")).as("min_x"),
         max(col(xCol).cast("long")).as("max_x"),
@@ -341,6 +394,25 @@ object ZTable {
       .withColumn("y_col", lit(yCol))
       .withColumn("bloom_col",
         bloomCol.map(lit(_)).getOrElse(lit(null).cast("string")))
+    // EMPTY files yield no read-back group — synthesize their rows
+    // (0 rows, NULL bounds) so stats(v) covers EXACTLY the version's
+    // file list at all times: a listed file with no stats row would
+    // be silently invisible to the planner, breaking the coverage
+    // invariant the DML scoping leans on. (Zero-row part files come
+    // from empty shuffle partitions in a small post-image write or an
+    // over-provisioned repartitionByRange.) O(files) driver set-diff
+    // — the planning grain.
+    val freshKeys = fresh0.select("path").collect()
+      .map(_.getString(0)).toSet
+    val missing = paths.map(p =>
+      p.split('/').takeRight(2).mkString("/"))
+      .filterNot(freshKeys.contains)
+    val fresh =
+      if (missing.isEmpty) fresh0
+      else fresh0.unionByName(spark.createDataFrame(
+        java.util.Arrays.asList(missing.map(p =>
+          org.apache.spark.sql.Row(p, 0L, null, null, null, null,
+            xCol, yCol, bloomCol.orNull)): _*), fresh0.schema))
     val allStats = carriedStats.fold(fresh)(_ unionByName fresh)
     allStats.repartition(1).write.parquet(s"$root/$dir/_stats")
     bloomCol.foreach { bc =>

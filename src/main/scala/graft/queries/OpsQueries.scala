@@ -1969,8 +1969,128 @@ object OpsQueries extends QueryPack {
     covers = Seq("TD-column-mapping", "TD-deletion-vectors",
       "TD-change-feed"))
 
+  /** Committed skipping stats SURVIVE merge-on-read commits
+    * ([[graft.ops.ZTable.extendStats]], wired into
+    * [[graft.ops.ManifestTable.mergeBatchDV]]/[[graft.ops
+    * .ManifestTable.updateWhereDV]]/[[graft.ops.ManifestTable
+    * .optimizeBinPack]] — round-13 headline): a z-ordered base takes
+    * three streaming MoR merges and a MoR UPDATE, and the pruned
+    * key-range scan still plans off COMMITTED stats with NO
+    * re-optimize — carried files keep their rows, every appended
+    * fragment got a fresh read-back row at write time (`covered`:
+    * stats paths == the version's file list EXACTLY), the scan opens
+    * a strict subset of files (`pruned` — the numFiles proof), the
+    * extended Bloom registers still find point keys (`bloom_ok`),
+    * and the frames survive a binPack compaction (`packed_covered`).
+    * This is the Snowflake posture — micro-partition metadata stamped
+    * on EVERY write (each reference MERGE lands with pruning intact,
+    * `dags/logistics-airbyte-sql.py:25-49`) — where round 12 dropped
+    * the frames until the next OPTIMIZE ZORDER. The aggregate the
+    * oracle gates is computed FROM the pruned post-binPack scan. */
+  val q240 = Q(
+    "q240_mor_skipping",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{ManifestTable, ZTable}
+      val orders = Tables(s, dir, "orders")
+      val cut = lit("1995-07-01").cast("timestamp")
+      val hi = lit("1996-01-01").cast("timestamp")
+      def slice(df: org.apache.spark.sql.DataFrame) =
+        df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          // a high-cardinality string for the Bloom register (the
+          // testdata orders table carries no clerk column); never in
+          // the gated output
+          $"o_orderkey".cast("string").as("o_key_s"))
+      val target = slice(orders.filter($"o_orderdate" < cut))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q240_").toString + "/orders_tbl"
+      ManifestTable.commit(target.coalesce(1), root)            // v1
+      ZTable.optimizeZOrder(s, root, "o_orderkey", "o_custkey",
+        "o_orderkey", nFiles = 8, bloomCol = Some("o_key_s"))   // v2
+      // three streaming micro-batches, merge-on-read: each appends a
+      // fragment that must land WITH its stats/Bloom rows
+      (0 until 3).foreach { i =>
+        val batch = slice(orders.filter(
+          $"o_orderdate" >= cut && $"o_orderdate" < hi &&
+            $"o_custkey" % 3 === i))
+        ManifestTable.mergeBatchDV(s, root, batch,
+          Seq("o_orderkey"), batchKey = s"run1-b$i")          // v3..v5
+      }
+      ManifestTable.updateWhereDV(s, root, $"o_custkey" % 7 === 0,
+        Map("o_totalprice" -> $"o_totalprice" * 2))             // v6
+      def statsCover(v: Long): Boolean =
+        ZTable.stats(s, root, v).select($"path").as[String]
+          .collect().toSet ==
+          ManifestTable.versionFileRefs(s, root, v).get.toSet
+      val covered = (3L to 6L).forall(statsCover)
+      val refs6 = ManifestTable.versionFileRefs(s, root, 6L).get
+      val maxKey = ManifestTable.read(s, root).get
+        .agg(max($"o_orderkey")).head.getLong(0)
+      val scan6 = ZTable.scanXRange(s, root, 0L, maxKey / 4)
+      // numFiles proof: the pruned scan opens a strict subset
+      val pruned = scan6.inputFiles.length < refs6.size
+      // extended Bloom registers: a point key present only in an
+      // appended fragment is still findable, candidates stay a subset
+      val ck = ManifestTable.read(s, root).get
+        .agg(max($"o_key_s")).head.getString(0)
+      val cands = ZTable.bloomCandidateFiles(s, root, lit(ck))
+      val bloomOk = cands.nonEmpty && cands.size <= refs6.size &&
+        ZTable.readBloomCandidates(s, root, lit(ck))
+          .filter($"o_key_s" === ck).limit(1).count() == 1L
+      // the frames survive fragment compaction
+      val fsq = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val maxLen = refs6.map(r => fsq.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/$r")).getLen).max
+      val v7 = ManifestTable.optimizeBinPack(s, root,
+        minFileBytes = maxLen)
+      val packedCovered = v7 == 7L && statsCover(7L) &&
+        ManifestTable.versionFileRefs(s, root, 7L).get.size < refs6.size
+      // the gated aggregate runs FROM the pruned post-binPack scan
+      ZTable.scanXRange(s, root, 0L, maxKey / 4)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("covered", lit(covered))
+        .withColumn("pruned", lit(pruned))
+        .withColumn("bloom_ok", lit(bloomOk))
+        .withColumn("packed_covered", lit(packedCovered))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'),
+      src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+      merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL SELECT * FROM src),
+      updated AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_custkey % 7 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM merged),
+      scanned AS (
+        SELECT * FROM updated
+        WHERE o_orderkey * 4 <= (SELECT max(o_orderkey) FROM updated))
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS covered, true AS pruned, true AS bloom_ok,
+             true AS packed_covered
+      FROM scanned GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-committed-skipping", "TD-deletion-vectors",
+      "TD-optimize-compaction"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236, q237, q238, q239)
+      q234, q235, q236, q237, q238, q239, q240)
 }

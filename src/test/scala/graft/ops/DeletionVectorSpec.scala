@@ -125,7 +125,7 @@ class DeletionVectorSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 20L, 10L)))
   }
 
-  test("DV update enforces checks on the post-image; stats drop loud") {
+  test("DV update enforces checks on the post-image; stats survive") {
     val root = freshRoot()
     val df = spark.range(1, 101)
       .select(col("id").as("x"), (col("id") % 8).as("y"),
@@ -142,14 +142,16 @@ class DeletionVectorSpec extends SparkSpec {
       Map("n" -> lit(9L)))                                       // v3
     assert(ManifestTable.read(spark, root).get
       .filter(col("n") === 9L).count() == 10L)
-    // the appended file has no stats row: committed-stats scans fail
-    // LOUDLY instead of silently missing it
-    intercept[IllegalArgumentException] {
-      ZTable.scanXRange(spark, root, 1L, 50L)
-    }
-    // ...until the next optimize re-establishes the layout
-    ZTable.optimizeZOrder(spark, root, "x", "y", "k", nFiles = 4)
-    assert(ZTable.scanXRange(spark, root, 1L, 10L).count() == 10L)
+    // round-13: the appended post-image file gets a fresh stats row
+    // at write time (extendStats) — committed-stats scans keep
+    // working across MoR DML with NO re-optimize, and see post-DV
+    // truth (old images hidden, post-images found)
+    val scan = ZTable.scanXRange(spark, root, 1L, 50L)
+    assert(scan.count() == 50L)
+    assert(scan.filter(col("n") === 9L).count() == 10L)
+    assert(ZTable.stats(spark, root, 3L).select("path")
+      .as[String].collect().toSet ==
+      ManifestTable.versionFileRefs(spark, root, 3L).get.toSet)
   }
 
   test("bloom candidate reads apply the vector; detail reports it") {
