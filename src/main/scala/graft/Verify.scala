@@ -22,6 +22,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // SQL-text surface (q241 drives DML through spark.sql strings):
+      // parser injection only applies at session construction
+      .withExtensions(new graft.expressions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.quietBoundedWindowWarnings()

@@ -17,11 +17,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, clazz, builder) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name), builder))
     }
+    // SQL TEXT front-end for the table format (EP1 parity): MERGE
+    // INTO / UPDATE / DELETE / OPTIMIZE / VACUUM / RESTORE / DESCRIBE
+    // HISTORY|DETAIL statement text addressed at graft.`<path>`
+    // routes to the ManifestTable/ZTable kernels; everything else
+    // delegates to Spark's parser verbatim.
+    ext.injectParser((_, delegate) =>
+      new graft.sql.GraftSqlParser(delegate))
+  }
 }
 
 object GraftExtensions {

@@ -290,5 +290,112 @@ object SqlSurface extends QueryPack {
       ORDER BY l_returnflag, metric"""),
     covers = Seq("A10-unpivot"))
 
-  override def queries: Seq[Q] = Seq(q29, q30, q31, q32, q33, q67, q73)
+  /** EP1 parity ([[graft.sql.GraftSqlParser]], round-13 headline #2):
+    * the WHOLE table-format lifecycle driven purely through
+    * `spark.sql(...)` STATEMENT TEXT — the reference's dominant entry
+    * point is raw SQL strings (`dags/logistics-airbyte-sql.py:25-49`:
+    * MERGE INTO … USING (subquery) AS src ON … WHEN MATCHED THEN
+    * UPDATE SET col = src.col … WHEN NOT MATCHED THEN INSERT (cols)
+    * VALUES (src.cols); `dags/snowflake-EDW-ETL-dag.py:188-256`). A
+    * bootstrap MERGE commits the target, a second MERGE in the
+    * reference's exact clause shape applies updates+inserts, then
+    * UPDATE and DELETE statement text (CoW DML), with DESCRIBE
+    * HISTORY proving the op trail — all against the same kernels the
+    * Scala API uses, same oracle algebra as q13/q223. */
+  val q241 = Q(
+    "q241_sql_text_dml",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ManifestTable
+      val orders = Tables(s, dir, "orders")
+      val cut = lit("1999-01-01").cast("timestamp")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q241_").toString + "/orders_tbl"
+      orders.filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+        .createOrReplaceTempView(s"q241_target_$tag")
+      orders.createOrReplaceTempView(s"q241_orders_$tag")
+      // v1: bootstrap — first MERGE on an empty root inserts the view
+      s.sql(s"""MERGE INTO graft.`$root` USING q241_target_$tag AS src
+        ON o_orderkey = o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      // v2: the reference's exact MERGE shape — subquery USING with a
+      // WHERE and CASE (must not fool the clause splitter), aliases,
+      // per-column SET and INSERT lists, trailing semicolon
+      s.sql(s"""
+        -- CDC upsert (reference statement shape)
+        MERGE INTO graft.`$root` AS tgt
+        USING (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                        THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice
+            FROM q241_orders_$tag
+            WHERE (o_orderdate < TIMESTAMP '1999-01-01'
+                   AND o_custkey % 10 = 0)
+               OR o_orderdate >= TIMESTAMP '1999-01-01'
+        ) AS src
+        ON tgt.o_orderkey = src.o_orderkey
+        WHEN MATCHED THEN UPDATE SET
+            o_custkey = src.o_custkey,
+            o_orderstatus = src.o_orderstatus,
+            o_totalprice = src.o_totalprice
+        WHEN NOT MATCHED THEN INSERT (
+            o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        ) VALUES (
+            src.o_orderkey, src.o_custkey, src.o_orderstatus,
+            src.o_totalprice
+        );
+      """)
+      // v3: UPDATE statement text (single-projection pre-update SET)
+      s.sql(s"""UPDATE graft.`$root`
+        SET o_totalprice = o_totalprice * 0.5
+        WHERE o_orderstatus = 'F' AND o_custkey % 5 = 0""")
+      // v4: DELETE statement text (NULL predicate = kept)
+      s.sql(s"DELETE FROM graft.`$root` WHERE o_totalprice < 10000")
+      val histOk = s.sql(s"DESCRIBE HISTORY graft.`$root`")
+        .select($"operation").as[String].collect().toSeq ==
+        Seq("MERGE", "MERGE", "UPDATE", "DELETE")
+      ManifestTable.read(s, root).get
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast(D)).cast("double").as("sum_price"))
+        .withColumn("hist_ok", lit(histOk))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE (o_orderdate < TIMESTAMP '1999-01-01 00:00:00' AND o_custkey % 10 = 0)
+           OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'),
+      merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL SELECT * FROM src),
+      updated AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' AND o_custkey % 5 = 0
+                    THEN o_totalprice * 0.5 ELSE o_totalprice END
+                 AS o_totalprice
+        FROM merged),
+      final AS (
+        SELECT * FROM updated WHERE NOT (o_totalprice < 10000))
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS hist_ok
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("M1-merge", "TD-sql-text-dml"))
+
+  override def queries: Seq[Q] =
+    Seq(q29, q30, q31, q32, q33, q67, q73, q241)
 }

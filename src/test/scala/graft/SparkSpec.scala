@@ -21,6 +21,9 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
+      // native expressions + the graft SQL-text parser (specs drive
+      // table-format DML through spark.sql strings)
+      .withExtensions(new graft.expressions.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftSession.quietBoundedWindowWarnings()

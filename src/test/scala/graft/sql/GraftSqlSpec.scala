@@ -1,0 +1,140 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.ops.{ManifestTable, ZTable}
+import org.apache.spark.sql.functions._
+
+/** SQL TEXT front-end (EP1 parity): the reference's MERGE/UPDATE/
+  * DELETE statement shapes, pasted as text at spark.sql(...), land on
+  * the manifest store and produce exactly what the Scala API would;
+  * management statements (OPTIMIZE/VACUUM/RESTORE/DESCRIBE) route
+  * too; everything else still goes to Spark's parser. */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = java.nio.file.Files
+    .createTempDirectory("graft_sql_").toString + "/tbl"
+
+  test("MERGE INTO in the reference's exact shape: subquery USING, " +
+      "aliases, multi-key ON, SET list, INSERT (cols) VALUES (...)") {
+    val root = freshRoot()
+    ManifestTable.commit(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("k", "g", "v"), root)
+    Seq((2L, "a", 25.0), (4L, "c", 40.0), (9L, "z", 0.5))
+      .toDF("k", "g", "v").createOrReplaceTempView("gs_merge_src")
+    // the dags/logistics-airbyte-sql.py shape: comments, a
+    // parenthesized USING subquery (with a WHERE that must not fool
+    // the top-level splitter), per-column SET and INSERT lists, a
+    // trailing semicolon
+    spark.sql(s"""
+      -- upsert the CDC slice (reference statement shape)
+      MERGE INTO graft.`$root` AS tgt
+      USING (
+          SELECT k, g, v FROM gs_merge_src WHERE v > 0.6
+      ) AS src
+      ON tgt.k = src.k
+      WHEN MATCHED THEN UPDATE SET
+          g = src.g,
+          v = src.v
+      WHEN NOT MATCHED THEN INSERT (
+          k, g, v
+      ) VALUES (
+          src.k, src.g, src.v
+      );
+    """)
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String, Double)].collect()
+      .map(t => t._1 -> t._3).toMap ==
+      Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0, 4L -> 40.0))
+    // the command reports the committed version
+    assert(spark.sql(s"""MERGE INTO graft.`$root` USING gs_merge_src
+      ON k = k WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+      .as[Long].head() == 3L)
+  }
+
+  test("UPDATE text: single-projection pre-update-row SET (swap), " +
+      "WHERE optional; DELETE text: NULL predicate = kept") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq((1L, 10L, 20L), (2L, 5L, 1L))
+      .toDF("k", "a", "b"), root)
+    // SET a=b, b=a must SWAP (both RHS see the pre-update row)
+    spark.sql(s"UPDATE graft.`$root` SET a = b, b = a WHERE a < b")
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 20L, 10L), (2L, 5L, 1L)))
+    spark.sql(s"DELETE FROM graft.`$root` WHERE b >= 10")
+    assert(ManifestTable.read(spark, root).get
+      .select("k").as[Long].collect().toSeq == Seq(2L))
+    // no WHERE = all rows (SQL DELETE semantics)
+    spark.sql(s"DELETE FROM graft.`$root`")
+    assert(ManifestTable.read(spark, root).get.count() == 0L)
+  }
+
+  test("OPTIMIZE, OPTIMIZE ZORDER BY, VACUUM RETAIN, RESTORE, and " +
+      "DESCRIBE HISTORY/DETAIL route to the table format") {
+    val root = freshRoot()
+    ManifestTable.commit(
+      spark.range(0, 400).select($"id".as("k"), $"id".as("x"),
+        lit(0L).as("y")), root)                                  // v1
+    spark.sql(s"UPDATE graft.`$root` SET x = x + 1000 WHERE k < 10") // v2
+    // z-order through text; committed stats arm scanXRange
+    spark.sql(s"OPTIMIZE graft.`$root` ZORDER BY (x, y) FILES 4") // v3
+    assert(ZTable.scanXRange(spark, root, 100L, 150L)
+      .select("k").as[Long].collect().sorted.toSeq == (100L to 150L))
+    // plain OPTIMIZE compacts to one file
+    spark.sql(s"OPTIMIZE graft.`$root`")                         // v4
+    assert(ManifestTable.read(spark, root).get.inputFiles.length == 1)
+    // RESTORE to v1 undoes the update (as a NEW version)
+    spark.sql(s"RESTORE TABLE graft.`$root` TO VERSION AS OF 1") // v5
+    assert(ManifestTable.read(spark, root).get
+      .filter($"x" >= 1000L).count() == 0L)
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$root`")
+    assert(hist.select("operation").as[String].collect().toSeq ==
+      Seq("WRITE", "UPDATE", "OPTIMIZE", "OPTIMIZE", "RESTORE"))
+    val detail = spark.sql(s"DESCRIBE DETAIL graft.`$root`")
+    assert(detail.select("version").as[Long].head() == 5L)
+    // VACUUM through text: drops old version dirs, keeps records
+    val dropped = spark.sql(s"VACUUM graft.`$root` RETAIN 2 VERSIONS")
+      .as[Long].head()
+    assert(dropped >= 1L)
+    assert(ManifestTable.read(spark, root).get.count() == 400L)
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$root`").count() == 5L)
+  }
+
+  test("non-graft statements delegate verbatim; malformed graft DML " +
+      "fails loudly instead of merging wrongly") {
+    assert(spark.sql("SELECT 1 + 1 AS two").as[Int].head() == 2)
+    val root = freshRoot()
+    ManifestTable.commit(Seq((1L, 2L)).toDF("k", "n"), root)
+    // differing ON names: the kernel matches by name — refuse
+    intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO graft.`$root` USING x
+        ON tgt.k = src.other WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    // matched-only merge: not the upsert kernel's shape — refuse
+    intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO graft.`$root` USING x ON k = k
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    // table untouched by the refused statements
+    assert(ManifestTable.currentVersion(spark, root).contains(1L))
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF parses a UTC literal") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq((1L, 1L)).toDF("k", "n"), root)    // v1
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    ManifestTable.deleteWhere(spark, root, $"k" === 1L)         // v2
+    val ts = java.time.Instant.ofEpochMilli(afterV1)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    spark.sql(
+      s"RESTORE graft.`$root` TO TIMESTAMP AS OF '$ts'")        // v3
+    assert(ManifestTable.read(spark, root).get.count() == 1L)
+  }
+}
