@@ -620,6 +620,79 @@ object ManifestTable {
       col(c).as(byLogical.getOrElse(c, c))): _*)
   }
 
+  /** A version's pinned PHYSICAL read schema (`_schema`, one DDL
+    * line), present iff the version's files are HETEROGENEOUS — a
+    * merge-on-read writer physically backed a metadata-only ADD
+    * COLUMN in its appended fragments while carried files predate the
+    * column. Readers must then read with an EXPLICIT schema: a plain
+    * parquet read resolves its schema from one arbitrary file, and a
+    * carried file would drop the column (or an appended one fail
+    * resolution) depending on which file wins — the mixed-read tear
+    * the round-12 "materialize first" refusal guarded against.
+    * Spark's per-file reader null-fills requested-but-absent columns,
+    * so the explicit schema makes the mixed read exact and O(0):
+    * no footer sweep, no mergeSchema. */
+  private[ops] def schemaOf(spark: SparkSession, root: String,
+      dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(new Path(root, dir), "_schema")
+    if (!fs.exists(p)) None
+    else Some(org.apache.spark.sql.types.StructType.fromDDL(
+      readSmallFile(fs, p)))
+  }
+
+  private def writeSchemaFile(spark: SparkSession, root: String,
+      dir: String, st: org.apache.spark.sql.types.StructType): Unit = {
+    val fs = fsOf(spark, root)
+    val out = fs.create(new Path(new Path(root, dir), "_schema"), true)
+    try out.write(st.toDDL.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Copy a version's `_schema` (if any) into a new version's dir —
+    * rides every carry-by-reference commit, like [[carryColmap]]. */
+  private def carrySchemaFile(spark: SparkSession, root: String,
+      fromDir: String, toDir: String): Unit =
+    schemaOf(spark, root, fromDir).foreach(st =>
+      writeSchemaFile(spark, root, toDir, st))
+
+  /** Commit the column-mapping + pinned-schema metadata of a MoR
+    * commit that may have PHYSICALLY BACKED pending ADD COLUMNs: with
+    * nothing pending, the base's mapping and schema carry verbatim;
+    * with pending columns, the mapping's unbacked entries become real
+    * (physical = logical) and the version pins the FULL physical
+    * schema — base files' physical fields plus the newly-backed
+    * columns — so every reader resolves the mixed file set exactly. */
+  private def writeBackedMeta(spark: SparkSession, root: String,
+      baseDir: String, dir: String,
+      taggedSchema: org.apache.spark.sql.types.StructType,
+      unbackedCols: Seq[(String, String)],
+      cmBacked: Option[Seq[(String, String)]]): Unit = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    if (unbackedCols.isEmpty) {
+      carryColmap(spark, root, baseDir, dir)
+      carrySchemaFile(spark, root, baseDir, dir)
+    } else {
+      writeColmap(spark, root, dir, cmBacked.get)
+      val physBase = StructType(taggedSchema
+        .filterNot(f => f.name == "__path" || f.name == "__ri"))
+      val extra = unbackedCols.map { case (n, t) =>
+        StructField(n, DataType.fromDDL(t)) }
+      writeSchemaFile(spark, root, dir, StructType(physBase ++ extra))
+    }
+  }
+
+  /** Read a set of file references RAW (physical schema), honoring
+    * the owning version's pinned `_schema` when present — the one
+    * entry point every physical-grain reader (DV DML find-positions,
+    * binPack/reorg rewrites) must use so a partially-backed column
+    * never tears a mixed read. */
+  private[ops] def readRefsRaw(spark: SparkSession, root: String,
+      dir: String, refs: Seq[String]): DataFrame = {
+    val rd = schemaOf(spark, root, dir)
+      .fold(spark.read)(s => spark.read.schema(s))
+    rd.parquet(refs.map(r => resolveRef(root, r)): _*)
+  }
+
   /** Anti-join `raw` (a file-source read) against a deletion vector:
     * rows whose (file key, row index) appear in `dv` disappear. The
     * join is keyed on metadata columns computed in the scan itself;
@@ -650,8 +723,7 @@ object ManifestTable {
   private[ops] def readDataDir(spark: SparkSession, root: String,
       dir: String): DataFrame = {
     val raw = fileList(spark, root, dir) match {
-      case Some(rels) =>
-        spark.read.parquet(rels.map(r => resolveRef(root, r)): _*)
+      case Some(rels) => readRefsRaw(spark, root, dir, rels)
       case None => spark.read.parquet(s"$root/$dir")
     }
     val live = dvOf(spark, root, dir).fold(raw)(applyDv(raw, _))
@@ -1426,8 +1498,7 @@ object ManifestTable {
     // matching the predicate, keyed by (file key, row index). The
     // position columns are computed ONCE at the scan, before any
     // join, so metadata-column lineage is never in question
-    val tagged = spark.read
-      .parquet(refs.map(r => resolveRef(root, r)): _*)
+    val tagged = readRefsRaw(spark, root, baseDir, refs)
       .withColumn("__path",
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("__ri", col("_metadata.row_index"))
@@ -1450,7 +1521,11 @@ object ManifestTable {
     // the vector is file-metadata-shaped in the common case; a single
     // file keeps the reader's join build side one footer away
     newDv.repartition(1).write.parquet(s"$root/$dir/_dv")
-    Seq("_stats", "_bloom").foreach { frame =>
+    // _parts rides too: a DV delete changes no file set, so the
+    // partition metadata stays exact (appending MoR DML must NOT
+    // carry it — fragments are not partition-pure — and parts() then
+    // fails loudly instead of pruning wrongly)
+    Seq("_stats", "_bloom", "_parts").foreach { frame =>
       val src = new Path(s"$root/$baseDir/$frame")
       if (fs.exists(src))
         spark.read.parquet(src.toString).repartition(1)
@@ -1460,6 +1535,7 @@ object ManifestTable {
     try out.write(refs.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     carryColmap(spark, root, baseDir, dir)
+    carrySchemaFile(spark, root, baseDir, dir)
     writeOpMeta(spark, root, dir, "DELETE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
@@ -1505,16 +1581,20 @@ object ManifestTable {
     }
     require(refs.nonEmpty, s"version $base of $root has no data files")
     val prior = dvOf(spark, root, baseDir)
-    val tagged = spark.read
-      .parquet(refs.map(r => resolveRef(root, r)): _*)
+    val tagged = readRefsRaw(spark, root, baseDir, refs)
       .withColumn("__path",
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("__ri", col("_metadata.row_index"))
     val cm = colmapOf(spark, root, baseDir)
-    cm.foreach(m => require(!m.exists(e => isUnbacked(e._2)),
-      "table has a metadata-only ADD COLUMN pending — materialize " +
-        "with a full rewrite (merge/optimize/optimizeZOrder) before " +
-        "merge-on-read UPDATE"))
+    // pending metadata-only ADD COLUMNs are PHYSICALLY BACKED in this
+    // commit's appended post-images (a SET may even backfill them);
+    // the version pins `_schema` so the mixed read cannot tear — see
+    // [[mergeDV]]'s identical lifting of the round-12 refusal
+    val unbackedCols: Seq[(String, String)] = cm.toSeq.flatten
+      .filter(e => isUnbacked(e._2))
+      .map(e => (e._1, unbackedType(e._2)))
+    val cmBacked = cm.map(_.map { case (l, p) =>
+      if (isUnbacked(p)) (l, l) else (l, p) })
     // broadcast hint: the localCheckpoint below compiles outside AQE,
     // where an un-hinted anti-join degrades to a full-table
     // sort-merge shuffle (the mergeDV lesson — DvMergeProbe); the
@@ -1546,8 +1626,9 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val next = base + 1
     val dir = newDataDirName(next)
-    // appended files must share the carried files' PHYSICAL schema
-    cm.fold(postImage)(toPhysical(postImage, _))
+    // appended files must share the carried files' PHYSICAL schema;
+    // a freshly-backed column's physical name is its logical name
+    cmBacked.fold(postImage)(toPhysical(postImage, _))
       .write.parquet(s"$root/$dir") // the appended post-images
     val appended = fs.listStatus(new Path(root, dir)).toSeq
       .map(_.getPath.getName)
@@ -1561,7 +1642,8 @@ object ManifestTable {
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    carryColmap(spark, root, baseDir, dir)
+    writeBackedMeta(spark, root, baseDir, dir, tagged.schema,
+      unbackedCols, cmBacked)
     // committed skipping survives MoR DML: carried rows ride, appended
     // post-images get fresh read-back stats (O(matched))
     ZTable.extendStats(spark, root, baseDir, dir, appended)
@@ -1663,16 +1745,24 @@ object ManifestTable {
     }
     require(refs.nonEmpty, s"version $base of $root has no data files")
     val prior = dvOf(spark, root, baseDir)
-    val tagged = spark.read
-      .parquet(refs.map(r => resolveRef(root, r)): _*)
+    val tagged = readRefsRaw(spark, root, baseDir, refs)
       .withColumn("__path",
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("__ri", col("_metadata.row_index"))
     val cm = colmapOf(spark, root, baseDir)
-    cm.foreach(m => require(!m.exists(e => isUnbacked(e._2)),
-      "table has a metadata-only ADD COLUMN pending — materialize " +
-        "with a full rewrite (merge/optimize/optimizeZOrder) before " +
-        "merge-on-read MERGE"))
+    // a metadata-only ADD COLUMN pending (unbacked mapping entries):
+    // this commit PHYSICALLY BACKS the column in its appended
+    // fragments — null-filled at the declared type unless the source
+    // provides it — and pins the version's `_schema` so the mixed
+    // read cannot tear (carried files stay untouched; readers
+    // null-fill them via the explicit schema). Round-12's
+    // "materialize first" refusal, lifted without the tear it
+    // guarded against.
+    val unbackedCols: Seq[(String, String)] = cm.toSeq.flatten
+      .filter(e => isUnbacked(e._2))
+      .map(e => (e._1, unbackedType(e._2)))
+    val cmBacked = cm.map(_.map { case (l, p) =>
+      if (isUnbacked(p)) (l, l) else (l, p) })
     // EXPLICIT broadcast hints on the delta-sized sides: the
     // localCheckpoint below compiles its plan OUTSIDE AQE (RDD
     // conversion), where the un-hinted joins degrade to sort-merge
@@ -1696,7 +1786,15 @@ object ManifestTable {
       .filter(c => c != "__path" && c != "__ri")
     require(keys.forall(dataCols.contains),
       s"merge keys must exist on the target: ${keys.mkString(", ")}")
-    val srcProj = src.select(dataCols.map(col): _*)
+    // a source that predates the ADD COLUMN null-fills it (the
+    // streaming-sink story: the stream keeps running across the DDL);
+    // any OTHER missing column still fails loudly in the select below
+    val srcFilled = unbackedCols.foldLeft(src) { case (d, (n, t)) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n, org.apache.spark.sql.functions.lit(null)
+        .cast(org.apache.spark.sql.types.DataType.fromDDL(t)))
+    }
+    val srcProj = srcFilled.select(dataCols.map(col): _*)
     // positions (old images to hide) and matched pre-images come from
     // ONE evaluation — a recompute between the DV write and the
     // post-image write could re-plan the scan and tear them apart.
@@ -1717,8 +1815,9 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val next = base + 1
     val dir = newDataDirName(next)
-    // appended files must share the carried files' PHYSICAL schema
-    cm.fold(postImage)(toPhysical(postImage, _))
+    // appended files must share the carried files' PHYSICAL schema;
+    // a freshly-backed column's physical name is its logical name
+    cmBacked.fold(postImage)(toPhysical(postImage, _))
       .write.parquet(s"$root/$dir")
     val appended = fs.listStatus(new Path(root, dir)).toSeq
       .map(_.getPath.getName)
@@ -1730,7 +1829,8 @@ object ManifestTable {
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    carryColmap(spark, root, baseDir, dir)
+    writeBackedMeta(spark, root, baseDir, dir, tagged.schema,
+      unbackedCols, cmBacked)
     // committed skipping survives the MoR merge: carried rows ride,
     // appended fragments get fresh read-back stats (O(delta))
     ZTable.extendStats(spark, root, baseDir, dir, appended)
@@ -1784,8 +1884,7 @@ object ManifestTable {
     val appended =
       if (dirty.isEmpty) { fs.mkdirs(new Path(root, dir)); Seq.empty }
       else {
-        applyDv(spark.read
-            .parquet(dirty.map(r => resolveRef(root, r)): _*), dv)
+        applyDv(readRefsRaw(spark, root, baseDir, dirty), dv)
           .write.parquet(s"$root/$dir")
         fs.listStatus(new Path(root, dir)).toSeq
           .map(_.getPath.getName)
@@ -1796,6 +1895,7 @@ object ManifestTable {
     try out.write((clean ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     carryColmap(spark, root, baseDir, dir)
+    carrySchemaFile(spark, root, baseDir, dir)
     // skipping stats survive the purge: clean files' rows carried,
     // purged rewrites get fresh read-back rows (exact, vector gone)
     ZTable.extendStats(spark, root, baseDir, dir, appended,
@@ -1857,11 +1957,15 @@ object ManifestTable {
     * null-fill it at that type, zero bytes written at any table size.
     * Any full-rewrite commit (MERGE, OPTIMIZE, copy-on-write DML,
     * [[ZTable.optimizeZOrder]]) MATERIALIZES it into real columns.
-    * Until then the merge-on-read writers ([[mergeDV]],
-    * [[updateWhereDV]]) refuse loudly — their appended files would
-    * back the column while carried files don't, and a mixed read
-    * must never tear ([[deleteWhereDV]] writes no data files and
-    * stays available). The feed across the add is EMPTY (widening
+    * Merge-on-read writers KEEP WORKING across the add (round-13,
+    * lifting the round-12 "materialize first" refusal): the first
+    * [[mergeDV]]/[[updateWhereDV]] physically backs the column in its
+    * APPENDED fragments (null-filled at the declared type unless the
+    * source/SET provides it), keeps carried files untouched, and pins
+    * the version's `_schema` so the mixed read resolves exactly —
+    * the tear the refusal guarded against is unrepresentable
+    * ([[deleteWhereDV]] writes no data files and was always
+    * available). The feed across the add is EMPTY (widening
     * null<=>null). Returns the new version. */
   def addColumn(spark: SparkSession, root: String, name: String,
       ddlType: String): Long = {
@@ -1940,6 +2044,9 @@ object ManifestTable {
       spark.read.parquet(dvSrc.toString).repartition(1)
         .write.parquet(s"$root/$dir/_dv")
     writeColmap(spark, root, dir, cm)
+    // physical files unchanged: the pinned read schema (if any)
+    // stays valid across a metadata-only mapping commit
+    carrySchemaFile(spark, root, baseDir, dir)
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write(refs.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -2053,7 +2160,9 @@ object ManifestTable {
           .write.parquet(s"$root/$dir/$frame")
     }
     // the restored version's logical schema rides with its mapping
+    // (and its pinned physical read schema, when mixed-backed)
     carryColmap(spark, root, srcDir, dir)
+    carrySchemaFile(spark, root, srcDir, dir)
     val mp = new Path(s"$root/$dir/_files")
     val out = fs.create(mp, true)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
@@ -2124,9 +2233,12 @@ object ManifestTable {
     if (srcFs.exists(dvSrc))
       spark.read.parquet(dvSrc.toString).repartition(1)
         .write.parquet(s"$cloneRoot/$dir/_dv")
-    // the clone inherits the source's logical schema mapping
+    // the clone inherits the source's logical schema mapping (and
+    // its pinned physical read schema, when mixed-backed)
     colmapOf(spark, sourceRoot, srcDir).foreach(cmS =>
       writeColmap(spark, cloneRoot, dir, cmS))
+    schemaOf(spark, sourceRoot, srcDir).foreach(st =>
+      writeSchemaFile(spark, cloneRoot, dir, st))
     val out = fs.create(new Path(s"$cloneRoot/$dir/_files"), true)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -2330,8 +2442,7 @@ object ManifestTable {
     // rewrite the small files RAW (physical names preserved — the
     // carried large files keep theirs, one mixed read must not tear);
     // their vector slice materializes in the rewrite
-    val raw = spark.read
-      .parquet(small.map(r => resolveRef(root, r)): _*)
+    val raw = readRefsRaw(spark, root, baseDir, small)
     val next = base + 1
     val dir = newDataDirName(next)
     dv.fold(raw)(applyDv(raw, _))
@@ -2353,6 +2464,7 @@ object ManifestTable {
     try out.write((large ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     carryColmap(spark, root, baseDir, dir)
+    carrySchemaFile(spark, root, baseDir, dir)
     // skipping stats survive the binPack: large files' rows carried,
     // compacted output gets fresh read-back rows (exact post-DV)
     ZTable.extendStats(spark, root, baseDir, dir, appended,

@@ -193,7 +193,7 @@ class ColumnMappingSpec extends SparkSpec {
   }
 
   test("ADD COLUMN is metadata-only: typed null until a full rewrite " +
-      "materializes; MoR writers refuse until then") {
+      "materializes; a CoW merge lands real values") {
     val root = freshRoot()
     ManifestTable.commit(kv((1L to 4L).map(i => i -> i): _*), root)
     ManifestTable.addColumn(spark, root, "w", "double")        // v2
@@ -208,16 +208,7 @@ class ColumnMappingSpec extends SparkSpec {
     // feed across the add is EMPTY (widening)
     assert(ManifestTable.changes(spark, root, 1L, 2L, Seq("k"))
       .count() == 0L)
-    // merge-on-read writers refuse while the column is unbacked
-    intercept[IllegalArgumentException] {
-      ManifestTable.mergeDV(spark, root,
-        Seq((5L, 5L, 1.5)).toDF("k", "n", "w"), Seq("k"))
-    }
-    intercept[IllegalArgumentException] {
-      ManifestTable.updateWhereDV(spark, root, col("k") === 1L,
-        Map("w" -> lit(2.5)))
-    }
-    // DV DELETE stays available (writes no data files)
+    // DV DELETE writes no data files — always available
     ManifestTable.deleteWhereDV(spark, root, col("k") === 4L)  // v3
     // a CoW merge MATERIALIZES: values land, mapping gone
     ManifestTable.merge(spark, root,
@@ -229,7 +220,7 @@ class ColumnMappingSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect()
       .map(t => t._1 -> t._3).toMap ==
       Map(1L -> Some(9.5), 2L -> None, 3L -> None, 5L -> Some(1.5)))
-    // and MoR writers work again after materialization
+    // and MoR writers keep working after materialization
     ManifestTable.mergeDV(spark, root,
       Seq((6L, 6L, 3.5)).toDF("k", "n", "w"), Seq("k"))        // v5
     assert(ManifestTable.read(spark, root).get.count() == 5L)
@@ -237,6 +228,66 @@ class ColumnMappingSpec extends SparkSpec {
     intercept[Exception] {
       ManifestTable.addColumn(spark, root, "bad", "not a type")
     }
+  }
+
+  test("MoR writers survive a metadata-only ADD COLUMN: appended " +
+      "fragments back the column, carried files null-fill, no tear") {
+    val root = freshRoot()
+    ManifestTable.commit(kv((1L to 6L).map(i => i -> i): _*), root)
+    ManifestTable.addColumn(spark, root, "w", "double")        // v2
+    // a MoR merge whose SOURCE PREDATES the column (the streaming
+    // sink keeps running across the DDL): null-filled on inserts
+    ManifestTable.mergeDV(spark, root,
+      Seq((7L, 70L)).toDF("k", "n"), Seq("k"))                 // v3
+    val got3 = ManifestTable.read(spark, root).get
+    assert(got3.columns.toSeq == Seq("k", "n", "w"))
+    assert(got3.count() == 7L &&
+      got3.filter(col("w").isNull).count() == 7L)
+    // a MoR merge whose source PROVIDES the column: inserts get
+    // values, every carried row still reads null — one mixed read
+    ManifestTable.mergeDV(spark, root,
+      Seq((8L, 80L, 8.5), (1L, 10L, 1.5)).toDF("k", "n", "w"),
+      Seq("k"))                                                // v4
+    val got4 = ManifestTable.read(spark, root).get
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got4 == Map(
+      1L -> ((10L, Some(1.5))), 2L -> ((2L, None)), 3L -> ((3L, None)),
+      4L -> ((4L, None)), 5L -> ((5L, None)), 6L -> ((6L, None)),
+      7L -> ((70L, None)), 8L -> ((80L, Some(8.5)))))
+    // a MoR UPDATE BACKFILLS the column for matched rows
+    ManifestTable.updateWhereDV(spark, root, col("k") === 2L,
+      Map("w" -> lit(2.5)))                                    // v5
+    assert(ManifestTable.read(spark, root).get
+      .filter(col("k") === 2L).select(col("w"))
+      .as[Double].head() == 2.5)
+    // describeColumns: the column is now backed
+    assert(ManifestTable.describeColumns(spark, root)
+      .filter($"column" === "w").select($"backed")
+      .as[Boolean].head())
+    // feeds across the whole chain stay exact
+    val f = ManifestTable.changes(spark, root, 2L, 5L, Seq("k"))
+    assert(f.filter($"_change_type" === "insert")
+      .select($"k").as[Long].collect().toSet == Set(7L, 8L))
+    // binPack folds the mixed fragments; reads stay exact
+    val fsq = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val refs = ManifestTable.versionFileRefs(spark, root, 5L).get
+    val maxLen = refs.map(r => fsq.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$root/$r")).getLen).max
+    ManifestTable.optimizeBinPack(spark, root,
+      minFileBytes = maxLen + 1)                               // v6
+    val got6 = ManifestTable.read(spark, root).get
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(got6(1L) == Some(1.5) && got6(2L) == Some(2.5) &&
+      got6(8L) == Some(8.5) && got6(3L).isEmpty)
+    // CoW merge still materializes everything away
+    ManifestTable.merge(spark, root,
+      Seq((9L, 90L, 9.9)).toDF("k", "n", "w"), Seq("k"))       // v7
+    val d7 = ManifestTable.versionDataDir(spark, root, 7L)
+    assert(ManifestTable.colmapOf(spark, root, d7).isEmpty)
+    assert(ManifestTable.read(spark, root).get.count() == 9L)
   }
 
   test("describeColumns reports logical schema, physical names and " +
