@@ -159,4 +159,65 @@ class TransactionalStreamSpec extends SparkSpec {
     runOnce()
     assert(ManifestTable.currentVersion(spark, root).contains(cur))
   }
+
+  test("TWO live MERGE-ON-READ streams into ONE table root (round-12 " +
+      "VERDICT ask #7): versions serialize through the OCC rebase, " +
+      "deletion vectors compose across both writers, every base byte " +
+      "stays carried by reference, both key namespaces exactly-once") {
+    val work = Files.createTempDirectory("graft_morstream2_")
+    val landA = Files.createDirectories(work.resolve("landA"))
+    val landB = Files.createDirectories(work.resolve("landB"))
+    val root = s"$work/tbl"
+    // a shared base BOTH streams update: each MoR batch hides matched
+    // pre-images in the cumulative vector, so the vectors genuinely
+    // compose under rebase (a loser recomputing against a stale base
+    // would resurrect the winner's hidden rows)
+    ManifestTable.commit(
+      spark.range(1, 51).selectExpr("id as k",
+        "concat('base', id) as v").coalesce(1), root)          // v1
+    def src(dir: Path) = spark.readStream
+      .schema("k BIGINT, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(dir.toString)
+    val qA = TransactionalStream.runMorMergeSink(src(landA), root,
+      Seq("k"), s"$work/ckptA")
+    val qB = TransactionalStream.runMorMergeSink(src(landB), root,
+      Seq("k"), s"$work/ckptB")
+    try {
+      (1 to 4).foreach { i =>
+        // A updates keys 1..4 and inserts 200+i; B updates 11..14 and
+        // inserts 300+i — updates overlap the SHARED base, not each
+        // other (deterministic final content)
+        drop(landA, s"a$i.json", row(i.toLong, s"A$i"),
+          row(200L + i, s"Ai$i"))
+        drop(landB, s"b$i.json", row(10L + i, s"B$i"),
+          row(300L + i, s"Bi$i"))
+      }
+      qA.processAllAvailable()
+      qB.processAllAvailable()
+      qA.processAllAvailable()
+      qB.processAllAvailable()
+    } finally { qA.stop(); qB.stop() }
+    // 8 MoR batch commits on top of the base -> exactly 9 versions
+    assert(ManifestTable.currentVersion(spark, root).contains(9L))
+    assert(ManifestTable.appliedBatchKeys(spark, root).size == 8)
+    // every version carried the base file by reference — zero rewrite
+    (2L to 9L).foreach { v =>
+      assert(ManifestTable.versionFileRefs(spark, root, v).get
+        .exists(_.startsWith("d1-")), s"v$v lost the base reference")
+    }
+    val got = ManifestTable.read(spark, root).get
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 58, s"expected 58 rows, got ${got.size}")
+    (1 to 4).foreach { i =>
+      assert(got(i.toLong) == s"A$i")
+      assert(got(10L + i) == s"B$i")
+      assert(got(200L + i) == s"Ai$i")
+      assert(got(300L + i) == s"Bi$i")
+    }
+    // untouched base keys read their original values through the
+    // composed vector (no resurrections, no over-deletes)
+    assert(got(5L) == "base5" && got(20L) == "base20" &&
+      got(50L) == "base50")
+  }
 }
