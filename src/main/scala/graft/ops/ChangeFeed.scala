@@ -75,6 +75,19 @@ object ChangeFeed {
 
   private val SyncKeyPrefix = "cdfv-"
 
+  /** Commit a sync-maintained sink state under the `cdfv-<version>`
+    * exactly-once key — shared by [[sync]] and the native-source
+    * consumer ([[graft.streaming.CdfStream.applyFeedBatch]]), so both
+    * write the same key namespace and the same pinned decimal shape
+    * (repeated applies must never creep precision toward Spark's
+    * 38-cap scale reduction). */
+  private[graft] def commitState(state: DataFrame, sinkRoot: String,
+      valueAlias: String, srcVersion: Long): Unit =
+    ManifestTable.commitBatch(
+      state.withColumn(valueAlias,
+        col(valueAlias).cast("decimal(30,6)")),
+      sinkRoot, s"$SyncKeyPrefix$srcVersion")
+
   /** Highest SOURCE version a [[sync]]-maintained sink has applied —
     * recovered from the sink's own batch keys, so the watermark can
     * never tear away from the state it describes. */
@@ -124,12 +137,7 @@ object ChangeFeed {
           deltaAgg(feed, groupCols, value, valueAlias),
           groupCols, valueAlias)
     }
-    // pin the value column's decimal shape so repeated applies never
-    // creep precision toward Spark's 38-cap scale reduction (same
-    // scale — a pure header widen, no value change)
-    ManifestTable.commitBatch(
-      state.withColumn(valueAlias, col(valueAlias).cast("decimal(30,6)")),
-      sinkRoot, s"$SyncKeyPrefix$cur")
+    commitState(state, sinkRoot, valueAlias, cur)
     Some(cur)
   }
 }
