@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FIRST-CLASS PARTITION COLUMNS in the transactional manifest store
+  * (round-12 VERDICT ask #3; SURVEY §4 "partition silver facts by
+  * date"): partition values ride the version's metadata — a `_parts`
+  * frame of (file path, partition value), the [[ZTable]] `_stats`
+  * pattern at partition grain — so reads prune partitions at
+  * O(metadata), a partition DROP is zero-copy, and DML scopes to the
+  * intersecting partitions with every other partition carried by
+  * PATH REFERENCE. At 100 TB this is the FIRST pruning knob, before
+  * z-order: a day-partitioned fact answers "yesterday" by opening one
+  * partition's files, and retires a day by rewriting nothing.
+  *
+  * Layout (on [[ManifestTable]]'s commit protocol, unchanged):
+  * {{{
+  *   root/d<N>-<tok>/p<i>-part-*.parquet — one partition value per
+  *                                  FILE (flattened hive layout)
+  *   root/d<N>-<tok>/_parts/      — (path, value, pcol) rows: every
+  *                                  file of the version with its
+  *                                  partition value — self-contained
+  *                                  per version (carried files'
+  *                                  rows ride into each new version)
+  *   root/d<N>-<tok>/_files       — carry-by-reference versions only
+  * }}}
+  *
+  * Files are written through Spark's own `partitionBy` (one value per
+  * output file by construction) and then FLATTENED into the version
+  * dir with a `p<i>-` prefix: hive `k=v` subdirs would (a) break the
+  * two-component [[ManifestTable.fileKeyOf]] identity deletion
+  * vectors key on, and (b) trip Spark's partition-discovery when a
+  * carried file list spans version dirs with different base paths.
+  * The partition column is DUPLICATED into the data (the hive layout
+  * drops it from the files), so any plain read of the files is
+  * complete without directory-name inference. The flatten is
+  * O(files) renames at commit time — metadata-grain on HDFS-class
+  * stores (an object-store deployment would swap the rename for a
+  * committer that writes final names directly).
+  *
+  * NULL partition values are rejected loudly (a null routes rows to
+  * hive's default-partition bucket, where every pruning decision
+  * would silently misclassify them).
+  *
+  * 100-TB shape: planning reads one `_parts` frame (O(files) driver
+  * metadata, the Delta/Iceberg manifest grain); a pruned read opens
+  * only the matching partitions' files; partition-scoped DML rewrites
+  * only intersecting partitions; [[ManifestTable.vacuum]]'s
+  * reference-awareness keeps carried dirs alive. */
+object PartitionedTable {
+
+  private def fs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write `df` under `dir` with one partition value per file, then
+    * flatten `__gp=<v>` subdirs into `p<i>-`-prefixed files directly
+    * in `dir`. Returns (relative path, value) per file. */
+  private def writeFlattened(spark: SparkSession, root: String,
+      dir: String, df: DataFrame, pcol: String)
+      : Seq[(String, String)] = {
+    require(df.columns.contains(pcol), s"no partition column $pcol")
+    val nulls = df.filter(col(pcol).isNull).limit(1).count()
+    require(nulls == 0L,
+      s"partition column $pcol contains NULL — null routes to hive's " +
+        "default bucket and every pruning decision would misclassify")
+    df.withColumn("__gp", col(pcol).cast("string"))
+      .write.mode("append").partitionBy("__gp")
+      .parquet(s"$root/$dir")
+    val f = fs(spark, root)
+    val base = new org.apache.hadoop.fs.Path(s"$root/$dir")
+    val partDirs = f.listStatus(base).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("__gp="))
+      .sortBy(_.getPath.getName)
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    partDirs.zipWithIndex.foreach { case (pd, i) =>
+      // Spark escapes special chars in partition dir names the hive
+      // way (%XX); decode to recover the exact string value
+      val enc = pd.getPath.getName.drop("__gp=".length)
+      val value = java.net.URLDecoder.decode(
+        enc.replace("+", "%2B"), "UTF-8")
+      f.listStatus(pd.getPath).toSeq.map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .foreach { n =>
+          val target = new org.apache.hadoop.fs.Path(base, s"p$i-$n")
+          require(f.rename(
+            new org.apache.hadoop.fs.Path(pd.getPath, n), target),
+            s"flatten rename failed for $n")
+          out += ((s"$dir/p$i-$n", value))
+        }
+      f.delete(pd.getPath, true) // now-empty hive dir
+    }
+    require(out.nonEmpty, "partitioned write produced no data files")
+    out.toSeq
+  }
+
+  private def writeParts(spark: SparkSession, root: String, dir: String,
+      rows: Seq[(String, String)], pcol: String): Unit = {
+    import spark.implicits._
+    rows.toDF("path", "value").withColumn("pcol", lit(pcol))
+      .repartition(1).write.parquet(s"$root/$dir/_parts")
+  }
+
+  /** The partition metadata of version `v`: one (path, value, pcol)
+    * row per data file. Fails loudly on an unpartitioned version. */
+  def parts(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val dir = ManifestTable.versionDataDir(spark, root, v)
+    val p = new org.apache.hadoop.fs.Path(s"$root/$dir/_parts")
+    require(fs(spark, root).exists(p),
+      s"version $v of $root carries no partition metadata — commit " +
+        "through PartitionedTable.commitPartitioned first")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Commit `df` as the next version, partitioned by `pcol` — one
+    * partition value per file, values committed in `_parts`. */
+  def commitPartitioned(spark: SparkSession, root: String,
+      df: DataFrame, pcol: String): Long = {
+    val next = ManifestTable.currentVersion(spark, root)
+      .getOrElse(0L) + 1
+    val full = Generated(spark, root, df, "commitPartitioned")
+    Checks.enforce(spark, root, full, "commitPartitioned")
+    val dir = ManifestTable.newDataDirName(next)
+    val rows = writeFlattened(spark, root, dir, full, pcol)
+    writeParts(spark, root, dir, rows, pcol)
+    ManifestTable.writeOpMeta(spark, root, dir, "WRITE")
+    ManifestTable.writeMarker(spark, root, next, dataDir = dir)
+    ManifestTable.maybeAutoCompact(spark, root)
+    next
+  }
+
+  /** APPEND a batch into the partitioned fact as the next version:
+    * every existing file carries by reference, the batch lands as
+    * fresh per-partition files — O(batch) bytes, the daily-load
+    * shape. CHECK constraints enforce on the batch (the [[ManifestTable.merge]]
+    * inductive contract). */
+  def appendPartitioned(spark: SparkSession, root: String,
+      df: DataFrame): Long = {
+    val (base, baseDir, pcol, baseRows) = resolve(spark, root)
+    val batch = Generated(spark, root, df, "appendPartitioned")
+    Checks.enforce(spark, root, batch, "appendPartitioned")
+    val next = base + 1
+    val dir = ManifestTable.newDataDirName(next)
+    val fresh = writeFlattened(spark, root, dir, batch, pcol)
+    commitCarry(spark, root, dir, next,
+      carried = baseRows, fresh = fresh, pcol = pcol,
+      baseDir = baseDir, op = "WRITE")
+  }
+
+  /** DROP whole partitions — ZERO-COPY: the new version's `_files`
+    * references every file of every OTHER partition verbatim; the
+    * dropped partitions' bytes are rewritten nowhere (and reclaimed
+    * by [[ManifestTable.vacuum]] once no retained version references
+    * them). The 100-TB retire-a-day operation at O(metadata). */
+  def dropPartitions(spark: SparkSession, root: String,
+      values: Seq[String]): Long = {
+    val (base, baseDir, pcol, baseRows) = resolve(spark, root)
+    val drop = values.toSet
+    val (dropped, kept) = baseRows.partition(r => drop.contains(r._2))
+    require(dropped.nonEmpty,
+      s"no partition of $root matches ${values.mkString(",")}")
+    require(kept.nonEmpty,
+      s"dropping every partition of $root — use a plain empty commit")
+    val next = base + 1
+    val dir = ManifestTable.newDataDirName(next)
+    fs(spark, root).mkdirs(new org.apache.hadoop.fs.Path(s"$root/$dir"))
+    commitCarry(spark, root, dir, next, carried = kept,
+      fresh = Nil, pcol = pcol, baseDir = baseDir, op = "DELETE")
+  }
+
+  /** DELETE rows matching `extra` INSIDE the named partitions: only
+    * those partitions' files are read and rewritten (partition-pure
+    * output via the same flatten); every other partition is carried
+    * by PATH REFERENCE with its `_parts` rows. SQL NULL semantics
+    * (NULL = kept). */
+  def deleteWhereInPartitions(spark: SparkSession, root: String,
+      values: Seq[String], extra: Column): Long = {
+    val (base, baseDir, pcol, baseRows) = resolve(spark, root)
+    val target = values.toSet
+    val (touched, untouched) = baseRows.partition(r =>
+      target.contains(r._2))
+    require(touched.nonEmpty,
+      s"no partition of $root matches ${values.mkString(",")}")
+    val next = base + 1
+    val dir = ManifestTable.newDataDirName(next)
+    val remaining = spark.read.parquet(
+        touched.map(r => ManifestTable.resolveRef(root, r._1)): _*)
+      .filter(!coalesce(extra, lit(false)))
+    val fresh =
+      if (remaining.isEmpty) {
+        fs(spark, root).mkdirs(
+          new org.apache.hadoop.fs.Path(s"$root/$dir"))
+        Nil
+      } else writeFlattened(spark, root, dir, remaining, pcol)
+    commitCarry(spark, root, dir, next, carried = untouched,
+      fresh = fresh, pcol = pcol, baseDir = baseDir, op = "DELETE")
+  }
+
+  /** Pruned read of the CURRENT version: open ONLY the files of the
+    * named partitions — one `_parts` metadata read plans it
+    * (O(files), the manifest-planning grain). Returns a
+    * correctly-schemed empty frame when nothing matches. */
+  def readPartitions(spark: SparkSession, root: String,
+      values: Seq[String]): DataFrame = {
+    val (_, dir, _, rows) = resolve(spark, root)
+    val want = values.toSet
+    val paths = rows.filter(r => want.contains(r._2)).map(_._1)
+    if (paths.isEmpty)
+      ManifestTable.read(spark, root).get.filter(lit(false))
+    else {
+      val raw = spark.read.parquet(
+        paths.map(p => ManifestTable.resolveRef(root, p)): _*)
+      // a merge-on-read DELETE's vector applies to the pruned read
+      // too (reading raw paths would resurrect deleted rows)
+      ManifestTable.dvOf(spark, root, dir)
+        .fold(raw)(ManifestTable.applyDv(raw, _))
+    }
+  }
+
+  /** The current version's (version, dir, pcol, (path, value) rows).
+    * O(files) driver-side metadata — the planning grain. */
+  private def resolve(spark: SparkSession, root: String)
+      : (Long, String, String, Seq[(String, String)]) = {
+    val base = ManifestTable.currentVersion(spark, root)
+      .getOrElse(sys.error(s"no committed version at $root"))
+    val rows = parts(spark, root, base).collect()
+    val pcol = rows.head.getString(rows.head.fieldIndex("pcol"))
+    (base, ManifestTable.versionDataDir(spark, root, base), pcol,
+      rows.toSeq.map(r => (r.getString(r.fieldIndex("path")),
+        r.getString(r.fieldIndex("value")))))
+  }
+
+  /** Shared carry-commit tail: `_files` = carried refs + fresh files,
+    * `_parts` = both sides' rows, op metadata + marker. */
+  private def commitCarry(spark: SparkSession, root: String,
+      dir: String, next: Long, carried: Seq[(String, String)],
+      fresh: Seq[(String, String)], pcol: String, baseDir: String,
+      op: String): Long = {
+    val f = fs(spark, root)
+    val manifest = (carried.map(_._1) ++ fresh.map(_._1)).mkString("\n")
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$root/$dir/_files"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    writeParts(spark, root, dir, carried ++ fresh, pcol)
+    ManifestTable.writeOpMeta(spark, root, dir, op)
+    ManifestTable.writeMarker(spark, root, next, dataDir = dir)
+    ManifestTable.maybeAutoCompact(spark, root)
+    next
+  }
+}

@@ -2089,8 +2089,101 @@ object OpsQueries extends QueryPack {
     covers = Seq("TD-committed-skipping", "TD-deletion-vectors",
       "TD-optimize-compaction"))
 
+  /** First-class PARTITION COLUMNS in the manifest store
+    * ([[graft.ops.PartitionedTable]] — round-13 headline #3; SURVEY
+    * §4 "partition silver facts by date"): a month-partitioned fact
+    * commits with its partition values in version metadata, a pruned
+    * read opens EXACTLY one month's files (`pruned` — the
+    * O(one-partition) proof), a daily append carries every existing
+    * file by reference (`append_carry`), retiring two months is
+    * ZERO-COPY (`drop_zero_copy` — no file rewritten anywhere), and a
+    * partition-scoped DELETE rewrites only the named month while
+    * every other month rides by PATH IDENTITY (`scoped_carry`). At
+    * 100 TB partition pruning is the FIRST knob, before z-order —
+    * this is the Snowflake/Delta partitioned-fact posture the
+    * reference's silver models assume. Oracle = the declarative
+    * union + filters. */
+  val q242 = Q(
+    "q242_partitioned_fact",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{ManifestTable, PartitionedTable}
+      val orders = Tables(s, dir, "orders")
+      def slice(lo: String, hi: String) = orders
+        .filter($"o_orderdate" >= lit(lo).cast("timestamp") &&
+          $"o_orderdate" < lit(hi).cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM").as("o_month"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q242_").toString + "/orders_tbl"
+      PartitionedTable.commitPartitioned(s, root,
+        slice("1995-01-01", "1996-01-01"), "o_month")           // v1
+      def partRows(v: Long) = PartitionedTable.parts(s, root, v)
+        .select($"path", $"value").as[(String, String)].collect()
+      val p1 = partRows(1L)
+      // O(one-partition) proof: the pruned read opens exactly the
+      // month's files — a strict subset of the table
+      val scan = PartitionedTable.readPartitions(s, root,
+        Seq("1995-06"))
+      val pruned = scan.inputFiles.length == p1.count(_._2 == "1995-06") &&
+        scan.inputFiles.length < p1.length &&
+        scan.filter($"o_month" =!= "1995-06").count() == 0L
+      PartitionedTable.appendPartitioned(s, root,
+        slice("1996-01-01", "1996-07-01"))                      // v2
+      val p2 = partRows(2L)
+      val appendCarry = p1.map(_._1).toSet.subsetOf(p2.map(_._1).toSet)
+      PartitionedTable.dropPartitions(s, root,
+        Seq("1995-01", "1995-02"))                              // v3
+      val refs3 = ManifestTable.versionFileRefs(s, root, 3L).get
+      val dropZeroCopy = refs3.toSet.subsetOf(p2.map(_._1).toSet)
+      PartitionedTable.deleteWhereInPartitions(s, root,
+        Seq("1995-03"), $"o_custkey" % 3 === 0)                 // v4
+      val p4 = partRows(4L)
+      val scopedCarry = partRows(3L).filter(_._2 != "1995-03")
+        .map(_._1).toSet.subsetOf(p4.map(_._1).toSet)
+      ManifestTable.read(s, root).get
+        .groupBy($"o_month")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"))
+        .withColumn("pruned", lit(pruned))
+        .withColumn("append_carry", lit(appendCarry))
+        .withColumn("drop_zero_copy", lit(dropZeroCopy))
+        .withColumn("scoped_carry", lit(scopedCarry))
+        .orderBy($"o_month")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS o_month
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+      appended AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS o_month
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'),
+      unioned AS (
+        SELECT * FROM base UNION ALL SELECT * FROM appended),
+      after_drop AS (
+        SELECT * FROM unioned
+        WHERE o_month NOT IN ('1995-01', '1995-02')),
+      final AS (
+        SELECT * FROM after_drop
+        WHERE NOT (o_month = '1995-03' AND o_custkey % 3 = 0))
+      SELECT o_month, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS pruned, true AS append_carry,
+             true AS drop_zero_copy, true AS scoped_carry
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-partitioned-store", "TD-optimize-compaction"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236, q237, q238, q239, q240)
+      q234, q235, q236, q237, q238, q239, q240, q242)
 }
