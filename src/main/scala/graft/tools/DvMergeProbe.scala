@@ -45,7 +45,7 @@ object DvMergeProbe {
       src.select("o_orderkey").distinct().count())
     val tagged = spark.read.parquet(s"$root/$d1")
       .withColumn("__path",
-        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+        substring_index(col("_metadata.file_path"), "/", -2))
       .withColumn("__ri", col("_metadata.row_index"))
     time("plain_scan_count")(
       spark.read.parquet(s"$root/$d1").count())

@@ -12,6 +12,8 @@ object Probe {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // q241 drives table-format DML through spark.sql text
+      .withExtensions(new graft.expressions.GraftExtensions)
     // extra confs for A/B plan experiments, e.g.
     // SPARK_GRAFT_CONF="spark.sql.codegen.wholeStage=false;spark.sql.adaptive.enabled=false"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
