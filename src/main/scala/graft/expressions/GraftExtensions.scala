@@ -29,6 +29,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // delegates to Spark's parser verbatim.
     ext.injectParser((_, delegate) =>
       new graft.sql.GraftSqlParser(delegate))
+    // READ surface as table-valued functions (the FROM-clause side of
+    // EP1 parity — Delta exposes table_changes() the same way):
+    //   graft_table('/p')              current version
+    //   graft_version('/p', v)         VERSION AS OF
+    //   graft_as_of('/p', 'utc ts')    TIMESTAMP AS OF
+    //   graft_changes('/p', f, t, 'k') CDF net diff keyed by k (csv)
+    // Builders return the SAME read plans the Scala API produces —
+    // the analyzer splices them in place of the TVF reference.
+    GraftExtensions.tableFunctions.foreach { case (name, builder) =>
+      ext.injectTableFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft.expressions.GraftExtensions", name),
+        builder))
+    }
   }
 }
 
@@ -54,6 +67,71 @@ object GraftExtensions {
           s"graft_word_shingles: n must be an integer literal, got $other")
       }
       WordShingles(args.head, n)
+    }))
+
+  /** Table-valued READ functions over the manifest store. Arguments
+    * must be literals (a table path is configuration, not data); the
+    * plan is built against the ACTIVE session at analysis time and
+    * spliced into the query — the same read path as the Scala API,
+    * so SQL and Scala reads can never diverge. */
+  private def tvArgs(name: String, args: Seq[Expression],
+      n: Int): Seq[Any] = {
+    require(args.length == n,
+      s"$name takes $n literal argument(s), got ${args.length}")
+    args.map {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+        v match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => other
+        }
+      case other => throw new IllegalArgumentException(
+        s"$name arguments must be literals, got $other")
+    }
+  }
+
+  private def numArg(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.logical
+
+  private val tableFunctions: Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan)] = Seq(
+    ("graft_table", { args =>
+      val Seq(root) = tvArgs("graft_table", args, 1)
+      val spark = org.apache.spark.sql.SparkSession.active
+      planOf(graft.ops.ManifestTable.read(spark, root.toString)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft_table: no committed version at $root")))
+    }),
+    ("graft_version", { args =>
+      val Seq(root, v) = tvArgs("graft_version", args, 2)
+      val spark = org.apache.spark.sql.SparkSession.active
+      planOf(graft.ops.ManifestTable.readVersion(spark,
+        root.toString, numArg(v)))
+    }),
+    ("graft_as_of", { args =>
+      val Seq(root, ts) = tvArgs("graft_as_of", args, 2)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val millis = java.time.LocalDateTime
+        .parse(ts.toString.trim.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      planOf(graft.ops.ManifestTable.readAsOf(spark, root.toString,
+        millis))
+    }),
+    ("graft_changes", { args =>
+      val Seq(root, f, t, keys) = tvArgs("graft_changes", args, 4)
+      val spark = org.apache.spark.sql.SparkSession.active
+      planOf(graft.ops.ManifestTable.changes(spark, root.toString,
+        numArg(f), numArg(t),
+        keys.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     }))
 
   /** Retrofit registration for an ALREADY-RUNNING session (builder

@@ -359,7 +359,9 @@ object SqlSurface extends QueryPack {
       val histOk = s.sql(s"DESCRIBE HISTORY graft.`$root`")
         .select($"operation").as[String].collect().toSeq ==
         Seq("MERGE", "MERGE", "UPDATE", "DELETE")
-      ManifestTable.read(s, root).get
+      // even the READ goes through SQL: the graft_table table-valued
+      // function splices the same plan the Scala API builds
+      s.sql(s"SELECT * FROM graft_table('$root')")
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           sum($"o_totalprice".cast(D)).cast("double").as("sum_price"))

@@ -121,6 +121,55 @@ class GraftSqlSpec extends SparkSpec {
     }
     // table untouched by the refused statements
     assert(ManifestTable.currentVersion(spark, root).contains(1L))
+    // a statement that merely MENTIONS a graft ref in a subquery is
+    // NOT hijacked — it delegates (and fails as whatever Spark makes
+    // of it, not as a graft parse error)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE sometable SET x = " +
+        s"(SELECT max(k) FROM graft.`$root`)")
+    }
+    assert(!e.getMessage.contains("graft SQL"),
+      s"delegation expected, got: ${e.getMessage.take(100)}")
+  }
+
+  test("table-valued READ functions: graft_table / graft_version / " +
+      "graft_as_of / graft_changes splice the Scala API's plans") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "g", "v"), root)                               // v1
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    ManifestTable.merge(spark, root,
+      Seq((2L, "b", 5.0), (3L, "c", 3.0)).toDF("k", "g", "v"),
+      Seq("k"))                                                 // v2
+    assert(spark.sql(s"SELECT sum(v) AS s FROM graft_table('$root')")
+      .as[Double].head() == 9.0)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_version('$root', 1)")
+      .as[Long].head() == 2L)
+    val ts = java.time.Instant.ofEpochMilli(afterV1)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_as_of('$root', '$ts')")
+      .as[Long].head() == 2L)
+    // the CDF read: one insert (k=3) + one update pair (k=2)
+    val ch = spark.sql(s"SELECT _change_type, k FROM " +
+        s"graft_changes('$root', 1, 2, 'k') ORDER BY k, _change_type")
+      .as[(String, Long)].collect().toSeq
+    assert(ch == Seq(("update_postimage", 2L), ("update_preimage", 2L),
+      ("insert", 3L)))
+    // TVFs compose inside larger queries (joins, filters)
+    assert(spark.sql(
+      s"""SELECT count(*) AS n FROM graft_table('$root') a
+          JOIN graft_version('$root', 1) b ON a.k = b.k""")
+      .as[Long].head() == 2L)
+    // non-literal args refuse loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_version('$root', 1 + 1)")
+        .collect()
+    }
   }
 
   test("RESTORE TO TIMESTAMP AS OF parses a UTC literal") {
