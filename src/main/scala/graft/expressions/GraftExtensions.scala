@@ -132,6 +132,13 @@ object GraftExtensions {
       planOf(graft.ops.ManifestTable.changes(spark, root.toString,
         numArg(f), numArg(t),
         keys.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+    }),
+    ("graft_partition", { args =>
+      val Seq(root, values) = tvArgs("graft_partition", args, 2)
+      val spark = org.apache.spark.sql.SparkSession.active
+      planOf(graft.ops.PartitionedTable.readPartitions(spark,
+        root.toString, values.toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq))
     }))
 
   /** Retrofit registration for an ALREADY-RUNNING session (builder

@@ -172,6 +172,30 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE RENAME/DROP/ADD COLUMN and DESCRIBE COLUMNS as " +
+      "statement text; graft_partition prunes via the _parts frame") {
+    val root = freshRoot()
+    ManifestTable.commit(Seq((1L, 2L, "x")).toDF("k", "n", "t"), root)
+    spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN n TO amount")
+    spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN t")
+    spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN w double")
+    val cols = spark.sql(s"DESCRIBE COLUMNS graft.`$root`")
+      .as[(String, String, String, Boolean)].collect().toSeq
+    assert(cols == Seq(("k", "k", null, true),
+      ("amount", "n", null, true), ("w", null, "double", false)))
+    assert(ManifestTable.read(spark, root).get.columns.toSeq ==
+      Seq("k", "amount", "w"))
+    // the partition-pruned TVF
+    val proot = freshRoot()
+    graft.ops.PartitionedTable.commitPartitioned(spark, proot,
+      spark.range(0, 100).selectExpr("id as k",
+        "cast(id % 4 as string) as day"), "day")
+    val got = spark.sql(
+      s"SELECT count(*) AS n FROM graft_partition('$proot', '1,2')")
+      .as[Long].head()
+    assert(got == 50L)
+  }
+
   test("RESTORE TO TIMESTAMP AS OF parses a UTC literal") {
     val root = freshRoot()
     ManifestTable.commit(Seq((1L, 1L)).toDF("k", "n"), root)    // v1
