@@ -29,6 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // delegates to Spark's parser verbatim.
     ext.injectParser((_, delegate) =>
       new graft.sql.GraftSqlParser(delegate))
+    // PREDICATE-DRIVEN FILE PRUNING (Snowflake's prune-on-every-query
+    // posture): Filter over a committed graft scan is intersected
+    // with the version's `_parts`/`_stats`/`_bloom` frames and the
+    // scan's file index replaced by the provably-needed subset — the
+    // SQL user gets partition, z-range, and Bloom pruning from the
+    // WHERE clause with no API opt-in. Sound-by-construction; see
+    // [[graft.plans.GraftPruneScans]].
+    ext.injectOptimizerRule(session =>
+      new graft.plans.GraftPruneScans(session))
     // READ surface as table-valued functions (the FROM-clause side of
     // EP1 parity — Delta exposes table_changes() the same way):
     //   graft_table('/p')              current version
@@ -101,13 +110,26 @@ object GraftExtensions {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.logical
 
+  /** A TVF's first argument addresses a table: an absolute path is
+    * used verbatim; anything else resolves through the name catalog
+    * (`graft_table('silver.fact_shipments')` — EP1's 3-part names on
+    * the READ side too). */
+  private def rootOf(arg: Any): String = {
+    val s = arg.toString
+    if (s.startsWith("/") || s.contains("://")) s
+    else graft.sql.GraftCatalog.resolve(s).getOrElse(
+      throw new IllegalArgumentException(
+        s"table name '$s' does not resolve — register it with " +
+          "GRAFT CATALOG REGISTER <name> AT '<dir>' or SET BASE"))
+  }
+
   private val tableFunctions: Seq[(String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical
         .LogicalPlan)] = Seq(
     ("graft_table", { args =>
       val Seq(root) = tvArgs("graft_table", args, 1)
       val spark = org.apache.spark.sql.SparkSession.active
-      planOf(graft.ops.ManifestTable.read(spark, root.toString)
+      planOf(graft.ops.ManifestTable.read(spark, rootOf(root))
         .getOrElse(throw new IllegalArgumentException(
           s"graft_table: no committed version at $root")))
     }),
@@ -115,7 +137,7 @@ object GraftExtensions {
       val Seq(root, v) = tvArgs("graft_version", args, 2)
       val spark = org.apache.spark.sql.SparkSession.active
       planOf(graft.ops.ManifestTable.readVersion(spark,
-        root.toString, numArg(v)))
+        rootOf(root), numArg(v)))
     }),
     ("graft_as_of", { args =>
       val Seq(root, ts) = tvArgs("graft_as_of", args, 2)
@@ -123,13 +145,13 @@ object GraftExtensions {
       val millis = java.time.LocalDateTime
         .parse(ts.toString.trim.replace(' ', 'T'))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      planOf(graft.ops.ManifestTable.readAsOf(spark, root.toString,
+      planOf(graft.ops.ManifestTable.readAsOf(spark, rootOf(root),
         millis))
     }),
     ("graft_changes", { args =>
       val Seq(root, f, t, keys) = tvArgs("graft_changes", args, 4)
       val spark = org.apache.spark.sql.SparkSession.active
-      planOf(graft.ops.ManifestTable.changes(spark, root.toString,
+      planOf(graft.ops.ManifestTable.changes(spark, rootOf(root),
         numArg(f), numArg(t),
         keys.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     }),
@@ -137,7 +159,7 @@ object GraftExtensions {
       val Seq(root, values) = tvArgs("graft_partition", args, 2)
       val spark = org.apache.spark.sql.SparkSession.active
       planOf(graft.ops.PartitionedTable.readPartitions(spark,
-        root.toString, values.toString.split(",").map(_.trim)
+        rootOf(root), values.toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq))
     }))
 

@@ -474,7 +474,7 @@ object ManifestTable {
     * stable across carry-by-reference (a file keeps its dir/file name
     * however many versions reference it) and across shallow clones
     * (an absolute external ref ends in the same two components). */
-  private[ops] def fileKeyOf(entry: String): String =
+  private[graft] def fileKeyOf(entry: String): String =
     entry.split('/').takeRight(2).mkString("/")
 
   /** A version's DELETION VECTOR, if it carries one: rows of
@@ -723,8 +723,17 @@ object ManifestTable {
   private[ops] def readDataDir(spark: SparkSession, root: String,
       dir: String): DataFrame = {
     val raw = fileList(spark, root, dir) match {
-      case Some(rels) => readRefsRaw(spark, root, dir, rels)
-      case None => spark.read.parquet(s"$root/$dir")
+      case Some(rels) =>
+        // register the EXACT file set with the planner-side pruning
+        // registry, so a later Filter over this scan can be
+        // intersected with the version's committed _parts/_stats/
+        // _bloom frames ([[GraftPruning]]) — O(1) string work
+        GraftPruning.register(spark,
+          rels.map(resolveRef(root, _)), root, dir)
+        readRefsRaw(spark, root, dir, rels)
+      case None =>
+        GraftPruning.register(spark, Seq(s"$root/$dir"), root, dir)
+        spark.read.parquet(s"$root/$dir")
     }
     val live = dvOf(spark, root, dir).fold(raw)(applyDv(raw, _))
     // column mapping LAST: logical names are the only thing any
@@ -775,6 +784,93 @@ object ManifestTable {
     writeOpMeta(spark, root, dir, "WRITE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root)
+    next
+  }
+
+  /** APPEND `df` as the next version — O(batch): every base file is
+    * carried BY REFERENCE (`_files` = base refs ++ the batch's fresh
+    * files), so INSERT INTO a 100 TB table writes the batch's bytes
+    * and nothing else (where [[commit]] is full-replace semantics).
+    * The SQL `INSERT INTO graft.`/p` SELECT …` statement routes here
+    * (the reference's EDW loads, `dags/snowflake-EDW-ETL-dag.py:147`).
+    * Composes with the whole metadata surface: a partitioned base
+    * delegates to [[PartitionedTable.appendPartitioned]] (fragments
+    * partition-pure, `_parts` extended); the deletion vector carries
+    * verbatim (all base files survive); committed skipping stats
+    * extend ([[ZTable.extendStats]] — O(batch) read-back); a pending
+    * metadata-only ADD COLUMN is physically backed in the appended
+    * files exactly as [[mergeDV]] does. Columns match the target BY
+    * NAME (order-free); missing columns fail loudly. CHECK
+    * constraints enforce on the batch (the inductive contract).
+    * Returns the new version. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val (live, compacted) = commitState(spark, root)
+    val markers = namesOf(live, compacted)
+    require(markers.nonEmpty,
+      s"nothing to append to at $root — CREATE TABLE … AS SELECT " +
+        "(or commit) first")
+    val base = markers.map(versionOf).max
+    val baseDir = dirOf(spark, root,
+      winnersByVersion(markers)(base), live, compacted)
+    val cm = colmapOf(spark, root, baseDir)
+    if (cm.isEmpty &&
+        PartitionedTable.partsRowsIfAny(spark, root, baseDir).isDefined)
+      return PartitionedTable.appendPartitioned(spark, root, df)
+    val src = Generated(spark, root, df, "append")
+    Checks.enforce(spark, root, src, "append")
+    val refs = fileList(spark, root, baseDir).getOrElse {
+      fsOf(spark, root).listStatus(new Path(root, baseDir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"$baseDir/$n")
+    }
+    require(refs.nonEmpty, s"version $base of $root has no data files")
+    // logical target schema = the base read's (colmap applied)
+    val targetSchema = readDataDir(spark, root, baseDir).schema
+    val unbackedCols: Seq[(String, String)] = cm.toSeq.flatten
+      .filter(e => isUnbacked(e._2))
+      .map(e => (e._1, unbackedType(e._2)))
+    val cmBacked = cm.map(_.map { case (l, p) =>
+      if (isUnbacked(p)) (l, l) else (l, p) })
+    val srcFilled = unbackedCols.foldLeft(src) { case (d, (n, t)) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n, org.apache.spark.sql.functions.lit(null)
+        .cast(org.apache.spark.sql.types.DataType.fromDDL(t)))
+    }
+    // match by NAME, coerce to the target's TYPES (SQL INSERT
+    // semantics — a decimal VALUES literal must land as the target's
+    // double, or the mixed parquet schema mis-decodes; ANSI casts
+    // keep bad values loud)
+    val srcProj = srcFilled.select(targetSchema.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        .as(f.name)): _*)
+    val fs = fsOf(spark, root)
+    val next = base + 1
+    val dir = newDataDirName(next)
+    cmBacked.fold(srcProj)(toPhysical(srcProj, _))
+      .write.parquet(s"$root/$dir")
+    val appended = fs.listStatus(new Path(root, dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .map(n => s"$dir/$n")
+    val out = fs.create(new Path(new Path(root, dir), "_files"), true)
+    try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // every base file carried → the vector rides verbatim
+    dvOf(spark, root, baseDir).foreach(dv =>
+      dv.repartition(1).write.parquet(s"$root/$dir/_dv"))
+    // base PHYSICAL schema (footer-only read) — needed only when a
+    // pending ADD COLUMN is being backed and `_schema` must pin the
+    // mixed file set
+    val physSchema =
+      if (unbackedCols.isEmpty) org.apache.spark.sql.types.StructType(Nil)
+      else readRefsRaw(spark, root, baseDir, refs).schema
+    writeBackedMeta(spark, root, baseDir, dir, physSchema,
+      unbackedCols, cmBacked)
+    ZTable.extendStats(spark, root, baseDir, dir, appended)
+    writeOpMeta(spark, root, dir, "WRITE")
+    writeMarker(spark, root, next, dataDir = dir)
+    maybeAutoCompact(spark, root, live.size + 1)
     next
   }
 
@@ -1522,9 +1618,9 @@ object ManifestTable {
     // file keeps the reader's join build side one footer away
     newDv.repartition(1).write.parquet(s"$root/$dir/_dv")
     // _parts rides too: a DV delete changes no file set, so the
-    // partition metadata stays exact (appending MoR DML must NOT
-    // carry it — fragments are not partition-pure — and parts() then
-    // fails loudly instead of pruning wrongly)
+    // partition metadata stays exact (the appending MoR DML paths
+    // keep it alive as well — their fragments land partition-pure
+    // through the flatten and extend the frame; see [[updateWhereDV]])
     Seq("_stats", "_bloom", "_parts").foreach { frame =>
       val src = new Path(s"$root/$baseDir/$frame")
       if (fs.exists(src))
@@ -1626,14 +1722,37 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val next = base + 1
     val dir = newDataDirName(next)
-    // appended files must share the carried files' PHYSICAL schema;
-    // a freshly-backed column's physical name is its logical name
-    cmBacked.fold(postImage)(toPhysical(postImage, _))
-      .write.parquet(s"$root/$dir") // the appended post-images
-    val appended = fs.listStatus(new Path(root, dir)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => !n.startsWith("_") && !n.startsWith("."))
-      .map(n => s"$dir/$n")
+    // PARTITION-PURE append when the base is a partitioned table
+    // (round-13's `_parts` drop closed, the extendStats move replayed
+    // on the partition frame): post-images land through the same
+    // flatten commitPartitioned uses — one partition value per
+    // appended file BY CONSTRUCTION, even when the SET rewrites the
+    // partition column itself (the post-image carries its own value)
+    // — and `_parts` extends with the fragments' values, so a
+    // date-partitioned fact keeps partition pruning through its daily
+    // MoR DML. A post-image with a NULL partition value fails loudly
+    // BEFORE the marker (no torn commit; the dir is vacuum-reclaimed).
+    // Column mapping doesn't compose with partitioning (a rename
+    // already drops `_parts`), so the flatten path requires cm empty.
+    val baseParts =
+      if (cm.isEmpty) PartitionedTable.partsRowsIfAny(spark, root, baseDir)
+      else None
+    val (appended, freshParts) = baseParts match {
+      case Some((pcol, _)) =>
+        val rows = PartitionedTable.writeFlattened(spark, root, dir,
+          postImage, pcol)
+        (rows.map(_._1), rows)
+      case None =>
+        // appended files must share the carried files' PHYSICAL
+        // schema; a freshly-backed column's physical name is its
+        // logical name
+        cmBacked.fold(postImage)(toPhysical(postImage, _))
+          .write.parquet(s"$root/$dir") // the appended post-images
+        (fs.listStatus(new Path(root, dir)).toSeq
+          .map(_.getPath.getName)
+          .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          .map(n => s"$dir/$n"), Nil)
+    }
     val fresh = matched
       .select(col("__path").as("path"), col("__ri").as("row_index"))
     val newDv = prior.fold(fresh)(p =>
@@ -1642,6 +1761,10 @@ object ManifestTable {
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    baseParts.foreach { case (pcol, baseRows) =>
+      PartitionedTable.writeParts(spark, root, dir,
+        baseRows ++ freshParts, pcol)
+    }
     writeBackedMeta(spark, root, baseDir, dir, tagged.schema,
       unbackedCols, cmBacked)
     // committed skipping survives MoR DML: carried rows ride, appended
@@ -1815,20 +1938,41 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val next = base + 1
     val dir = newDataDirName(next)
-    // appended files must share the carried files' PHYSICAL schema;
-    // a freshly-backed column's physical name is its logical name
-    cmBacked.fold(postImage)(toPhysical(postImage, _))
-      .write.parquet(s"$root/$dir")
-    val appended = fs.listStatus(new Path(root, dir)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => !n.startsWith("_") && !n.startsWith("."))
-      .map(n => s"$dir/$n")
+    // PARTITION-PURE append when the base is partitioned (see
+    // [[updateWhereDV]]): fragments land through the flatten — one
+    // partition value per file — and `_parts` extends with their
+    // values, so the reference's daily silver shape (MERGE into a
+    // date-partitioned fact, `dags/logistics-airbyte-sql.py:25-49`)
+    // keeps partition pruning at 100 TB between optimizes.
+    val baseParts =
+      if (cm.isEmpty) PartitionedTable.partsRowsIfAny(spark, root, baseDir)
+      else None
+    val (appended, freshParts) = baseParts match {
+      case Some((pcol, _)) =>
+        val rows = PartitionedTable.writeFlattened(spark, root, dir,
+          postImage, pcol)
+        (rows.map(_._1), rows)
+      case None =>
+        // appended files must share the carried files' PHYSICAL
+        // schema; a freshly-backed column's physical name is its
+        // logical name
+        cmBacked.fold(postImage)(toPhysical(postImage, _))
+          .write.parquet(s"$root/$dir")
+        (fs.listStatus(new Path(root, dir)).toSeq
+          .map(_.getPath.getName)
+          .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          .map(n => s"$dir/$n"), Nil)
+    }
     val newDv = prior.fold(positions)(p =>
       p.select(col("path"), col("row_index")).unionByName(positions))
     newDv.repartition(1).write.parquet(s"$root/$dir/_dv")
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    baseParts.foreach { case (pcol, baseRows) =>
+      PartitionedTable.writeParts(spark, root, dir,
+        baseRows ++ freshParts, pcol)
+    }
     writeBackedMeta(spark, root, baseDir, dir, tagged.schema,
       unbackedCols, cmBacked)
     // committed skipping survives the MoR merge: carried rows ride,

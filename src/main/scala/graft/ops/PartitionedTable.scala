@@ -57,7 +57,7 @@ object PartitionedTable {
   /** Write `df` under `dir` with one partition value per file, then
     * flatten `__gp=<v>` subdirs into `p<i>-`-prefixed files directly
     * in `dir`. Returns (relative path, value) per file. */
-  private def writeFlattened(spark: SparkSession, root: String,
+  private[ops] def writeFlattened(spark: SparkSession, root: String,
       dir: String, df: DataFrame, pcol: String)
       : Seq[(String, String)] = {
     require(df.columns.contains(pcol), s"no partition column $pcol")
@@ -92,15 +92,33 @@ object PartitionedTable {
         }
       f.delete(pd.getPath, true) // now-empty hive dir
     }
-    require(out.nonEmpty, "partitioned write produced no data files")
+    // empty input → Nil (callers decide: a full commit REQUIRES data,
+    // a MoR DML append of zero post-images is legitimate)
     out.toSeq
   }
 
-  private def writeParts(spark: SparkSession, root: String, dir: String,
-      rows: Seq[(String, String)], pcol: String): Unit = {
+  private[ops] def writeParts(spark: SparkSession, root: String,
+      dir: String, rows: Seq[(String, String)], pcol: String): Unit = {
     import spark.implicits._
     rows.toDF("path", "value").withColumn("pcol", lit(pcol))
       .repartition(1).write.parquet(s"$root/$dir/_parts")
+  }
+
+  /** The partition metadata of a version DIR, if it carries any:
+    * (pcol, (path, value) rows) — the probe the MoR DML paths use to
+    * keep `_parts` alive across UPDATE/MERGE ([[ManifestTable]]
+    * callers own the dir resolution). O(files) driver metadata. */
+  private[ops] def partsRowsIfAny(spark: SparkSession, root: String,
+      dir: String): Option[(String, Seq[(String, String)])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$dir/_parts")
+    if (!fs(spark, root).exists(p)) None
+    else {
+      val rows = spark.read.parquet(p.toString).collect()
+      if (rows.isEmpty) None
+      else Some((rows.head.getString(rows.head.fieldIndex("pcol")),
+        rows.toSeq.map(r => (r.getString(r.fieldIndex("path")),
+          r.getString(r.fieldIndex("value"))))))
+    }
   }
 
   /** The partition metadata of version `v`: one (path, value, pcol)
@@ -115,16 +133,30 @@ object PartitionedTable {
   }
 
   /** Commit `df` as the next version, partitioned by `pcol` — one
-    * partition value per file, values committed in `_parts`. */
+    * partition value per file, values committed in `_parts`.
+    *
+    * `statsCols = Some((xCol, yCol, bloomColOpt))` ALSO commits
+    * per-file min/max skipping stats (+ Bloom registers) over the
+    * written files — SURVEY §4's two pruning knobs STACKED: partition
+    * pruning plans off `_parts` first, z/Bloom skipping then prunes
+    * WITHIN the surviving partitions off `_stats`/`_bloom`. Every
+    * subsequent [[appendPartitioned]]/[[deleteWhereInPartitions]]/
+    * [[dropPartitions]] extends the frames ([[ZTable.extendStats]])
+    * so both knobs survive the table's whole life. */
   def commitPartitioned(spark: SparkSession, root: String,
-      df: DataFrame, pcol: String): Long = {
+      df: DataFrame, pcol: String,
+      statsCols: Option[(String, String, Option[String])] = None)
+      : Long = {
     val next = ManifestTable.currentVersion(spark, root)
       .getOrElse(0L) + 1
     val full = Generated(spark, root, df, "commitPartitioned")
     Checks.enforce(spark, root, full, "commitPartitioned")
     val dir = ManifestTable.newDataDirName(next)
     val rows = writeFlattened(spark, root, dir, full, pcol)
+    require(rows.nonEmpty, "partitioned write produced no data files")
     writeParts(spark, root, dir, rows, pcol)
+    statsCols.foreach { case (x, y, b) =>
+      ZTable.establishStats(spark, root, dir, rows.map(_._1), x, y, b) }
     ManifestTable.writeOpMeta(spark, root, dir, "WRITE")
     ManifestTable.writeMarker(spark, root, next, dataDir = dir)
     ManifestTable.maybeAutoCompact(spark, root)
@@ -144,9 +176,43 @@ object PartitionedTable {
     val next = base + 1
     val dir = ManifestTable.newDataDirName(next)
     val fresh = writeFlattened(spark, root, dir, batch, pcol)
+    require(fresh.nonEmpty, "appendPartitioned of an empty batch")
     commitCarry(spark, root, dir, next,
       carried = baseRows, fresh = fresh, pcol = pcol,
-      baseDir = baseDir, op = "WRITE")
+      baseDir = baseDir, op = "WRITE", carryAll = true)
+  }
+
+  /** [[appendPartitioned]] with the OCC rebase-retry loop — the
+    * two-daily-loads shape: concurrent appends into one root (even
+    * into DISJOINT partitions) race only on the VERSION NUMBER, never
+    * on files (every attempt re-resolves the fresh base and carries
+    * ALL of its files by reference), so a loser safely re-lands on
+    * the winner's version. */
+  def appendPartitionedWithRetry(spark: SparkSession, root: String,
+      df: DataFrame, maxAttempts: Int = 10): Long =
+    withRetry(maxAttempts)(appendPartitioned(spark, root, df))
+
+  /** [[deleteWhereInPartitions]] with the OCC rebase-retry loop —
+    * safe for the same reason: each attempt re-reads the CURRENT
+    * base's partition metadata, so a retry after a concurrent append
+    * sees (and rewrites) the winner's files too. */
+  def deleteWhereInPartitionsWithRetry(spark: SparkSession,
+      root: String, values: Seq[String], extra: Column,
+      maxAttempts: Int = 10): Long =
+    withRetry(maxAttempts)(
+      deleteWhereInPartitions(spark, root, values, extra))
+
+  private def withRetry(maxAttempts: Int)(attempt: => Long): Long = {
+    var n = 1
+    while (true) {
+      try return attempt
+      catch {
+        case e: ConcurrentCommitException =>
+          if (n >= maxAttempts) throw e
+          n += 1
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** DROP whole partitions — ZERO-COPY: the new version's `_files`
@@ -167,7 +233,8 @@ object PartitionedTable {
     val dir = ManifestTable.newDataDirName(next)
     fs(spark, root).mkdirs(new org.apache.hadoop.fs.Path(s"$root/$dir"))
     commitCarry(spark, root, dir, next, carried = kept,
-      fresh = Nil, pcol = pcol, baseDir = baseDir, op = "DELETE")
+      fresh = Nil, pcol = pcol, baseDir = baseDir, op = "DELETE",
+      carryAll = false)
   }
 
   /** DELETE rows matching `extra` INSIDE the named partitions: only
@@ -185,9 +252,16 @@ object PartitionedTable {
       s"no partition of $root matches ${values.mkString(",")}")
     val next = base + 1
     val dir = ManifestTable.newDataDirName(next)
-    val remaining = spark.read.parquet(
-        touched.map(r => ManifestTable.resolveRef(root, r._1)): _*)
-      .filter(!coalesce(extra, lit(false)))
+    val touchedRaw = spark.read.parquet(
+      touched.map(r => ManifestTable.resolveRef(root, r._1)): _*)
+    // the base version's DELETION VECTOR applies to the touched read
+    // (reading the raw paths would RESURRECT rows a prior DV delete
+    // removed); the rewrite MATERIALIZES those deletions for the
+    // touched files — their DV rows drop with the files — while the
+    // untouched files' rows carry in [[commitCarry]]
+    val touchedLive = ManifestTable.dvOf(spark, root, baseDir)
+      .fold(touchedRaw)(ManifestTable.applyDv(touchedRaw, _))
+    val remaining = touchedLive.filter(!coalesce(extra, lit(false)))
     val fresh =
       if (remaining.isEmpty) {
         fs(spark, root).mkdirs(
@@ -195,7 +269,8 @@ object PartitionedTable {
         Nil
       } else writeFlattened(spark, root, dir, remaining, pcol)
     commitCarry(spark, root, dir, next, carried = untouched,
-      fresh = fresh, pcol = pcol, baseDir = baseDir, op = "DELETE")
+      fresh = fresh, pcol = pcol, baseDir = baseDir, op = "DELETE",
+      carryAll = false)
   }
 
   /** Pruned read of the CURRENT version: open ONLY the files of the
@@ -226,6 +301,10 @@ object PartitionedTable {
     val base = ManifestTable.currentVersion(spark, root)
       .getOrElse(sys.error(s"no committed version at $root"))
     val rows = parts(spark, root, base).collect()
+    require(rows.nonEmpty,
+      s"version $base of $root has an EMPTY partition metadata frame " +
+        "— the table holds no partitions (every partition was deleted " +
+        "or dropped); re-establish with commitPartitioned")
     val pcol = rows.head.getString(rows.head.fieldIndex("pcol"))
     (base, ManifestTable.versionDataDir(spark, root, base), pcol,
       rows.toSeq.map(r => (r.getString(r.fieldIndex("path")),
@@ -233,17 +312,42 @@ object PartitionedTable {
   }
 
   /** Shared carry-commit tail: `_files` = carried refs + fresh files,
-    * `_parts` = both sides' rows, op metadata + marker. */
+    * `_parts` = both sides' rows, the base's DELETION VECTOR filtered
+    * to surviving files (a carry that dropped the vector would
+    * silently RESURRECT DV-deleted rows in the carried files),
+    * skipping stats extended when the base committed any
+    * ([[ZTable.extendStats]] — `carryAll` = every base file survives,
+    * the O(metadata) file-grain copy path), then op metadata + the
+    * marker. */
   private def commitCarry(spark: SparkSession, root: String,
       dir: String, next: Long, carried: Seq[(String, String)],
       fresh: Seq[(String, String)], pcol: String, baseDir: String,
-      op: String): Long = {
+      op: String, carryAll: Boolean): Long = {
+    require(carried.nonEmpty || fresh.nonEmpty,
+      s"commit of $root would have NO data files and no partitions — " +
+        "use a plain empty commit (ManifestTable.commit) instead")
     val f = fs(spark, root)
     val manifest = (carried.map(_._1) ++ fresh.map(_._1)).mkString("\n")
     val out = f.create(
       new org.apache.hadoop.fs.Path(s"$root/$dir/_files"), true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
     writeParts(spark, root, dir, carried ++ fresh, pcol)
+    // the base's deletion vector rides, filtered to the files still
+    // referenced (rows of dropped/rewritten files fall away with
+    // them; FRESH files are new — they can have no DV rows)
+    ManifestTable.dvOf(spark, root, baseDir).foreach { dv =>
+      import spark.implicits._
+      val keys = carried.map(r => ManifestTable.fileKeyOf(r._1))
+      val kept = dv.join(
+        broadcast(keys.toDF("path")), Seq("path"), "left_semi")
+      if (!kept.isEmpty)
+        kept.repartition(1).write.parquet(s"$root/$dir/_dv")
+    }
+    // committed skipping stats survive partitioned DML (no-op when
+    // the base never committed stats): carried files keep their
+    // rows, fresh files get O(fresh) read-back rows
+    ZTable.extendStats(spark, root, baseDir, dir, fresh.map(_._1),
+      carriedPaths = if (carryAll) None else Some(carried.map(_._1)))
     ManifestTable.writeOpMeta(spark, root, dir, op)
     ManifestTable.writeMarker(spark, root, next, dataDir = dir)
     ManifestTable.maybeAutoCompact(spark, root)

@@ -308,6 +308,23 @@ object ZTable {
     next
   }
 
+  /** ESTABLISH committed skipping stats for a freshly-written version
+    * dir, without the z-order rewrite ([[optimizeZOrder]]'s stats
+    * tail alone): per-file min/max over (`xCol`,`yCol`) + optional
+    * Bloom registers, computed by reading the files back as written.
+    * The partitioned store uses this to stack SURVEY §4's two pruning
+    * knobs — partition pruning from `_parts`, z/Bloom skipping within
+    * a partition from `_stats`/`_bloom` — on one commit. The files
+    * are not z-clustered, so ranges are as tight as the layout
+    * happens to be (partition-major layouts are usually
+    * time-correlated); pruning stays SOUND regardless (read-back
+    * min/max are exact). */
+  private[ops] def establishStats(spark: SparkSession, root: String,
+      dir: String, paths: Seq[String], xCol: String, yCol: String,
+      bloomCol: Option[String]): Unit =
+    writeStats(spark, root, dir, paths, xCol, yCol, bloomCol,
+      carriedStats = None, carriedBloom = None)
+
   /** Extend a base version's COMMITTED skipping stats across a
     * file-list commit (the round-12 gap closed: MoR-appended
     * fragments used to DROP the `_stats`/`_bloom` frames until the

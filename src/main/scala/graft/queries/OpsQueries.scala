@@ -2181,8 +2181,363 @@ object OpsQueries extends QueryPack {
       FROM final GROUP BY 1 ORDER BY 1"""),
     covers = Seq("TD-partitioned-store", "TD-optimize-compaction"))
 
+  /** PREDICATE-DRIVEN PRUNING from plain SQL text (round-13 VERDICT
+    * ask #1): the same `spark.sql` statement over `graft_table('/p')`
+    * — no `graft_partition`, no `scanXRange`, no API opt-in — opens
+    * exactly the files the committed `_parts` (partition cut),
+    * `_stats` (z-range cut), and `_bloom` (point key) frames prove
+    * necessary, via the injected optimizer rule
+    * ([[graft.plans.GraftPruneScans]]). Snowflake's
+    * prune-on-every-query posture, which the reference's gold date
+    * cuts silently assume (`dags/logistics-gold-metrics-sql.py:33,105`).
+    * In-band proofs (q242's `pruned` pattern, each oracle-gated):
+    * `pruned_part`  — the partition-cut SQL scans exactly the named
+    *                  month's files, a strict subset;
+    * `pruned_range` — the custkey-range SQL scans exactly the files
+    *                  whose committed [min,max] intersects the cut;
+    * `pruned_bloom` — the point-key SQL scans a strict subset and
+    *                  still finds exactly its row;
+    * `pruned_combo` — partition AND range TOGETHER scan exactly the
+    *                  intersection of both file sets;
+    * `full_unpruned`— the knob off (`spark.graft.prune.enabled=false`)
+    *                  restores the full scan (the A/B control). */
+  val q243 = Q(
+    "q243_sql_auto_prune",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{PartitionedTable, ZTable}
+      import graft.plans.GraftPruneScans.scannedFiles
+      val base = Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM").as("o_month"),
+          $"o_orderkey".cast("string").as("o_okey"))
+        // range-partition by custkey BEFORE the partition flatten: each
+        // output file is month-pure (the flatten) AND custkey-tight
+        // (one range task) — partition-major layout with usable
+        // in-partition ranges, the SURVEY §4 two-knob stack
+        .repartitionByRange(8, $"o_custkey")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q243_").toString + "/orders_tbl"
+      PartitionedTable.commitPartitioned(s, root, base, "o_month",
+        statsCols = Some(("o_custkey", "o_orderkey", Some("o_okey"))))
+      val parts = PartitionedTable.parts(s, root, 1L)
+        .select($"path", $"value").as[(String, String)].collect()
+      val total = parts.length.toLong
+      val st = ZTable.stats(s, root, 1L)
+        .select($"path", $"min_x", $"max_x").collect()
+      def agg(where: String) = s.sql(
+        s"""SELECT o_month, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+           |    AS STRING) AS DOUBLE) AS sum_price
+           |FROM graft_table('$root') WHERE $where
+           |GROUP BY o_month ORDER BY o_month""".stripMargin)
+      // 1) partition cut from the WHERE text alone
+      val pScan = agg("o_month = '1995-06'")
+      val pExpect = parts.count(_._2 == "1995-06").toLong
+      val prunedPart = scannedFiles(pScan) == pExpect && pExpect < total
+      // 2) z-range cut: exactly the stat-intersecting files
+      val (lo, hi) = (100L, 220L)
+      val rScan = agg(s"o_custkey BETWEEN $lo AND $hi")
+      val rExpect = st.count(r => r.isNullAt(1) || r.isNullAt(2) ||
+        !(r.getLong(2) < lo || r.getLong(1) > hi)).toLong
+      val prunedRange = scannedFiles(rScan) == rExpect && rExpect < total
+      // 3) Bloom point key (a key guaranteed IN the slice): strict
+      // subset, exact row
+      val key = s.sql(s"SELECT min(o_orderkey) FROM graft_table('$root')")
+        .as[Long].head()
+      val bScan = s.sql(s"SELECT o_orderkey FROM graft_table('$root') " +
+        s"WHERE o_okey = '$key'")
+      val prunedBloom = scannedFiles(bScan) < total &&
+        bScan.as[Long].collect().toSeq == Seq(key)
+      // 4) both knobs stacked: the intersection, file-exact
+      val cScan = agg(
+        s"o_month = '1995-06' AND o_custkey BETWEEN $lo AND $hi")
+      val juneKeys = parts.filter(_._2 == "1995-06").map(_._1).toSet
+      val cExpect = st.count(r =>
+        juneKeys.contains(r.getString(0)) &&
+          (r.isNullAt(1) || r.isNullAt(2) ||
+            !(r.getLong(2) < lo || r.getLong(1) > hi))).toLong
+      val prunedCombo = scannedFiles(cScan) == cExpect &&
+        cExpect < total
+      // 5) the A/B control: knob off = full scan, same rows
+      s.sql(s"SET ${graft.ops.GraftPruning.enabledKey}=false")
+      val off = agg("o_month = '1995-06'")
+      val fullUnpruned = scannedFiles(off) == total
+      val sameRows = off.collect().toSeq == pScan.collect().toSeq
+      s.sql(s"SET ${graft.ops.GraftPruning.enabledKey}=true")
+      agg("o_month IN ('1995-06', '1995-07') " +
+          s"AND o_custkey BETWEEN $lo AND $hi")
+        .withColumn("pruned_part", lit(prunedPart))
+        .withColumn("pruned_range", lit(prunedRange))
+        .withColumn("pruned_bloom", lit(prunedBloom))
+        .withColumn("pruned_combo", lit(prunedCombo))
+        .withColumn("full_unpruned", lit(fullUnpruned && sameRows))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS o_month
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+      SELECT o_month, count(*) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             true AS pruned_part, true AS pruned_range,
+             true AS pruned_bloom, true AS pruned_combo,
+             true AS full_unpruned
+      FROM base
+      WHERE o_month IN ('1995-06', '1995-07')
+        AND o_custkey BETWEEN 100 AND 220
+      GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-partitioned-store", "TD-zorder-skipping",
+      "TD-bloom-skipping"))
+
+  /** PARTITION PRUNING SURVIVES APPENDING MoR DML (round-13 VERDICT
+    * ask #2 — the reference's daily silver shape: MERGE into a
+    * date-partitioned fact, `dags/logistics-airbyte-sql.py:25-49`):
+    * MoR MERGE/UPDATE fragments land PARTITION-PURE through the same
+    * flatten `commitPartitioned` uses and extend `_parts`; a DV
+    * DELETE carries the frame verbatim. In-band proofs (the q240
+    * `covered` pattern, oracle-gated):
+    * `covered`   — `_parts` paths == the version's file list EXACTLY
+    *               after the MERGE, the UPDATE, and the DELETE;
+    * `pruned`    — `readPartitions` of one month opens exactly that
+    *               month's files INCLUDING its MoR fragments, a
+    *               strict subset, with the deletion vector applied;
+    * `frag_pure` — every fragment's `_parts` row names the partition
+    *               its rows actually carry (spot-checked by content). */
+  val q244 = Q(
+    "q244_partitioned_mor_dml",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{ManifestTable, PartitionedTable}
+      def slice(lo: String, hi: String) = Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= lit(lo).cast("timestamp") &&
+          $"o_orderdate" < lit(hi).cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM").as("o_month"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q244_").toString + "/orders_tbl"
+      PartitionedTable.commitPartitioned(s, root,
+        slice("1995-01-01", "1996-01-01"), "o_month")           // v1
+      def partRows(v: Long) = PartitionedTable.parts(s, root, v)
+        .select($"path", $"value").as[(String, String)].collect()
+      def covered(v: Long) = partRows(v).map(_._1).sorted.toSeq ==
+        ManifestTable.versionFileRefs(s, root, v).get.sorted
+      // MoR MERGE: June rows re-priced + July-96 rows inserted —
+      // O(delta) append, carried base untouched
+      val src = slice("1995-06-01", "1995-07-01")
+        .withColumn("o_totalprice", $"o_totalprice" * 2)
+        .unionByName(slice("1996-07-01", "1996-08-01"))
+      ManifestTable.mergeDV(s, root, src, Seq("o_orderkey"))    // v2
+      val c2 = covered(2L)
+      // MoR UPDATE: March rows flagged — fragments land in 1995-03
+      ManifestTable.updateWhereDV(s, root, $"o_month" === "1995-03",
+        Map("o_orderstatus" -> lit("X")))                       // v3
+      val c3 = covered(3L)
+      // DV DELETE: positions-only commit, _parts carried verbatim
+      ManifestTable.deleteWhereDV(s, root, $"o_custkey" % 7 === 0) // v4
+      val c4 = covered(4L) && partRows(4L).toSet == partRows(3L).toSet
+      // pruned read of the MERGEd month: its original files PLUS its
+      // fragments, nothing else, vector applied
+      val p4 = partRows(4L)
+      val june = PartitionedTable.readPartitions(s, root,
+        Seq("1995-06"))
+      val juneKeys = p4.filter(_._2 == "1995-06").map(r =>
+        ManifestTable.fileKeyOf(r._1)).toSet
+      val gotKeys = june.inputFiles
+        .map(ManifestTable.fileKeyOf)
+        // the deletion-vector anti-join's own `_dv` scan is part of
+        // the plan's inputFiles — metadata, not a data file
+        .filterNot(_.split('/').exists(_.startsWith("_"))).toSet
+      val pruned = gotKeys == juneKeys && juneKeys.size < p4.length &&
+        june.filter($"o_month" =!= "1995-06").count() == 0L
+      // fragment purity by content: each fragment file's rows carry
+      // exactly the partition value its _parts row names
+      val v1Paths = partRows(1L).map(_._1).toSet
+      val frags = p4.filterNot(r => v1Paths.contains(r._1))
+      val fragPure = frags.nonEmpty && frags.groupBy(_._2).forall {
+        case (month, rows) =>
+          s.read.parquet(rows.map(r =>
+              s"$root/${r._1}"): _*)
+            .filter($"o_month" =!= month).count() == 0L
+      }
+      ManifestTable.read(s, root).get
+        .groupBy($"o_month")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"),
+          count(when($"o_orderstatus" === "X", 1)).as("n_flagged"))
+        .withColumn("covered", lit(c2 && c3 && c4))
+        .withColumn("pruned", lit(pruned))
+        .withColumn("frag_pure", lit(fragPure))
+        .orderBy($"o_month")
+    },
+    Some("""
+      WITH y95 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS o_month
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+      merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_month = '1995-06' THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_month
+        FROM y95
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS o_month
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-08-01 00:00:00'),
+      updated AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_month = '1995-03' THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice, o_month
+        FROM merged),
+      final AS (
+        SELECT * FROM updated WHERE o_custkey % 7 <> 0)
+      SELECT o_month, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             CAST(count(CASE WHEN o_orderstatus = 'X' THEN 1 END)
+               AS BIGINT) AS n_flagged,
+             true AS covered, true AS pruned, true AS frag_pure
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-partitioned-store", "M1"))
+
+  /** THE WHOLE PIPELINE AS STATEMENT TEXT, ADDRESSED BY NAME (round-13
+    * VERDICT ask #3 — EP1's last gaps): `GRAFT CATALOG SET BASE` maps
+    * dotted names to table roots (Snowflake's
+    * `LOGISTICS_DEMO_1.SILVER.FACT_SHIPMENTS` addressing,
+    * `dags/logistics-airbyte-sql.py:25`), then CREATE TABLE …
+    * PARTITIONED BY … AS SELECT (S12,
+    * `dags/snowflake-EDW-ETL-dag.py:482-530`), INSERT INTO … SELECT
+    * (the EDW load, `:147-173`), MERGE / UPDATE / DELETE — every
+    * statement pure SQL text with NO path and NO Scala API, reading
+    * back through `graft_table('<name>')`. INSERT routes to the
+    * O(batch) [[graft.ops.ManifestTable.append]] (base files carried
+    * by reference; `_parts` extended — proof in-band), not a rewrite.
+    * `by_name` proves the name→root indirection (the path-form read
+    * of the resolved root sees the same bytes); `append_carry` proves
+    * INSERT carried every pre-INSERT file. */
+  val q245 = Q(
+    "q245_sql_named_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ManifestTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q245_").toString
+      // explicit per-name registration (the SET BASE form is
+      // spec-covered; a JVM-global base must not leak into the
+      // concurrently-running verify queries)
+      s.sql("GRAFT CATALOG REGISTER edw.silver.fact_orders " +
+        s"AT '$base/edw/silver/fact_orders'")
+      Tables(s, dir, "orders").createOrReplaceTempView("q245_orders")
+      // CREATE: 1995 slice, month-partitioned, by name
+      s.sql("""CREATE TABLE edw.silver.fact_orders
+        PARTITIONED BY (o_month) AS
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               date_format(o_orderdate, 'yyyy-MM') AS o_month
+        FROM q245_orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'""")
+      val root = s"$base/edw/silver/fact_orders"
+      val preInsert = ManifestTable.versionFileRefs(s, root, 1L)
+        .isEmpty // v1 is a whole-dir partitioned commit
+      val p1 = graft.ops.PartitionedTable.parts(s, root, 1L)
+        .select("path").as[String].collect().toSet
+      // INSERT: H1-1996, by name — O(batch) append
+      s.sql("""INSERT INTO edw.silver.fact_orders
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               date_format(o_orderdate, 'yyyy-MM') AS o_month
+        FROM q245_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'""")
+      val refs2 = ManifestTable.versionFileRefs(s, root, 2L).get
+      val appendCarry = p1.subsetOf(refs2.toSet) &&
+        graft.ops.PartitionedTable.parts(s, root, 2L).count() ==
+          refs2.length.toLong
+      // MERGE: re-price June-95, by name (the reference's shape)
+      s.sql("""MERGE INTO edw.silver.fact_orders AS tgt
+        USING (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice * 2 AS o_totalprice,
+                 date_format(o_orderdate, 'yyyy-MM') AS o_month
+          FROM q245_orders
+          WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+        ) AS src
+        ON tgt.o_orderkey = src.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      // UPDATE + DELETE, by name
+      s.sql("""UPDATE edw.silver.fact_orders
+        SET o_orderstatus = 'X' WHERE o_month = '1995-03'""")
+      s.sql("""DELETE FROM edw.silver.fact_orders
+        WHERE o_custkey % 7 = 0""")
+      // read back BY NAME; prove the indirection against the path form
+      val byName = s.sql(
+        "SELECT * FROM graft_table('edw.silver.fact_orders')")
+      val byPath = s.sql(s"SELECT * FROM graft_table('$root')")
+      val sameBytes = byName.count() == byPath.count()
+      byName
+        .groupBy($"o_month")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,6)"))
+            .cast("double").as("sum_price"),
+          count(when($"o_orderstatus" === "X", 1)).as("n_flagged"))
+        .withColumn("by_name", lit(sameBytes && preInsert))
+        .withColumn("append_carry", lit(appendCarry))
+        .orderBy($"o_month")
+    },
+    Some("""
+      WITH y95 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS o_month
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+      inserted AS (
+        SELECT * FROM y95
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS o_month
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'),
+      merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_month = '1995-06' THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_month
+        FROM inserted),
+      updated AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_month = '1995-03' THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice, o_month
+        FROM merged),
+      final AS (
+        SELECT * FROM updated WHERE o_custkey % 7 <> 0)
+      SELECT o_month, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS sum_price,
+             CAST(count(CASE WHEN o_orderstatus = 'X' THEN 1 END)
+               AS BIGINT) AS n_flagged,
+             true AS by_name, true AS append_carry
+      FROM final GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("S12", "M1", "TD-partitioned-store"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236, q237, q238, q239, q240, q242)
+      q234, q235, q236, q237, q238, q239, q240, q242, q243, q244, q245)
 }

@@ -99,4 +99,61 @@ class CdfStreamSpec extends SparkSpec {
         == applied1 + 1)
     } finally q2.stop()
   }
+
+  test("native graft-cdf source over a PARTITIONED root: the " +
+      "partition column survives the net-diff schema through append " +
+      "and MoR merge; per-partition state equals the recompute") {
+    val base = tmp()
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    PartitionedTable.commitPartitioned(spark, src,
+      Seq((1L, "d1", 10.0), (2L, "d1", 20.0), (3L, "d2", 5.0))
+        .toDF("k", "day", "v"), "day")                          // v1
+    // the source's declared schema carries the partition column
+    val sourceSchema = graft.streaming.CdfSource
+      .schemaFor(spark, src).fieldNames.toSeq
+    assert(sourceSchema.take(3) == Seq("k", "day", "v"))
+    val q = spark.readStream.format("graft-cdf")
+      .option("root", src).option("keys", "k")
+      .load()
+      .filter($"_change_type" =!= "delete")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointPath", ckpt)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    def awaitVersion(v: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      def maxSeen(): Long =
+        try spark.read.parquet(out)
+          .agg(max($"_commit_version")).as[Long].head()
+        catch { case _: Throwable => -1L }
+      while (maxSeen() < v) {
+        assert(System.currentTimeMillis() < deadline,
+          s"stream never surfaced source version $v")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      awaitVersion(1L) // bootstrap batch
+      // a partitioned APPEND (new day) and a MoR MERGE (fragments in
+      // an existing day) both flow through with their day values
+      PartitionedTable.appendPartitioned(spark, src,
+        Seq((4L, "d3", 7.0)).toDF("k", "day", "v"))             // v2
+      ManifestTable.mergeDV(spark, src,
+        Seq((1L, "d1", 11.0)).toDF("k", "day", "v"), Seq("k")) // v3
+      awaitVersion(3L)
+      val rows = spark.read.parquet(out)
+      // every change row carries its partition value, none null
+      assert(rows.filter($"day".isNull).count() == 0L)
+      // the upserts landed with their days: k=4 in d3, k=1's new
+      // image in d1
+      assert(rows.filter($"k" === 4L && $"day" === "d3" &&
+        $"_change_type" === "insert").count() == 1L)
+      assert(rows.filter($"k" === 1L && $"day" === "d1" &&
+        $"v" === 11.0).count() == 1L)
+      // and the source table itself still prunes by partition
+      assert(PartitionedTable.readPartitions(spark, src, Seq("d1"))
+        .count() == 2L)
+    } finally q.stop()
+  }
 }

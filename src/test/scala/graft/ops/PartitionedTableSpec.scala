@@ -128,4 +128,158 @@ class PartitionedTableSpec extends SparkSpec {
     assert(PartitionedTable.readPartitions(spark, root, Seq("2"))
       .count() == 99L)
   }
+
+  test("partitioned carry commits CARRY the deletion vector: no " +
+      "resurrection through append / drop / scoped delete after a " +
+      "DV delete") {
+    val root = freshRoot()
+    PartitionedTable.commitPartitioned(spark, root,
+      fact(0, 500), "day")                                     // v1
+    ManifestTable.deleteWhereDV(spark, root, $"k" === 7L)      // v2
+    assert(ManifestTable.read(spark, root).get
+      .filter($"k" === 7L).count() == 0L)
+    // append: all base files carried — the vector must ride or k=7
+    // (in a carried file) resurrects
+    PartitionedTable.appendPartitioned(spark, root,
+      fact(500, 600))                                          // v3
+    val afterAppend = ManifestTable.read(spark, root).get
+    assert(afterAppend.filter($"k" === 7L).count() == 0L)
+    assert(afterAppend.count() == 599L)
+    // the pruned read agrees (k=7 lives in day 7%5=2)
+    assert(PartitionedTable.readPartitions(spark, root, Seq("2"))
+      .filter($"k" === 7L).count() == 0L)
+    // drop an UNRELATED partition: k=7's file still carried, its DV
+    // row must survive the filter-to-surviving-keys
+    PartitionedTable.dropPartitions(spark, root, Seq("0"))     // v4
+    assert(ManifestTable.read(spark, root).get
+      .filter($"k" === 7L).count() == 0L)
+    // scoped delete in ANOTHER partition: touched files rewrite
+    // POST-vector, untouched keep their rows
+    ManifestTable.deleteWhereDV(spark, root, $"k" === 11L)     // v5
+    PartitionedTable.deleteWhereInPartitions(spark, root,
+      Seq("1"), $"k" % 2 === 0)                                // v6
+    val got = ManifestTable.read(spark, root).get
+    assert(got.filter($"k" === 7L).count() == 0L)
+    assert(got.filter($"k" === 11L).count() == 0L) // day 11%5=1: the
+    // touched rewrite applied the vector before rewriting
+    // and the scoped delete itself happened
+    assert(got.filter($"day" === "1" && $"k" % 2 === 0).count() == 0L)
+  }
+
+  test("MoR UPDATE/MERGE on a partitioned root: fragments land " +
+      "partition-pure, _parts extends, pruned reads include them") {
+    val root = freshRoot()
+    PartitionedTable.commitPartitioned(spark, root,
+      fact(0, 500), "day")                                     // v1
+    val p1 = PartitionedTable.parts(spark, root, 1L)
+      .select($"path", $"value").as[(String, String)].collect()
+    // MoR UPDATE: post-images of day=2 rows append as fragments
+    ManifestTable.updateWhereDV(spark, root, $"day" === "2",
+      Map("v" -> ($"v" + 1000.0)))                             // v2
+    val p2 = PartitionedTable.parts(spark, root, 2L)
+      .select($"path", $"value").as[(String, String)].collect()
+    // every base file carried WITH its partition row; fragments are
+    // new rows, all in the updated partition
+    assert(p1.toSet.subsetOf(p2.toSet))
+    val frag2 = p2.toSet -- p1.toSet
+    assert(frag2.nonEmpty && frag2.forall(_._2 == "2"))
+    // coverage invariant: _parts paths == the version's file list
+    val refs2 = ManifestTable.versionFileRefs(spark, root, 2L).get
+    assert(p2.map(_._1).sorted.toSeq == refs2.sorted)
+    // the pruned read opens the fragments too — content exact
+    val day2 = PartitionedTable.readPartitions(spark, root, Seq("2"))
+    assert(day2.count() == 100L &&
+      day2.filter($"v" < 1000.0).count() == 0L)
+    // MoR MERGE: updates day=1 rows + inserts new days
+    val src = fact(0, 20).filter($"day" === "1")
+      .withColumn("v", $"v" + 5000.0)
+      .unionByName(fact(1000, 1010))
+    ManifestTable.mergeDV(spark, root, src, Seq("k"))          // v3
+    val p3 = PartitionedTable.parts(spark, root, 3L)
+      .select($"path", $"value").as[(String, String)].collect()
+    assert(p2.toSet.subsetOf(p3.toSet))
+    val refs3 = ManifestTable.versionFileRefs(spark, root, 3L).get
+    assert(p3.map(_._1).sorted.toSeq == refs3.sorted)
+    val got = ManifestTable.read(spark, root).get
+    assert(got.count() == 510L)
+    assert(got.filter($"k" < 20 && $"day" === "1" && $"v" < 5000.0)
+      .count() == 0L)
+    // pruned read of an inserted row's partition finds it
+    assert(PartitionedTable.readPartitions(spark, root, Seq("0"))
+      .filter($"k" === 1000L).count() == 1L)
+    // updating the PARTITION COLUMN itself: the post-image lands in
+    // its NEW partition's bucket and both pruned reads stay exact
+    ManifestTable.updateWhereDV(spark, root, $"k" === 3L,
+      Map("day" -> lit("4")))                                  // v4
+    assert(PartitionedTable.readPartitions(spark, root, Seq("3"))
+      .filter($"k" === 3L).count() == 0L)
+    assert(PartitionedTable.readPartitions(spark, root, Seq("4"))
+      .filter($"k" === 3L).count() == 1L)
+  }
+
+  test("stats stack with partitioning: commitPartitioned establishes " +
+      "min/max + Bloom, every partitioned commit extends them") {
+    val root = freshRoot()
+    PartitionedTable.commitPartitioned(spark, root, fact(0, 500),
+      "day", statsCols = Some(("k", "k", Some("g"))))          // v1
+    val st1 = ZTable.stats(spark, root, 1L).collect()
+    val p1 = PartitionedTable.parts(spark, root, 1L)
+      .select("path").as[String].collect()
+    // coverage: one stats row per data file, exactly
+    assert(st1.map(_.getString(st1.head.fieldIndex("path"))).sorted
+      .toSeq == p1.sorted.toSeq)
+    PartitionedTable.appendPartitioned(spark, root,
+      fact(500, 600))                                          // v2
+    val st2 = ZTable.stats(spark, root, 2L).collect()
+    val refs2 = ManifestTable.versionFileRefs(spark, root, 2L).get
+    assert(st2.map(_.getString(st2.head.fieldIndex("path"))).sorted
+      .toSeq == refs2.sorted)
+    // bloom rode too, and candidate planning prunes to g-bearing files
+    assert(ZTable.bloom(spark, root, 2L).isDefined)
+    PartitionedTable.deleteWhereInPartitions(spark, root,
+      Seq("1"), $"k" % 2 === 0)                                // v3
+    val st3 = ZTable.stats(spark, root, 3L).collect()
+    val refs3 = ManifestTable.versionFileRefs(spark, root, 3L).get
+    assert(st3.map(_.getString(st3.head.fieldIndex("path"))).sorted
+      .toSeq == refs3.sorted)
+    PartitionedTable.dropPartitions(spark, root, Seq("0"))     // v4
+    val st4 = ZTable.stats(spark, root, 4L).collect()
+    val refs4 = ManifestTable.versionFileRefs(spark, root, 4L).get
+    assert(st4.map(_.getString(st4.head.fieldIndex("path"))).sorted
+      .toSeq == refs4.sorted)
+    // both knobs answer: range planning off the committed stats
+    // still works after the partitioned lifecycle
+    assert(ZTable.scanXRange(spark, root, 100L, 120L)
+      .count() == ManifestTable.read(spark, root).get
+        .filter($"k".between(100L, 120L)).count())
+  }
+
+  test("concurrent partitioned writers: disjoint-partition loads " +
+      "rebase and both land; guards fail loudly on empty results") {
+    val root = freshRoot()
+    PartitionedTable.commitPartitioned(spark, root,
+      fact(0, 100), "day")                                     // v1
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future(PartitionedTable.appendPartitionedWithRetry(
+      spark, root, fact(100, 200)))
+    val b = Future(PartitionedTable.appendPartitionedWithRetry(
+      spark, root, fact(200, 300)))
+    val (va, vb) = (Await.result(a, 120.seconds),
+      Await.result(b, 120.seconds))
+    assert(Set(va, vb) == Set(2L, 3L)) // serialized, both committed
+    assert(ManifestTable.read(spark, root).get.count() == 300L)
+    // deleting a whole single-partition table refuses the empty
+    // commit with a descriptive error, not NoSuchElementException
+    val solo = freshRoot()
+    PartitionedTable.commitPartitioned(spark, solo,
+      spark.range(5).select($"id".as("k"), lit("only").as("day")),
+      "day")
+    val e = intercept[IllegalArgumentException] {
+      PartitionedTable.deleteWhereInPartitions(spark, solo,
+        Seq("only"), lit(true))
+    }
+    assert(e.getMessage.contains("plain empty commit"))
+  }
 }

@@ -196,6 +196,120 @@ class GraftSqlSpec extends SparkSpec {
     assert(got == 50L)
   }
 
+  test("scanner handles backslash-escaped quotes; ADD COLUMN takes " +
+      "parameterized DDL types (decimal/varchar), both paren forms") {
+    val root = freshRoot()
+    ManifestTable.commit(
+      Seq((1L, "x"), (2L, "it's")).toDF("k", "t"), root)
+    // a backslash-escaped quote inside the WHERE literal: the quote
+    // state must not mis-toggle (it would push WHERE-splitting off)
+    spark.sql(s"DELETE FROM graft.`$root` WHERE t = 'it\\'s'")
+    assert(ManifestTable.read(spark, root).get
+      .select("t").as[String].collect().toSeq == Seq("x"))
+    // escaped quote inside a USING subquery literal: paren matching
+    // survives an apostrophe'd string with a ')' after the escape
+    Seq((1L, "keep)")).toDF("k", "t")
+      .createOrReplaceTempView("gs_esc_src")
+    spark.sql(s"""MERGE INTO graft.`$root`
+      USING (SELECT k, t FROM gs_esc_src WHERE t != 'n\\')o') AS s
+      ON k = k WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(ManifestTable.read(spark, root).get
+      .select("t").as[String].collect().toSeq == Seq("keep)"))
+    // parameterized types, bare and wrapped forms
+    spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN price decimal(10,2)")
+    spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (note varchar(20))")
+    val cols = spark.sql(s"DESCRIBE COLUMNS graft.`$root`")
+      .as[(String, String, String, Boolean)].collect().toSeq
+    assert(cols.exists(c => c._1 == "price" &&
+      c._3 == "decimal(10,2)" && !c._4))
+    assert(cols.exists(c => c._1 == "note" &&
+      c._3 == "varchar(20)" && !c._4))
+    // a malformed type still fails loudly (DataType.fromDDL validates)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN bad nope(1")
+    }
+  }
+
+  test("CREATE TABLE AS SELECT + INSERT INTO as statement text: " +
+      "O(batch) append, column lists positional, guards loud") {
+    val root = freshRoot()
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("gs_ins_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS " +
+      "SELECT k, g, v FROM gs_ins_src")
+    assert(ManifestTable.read(spark, root).get.count() == 2L)
+    // re-create refuses loudly (no silent replace)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft.`$root` AS SELECT 1 AS x")
+    }
+    // plain INSERT: O(batch) — v1's files carried by reference
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (3, 'c', 30.0)")
+    val refs2 = ManifestTable.versionFileRefs(spark, root, 2L).get
+    assert(refs2.exists(_.startsWith("d1-"))) // carried, not rewritten
+    assert(ManifestTable.read(spark, root).get.count() == 3L)
+    // column list maps positionally, any order, must cover the target
+    spark.sql(s"INSERT INTO graft.`$root` (v, k, g) " +
+      "SELECT 40.0, 4, 'd'")
+    val got = ManifestTable.read(spark, root).get
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 10.0), (2L, "b", 20.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+    intercept[IllegalArgumentException] { // partial list refused
+      spark.sql(s"INSERT INTO graft.`$root` (k, g) SELECT 5, 'e'")
+    }
+    // append composes with the metadata surface: DV + pending ADD
+    // COLUMN both survive an INSERT
+    ManifestTable.deleteWhereDV(spark, root, $"k" === 2L)       // v4
+    spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN w double") // v5
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (9, 'z', 90.0, 9.9)")
+    val after = ManifestTable.read(spark, root).get
+    assert(after.count() == 4L) // k=2 stays deleted (vector carried)
+    assert(after.filter($"k" === 2L).count() == 0L)
+    assert(after.filter($"k" === 9L).select("w").as[Double]
+      .head() == 9.9)
+    // pre-DDL rows null-fill the backed column
+    assert(after.filter($"k" === 1L).select("w")
+      .as[Option[Double]].head().isEmpty)
+  }
+
+  test("name catalog: the reference's dotted-name statements route " +
+      "once registered; unregistered names stay Spark's") {
+    import graft.sql.GraftCatalog
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sqlcat_").toString
+    GraftCatalog.setBase(base)
+    try {
+      spark.sql("CREATE TABLE demo.silver.fact PARTITIONED BY (day) " +
+        "AS SELECT id AS k, CAST(id % 3 AS STRING) AS day " +
+        "FROM range(30)")
+      val root = s"$base/demo/silver/fact"
+      assert(ManifestTable.currentVersion(spark, root).contains(1L))
+      spark.sql("INSERT INTO demo.silver.fact " +
+        "SELECT id AS k, '9' AS day FROM range(100, 105)")
+      // the partitioned base kept `_parts` through the named INSERT
+      assert(graft.ops.PartitionedTable
+        .readPartitions(spark, root, Seq("9")).count() == 5L)
+      spark.sql(
+        "DELETE FROM demo.silver.fact WHERE day = '1'")
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_table('demo.silver.fact')")
+        .as[Long].head() == 25L)
+      // an UNREGISTERED dotted name is not claimed: Spark's own
+      // error surface (catalog/table not found), not a graft one
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM nosuch.name.here WHERE 1=1")
+      }
+      assert(!e.getMessage.contains("graft SQL"))
+    } finally GraftCatalog.clearBase()
+    // with no base and no registration, even the same statements
+    // delegate verbatim
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO demo.silver.fact SELECT 1, '1'")
+    }
+    assert(!e2.getMessage.contains("graft SQL"))
+  }
+
   test("RESTORE TO TIMESTAMP AS OF parses a UTC literal") {
     val root = freshRoot()
     ManifestTable.commit(Seq((1L, 1L)).toDF("k", "n"), root)    // v1
