@@ -464,10 +464,11 @@ object Bench {
                 st <- Option(r.get("steal_s")).filter(_.isNumber)
                 s <- Option(r.get("sf"))
                 qsNode <- Option(r.get("queries")).filter(_.isObject)
-                // FULL-suite ledgers only: builder-side subset
-                // ledgers have tiny totals and would always "win"
+                // SAME-SUITE ledgers only (exact query count): a
+                // subset or prior-round ledger's total is not
+                // comparable — a 220-query partial would always "win"
                 if s.asText() == sfDir && st.asDouble() < stealBar &&
-                  qsNode.size() >= (SparkEntry.queries.size * 9) / 10
+                  qsNode.size() == SparkEntry.queries.size
               } yield (p.getFileName.toString, t.asDouble())
             } catch { case _: Throwable => None }
           }

@@ -2025,19 +2025,45 @@ object ManifestTable {
     val fs = fsOf(spark, root)
     val next = base + 1
     val dir = newDataDirName(next)
-    val appended =
-      if (dirty.isEmpty) { fs.mkdirs(new Path(root, dir)); Seq.empty }
-      else {
-        applyDv(readRefsRaw(spark, root, baseDir, dirty), dv)
-          .write.parquet(s"$root/$dir")
-        fs.listStatus(new Path(root, dir)).toSeq
-          .map(_.getPath.getName)
-          .filter(n => !n.startsWith("_") && !n.startsWith("."))
-          .map(n => s"$dir/$n")
+    // a PARTITIONED base keeps `_parts` through the purge (see
+    // [[optimizeBinPack]]): dirty rewrites land partition-pure via
+    // the flatten, clean files keep their committed rows — REORG on a
+    // date-partitioned MoR fact must not cost its pruning
+    val baseParts =
+      if (colmapOf(spark, root, baseDir).isEmpty)
+        PartitionedTable.partsRowsIfAny(spark, root, baseDir)
+      else None
+    val (appended, freshParts) =
+      if (dirty.isEmpty) {
+        fs.mkdirs(new Path(root, dir))
+        (Seq.empty[String], Seq.empty[(String, String)])
+      } else {
+        val purged = applyDv(readRefsRaw(spark, root, baseDir, dirty), dv)
+        baseParts match {
+          case Some((pcol, _)) =>
+            val rows = PartitionedTable.writeFlattened(spark, root,
+              dir, purged, pcol)
+            (rows.map(_._1), rows)
+          case None =>
+            purged.write.parquet(s"$root/$dir")
+            (fs.listStatus(new Path(root, dir)).toSeq
+              .map(_.getPath.getName)
+              .filter(n => !n.startsWith("_") && !n.startsWith("."))
+              .map(n => s"$dir/$n"), Nil)
+        }
       }
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((clean ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    baseParts.foreach { case (pcol, baseRows) =>
+      val cleanSet = clean.toSet
+      val carriedRows = baseRows.filter(r => cleanSet.contains(r._1))
+      require(carriedRows.size == clean.size,
+        s"partition metadata of $root v$base does not cover every " +
+          "carried file — refusing a commit that would under-cover")
+      PartitionedTable.writeParts(spark, root, dir,
+        carriedRows ++ freshParts, pcol)
+    }
     carryColmap(spark, root, baseDir, dir)
     carrySchemaFile(spark, root, baseDir, dir)
     // skipping stats survive the purge: clean files' rows carried,
@@ -2589,12 +2615,30 @@ object ManifestTable {
     val raw = readRefsRaw(spark, root, baseDir, small)
     val next = base + 1
     val dir = newDataDirName(next)
-    dv.fold(raw)(applyDv(raw, _))
-      .repartition(targetFiles).write.parquet(s"$root/$dir")
-    val appended = fs.listStatus(new Path(root, dir)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => !n.startsWith("_") && !n.startsWith("."))
-      .map(n => s"$dir/$n")
+    val rewritten = dv.fold(raw)(applyDv(raw, _))
+    // a PARTITIONED base keeps its `_parts` through the fold: the
+    // compacted output lands partition-pure via the same flatten the
+    // DML paths use (rows repartitioned BY the partition column so a
+    // partition's fragments fold into one file, not targetFiles ×
+    // partitions slivers) — the weekly file-count hygiene of a
+    // date-partitioned streaming MoR fact must not cost its pruning
+    val baseParts =
+      if (colmapOf(spark, root, baseDir).isEmpty)
+        PartitionedTable.partsRowsIfAny(spark, root, baseDir)
+      else None
+    val (appended, freshParts) = baseParts match {
+      case Some((pcol, _)) =>
+        val rows = PartitionedTable.writeFlattened(spark, root, dir,
+          rewritten.repartition(targetFiles,
+            org.apache.spark.sql.functions.col(pcol)), pcol)
+        (rows.map(_._1), rows)
+      case None =>
+        rewritten.repartition(targetFiles).write.parquet(s"$root/$dir")
+        (fs.listStatus(new Path(root, dir)).toSeq
+          .map(_.getPath.getName)
+          .filter(n => !n.startsWith("_") && !n.startsWith("."))
+          .map(n => s"$dir/$n"), Nil)
+    }
     // vector rows hitting LARGE files survive; joined against the
     // small-key set as a frame, never an O(files) literal expression
     dv.foreach { v =>
@@ -2607,6 +2651,15 @@ object ManifestTable {
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((large ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    baseParts.foreach { case (pcol, baseRows) =>
+      val largeSet = large.toSet
+      val carriedRows = baseRows.filter(r => largeSet.contains(r._1))
+      require(carriedRows.size == large.size,
+        s"partition metadata of $root v$base does not cover every " +
+          "carried file — refusing a commit that would under-cover")
+      PartitionedTable.writeParts(spark, root, dir,
+        carriedRows ++ freshParts, pcol)
+    }
     carryColmap(spark, root, baseDir, dir)
     carrySchemaFile(spark, root, baseDir, dir)
     // skipping stats survive the binPack: large files' rows carried,

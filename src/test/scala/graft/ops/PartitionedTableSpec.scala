@@ -254,6 +254,49 @@ class PartitionedTableSpec extends SparkSpec {
         .filter($"k".between(100L, 120L)).count())
   }
 
+  test("binPack and REORG keep `_parts` on a partitioned root: file " +
+      "hygiene and vector purge never cost the pruning") {
+    val root = freshRoot()
+    PartitionedTable.commitPartitioned(spark, root,
+      fact(0, 400), "day")                                     // v1
+    // two MoR merges append partition-pure fragments + a DV delete
+    ManifestTable.mergeDV(spark, root,
+      fact(0, 10).withColumn("v", $"v" + 100.0), Seq("k"))     // v2
+    ManifestTable.mergeDV(spark, root,
+      fact(400, 410), Seq("k"))                                // v3
+    ManifestTable.deleteWhereDV(spark, root, $"k" === 5L)      // v4
+    val before = ManifestTable.read(spark, root).get
+      .as[(Long, String, String, Double)].collect().toSet
+    // binPack folds the fragments WITHIN partitions
+    val v5 = ManifestTable.optimizeBinPack(spark, root)        // v5
+    assert(v5 == 5L)
+    val p5 = PartitionedTable.parts(spark, root, 5L)
+      .select($"path", $"value").as[(String, String)].collect()
+    val refs5 = ManifestTable.versionFileRefs(spark, root, 5L).get
+    assert(p5.map(_._1).sorted.toSeq == refs5.sorted) // covered
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String, String, Double)].collect().toSet == before)
+    // pruning still exact after the fold (incl. merged fragments)
+    val d1 = PartitionedTable.readPartitions(spark, root, Seq("1"))
+    assert(d1.filter($"day" =!= "1").count() == 0L)
+    assert(d1.count() == before.count(_._3 == "1"))
+    // REORG purges the vector, partition-pure rewrites, _parts rides
+    ManifestTable.deleteWhereDV(spark, root, $"k" === 7L)      // v6
+    val v7 = ManifestTable.reorg(spark, root)                  // v7
+    assert(v7 == 7L)
+    val p7 = PartitionedTable.parts(spark, root, 7L)
+      .select($"path", $"value").as[(String, String)].collect()
+    val refs7 = ManifestTable.versionFileRefs(spark, root, 7L).get
+    assert(p7.map(_._1).sorted.toSeq == refs7.sorted) // covered
+    val after = ManifestTable.read(spark, root).get
+    assert(after.filter($"k" === 7L).count() == 0L)
+    assert(after.count() == before.size - 1)
+    // the purged partition still prunes exactly (k=7 was in day 3)
+    val d3 = PartitionedTable.readPartitions(spark, root, Seq("3"))
+    assert(d3.filter($"k" === 7L).count() == 0L &&
+      d3.filter($"day" =!= "3").count() == 0L)
+  }
+
   test("concurrent partitioned writers: disjoint-partition loads " +
       "rebase and both land; guards fail loudly on empty results") {
     val root = freshRoot()
