@@ -144,7 +144,7 @@ object Bench {
       // scans), partitioned MoR DML (4 commits), named SQL pipeline
       // (6 commits)
       "q243_sql_auto_prune", "q244_partitioned_mor_dml",
-      "q245_sql_named_pipeline")
+      "q245_sql_named_pipeline", "q246_gold_datecut_pruned")
     val rank = heavyFirst.zipWithIndex.toMap
     // per-query OUTPUT row counts (round-9 VERDICT ask #7): lets a
     // ledger reader separate output-bound growth (the q25/q206 effect

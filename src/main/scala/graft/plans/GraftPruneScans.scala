@@ -107,6 +107,7 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
     case LessThan(_: Literal, _: AttributeReference) => true
     case LessThanOrEqual(_: AttributeReference, _: Literal) => true
     case LessThanOrEqual(_: Literal, _: AttributeReference) => true
+    case StartsWith(_: AttributeReference, _: Literal) => true
     case _ => false
   }
 
@@ -117,6 +118,11 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
     val sameName = spark.sessionState.analyzer.resolver
     def isPart(a: AttributeReference) =
       m.pcol.exists(sameName(_, a.name))
+    // string-vs-string comparison on the partition column: only then
+    // is SQL ordering == the frame's string ordering
+    def isStrPart(a: AttributeReference, l: Literal): Boolean =
+      a.dataType == StringType && l.dataType == StringType &&
+        l.value != null && isPart(a)
     def isBloom(a: AttributeReference) =
       m.bloomCol.exists(sameName(_, a.name))
     def dim(a: AttributeReference): Option[Boolean] = // true = x dim
@@ -138,11 +144,47 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
         partExcluded(m, hset.flatMap(v =>
           asString(Literal(v, a.dataType))).toSet)
 
-      // -- Bloom point key (composes with a range on the same col) --
+      // -- partition RANGE / PREFIX on a STRING partition column ----
+      // the reference's gold date cuts (`o_month >= '1995-07'`,
+      // `o_month LIKE '1996-%'`): for a StringType column vs a
+      // StringType literal, SQL comparison IS UTF8 binary order and
+      // the committed `_parts` value IS the column value — the range
+      // check against the frame is EXACT, no weakening needed.
+      // Compared through Spark's own UTF8String (Java String
+      // compareTo is UTF-16 code-unit order; they diverge above the
+      // BMP).
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ >= 0)
+      case LessThanOrEqual(l: Literal, a: AttributeReference)
+        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ >= 0)
+      case GreaterThan(a: AttributeReference, l: Literal)
+        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ > 0)
+      case LessThan(l: Literal, a: AttributeReference)
+        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ > 0)
+      case LessThanOrEqual(a: AttributeReference, l: Literal)
+        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ <= 0)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference)
+        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ <= 0)
+      case LessThan(a: AttributeReference, l: Literal)
+        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ < 0)
+      case GreaterThan(l: Literal, a: AttributeReference)
+        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ < 0)
+      case StartsWith(a: AttributeReference, l: Literal)
+        if isStrPart(a, l) => // LIKE 'x%' optimizes to StartsWith
+        val prefix = l.value.toString
+        m.partValue.collect {
+          case (k, v) if !v.startsWith(prefix) => k
+        }.toSet
+
+      // -- Bloom point key / IN (composes with same-col ranges) -----
       case EqualTo(a: AttributeReference, l: Literal) if isBloom(a) =>
-        bloomExcluded(m, root, dir, a, l)
+        bloomExcluded(m, root, dir, a, Seq(l))
       case EqualTo(l: Literal, a: AttributeReference) if isBloom(a) =>
-        bloomExcluded(m, root, dir, a, l)
+        bloomExcluded(m, root, dir, a, Seq(l))
+      case In(a: AttributeReference, list) if isBloom(a) &&
+          list.size <= 16 && list.forall(_.isInstanceOf[Literal]) =>
+        bloomExcluded(m, root, dir, a,
+          list.map(_.asInstanceOf[Literal]))
 
       // -- min/max ranges on the committed dims ---------------------
       // WEAK comparisons only: long-truncated stats of a fractional
@@ -194,6 +236,17 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
       case (k, v) if !wanted.contains(v) => k
     }.toSet
 
+  /** Files whose committed partition value fails `keep` applied to
+    * UTF8-binary `compareTo(lit)` — exact, string-vs-string only. */
+  private def partOrdExcluded(m: GraftPruning.Meta, l: Literal,
+      keep: Int => Boolean): Set[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val lit = UTF8String.fromString(l.value.toString)
+    m.partValue.collect {
+      case (k, v) if !keep(UTF8String.fromString(v).compareTo(lit)) => k
+    }.toSet
+  }
+
   /** Files whose committed [min, max] on the chosen dim provably
     * misses [lo, hi]; NULL bounds (all-null files) are kept. */
   private def rangeExcluded(m: GraftPruning.Meta, xDim: Boolean,
@@ -205,15 +258,19 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
       if (missLo || missHi) Some(k) else None
     }.flatten.toSet
 
+  /** Point key(s) against the committed registers: a file survives if
+    * ANY key may live in it (IN = union of per-key candidate sets);
+    * only files with a committed register row may be excluded (a file
+    * missing from the frame has no Bloom verdict). NULL keys keep
+    * everything (no verdict). */
   private def bloomExcluded(m: GraftPruning.Meta, root: String,
-      dir: String, a: AttributeReference, l: Literal): Set[String] = {
-    if (l.value == null) return Set.empty
-    val external = CatalystTypeConverters.convertToScala(
-      l.value, l.dataType)
-    val candidates =
-      GraftPruning.bloomCandidates(spark, root, dir, external)
-    // only files with a committed register row may be excluded (a
-    // file missing from the frame has no Bloom verdict)
+      dir: String, a: AttributeReference, ls: Seq[Literal])
+      : Set[String] = {
+    if (ls.exists(_.value == null)) return Set.empty
+    val candidates = ls.map { l =>
+      GraftPruning.bloomCandidates(spark, root, dir,
+        CatalystTypeConverters.convertToScala(l.value, l.dataType))
+    }.reduce(_ union _)
     m.ranges.keySet.filterNot(candidates.contains)
   }
 
@@ -253,7 +310,11 @@ object GraftPruneScans {
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case s: FileSourceScanExec =>
-          s.relation.location.inputFiles.length.toLong
+          // DATA files only: a merge-on-read plan also scans the
+          // version's `_dv` (and pruned-read audits its `_stats`) —
+          // metadata frames, not table IO the proofs count
+          s.relation.location.inputFiles.count(p =>
+            !p.split('/').exists(_.startsWith("_"))).toLong
         case other => other.children.map(walk).sum +
           other.subqueries.map(walk).sum
       }

@@ -2536,8 +2536,84 @@ object OpsQueries extends QueryPack {
       FROM final GROUP BY 1 ORDER BY 1"""),
     covers = Seq("S12", "M1", "TD-partitioned-store"))
 
+  /** THE REFERENCE'S GOLD DATE-CUT SHAPE, AUTO-PRUNED END TO END
+    * (round 14): the gold revenue queries cut by date, never by named
+    * partitions (`dags/logistics-gold-metrics-sql.py:33,105` —
+    * `WHERE order_ts >= …`); here the SAME cut shape — a month-range
+    * predicate and a `LIKE 'yyyy-%'` year cut, plain statement text —
+    * runs against a month-partitioned fact that has ALREADY taken a
+    * MoR MERGE (fragments live in `_parts`), and the planner prunes
+    * both cuts from the string partition frame EXACTLY (string-order
+    * range + prefix, new in round 14's rule). In-band proofs:
+    * `pruned_range` — the range cut opens exactly the in-range
+    * months' files (fragments included), a strict subset;
+    * `pruned_like` — the year cut likewise. The merge's repricing
+    * flows through the pruned read (oracle-gated), proving pruned
+    * reads see merge-on-read truth. */
+  val q246 = Q(
+    "q246_gold_datecut_pruned",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{ManifestTable, PartitionedTable}
+      import graft.plans.GraftPruneScans.scannedFiles
+      def slice(lo: String, hi: String) = Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= lit(lo).cast("timestamp") &&
+          $"o_orderdate" < lit(hi).cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM").as("o_month"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q246_").toString + "/fact"
+      PartitionedTable.commitPartitioned(s, root,
+        slice("1995-01-01", "1996-07-01"), "o_month")           // v1
+      // the daily-silver MERGE: September re-priced (MoR fragments)
+      ManifestTable.mergeDV(s, root,
+        slice("1995-09-01", "1995-10-01")
+          .withColumn("o_totalprice", $"o_totalprice" * 2),
+        Seq("o_orderkey"))                                      // v2
+      val parts = PartitionedTable.parts(s, root, 2L)
+        .select($"path", $"value").as[(String, String)].collect()
+      val total = parts.length.toLong
+      def agg(where: String) = s.sql(
+        s"""SELECT o_month, count(*) AS n_orders,
+           |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+           |    AS STRING) AS DOUBLE) AS revenue
+           |FROM graft_table('$root') WHERE $where
+           |GROUP BY o_month ORDER BY o_month""".stripMargin)
+      val range = agg("o_month >= '1995-07' AND o_month < '1996-04'")
+      val rExpect = parts.count(r =>
+        r._2 >= "1995-07" && r._2 < "1996-04").toLong
+      val prunedRange = scannedFiles(range) == rExpect &&
+        rExpect < total
+      val like = agg("o_month LIKE '1996-%'")
+      val lExpect = parts.count(_._2.startsWith("1996-")).toLong
+      val prunedLike = scannedFiles(like) == lExpect &&
+        lExpect < total
+      range
+        .withColumn("pruned_range", lit(prunedRange))
+        .withColumn("pruned_like", lit(prunedLike))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-09'
+                    THEN o_totalprice * 2 ELSE o_totalprice
+               END AS o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS o_month
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00')
+      SELECT o_month, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS VARCHAR) AS DOUBLE) AS revenue,
+             true AS pruned_range, true AS pruned_like
+      FROM base
+      WHERE o_month >= '1995-07' AND o_month < '1996-04'
+      GROUP BY 1 ORDER BY 1"""),
+    covers = Seq("TD-partitioned-store", "P10", "A1"))
+
   override def queries: Seq[Q] =
     Seq(q13, q14, q15, q16, q17, q72, q104, q207, q218, q219, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236, q237, q238, q239, q240, q242, q243, q244, q245)
+      q234, q235, q236, q237, q238, q239, q240, q242, q243, q244, q245,
+      q246)
 }

@@ -119,6 +119,44 @@ class GraftPruneScansSpec extends SparkSpec {
     assert(none.count() == 0L)
   }
 
+  test("partition RANGE and PREFIX cuts prune (string pcol only — " +
+      "the reference's gold date-cut shape); Bloom IN unions keys") {
+    val (root, total) = buildTable()
+    val parts = PartitionedTable.parts(spark, root, 1L)
+      .select($"path", $"value").as[(String, String)].collect()
+    // day >= '2': exact string-order pruning on the partition frame
+    val ge = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$root') WHERE day >= '2'")
+    assert(scannedFiles(ge) == parts.count(_._2 >= "2").toLong)
+    assert(ge.as[Long].head() == 200L)
+    // strict < and the reversed literal-side form
+    val lt = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$root') WHERE '1' > day")
+    assert(scannedFiles(lt) == parts.count(_._2 < "1").toLong)
+    assert(lt.as[Long].head() == 100L)
+    // BETWEEN on the partition column = two exact conjuncts
+    val bt = spark.sql(s"SELECT count(*) AS n FROM graft_table('$root')" +
+      " WHERE day BETWEEN '1' AND '2'")
+    assert(scannedFiles(bt) ==
+      parts.count(r => r._2 >= "1" && r._2 <= "2").toLong)
+    assert(bt.as[Long].head() == 200L)
+    // LIKE 'prefix%' optimizes to StartsWith and prunes
+    val lk = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$root') WHERE day LIKE '3%'")
+    assert(scannedFiles(lk) == parts.count(_._2.startsWith("3")).toLong)
+    assert(lk.as[Long].head() == 100L)
+    // a NUMERIC comparison on the string pcol does NOT use the string
+    // order (casts change semantics): conservative, but still exact
+    val num = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$root') WHERE day > 1")
+    assert(num.as[Long].head() == 200L)
+    // Bloom IN: union of the keys' candidate files, exact rows
+    val in = spark.sql(s"SELECT k FROM graft_table('$root') " +
+      "WHERE ks IN ('5', '250')")
+    assert(scannedFiles(in) < total)
+    assert(in.as[Long].collect().sorted.toSeq == Seq(5L, 250L))
+  }
+
   test("pruning composes with merge-on-read: DV deletes apply on the " +
       "pruned scan, fragments of MoR DML are seen and pruned") {
     val (root, _) = buildTable()
