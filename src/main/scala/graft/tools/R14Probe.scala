@@ -85,6 +85,18 @@ object R14Probe {
     println(s"PROBE   bloom point-key files        " +
       s"${scannedFiles(bloom)}/$total")
     time("sql_bloom_point_key_count")(bloom.count())
+    // the reference's gold date-cut shapes: partition RANGE (string
+    // order, exact) and LIKE prefix — both prune off `_parts` alone
+    val pr = time("sql_partition_range_cut")(
+      sql("o_month >= '1995-07' AND o_month < '1996-04'"))
+    println(s"PROBE   partition range files        " +
+      s"${scannedFiles(pr)}/$total")
+    time("sql_partition_range_count")(pr.count())
+    val lk = time("sql_partition_like_cut")(
+      sql("o_month LIKE '1996-%'"))
+    println(s"PROBE   partition LIKE files         " +
+      s"${scannedFiles(lk)}/$total")
+    time("sql_partition_like_count")(lk.count())
 
     // ---- (b) partitioned MoR DML keeps pruning ----
     time("mergeDV_into_partitioned")(ManifestTable.mergeDV(spark, root,
