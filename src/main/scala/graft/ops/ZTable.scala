@@ -124,6 +124,121 @@ object ZTable {
     next
   }
 
+  /** PARTITION-SCOPED OPTIMIZE ZORDER — Delta's `OPTIMIZE tbl WHERE
+    * <partition predicate> ZORDER BY (x, y)` on the partitioned
+    * manifest store: z-cluster ONLY the named partitions' files
+    * (their deletion-vector slice materializes in the rewrite — the
+    * files are being rewritten anyway), carry every other partition
+    * BY REFERENCE with its `_parts` row, vector rows, and stats/Bloom
+    * rows intact. Output files are partition-pure AND z-contiguous
+    * (one range shuffle on (partition value, z), then the same
+    * flatten every partitioned write uses), so SURVEY §4's two knobs
+    * stack with TIGHT in-partition ranges: partition pruning plans
+    * off `_parts`, the z-range/Bloom skipping within a partition off
+    * the per-file stats this commit establishes or extends.
+    * dataChange-false (content identical; the feed across it is
+    * empty). At 100 TB this is the nightly layout pass on HOT
+    * partitions only — the cold ones are never touched.
+    *
+    * Stats: when the base already carries `_stats`, untouched files
+    * keep their rows and the rewrites get fresh read-back rows (the
+    * [[extendStats]] carry). When it carries none, stats are
+    * ESTABLISHED — for the WHOLE version (rewrites read back,
+    * untouched files scanned once for their rows): a partial frame
+    * would make un-covered files invisible to the planner, which is
+    * unsound. Returns the committed version. */
+  def optimizeZOrderPartitions(spark: SparkSession, root: String,
+      values: Seq[String], xCol: String, yCol: String, tieCol: String,
+      filesPerPartition: Int = 1, bloomCol: Option[String] = None,
+      bits: Int = 16, expectPcol: Option[String] = None): Long = {
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val base = ManifestTable.currentVersion(spark, root)
+      .getOrElse(sys.error(s"nothing to optimize at $root"))
+    val baseDir = ManifestTable.versionDataDir(spark, root, base)
+    require(ManifestTable.colmapOf(spark, root, baseDir).isEmpty,
+      s"partition-scoped OPTIMIZE does not compose with column " +
+        "mapping (a rename already drops `_parts`)")
+    val (pcol, baseRows) = PartitionedTable
+      .partsRowsIfAny(spark, root, baseDir)
+      .getOrElse(sys.error(s"version $base of $root carries no " +
+        "partition metadata — use optimizeZOrder (whole-table) or " +
+        "commit through PartitionedTable first"))
+    // the SQL form's WHERE column must BE the partition column — a
+    // predicate on any other column is not a partition scope and
+    // must refuse, not silently optimize the wrong slice
+    expectPcol.foreach(e => require(e.equalsIgnoreCase(pcol),
+      s"OPTIMIZE … WHERE names column $e but $root is partitioned " +
+        s"by $pcol"))
+    val want = values.toSet
+    val (touched, untouched) = baseRows.partition(r => want.contains(r._2))
+    require(touched.nonEmpty,
+      s"no partition of $root matches ${values.mkString(",")}")
+    val touchedPaths = touched.map(_._1)
+    val dv = ManifestTable.dvOf(spark, root, baseDir)
+    val raw = ManifestTable.readRefsRaw(spark, root, baseDir,
+      touchedPaths)
+    val cur = dv.fold(raw)(ManifestTable.applyDv(raw, _))
+    val cols = cur.columns.toSet
+    (Seq(xCol, yCol, tieCol, pcol) ++ bloomCol).foreach(c =>
+      require(cols.contains(c), s"no column $c in $root (has $cols)"))
+    val next = base + 1
+    val dir = ManifestTable.newDataDirName(next)
+    // normalize dims from the TOUCHED slice's bounds (the curve is
+    // local to the rewrite; committed stats keep raw values, so
+    // pruning stays exact regardless — see [[optimizeZOrder]])
+    val b = cur.agg(min(col(xCol).cast("long")),
+      max(col(xCol).cast("long")), min(col(yCol).cast("long")),
+      max(col(yCol).cast("long"))).head()
+    val top = (1L << bits) - 1
+    def scaled(c: Column, loI: Int, hiI: Int) =
+      if (b.isNullAt(loI) || b.getLong(hiI) <= b.getLong(loI)) lit(0L)
+      else ((c.cast("long") - b.getLong(loI)) * top /
+        (b.getLong(hiI) - b.getLong(loI))).cast("long")
+    // ONE range shuffle on (partition value, z): each task holds one
+    // partition's contiguous z-segment, so the flatten's output files
+    // are partition-pure AND z-contiguous — both dims' per-file
+    // min/max tight within the partition
+    val clustered = cur
+      .withColumn("__z", Layout.zValue(scaled(col(xCol), 0, 1),
+        scaled(col(yCol), 2, 3), bits))
+      .repartitionByRange(
+        math.max(1, want.size * filesPerPartition),
+        col(pcol), col("__z"), col(tieCol))
+      .sortWithinPartitions(col(pcol), col("__z"), col(tieCol))
+      .drop("__z")
+    val fresh = PartitionedTable.writeFlattened(spark, root, dir,
+      clustered, pcol)
+    val f = fs(spark, root)
+    val untouchedPaths = untouched.map(_._1)
+    val manifest = (untouchedPaths ++ fresh.map(_._1)).mkString("\n")
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$root/$dir/_files"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    PartitionedTable.writeParts(spark, root, dir,
+      untouched ++ fresh, pcol)
+    // vector rows of untouched files survive; the touched files'
+    // slice materialized in the rewrite
+    dv.foreach { v =>
+      import spark.implicits._
+      val keys = untouchedPaths.map(ManifestTable.fileKeyOf)
+      val kept = v.join(broadcast(keys.toDF("path")),
+        Seq("path"), "left_semi")
+      if (!kept.isEmpty)
+        kept.repartition(1).write.parquet(s"$root/$dir/_dv")
+    }
+    // stats: extend when the base has them; otherwise ESTABLISH for
+    // the whole version (partial coverage would be unsound)
+    val extended = extendStats(spark, root, baseDir, dir,
+      fresh.map(_._1), carriedPaths = Some(untouchedPaths))
+    if (!extended)
+      establishStats(spark, root, dir,
+        untouchedPaths ++ fresh.map(_._1), xCol, yCol, bloomCol)
+    ManifestTable.writeOpMeta(spark, root, dir, "OPTIMIZE")
+    ManifestTable.writeMarker(spark, root, next, dataDir = dir)
+    ManifestTable.maybeAutoCompact(spark, root)
+    next
+  }
+
   /** The committed skipping stats of version `v` — one row per data
     * file: `path` (relative to root), `n_rows`, `min_x`/`max_x`/
     * `min_y`/`max_y` (the cluster dims cast to long), `x_col`/`y_col`

@@ -39,6 +39,8 @@ import graft.ops.{ManifestTable, ZTable}
   *   CREATE TABLE graft.`/p` [PARTITIONED BY (col)] AS SELECT …
   *   GRAFT CATALOG SET BASE '<dir>' | REGISTER <name> AT '<dir>'
   *   OPTIMIZE graft.`/p` [ZORDER BY (x, y[, tie])] [FILES n]
+  *   OPTIMIZE graft.`/p` WHERE <pcol> = 'v' [OR …] | <pcol> IN (…)
+  *                       ZORDER BY (x, y[, tie]) [FILES n]
   *   VACUUM graft.`/p` RETAIN <n> VERSIONS
   *   RESTORE [TABLE] graft.`/p` [TO] VERSION AS OF <n>
   *                              | TIMESTAMP AS OF '<UTC ts>'
@@ -553,7 +555,41 @@ object GraftSqlParser {
 
   private def parseOptimize(text: String): LogicalPlan = {
     val m = "(?is)^OPTIMIZE\\s+".r.findPrefixMatchOf(text).get
-    val (root, rest) = parseRef(text.substring(m.end))
+    val (root, rest0) = parseRef(text.substring(m.end))
+    // Delta's partition-scoped form: `OPTIMIZE t WHERE <pcol> = 'v'
+    // [OR …] | <pcol> IN ('a','b') ZORDER BY (x, y[, tie])` — only
+    // the named partitions' files are z-clustered, the rest carried
+    // by reference (ZTable.optimizeZOrderPartitions)
+    val iWhere = topIndexOf(rest0, "WHERE")
+    if (iWhere == 0) {
+      val iZ = topIndexOf(rest0, "ZORDER")
+      if (iZ < 0) fail("OPTIMIZE … WHERE needs ZORDER BY (partition-" +
+        "scoped optimize is a layout pass; use DML to change data)")
+      val predText = rest0.substring(iWhere + 5, iZ).trim
+      val (pcolName, values) = parsePartitionPred(predText)
+      val zTail = rest0.substring(iZ).trim
+      val z = ("(?is)^ZORDER\\s+BY\\s*\\(([^)]*)\\)\\s*" +
+        "(?:FILES\\s+(\\d+))?\\s*$").r
+      zTail match {
+        case z(colsT, filesT) =>
+          val cols = splitTop(colsT, ",").map(bareName)
+          if (cols.size < 2 || cols.size > 3)
+            fail(s"ZORDER BY needs (x, y[, tie]), got $colsT")
+          return GraftSqlCommand(
+            s"OPTIMIZE graft.`$root` WHERE ZORDER", versionOut,
+            session => {
+              val v = ZTable.optimizeZOrderPartitions(session, root,
+                values, cols(0), cols(1),
+                if (cols.size > 2) cols(2) else cols(0),
+                filesPerPartition =
+                  Option(filesT).map(_.toInt).getOrElse(1),
+                expectPcol = Some(pcolName))
+              Seq(Row(v))
+            })
+        case other => fail(s"bad ZORDER clause: ${other.take(60)}")
+      }
+    }
+    val rest = rest0
     val z = ("(?is)^ZORDER\\s+BY\\s*\\(([^)]*)\\)\\s*" +
       "(?:FILES\\s+(\\d+))?\\s*$").r
     val f = "(?is)^(?:FILES\\s+(\\d+))?\\s*$".r
@@ -578,6 +614,34 @@ object GraftSqlParser {
           session => Seq(Row(ManifestTable.optimize(session, root,
             Option(filesT).map(_.toInt).getOrElse(1)))))
       case other => fail(s"bad OPTIMIZE options: ${other.take(60)}")
+    }
+  }
+
+  /** A partition predicate for the scoped OPTIMIZE: `col = 'v'`
+    * chained by OR (same column), or `col IN ('a','b')`. Returns
+    * (column, values); anything else fails loudly. */
+  private def parsePartitionPred(s: String): (String, Seq[String]) = {
+    val in = "(?is)^(\\S+)\\s+IN\\s*\\((.*)\\)\\s*$".r
+    val eq = "(?is)^(\\S+)\\s*=\\s*'([^']*)'\\s*$".r
+    s.trim match {
+      case in(c, vals) =>
+        val vs = splitTop(vals, ",").map(_.trim).map { v =>
+          if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
+            v.substring(1, v.length - 1)
+          else fail(s"IN list values must be string literals: $v")
+        }
+        if (vs.isEmpty) fail("empty IN list")
+        (bareName(c), vs)
+      case _ =>
+        val parts = splitTop(s, "OR").map {
+          case eq(c, v) => (bareName(c), v)
+          case other => fail("partition predicate supports col = 'v' " +
+            s"[OR …] or col IN ('a','b'); got: ${other.take(60)}")
+        }
+        val cols = parts.map(_._1).distinct
+        if (cols.size != 1)
+          fail(s"partition predicate must name ONE column, got: $cols")
+        (cols.head, parts.map(_._2))
     }
   }
 

@@ -297,6 +297,64 @@ class PartitionedTableSpec extends SparkSpec {
       d3.filter($"day" =!= "3").count() == 0L)
   }
 
+  test("partition-scoped OPTIMIZE ZORDER: only the named partitions " +
+      "z-cluster, everything else rides; stats established; the SQL " +
+      "WHERE form routes and refuses a non-partition column") {
+    val root = freshRoot()
+    PartitionedTable.commitPartitioned(spark, root,
+      fact(0, 400), "day")                                     // v1
+    // fragments + a vector first (the realistic pre-layout state)
+    ManifestTable.mergeDV(spark, root,
+      fact(0, 8).withColumn("v", $"v" + 100.0), Seq("k"))      // v2
+    ManifestTable.deleteWhereDV(spark, root, $"k" === 9L)      // v3
+    val before = ManifestTable.read(spark, root).get
+      .as[(Long, String, String, Double)].collect().toSet
+    val p3 = PartitionedTable.parts(spark, root, 3L)
+      .select($"path", $"value").as[(String, String)].collect()
+    val v4 = ZTable.optimizeZOrderPartitions(spark, root,
+      Seq("1", "2"), "k", "v", "k", filesPerPartition = 2,
+      bloomCol = Some("g"))                                    // v4
+    assert(v4 == 4L)
+    val p4 = PartitionedTable.parts(spark, root, 4L)
+      .select($"path", $"value").as[(String, String)].collect()
+    val refs4 = ManifestTable.versionFileRefs(spark, root, 4L).get
+    assert(p4.map(_._1).sorted.toSeq == refs4.sorted) // covered
+    // untouched partitions ride by PATH IDENTITY
+    val untouched3 = p3.filter(r => r._2 != "1" && r._2 != "2").toSet
+    assert(untouched3.subsetOf(p4.toSet))
+    // touched partitions: all-new files, still partition-pure
+    assert(p4.filter(r => r._2 == "1" || r._2 == "2")
+      .forall(r => !p3.map(_._1).contains(r._1)))
+    // content identical (dataChange-false): DV slice materialized in
+    // the rewrite, untouched files keep their vector rows
+    assert(ManifestTable.read(spark, root).get
+      .as[(Long, String, String, Double)].collect().toSet == before)
+    // stats were ESTABLISHED whole-version (base had none): coverage
+    val st = ZTable.stats(spark, root, 4L).collect()
+    assert(st.map(_.getString(st.head.fieldIndex("path"))).sorted
+      .toSeq == refs4.map(ManifestTable.fileKeyOf).sorted)
+    // the two knobs stack through plain SQL: partition cut AND a
+    // k-range now prune together on the clustered partition
+    import graft.plans.GraftPruneScans.scannedFiles
+    val q = spark.sql(s"SELECT count(*) AS n FROM graft_table('$root')" +
+      " WHERE day = '1' AND k BETWEEN 101 AND 120")
+    assert(scannedFiles(q) < p4.count(_._2 == "1").toLong)
+    assert(q.as[Long].head() == 4L) // k=101..120 with k%5==1: 101,106,111,116
+    // SQL WHERE form routes to the same kernel
+    spark.sql(s"OPTIMIZE graft.`$root` WHERE day IN ('3') " +
+      "ZORDER BY (k, v)")                                      // v5
+    val p5 = PartitionedTable.parts(spark, root, 5L)
+      .select($"path", $"value").as[(String, String)].collect()
+    assert(p5.map(_._1).sorted.toSeq ==
+      ManifestTable.versionFileRefs(spark, root, 5L).get.sorted)
+    assert(ManifestTable.read(spark, root).get.count() == before.size)
+    // a WHERE on a NON-partition column refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.`$root` WHERE k = '5' ZORDER BY (k, v)")
+    }
+    assert(e.getMessage.contains("partitioned by"))
+  }
+
   test("concurrent partitioned writers: disjoint-partition loads " +
       "rebase and both land; guards fail loudly on empty results") {
     val root = freshRoot()
