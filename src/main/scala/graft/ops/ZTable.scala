@@ -63,7 +63,98 @@ import org.apache.spark.sql.functions._
   */
 object ZTable {
 
-  private val M = 8192L // Bloom bits per file (256 × 64-bit words max)
+  private val M = 8192L // Bloom bits FLOOR per file (legacy fixed size)
+
+  /** Scaled-register geometry: bits per distinct key. A fixed 8192-bit
+    * register saturates at ~2.3k keys (measured 627/640 files opened
+    * on a point probe at 100× — sound, useless); sizing each file's
+    * register from its OWN committed row count — m = max(8192,
+    * 8·n_rows), k = 2 hashes → ~5% per-file FPR at any scale — keeps
+    * the point probe opening a few percent of files forever. The
+    * `(path, word, bits)` frame shape is unchanged (registers just
+    * carry more words); a `_bloom/_GEOM` side file records the factor
+    * so the probe derives each file's m from the `_stats` row counts.
+    * Frames WITHOUT the marker are legacy fixed-M and keep probing at
+    * 8192 — old commits stay sound, new commits scale. */
+  private[ops] val bloomBitsPerKey = 8L
+
+  private def geomPath(root: String, dir: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$dir/_bloom/_GEOM")
+
+  /** The register geometry of a committed frame: Some(bitsPerKey) for
+    * scaled frames, None for legacy fixed-M. */
+  private[ops] def geomOf(spark: SparkSession, root: String,
+      dir: String): Option[Long] = {
+    val f = fs(spark, root)
+    val p = geomPath(root, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 64, false)
+        Some(buf.toString("UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  private def writeGeom(f: org.apache.hadoop.fs.FileSystem,
+      root: String, dir: String, bpk: Long): Unit = {
+    val p = geomPath(root, dir)
+    if (f.exists(p)) return
+    val out = f.create(p, true)
+    try out.write(bpk.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Per-file register size for the frame at `dir`: max(8192,
+    * bpk·n_rows) off the committed `_stats` row counts for scaled
+    * frames; the flat legacy M otherwise. */
+  private def mByPath(spark: SparkSession, root: String, dir: String,
+      bl: DataFrame): DataFrame = geomOf(spark, root, dir) match {
+    case Some(bpk) =>
+      spark.read.parquet(s"$root/$dir/_stats")
+        .select(col("path"),
+          greatest(lit(M), col("n_rows") * bpk).as("m"))
+    case None =>
+      bl.select(col("path")).distinct().withColumn("m", lit(M))
+  }
+
+  /** ONE shared Bloom probe over a committed frame: the paths whose
+    * registers admit `key` under BOTH hash seeds — a provable superset
+    * (no false negatives; a path with no surviving register row has
+    * bit 0 and is excluded). O(register rows) metadata scan, never
+    * data. Serves [[bloomCandidateFiles]] and the planner's
+    * [[graft.ops.GraftPruning.bloomCandidates]]. */
+  private[ops] def bloomProbePaths(spark: SparkSession, root: String,
+      dir: String, key: Column): Seq[String] =
+    bloomProbePathsAny(spark, root, dir, array(key))
+
+  /** Multi-key form: the paths whose registers admit ANY of the keys
+    * in `keys` (an array column of same-typed literals) — the IN-list
+    * probe as ONE metadata pass instead of one join per key. */
+  private[ops] def bloomProbePathsAny(spark: SparkSession, root: String,
+      dir: String, keys: Column): Seq[String] = {
+    val bl = spark.read.parquet(s"$root/$dir/_bloom")
+    val keyRows = spark.range(1).select(explode(keys).as("key"))
+    val probes = Seq(501, 502).map(seed =>
+      keyRows.select(col("key"), lit(seed).as("j"),
+        graft.functions.TextFunctions.hash60(col("key"), seed)
+          .as("h0")))
+      .reduce(_ unionByName _)
+    bl.join(broadcast(mByPath(spark, root, dir, bl)), Seq("path"))
+      .crossJoin(broadcast(probes))
+      .select(col("path"), col("key"), col("j"), col("word"),
+        col("bits"), (col("h0") % col("m")).as("h"))
+      .filter(shiftright(col("h"), 5) === col("word") &&
+        (col("bits").bitwiseAND(
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(h & 31 AS INT))")))
+          =!= 0L)
+      .groupBy(col("path"), col("key"))
+      .agg(countDistinct(col("j")).as("nj"))
+      .filter(col("nj") === 2)
+      .select(col("path")).distinct()
+      .collect().map(_.getString(0)).toSeq // O(files)
+  }
 
   private def fs(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
@@ -403,7 +494,8 @@ object ZTable {
     val carriedBloom = bloom(spark, root, base)
       .map(_.filter(col("path").isin(untouchedPaths: _*)))
     writeStats(spark, root, dir, newPaths, xCol, yCol, bloomCol,
-      Some(carriedStats), carriedBloom)
+      Some(carriedStats), carriedBloom,
+      bloomBpk = geomOf(spark, root, baseDir))
     dv.foreach { d =>
       val untouchedKeys = untouchedPaths
         .map(ManifestTable.fileKeyOf).toSet
@@ -484,9 +576,13 @@ object ZTable {
         if (hasBloom)
           copyFrame(f, bloomPath.toString, s"$root/$newDir/_bloom")
         if (appendedPaths.nonEmpty)
+          // fresh fragment registers MUST follow the BASE frame's
+          // geometry (the copied rows' word/bits were computed under
+          // it and cannot be re-derived) — scaled iff the base is
           writeStats(spark, root, newDir, appendedPaths, xCol, yCol,
             bloomCol.filter(_ => hasBloom), carriedStats = None,
-            carriedBloom = None, append = true)
+            carriedBloom = None, append = true,
+            bloomBpk = geomOf(spark, root, baseDir))
       case Some(ps) =>
         // filtered carry (binPack/reorg drop rewritten files' rows):
         // the join path — still O(files) metadata
@@ -500,11 +596,15 @@ object ZTable {
         if (appendedPaths.isEmpty) {
           carriedStats.repartition(1)
             .write.parquet(s"$root/$newDir/_stats")
-          carriedBloom.foreach(_.repartition(1)
-            .write.parquet(s"$root/$newDir/_bloom"))
+          carriedBloom.foreach { cb =>
+            cb.repartition(1).write.parquet(s"$root/$newDir/_bloom")
+            geomOf(spark, root, baseDir).foreach(bpk =>
+              writeGeom(f, root, newDir, bpk))
+          }
         } else
           writeStats(spark, root, newDir, appendedPaths, xCol, yCol,
-            bloomCol, Some(carriedStats), carriedBloom)
+            bloomCol, Some(carriedStats), carriedBloom,
+            bloomBpk = geomOf(spark, root, baseDir))
     }
     true
   }
@@ -541,7 +641,8 @@ object ZTable {
   private def writeStats(spark: SparkSession, root: String, dir: String,
       paths: Seq[String], xCol: String, yCol: String,
       bloomCol: Option[String], carriedStats: Option[DataFrame],
-      carriedBloom: Option[DataFrame], append: Boolean = false): Unit = {
+      carriedBloom: Option[DataFrame], append: Boolean = false,
+      bloomBpk: Option[Long] = Some(bloomBitsPerKey)): Unit = {
     val mode = if (append) "append" else "errorifexists"
     val df = spark.read.parquet(paths.map(p => s"$root/$p"): _*)
     val withPath = df.withColumn("__path",
@@ -579,14 +680,30 @@ object ZTable {
     allStats.repartition(1).write.mode(mode)
       .parquet(s"$root/$dir/_stats")
     bloomCol.foreach { bc =>
-      // q221's register shape at committed grain: 8192 bits per file
-      // as ≤256 (path, word, bits) rows, built by ONE bit_or agg;
-      // 32-bit blocks keep the shifted bit far from the sign bit
+      // q221's register shape at committed grain: (path, word, bits)
+      // rows built by ONE bit_or agg; 32-bit blocks keep the shifted
+      // bit far from the sign bit. Register size per file: scaled
+      // frames (`bloomBpk` Some) use m = max(8192, bpk·n_rows) off the
+      // JUST-WRITTEN `_stats` rows (a tiny metadata read — never a
+      // second data scan), so registers grow with the file instead of
+      // saturating; legacy frames stay at the fixed M. The per-path m
+      // MUST match what [[bloomProbePaths]] derives at read time —
+      // both sides compute it from the same committed n_rows.
+      val pathKeys = paths.map(_.split('/').takeRight(2).mkString("/"))
+      val mExpr = bloomBpk match {
+        case Some(bpk) => greatest(lit(M), col("n_rows") * bpk)
+        case None => lit(M)
+      }
+      val sizes = spark.read.parquet(s"$root/$dir/_stats")
+        .where(col("path").isin(pathKeys: _*))
+        .select(col("path"), mExpr.as("m"))
       val words = Seq(501, 502).map(seed =>
         withPath.select(col("__path").as("path"),
-          (graft.functions.TextFunctions.hash60(col(bc), seed) % M)
-            .as("h")))
+          graft.functions.TextFunctions.hash60(col(bc), seed)
+            .as("h0")))
         .reduce(_ unionByName _)
+        .join(broadcast(sizes), Seq("path"))
+        .select(col("path"), (col("h0") % col("m")).as("h"))
         .select(col("path"), shiftright(col("h"), 5).as("word"),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(h & 31 AS INT))")
             .as("bit"))
@@ -595,6 +712,7 @@ object ZTable {
       val allBloom = carriedBloom.fold(freshBloom)(_ unionByName freshBloom)
       allBloom.repartition(1).write.mode(mode)
         .parquet(s"$root/$dir/_bloom")
+      bloomBpk.foreach(bpk => writeGeom(fs(spark, root), root, dir, bpk))
     }
   }
 
@@ -606,22 +724,10 @@ object ZTable {
       key: Column): Seq[String] = {
     val v = ManifestTable.currentVersion(spark, root)
       .getOrElse(sys.error(s"no committed version at $root"))
-    val bl = bloom(spark, root, v).getOrElse(
+    bloom(spark, root, v).getOrElse(
       sys.error(s"version $v of $root has no committed Bloom index"))
-    val probes = Seq(501, 502).map { seed =>
-      spark.range(1).select(lit(seed).as("j"),
-        (graft.functions.TextFunctions.hash60(key, seed) % M).as("h"))
-    }.reduce(_ unionByName _)
-      .select(col("j"), shiftright(col("h"), 5).as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(h & 31 AS INT))")
-          .as("mask"))
-    broadcast(probes).join(bl, Seq("word"))
-      .filter((col("bits").bitwiseAND(col("mask"))) =!= 0L)
-      .groupBy(col("path"))
-      .agg(countDistinct(col("j")).as("nj"))
-      .filter(col("nj") === 2)
-      .select(col("path"))
-      .collect().map(_.getString(0)).toSeq // O(files)
+    bloomProbePaths(spark, root,
+      ManifestTable.versionDataDir(spark, root, v), key)
   }
 
   /** Read the Bloom candidate files for `key` WITH the current

@@ -57,6 +57,42 @@ class ZTableSpec extends SparkSpec {
     assert(hit == 1L, "the true file must be among the candidates")
   }
 
+  test("row-count-scaled Bloom registers: point probes stay selective " +
+      "far past the legacy 8192-bit saturation point; geometry " +
+      "survives the MoR carry-all extend") {
+    val root = freshRoot()
+    // 40k distinct keys over 8 files — 5k keys/file saturates a fixed
+    // 8192-bit register (~2.3k keys; measured 627/640 files opened at
+    // 100×); the scaled geometry m = max(8192, 8·n_rows) keeps the
+    // probe at a few percent of files at any file size
+    ManifestTable.commit(
+      spark.range(0, 40000).select($"id".as("k"), $"id".as("x"),
+        lit(0L).as("y"), concat(lit("v"), $"id").as("v")), root)
+    ZTable.optimizeZOrder(spark, root, "x", "y", "k", nFiles = 8,
+      bloomCol = Some("v"))
+    val nFiles = ZTable.stats(spark, root, 2L).count()
+    val cand = ZTable.bloomCandidateFiles(spark, root, lit("v31234"))
+    assert(cand.size <= 3 && cand.size < nFiles / 2,
+      s"scaled registers must stay selective: ${cand.size}/$nFiles")
+    assert(spark.read.parquet(cand.map(p => s"$root/$p"): _*)
+      .filter($"v" === "v31234").count() == 1L,
+      "the true file must be among the candidates")
+    // the carry-all extend (MoR merge fragment) keeps the geometry:
+    // carried registers probe at their written m, the fragment at its
+    ManifestTable.mergeDV(spark, root,
+      spark.range(50000, 50100).select($"id".as("k"), $"id".as("x"),
+        lit(0L).as("y"), concat(lit("v"), $"id").as("v")),
+      Seq("k"))
+    val c2 = ZTable.bloomCandidateFiles(spark, root, lit("v50050"))
+    assert(c2.nonEmpty && c2.size <= 3)
+    assert(spark.read.parquet(c2.map(p => s"$root/$p"): _*)
+      .filter($"v" === "v50050").count() == 1L)
+    // a key in no file: candidates stay near-empty (selectivity, not
+    // saturation)
+    assert(ZTable.bloomCandidateFiles(spark, root,
+      lit("vnope999")).size <= 1)
+  }
+
   test("deleteWhereScoped: only intersecting files rewritten; untouched " +
       "files carried by PATH IDENTITY; CDF identical to the " +
       "full-rewrite delete; stats stay consistent so skipping keeps " +
