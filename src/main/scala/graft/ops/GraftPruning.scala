@@ -1,8 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{broadcast, col, countDistinct, expr,
-  lit, shiftright}
+import org.apache.spark.sql.functions.lit
 
 /** PLANNER-DRIVEN file pruning for manifest-store scans — the round-13
   * VERDICT's top ask: the three committed pruning frames (`_parts`
@@ -194,11 +193,11 @@ private[graft] object GraftPruning {
         size() > maxBloom
     }
 
-  private val M = 8192L // must match ZTable's register geometry
-
   /** The file keys of version dir `dir` that MAY contain `key` in the
     * Bloom-indexed column — a provable superset (no false negatives).
-    * One O(files × 256) metadata join, verdict cached per
+    * Delegates to [[ZTable.bloomProbePaths]] (ONE metadata join over
+    * the register rows, geometry-aware: legacy fixed-M frames and
+    * row-count-scaled frames both probe correctly); verdict cached per
     * (version, key). */
   private[graft] def bloomCandidates(spark: SparkSession, root: String,
       dir: String, key: Any): Set[String] = {
@@ -206,24 +205,26 @@ private[graft] object GraftPruning {
     bloomCache.synchronized(Option(bloomCache.get(ck))) match {
       case Some(s) => s
       case None =>
-        val keyCol = lit(key)
-        val bl = spark.read.parquet(s"$root/$dir/_bloom")
-        val probes = Seq(501, 502).map { seed =>
-          spark.range(1).select(lit(seed).as("j"),
-            (graft.functions.TextFunctions.hash60(keyCol, seed) % M)
-              .as("h"))
-        }.reduce(_ unionByName _)
-          .select(col("j"), shiftright(col("h"), 5).as("word"),
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(h & 31 AS INT))")
-              .as("mask"))
-        val s = broadcast(probes).join(bl, Seq("word"))
-          .filter((col("bits").bitwiseAND(col("mask"))) =!= 0L)
-          .groupBy(col("path"))
-          .agg(countDistinct(col("j")).as("nj"))
-          .filter(col("nj") === 2)
-          .select(col("path"))
-          .collect().map(r =>
-            ManifestTable.fileKeyOf(r.getString(0))).toSet
+        val s = ZTable.bloomProbePaths(spark, root, dir, lit(key))
+          .map(ManifestTable.fileKeyOf).toSet
+        bloomCache.synchronized(bloomCache.put(ck, s))
+        s
+    }
+  }
+
+  /** IN-list form: the file keys that may contain ANY of `keys` — ONE
+    * register pass for the whole list ([[ZTable.bloomProbePathsAny]]),
+    * not a join per key; verdict cached per (version, key set). */
+  private[graft] def bloomCandidatesIn(spark: SparkSession,
+      root: String, dir: String, keys: Seq[Any]): Set[String] = {
+    val ck = s"$root\n$dir\nIN:" +
+      keys.map(String.valueOf).sorted.mkString("\u0001")
+    bloomCache.synchronized(Option(bloomCache.get(ck))) match {
+      case Some(s) => s
+      case None =>
+        val s = ZTable.bloomProbePathsAny(spark, root, dir,
+          org.apache.spark.sql.functions.array(keys.map(lit): _*))
+          .map(ManifestTable.fileKeyOf).toSet
         bloomCache.synchronized(bloomCache.put(ck, s))
         s
     }

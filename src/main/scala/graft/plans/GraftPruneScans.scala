@@ -3,7 +3,9 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  Join, Limit, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileStatusCache,
   HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -51,45 +53,210 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
     plan.transformDown {
       case f @ Filter(cond, lr: LogicalRelation) if !lr.isStreaming =>
         tryPrune(cond, lr) match {
-          case Some(pruned) => Filter(cond, pruned)
+          case Some((cond2, pruned)) => Filter(cond2, pruned)
           case None => f
         }
+      case j: Join => tryDppPrune(j).getOrElse(j)
     }
   }
 
-  private def tryPrune(cond: Expression, lr: LogicalRelation)
-      : Option[LogicalRelation] = lr.relation match {
+  /** The (root, dir) of a registered graft scan, or None. */
+  private def graftScanOf(lr: LogicalRelation)
+      : Option[(HadoopFsRelation, String, String)] = lr.relation match {
     case hfs: HadoopFsRelation =>
       val roots = hfs.location.rootPaths.map(_.toString)
       if (roots.isEmpty || !GraftPruning.looksLikeGraft(roots.head))
+        None
+      else GraftPruning.lookup(roots).map { case (root, dir) =>
+        (hfs, root, dir) }
+    case _ => None
+  }
+
+  /** `lr` with its file index replaced by `kept` — output attributes
+    * (exprIds) reused verbatim, so everything above stays bound. */
+  private def withPrunedIndex(lr: LogicalRelation,
+      hfs: HadoopFsRelation, kept: Seq[String]): LogicalRelation = {
+    val newIndex = new InMemoryFileIndex(spark,
+      kept.map(new org.apache.hadoop.fs.Path(_)),
+      hfs.options, Some(hfs.dataSchema),
+      FileStatusCache.getOrCreate(spark))
+    lr.copy(relation = hfs.copy(location = newIndex)(spark))
+  }
+
+  private def tryPrune(cond: Expression, lr: LogicalRelation)
+      : Option[(Expression, LogicalRelation)] =
+    graftScanOf(lr).flatMap { case (hfs, root, dir) =>
+      if (!splitConjunctivePredicates(cond).exists(isCandidate))
         return None
-      GraftPruning.lookup(roots).flatMap { case (root, dir) =>
-        val conjuncts = splitConjunctivePredicates(cond)
-        if (!conjuncts.exists(isCandidate)) return None
-        val m = GraftPruning.meta(spark, root, dir)
-        if (m.pcol.isEmpty && m.xCol.isEmpty && m.bloomCol.isEmpty)
-          return None
+      val m = GraftPruning.meta(spark, root, dir)
+      if (m.pcol.isEmpty && m.xCol.isEmpty && m.bloomCol.isEmpty)
+        return None
+      // RUNTIME watermark cuts: evaluate uncorrelated scalar
+      // subqueries compared against frame columns NOW and pin the
+      // value into the condition — pruning and the row filter then
+      // use the SAME literal (sound by construction), and the
+      // runtime subquery execution is saved outright
+      val cond2 = substituteWatermarks(cond, m)
+      val conjuncts = splitConjunctivePredicates(cond2)
+      val files = hfs.location.inputFiles.toIndexedSeq
+      val keyOf = files.map(p =>
+        p -> p.split('/').takeRight(2).mkString("/")).toMap
+      var kept = files
+      conjuncts.foreach { c =>
+        val excluded = excludedKeys(c, m, root, dir)
+        if (excluded.nonEmpty)
+          kept = kept.filterNot(p => excluded(keyOf(p)))
+      }
+      if (kept.size >= files.size) {
+        if (cond2 fastEquals cond) None else Some((cond2, lr))
+      } else Some((cond2, withPrunedIndex(lr, hfs, kept)))
+    }
+
+  /** Replace `cmp(frameCol, (SELECT agg ...))` conjuncts — the
+    * reference's incremental spine, `extracted_at > (SELECT MAX(…)
+    * FROM target)` (`dags/logistics-airbyte-sql.py:35-38`, 7×) — with
+    * the subquery's VALUE, evaluated here at optimize time. Only
+    * uncorrelated, deterministic, nested-subquery-free plans qualify;
+    * an empty result pins SQL's scalar-subquery NULL; a result of ≥2
+    * rows is left alone (the runtime error surface must stay
+    * Spark's). The aggregate the user's query was going to execute
+    * anyway runs once, HERE — the filter keeps the pinned literal, so
+    * what was pruned with is exactly what rows are filtered by. */
+  private def substituteWatermarks(cond: Expression,
+      m: GraftPruning.Meta): Expression = {
+    val sameName = spark.sessionState.analyzer.resolver
+    def frameCol(a: AttributeReference): Boolean =
+      (m.pcol.toSeq ++ m.xCol ++ m.yCol ++ m.bloomCol)
+        .exists(sameName(_, a.name))
+    def subbable(s: ScalarSubquery): Boolean =
+      s.outerAttrs.isEmpty && s.joinCond.isEmpty &&
+        s.plan.find(p => p.expressions.exists(e =>
+          !e.deterministic || e.exists(_.isInstanceOf[PlanExpression[_]])
+        )).isEmpty
+    def evalScalar(s: ScalarSubquery): Option[Literal] =
+      scala.util.Try {
+        val rows = spark.sessionState.executePlan(s.plan)
+          .executedPlan.executeTake(2)
+        if (rows.length > 1) None
+        else if (rows.isEmpty) Some(Literal(null, s.dataType))
+        else Some(Literal(rows.head.get(0, s.dataType), s.dataType))
+      }.toOption.flatten
+    def sub(e: Expression): Expression = e match {
+      case b: BinaryComparison => (b.left, b.right) match {
+        case (a: AttributeReference, s: ScalarSubquery)
+          if frameCol(a) && subbable(s) =>
+          evalScalar(s).fold(e)(l => b.withNewChildren(Seq(a, l)))
+        case (s: ScalarSubquery, a: AttributeReference)
+          if frameCol(a) && subbable(s) =>
+          evalScalar(s).fold(e)(l => b.withNewChildren(Seq(l, a)))
+        case _ => e
+      }
+      case other => other
+    }
+    val cs = splitConjunctivePredicates(cond)
+    val cs2 = cs.map(sub)
+    if (cs.lazyZip(cs2).forall((a, b) => a eq b)) cond
+    else cs2.reduce(And.apply)
+  }
+
+  // ---- DPP analog: dim-filtered joins onto the partition column ----
+
+  private val dppMaxKeys = 1024
+  // joins already probed this pass, by IDENTITY: a join whose dim-side
+  // eval pruned nothing must not re-execute that eval on every
+  // fixed-point iteration (unchanged nodes keep their identity across
+  // iterations; the bound keeps cross-query leakage trivial)
+  private val dppSeen = java.util.Collections.newSetFromMap(
+    new java.util.IdentityHashMap[Join, java.lang.Boolean]())
+
+  /** Spark's own dynamic partition pruning cannot see the graft
+    * `InMemoryFileIndex` (the table is not hive-partitioned), so the
+    * star-join shape every warehouse prunes —
+    * `fact JOIN dim ON fact.pcol = dim.key WHERE dim.flag = …`
+    * (`dags/logistics-gold-metrics-sql.py:195`) — scanned every fact
+    * file. Here: when a registered graft fact equi-joins a
+    * BROADCAST-SMALL dim side on its partition column (string-typed
+    * both sides), evaluate the dim side's DISTINCT keys (bounded by
+    * [[dppMaxKeys]]; the side is under the broadcast threshold by
+    * Spark's own estimate, so this is strictly cheaper than the
+    * broadcast the join will do anyway) and intersect `_parts` with
+    * the key set. Sound only where unmatched fact rows cannot reach
+    * the output: Inner (either side) and LeftSemi (left side). */
+  private def tryDppPrune(j: Join): Option[Join] = {
+    val okType = j.joinType == Inner || j.joinType == LeftSemi
+    if (!okType || j.condition.isEmpty) return None
+    if (dppSeen.synchronized(dppSeen.contains(j))) return None
+    def unwrap(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case lr: LogicalRelation if !lr.isStreaming => Some(lr)
+      case Project(_, c) => unwrap(c)
+      case Filter(_, c) => unwrap(c)
+      case _ => None
+    }
+    val sides =
+      if (j.joinType == LeftSemi) Seq((j.left, j.right, true))
+      else Seq((j.left, j.right, true), (j.right, j.left, false))
+    for ((factSide, dimSide, factIsLeft) <- sides) {
+      for (lr <- unwrap(factSide); pruned <- dppAttempt(j, lr, dimSide)) {
+        val newSide = factSide.transformUp {
+          case l: LogicalRelation if l eq lr => pruned
+        }
+        return Some(if (factIsLeft) j.copy(left = newSide)
+          else j.copy(right = newSide))
+      }
+    }
+    dppSeen.synchronized {
+      if (dppSeen.size > 256) dppSeen.clear()
+      dppSeen.add(j)
+    }
+    None
+  }
+
+  private def dppAttempt(j: Join, lr: LogicalRelation,
+      dimSide: LogicalPlan): Option[LogicalRelation] =
+    graftScanOf(lr).flatMap { case (hfs, root, dir) =>
+      val m = GraftPruning.meta(spark, root, dir)
+      val pcol = m.pcol.getOrElse(return None)
+      val sameName = spark.sessionState.analyzer.resolver
+      val factOut = lr.outputSet
+      val dimOut = dimSide.outputSet
+      // the equi-pair on the STRING partition column (string both
+      // sides: equality then needs no cast, and the dim values render
+      // as the committed `_parts` strings verbatim)
+      val dimKey = splitConjunctivePredicates(j.condition.get)
+        .collectFirst {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+            if factOut.contains(a) && dimOut.contains(b) &&
+              sameName(a.name, pcol) && a.dataType == StringType &&
+              b.dataType == StringType => b
+          case EqualTo(b: AttributeReference, a: AttributeReference)
+            if factOut.contains(a) && dimOut.contains(b) &&
+              sameName(a.name, pcol) && a.dataType == StringType &&
+              b.dataType == StringType => b
+        }.getOrElse(return None)
+      val thr = conf.autoBroadcastJoinThreshold
+      val maxBytes = if (thr > 0) thr else 32L * 1024 * 1024
+      if (dimSide.stats.sizeInBytes > BigInt(maxBytes)) return None
+      val keys = scala.util.Try {
+        val distinct = Aggregate(Seq(dimKey), Seq(dimKey),
+          Project(Seq(dimKey), dimSide))
+        spark.sessionState
+          .executePlan(Limit(Literal(dppMaxKeys + 1), distinct))
+          .executedPlan.executeTake(dppMaxKeys + 1)
+      }.toOption.getOrElse(return None)
+      if (keys.length > dppMaxKeys) return None
+      val wanted = keys.iterator.filterNot(_.isNullAt(0))
+        .map(_.get(0, StringType).toString).toSet
+      val excluded = partExcluded(m, wanted)
+      if (excluded.isEmpty) None
+      else {
         val files = hfs.location.inputFiles.toIndexedSeq
         val keyOf = files.map(p =>
           p -> p.split('/').takeRight(2).mkString("/")).toMap
-        var kept = files
-        conjuncts.foreach { c =>
-          val excluded = excludedKeys(c, m, root, dir)
-          if (excluded.nonEmpty)
-            kept = kept.filterNot(p => excluded(keyOf(p)))
-        }
+        val kept = files.filterNot(p => excluded(keyOf(p)))
         if (kept.size >= files.size) None
-        else {
-          val newIndex = new InMemoryFileIndex(spark,
-            kept.map(new org.apache.hadoop.fs.Path(_)),
-            hfs.options, Some(hfs.dataSchema),
-            FileStatusCache.getOrCreate(spark))
-          val newRel = hfs.copy(location = newIndex)(spark)
-          Some(lr.copy(relation = newRel))
-        }
+        else Some(withPrunedIndex(lr, hfs, kept))
       }
-    case _ => None
-  }
+    }
 
   /** Could this conjunct possibly prune? (cheap structural gate so
     * the metadata load is never paid for un-prunable predicates) */
@@ -108,6 +275,22 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
     case LessThanOrEqual(_: AttributeReference, _: Literal) => true
     case LessThanOrEqual(_: Literal, _: AttributeReference) => true
     case StartsWith(_: AttributeReference, _: Literal) => true
+    case EqualNullSafe(_: AttributeReference, _: Literal) => true
+    case EqualNullSafe(_: Literal, _: AttributeReference) => true
+    // OR of partition equalities (every disjunct pins a column)
+    case o: Or => splitDisjunctivePredicates(o).forall {
+      case EqualTo(_: AttributeReference, _: Literal) => true
+      case EqualTo(_: Literal, _: AttributeReference) => true
+      case In(_: AttributeReference, list)
+        if list.forall(_.isInstanceOf[Literal]) => true
+      case _ => false
+    }
+    // runtime watermark shape — resolved by [[substituteWatermarks]]
+    case b: BinaryComparison =>
+      (b.left.isInstanceOf[AttributeReference] &&
+        b.right.isInstanceOf[ScalarSubquery]) ||
+      (b.left.isInstanceOf[ScalarSubquery] &&
+        b.right.isInstanceOf[AttributeReference])
     case _ => false
   }
 
@@ -116,17 +299,50 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
   private def excludedKeys(e: Expression, m: GraftPruning.Meta,
       root: String, dir: String): Set[String] = {
     val sameName = spark.sessionState.analyzer.resolver
+    // TimestampType's string form depends on the SESSION TIMEZONE: the
+    // committed `_parts` values were rendered under the WRITER's tz,
+    // and `asString` below renders the literal under the READER's — a
+    // tz change between write and read would make equal instants
+    // string-unequal and wrongly drop satisfying files. Every other
+    // type's cast-to-string is tz-independent (TIMESTAMP_NTZ included),
+    // so the "representations can never disagree" argument holds only
+    // off TimestampType — skip partition pruning there.
     def isPart(a: AttributeReference) =
-      m.pcol.exists(sameName(_, a.name))
-    // string-vs-string comparison on the partition column: only then
-    // is SQL ordering == the frame's string ordering
-    def isStrPart(a: AttributeReference, l: Literal): Boolean =
-      a.dataType == StringType && l.dataType == StringType &&
-        l.value != null && isPart(a)
+      a.dataType != org.apache.spark.sql.types.TimestampType &&
+        m.pcol.exists(sameName(_, a.name))
+    // ORDERED comparison on the partition column — sound for exactly
+    // two type shapes: string-vs-string (SQL ordering IS the frame's
+    // UTF8 string ordering) and integral-vs-castable-to-long (the
+    // committed string round-trips the integer exactly, compared as
+    // long). Fractional/temporal stay out: their string forms don't
+    // order like their values.
+    def isOrdPart(a: AttributeReference, l: Literal): Boolean =
+      l.value != null && isPart(a) && (
+        (a.dataType == StringType && l.dataType == StringType) ||
+        (integral(a.dataType) && asLong(l).isDefined))
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt == LongType || dt == IntegerType || dt == ShortType ||
+        dt == ByteType
+    }
     def isBloom(a: AttributeReference) =
       m.bloomCol.exists(sameName(_, a.name))
+    // cast-to-long `_stats` are order-consistent with the SQL
+    // comparison ONLY for numeric/temporal column types: a StringType
+    // dim compares in UTF8 binary order while its stats cover just the
+    // numerically-parseable rows (a file holding ['1','zzz'] has
+    // max=1 yet satisfies `x >= '5'`) — range pruning there would be
+    // UNSOUND, so non-ordinal dims get no range verdict at all.
+    def ordinalDim(a: AttributeReference): Boolean = a.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
     def dim(a: AttributeReference): Option[Boolean] = // true = x dim
-      if (m.xCol.exists(sameName(_, a.name))) Some(true)
+      if (!ordinalDim(a)) None
+      else if (m.xCol.exists(sameName(_, a.name))) Some(true)
       else if (m.yCol.exists(sameName(_, a.name))) Some(false)
       else None
 
@@ -136,6 +352,16 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
         partExcluded(m, asString(l).toSet)
       case EqualTo(l: Literal, a: AttributeReference) if isPart(a) =>
         partExcluded(m, asString(l).toSet)
+      // null-safe equality: for a NON-NULL literal, `a <=> l` matches
+      // exactly the rows `a = l` does (both false on null a) — same
+      // wanted-set; a NULL literal matches only null values, which
+      // the frame cannot attest — no verdict
+      case EqualNullSafe(a: AttributeReference, l: Literal)
+        if isPart(a) && l.value != null =>
+        partExcluded(m, asString(l).toSet)
+      case EqualNullSafe(l: Literal, a: AttributeReference)
+        if isPart(a) && l.value != null =>
+        partExcluded(m, asString(l).toSet)
       case In(a: AttributeReference, list) if isPart(a) &&
           list.forall(_.isInstanceOf[Literal]) =>
         partExcluded(m,
@@ -143,6 +369,29 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
       case InSet(a: AttributeReference, hset) if isPart(a) =>
         partExcluded(m, hset.flatMap(v =>
           asString(Literal(v, a.dataType))).toSet)
+      // -- OR of partition equalities ------------------------------
+      // the gold pack's `o_month = a OR o_month = b` (the IN shape a
+      // human writes longhand): when EVERY disjunct pins the partition
+      // column to literal values, the union of those values is the
+      // wanted set — a row satisfying ANY disjunct has its value in
+      // the union, so dropping files outside it is sound. One
+      // un-pinnable disjunct (or a null/uncastable literal) voids the
+      // whole verdict.
+      case o: Or =>
+        val wanted = splitDisjunctivePredicates(o).map {
+          case EqualTo(a: AttributeReference, l: Literal)
+            if isPart(a) && l.value != null => asString(l).map(Set(_))
+          case EqualTo(l: Literal, a: AttributeReference)
+            if isPart(a) && l.value != null => asString(l).map(Set(_))
+          case In(a: AttributeReference, list) if isPart(a) &&
+              list.forall(_.isInstanceOf[Literal]) &&
+              list.forall(_.asInstanceOf[Literal].value != null) =>
+            val vs = list.map(l => asString(l.asInstanceOf[Literal]))
+            if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+          case _ => None
+        }
+        if (wanted.exists(_.isEmpty)) Set.empty
+        else partExcluded(m, wanted.flatten.flatten.toSet)
 
       // -- partition RANGE / PREFIX on a STRING partition column ----
       // the reference's gold date cuts (`o_month >= '1995-07'`,
@@ -154,23 +403,24 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
       // compareTo is UTF-16 code-unit order; they diverge above the
       // BMP).
       case GreaterThanOrEqual(a: AttributeReference, l: Literal)
-        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ >= 0)
+        if isOrdPart(a, l) => partOrdExcluded(m, a, l, keep = _ >= 0)
       case LessThanOrEqual(l: Literal, a: AttributeReference)
-        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ >= 0)
+        if isOrdPart(a, l) => partOrdExcluded(m, a, l, keep = _ >= 0)
       case GreaterThan(a: AttributeReference, l: Literal)
-        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ > 0)
+        if isOrdPart(a, l) => partOrdExcluded(m, a, l, keep = _ > 0)
       case LessThan(l: Literal, a: AttributeReference)
-        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ > 0)
+        if isOrdPart(a, l) => partOrdExcluded(m, a, l, keep = _ > 0)
       case LessThanOrEqual(a: AttributeReference, l: Literal)
-        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ <= 0)
+        if isOrdPart(a, l) => partOrdExcluded(m, a, l, keep = _ <= 0)
       case GreaterThanOrEqual(l: Literal, a: AttributeReference)
-        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ <= 0)
+        if isOrdPart(a, l) => partOrdExcluded(m, a, l, keep = _ <= 0)
       case LessThan(a: AttributeReference, l: Literal)
-        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ < 0)
+        if isOrdPart(a, l) => partOrdExcluded(m, a, l, keep = _ < 0)
       case GreaterThan(l: Literal, a: AttributeReference)
-        if isStrPart(a, l) => partOrdExcluded(m, l, keep = _ < 0)
+        if isOrdPart(a, l) => partOrdExcluded(m, a, l, keep = _ < 0)
       case StartsWith(a: AttributeReference, l: Literal)
-        if isStrPart(a, l) => // LIKE 'x%' optimizes to StartsWith
+        if isOrdPart(a, l) && a.dataType == StringType =>
+        // LIKE 'x%' optimizes to StartsWith
         val prefix = l.value.toString
         m.partValue.collect {
           case (k, v) if !v.startsWith(prefix) => k
@@ -181,10 +431,23 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
         bloomExcluded(m, root, dir, a, Seq(l))
       case EqualTo(l: Literal, a: AttributeReference) if isBloom(a) =>
         bloomExcluded(m, root, dir, a, Seq(l))
+      case EqualNullSafe(a: AttributeReference, l: Literal)
+        if isBloom(a) && l.value != null =>
+        bloomExcluded(m, root, dir, a, Seq(l))
+      case EqualNullSafe(l: Literal, a: AttributeReference)
+        if isBloom(a) && l.value != null =>
+        bloomExcluded(m, root, dir, a, Seq(l))
       case In(a: AttributeReference, list) if isBloom(a) &&
-          list.size <= 16 && list.forall(_.isInstanceOf[Literal]) =>
+          list.size <= 64 && list.forall(_.isInstanceOf[Literal]) =>
         bloomExcluded(m, root, dir, a,
           list.map(_.asInstanceOf[Literal]))
+      // IN lists past spark.sql.optimizer.inSetConversionThreshold
+      // (default 10) arrive as InSet — the shape that used to dodge
+      // the Bloom probe entirely
+      case InSet(a: AttributeReference, hset) if isBloom(a) &&
+          hset.size <= 64 =>
+        bloomExcluded(m, root, dir, a,
+          hset.toSeq.map(v => Literal(v, a.dataType)))
 
       // -- min/max ranges on the committed dims ---------------------
       // WEAK comparisons only: long-truncated stats of a fractional
@@ -194,6 +457,17 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
           Set.empty[String])(v =>
           rangeExcluded(m, x, lo = Some(v), hi = Some(v))))
       case EqualTo(l: Literal, a: AttributeReference) =>
+        dim(a).fold(Set.empty[String])(x => asLong(l).fold(
+          Set.empty[String])(v =>
+          rangeExcluded(m, x, lo = Some(v), hi = Some(v))))
+      // `<=>` with a non-null literal matches the same rows `=` does
+      case EqualNullSafe(a: AttributeReference, l: Literal)
+        if l.value != null =>
+        dim(a).fold(Set.empty[String])(x => asLong(l).fold(
+          Set.empty[String])(v =>
+          rangeExcluded(m, x, lo = Some(v), hi = Some(v))))
+      case EqualNullSafe(l: Literal, a: AttributeReference)
+        if l.value != null =>
         dim(a).fold(Set.empty[String])(x => asLong(l).fold(
           Set.empty[String])(v =>
           rangeExcluded(m, x, lo = Some(v), hi = Some(v))))
@@ -237,15 +511,25 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
     }.toSet
 
   /** Files whose committed partition value fails `keep` applied to
-    * UTF8-binary `compareTo(lit)` — exact, string-vs-string only. */
-  private def partOrdExcluded(m: GraftPruning.Meta, l: Literal,
-      keep: Int => Boolean): Set[String] = {
-    import org.apache.spark.unsafe.types.UTF8String
-    val lit = UTF8String.fromString(l.value.toString)
-    m.partValue.collect {
-      case (k, v) if !keep(UTF8String.fromString(v).compareTo(lit)) => k
-    }.toSet
-  }
+    * `compare(value, lit)` — UTF8-binary for string-vs-string,
+    * parse-back-to-long for integral partition columns (the committed
+    * string round-trips the integer exactly; a value that fails to
+    * parse keeps its file, conservatively). */
+  private def partOrdExcluded(m: GraftPruning.Meta,
+      a: AttributeReference, l: Literal,
+      keep: Int => Boolean): Set[String] =
+    if (a.dataType == StringType) {
+      import org.apache.spark.unsafe.types.UTF8String
+      val lit = UTF8String.fromString(l.value.toString)
+      m.partValue.collect {
+        case (k, v) if !keep(UTF8String.fromString(v).compareTo(lit)) => k
+      }.toSet
+    } else asLong(l).fold(Set.empty[String]) { lv =>
+      m.partValue.collect {
+        case (k, v) if scala.util.Try(v.trim.toLong).toOption
+          .exists(pv => !keep(java.lang.Long.compare(pv, lv))) => k
+      }.toSet
+    }
 
   /** Files whose committed [min, max] on the chosen dim provably
     * misses [lo, hi]; NULL bounds (all-null files) are kept. */
@@ -267,10 +551,13 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
       dir: String, a: AttributeReference, ls: Seq[Literal])
       : Set[String] = {
     if (ls.exists(_.value == null)) return Set.empty
-    val candidates = ls.map { l =>
-      GraftPruning.bloomCandidates(spark, root, dir,
-        CatalystTypeConverters.convertToScala(l.value, l.dataType))
-    }.reduce(_ union _)
+    val scalaVals = ls.map(l =>
+      CatalystTypeConverters.convertToScala(l.value, l.dataType))
+    val candidates =
+      if (scalaVals.size == 1)
+        GraftPruning.bloomCandidates(spark, root, dir, scalaVals.head)
+      else // IN list: ONE register pass for the whole key set
+        GraftPruning.bloomCandidatesIn(spark, root, dir, scalaVals)
     m.ranges.keySet.filterNot(candidates.contains)
   }
 

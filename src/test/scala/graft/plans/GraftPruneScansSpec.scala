@@ -182,6 +182,124 @@ class GraftPruneScansSpec extends SparkSpec {
     assert(v1.as[Long].head() == 100L)
   }
 
+  test("widened predicates: OR of partition equalities, null-safe " +
+      "equality, NUMERIC partition ranges, Bloom IN past the old " +
+      "16-key cap (one register pass)") {
+    val (root, total) = buildTable()
+    val parts = PartitionedTable.parts(spark, root, 1L)
+      .select($"path", $"value").as[(String, String)].collect()
+    // OR of equalities — the longhand IN the gold pack writes
+    val or = spark.sql(s"SELECT count(*) AS n FROM graft_table('$root')" +
+      " WHERE day = '1' OR day = '3'")
+    assert(scannedFiles(or) ==
+      parts.count(r => r._2 == "1" || r._2 == "3").toLong)
+    assert(scannedFiles(or) < total)
+    assert(or.as[Long].head() == 200L)
+    // one disjunct off the partition column voids the verdict — full
+    // scan, exact rows (conservative by construction)
+    val orBad = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$root')" +
+        " WHERE day = '1' OR k < 5")
+    assert(scannedFiles(orBad) == total)
+    assert(orBad.as[Long].head() == 104L) // 100 + {0,2,3,4}
+    // null-safe equality prunes like equality for non-null literals
+    val ns = spark.sql(s"SELECT count(*) AS n FROM graft_table('$root')" +
+      " WHERE day <=> '2'")
+    assert(scannedFiles(ns) == parts.count(_._2 == "2").toLong)
+    assert(ns.as[Long].head() == 100L)
+    // a LONG partition column: range cuts compare parse-back longs
+    val root2 = freshRoot()
+    PartitionedTable.commitPartitioned(spark, root2,
+      spark.range(0, 300).select($"id".as("k"), ($"id" % 3).as("g")),
+      "g")
+    val parts2 = PartitionedTable.parts(spark, root2, 1L)
+      .select($"path", $"value").as[(String, String)].collect()
+    val nr = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$root2') WHERE g >= 2")
+    assert(scannedFiles(nr) == parts2.count(_._2.toLong >= 2L).toLong)
+    assert(scannedFiles(nr) < parts2.length.toLong)
+    assert(nr.as[Long].head() == 100L)
+    // Bloom IN with 40 keys (InSet territory): strict subset, exact
+    val keys = (0 until 40).map(i => s"'${i * 7}'").mkString(", ")
+    val in = spark.sql(
+      s"SELECT k FROM graft_table('$root') WHERE ks IN ($keys)")
+    assert(scannedFiles(in) < total)
+    assert(in.as[Long].collect().sorted.toSeq ==
+      (0 until 40).map(_ * 7L))
+  }
+
+  test("RUNTIME predicates prune: a watermark scalar subquery is " +
+      "pinned at plan time; a broadcast-small dim join prunes via " +
+      "_parts (DPP analog); outer-join fact sides never DPP-prune") {
+    val (root, total) = buildTable()
+    val parts = PartitionedTable.parts(spark, root, 1L)
+      .select($"path", $"value").as[(String, String)].collect()
+    // (1) the reference's incremental spine as SQL text:
+    // `day > (SELECT MAX(...) FROM target)` — evaluated at plan time,
+    // pinned into the filter, pruned like a literal
+    Seq("1").toDF("wm").createOrReplaceTempView("gps_wm")
+    val wm = spark.sql(s"SELECT count(*) AS n FROM graft_table('$root')" +
+      " WHERE day > (SELECT max(wm) FROM gps_wm)")
+    assert(scannedFiles(wm) == parts.count(_._2 > "1").toLong)
+    assert(scannedFiles(wm) < total)
+    assert(wm.as[Long].head() == 200L) // days 2 and 3
+    // (2) the star-join shape: dim filter reaches the fact through an
+    // equi-join on the partition column
+    Seq(("0", true), ("3", true), ("2", false)).toDF("d", "keep")
+      .createOrReplaceTempView("gps_dim")
+    val dpp = spark.sql("SELECT count(*) AS n FROM " +
+      s"graft_table('$root') f JOIN gps_dim d ON f.day = d.d " +
+      "WHERE d.keep")
+    assert(scannedFiles(dpp) ==
+      parts.count(r => r._2 == "0" || r._2 == "3").toLong)
+    assert(scannedFiles(dpp) < total)
+    assert(dpp.as[Long].head() == 200L)
+    // (3) LEFT OUTER keeps unmatched fact rows — pruning them would
+    // lose rows, so the fact side must scan in full and stay exact
+    val lo = spark.sql("SELECT count(*) AS n FROM (" +
+      s"SELECT f.k FROM graft_table('$root') f LEFT JOIN " +
+      "(SELECT * FROM gps_dim WHERE keep) d ON f.day = d.d)")
+    assert(scannedFiles(lo) == total)
+    assert(lo.as[Long].head() == 400L)
+  }
+
+  test("soundness gates: a STRING dim gets no range verdict (stats " +
+      "cover only parseable rows); a TIMESTAMP partition column never " +
+      "partition-prunes across a session-timezone change") {
+    // string x dim: SQL compares in UTF8 order, the committed stats
+    // in cast-to-long order — they diverge even on fully-parseable
+    // values ('9' >= '11' is TRUE in UTF8, 9 >= 11 false in long), so
+    // a range verdict would wrongly drop both files. The gate
+    // refuses: full scan, exact rows.
+    val root = freshRoot()
+    PartitionedTable.commitPartitioned(spark, root,
+      Seq(("9", 1L, "a"), ("2", 2L, "b")).toDF("xs", "m", "day"),
+      "day", statsCols = Some(("xs", "m", None)))
+    val q = spark.sql(s"SELECT count(*) AS n FROM graft_table('$root')" +
+      " WHERE xs >= '11'")
+    assert(q.as[Long].head() == 2L) // BOTH '9' and '2' in UTF8 order
+    // timestamp pcol: `_parts` strings were rendered under the
+    // WRITER's session tz; a reader in another tz comparing the SAME
+    // INSTANT would string-mismatch and drop every satisfying file —
+    // the gate skips partition pruning for TimestampType entirely
+    val root2 = freshRoot()
+    val tzKey = "spark.sql.session.timeZone"
+    val oldTz = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "UTC")
+      PartitionedTable.commitPartitioned(spark, root2, spark.sql(
+        "SELECT id AS k, TIMESTAMP'2020-01-01 00:00:00' AS ts " +
+          "FROM range(4) UNION ALL SELECT id + 10, " +
+          "TIMESTAMP'2020-06-01 00:00:00' FROM range(4)"), "ts")
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      // the same instant as 2020-01-01 00:00 UTC, written LA-local
+      val r = spark.sql(
+        s"SELECT count(*) AS n FROM graft_table('$root2') " +
+          "WHERE ts = TIMESTAMP'2019-12-31 16:00:00'")
+      assert(r.as[Long].head() == 4L)
+    } finally spark.conf.set(tzKey, oldTz)
+  }
+
   test("Scala-API reads prune too (readDataDir registers every " +
       "committed read); non-graft parquet scans are untouched") {
     val (root, total) = buildTable()
