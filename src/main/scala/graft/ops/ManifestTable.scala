@@ -814,8 +814,24 @@ object ManifestTable {
       winnersByVersion(markers)(base), live, compacted)
     val cm = colmapOf(spark, root, baseDir)
     if (cm.isEmpty &&
-        PartitionedTable.partsRowsIfAny(spark, root, baseDir).isDefined)
-      return PartitionedTable.appendPartitioned(spark, root, df)
+        PartitionedTable.partsRowsIfAny(spark, root, baseDir).isDefined) {
+      // the SAME by-name alignment + cast-to-target-types the
+      // unpartitioned path applies below (srcProj) must happen BEFORE
+      // the partitioned delegation: appendPartitioned writes the batch
+      // verbatim, and a narrower-typed INSERT (int literal into a
+      // bigint column, decimal into double) would land fragment files
+      // whose parquet physical schema disagrees with the base files —
+      // mixed-footer reads then fail or silently null columns.
+      // Generated columns compute first so the projection sees them
+      // (appendPartitioned re-validates the now-provided values — a
+      // no-op by construction).
+      val gen = Generated(spark, root, df, "append")
+      val targetSchema = readDataDir(spark, root, baseDir).schema
+      val coerced = gen.select(targetSchema.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+          .as(f.name)): _*)
+      return PartitionedTable.appendPartitioned(spark, root, coerced)
+    }
     val src = Generated(spark, root, df, "append")
     Checks.enforce(spark, root, src, "append")
     val refs = fileList(spark, root, baseDir).getOrElse {
