@@ -119,6 +119,72 @@ object ChangeFeed {
     * per sink: concurrent syncs of different source versions conflict
     * loudly on the sink commit (ConcurrentCommitException) — retry by
     * re-running sync, which re-reads the new watermark. */
+  /** [[sync]] with a PARTITION-SCOPED apply (round-14 VERDICT ask
+    * #7): when the sink aggregate is PARTITIONED by `pcol` — one of
+    * the group columns — a delta that touches one partition's groups
+    * rewrites ONE partition's state files; every other partition
+    * carries by path reference
+    * ([[PartitionedTable.replacePartitionsBatch]], same `cdfv-`
+    * exactly-once key namespace). The bootstrap commits the full
+    * aggregate PARTITIONED so every later step can scope. Steps:
+    * derive the delta (change-grain), list its DISTINCT `pcol`
+    * values (group-grain driver list), fold only those partitions'
+    * state, replace only them. An EMPTY net diff (a
+    * dataChange-false commit) advances the watermark with a
+    * carry-all commit — zero data bytes moved. NULL `pcol` groups
+    * are refused loudly (the partitioned store rejects null
+    * partition values by design — keep nulls out of the partition
+    * group column).
+    *
+    * 100-TB shape: the sink write is O(changed partitions' state),
+    * not O(all groups) — the daily-load case touches 1/365th of the
+    * sink where [[sync]]'s full-replace rewrites all of it. */
+  def syncPartitioned(spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String, sinkRoot: String, keys: Seq[String],
+      groupCols: Seq[String], value: Column, valueAlias: String,
+      pcol: String): Option[Long] = {
+    require(groupCols.contains(pcol),
+      s"partition column $pcol must be one of the group columns " +
+        s"(${groupCols.mkString(",")})")
+    val cur = ManifestTable.currentVersion(spark, srcRoot)
+      .getOrElse(return None)
+    val last = lastApplied(spark, sinkRoot)
+    if (last.exists(_ >= cur)) return None
+    val D30 = "decimal(30,6)"
+    last match {
+      case None =>
+        val full = ManifestTable.readVersion(spark, srcRoot, cur)
+          .groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"), sum(value).as(valueAlias))
+          .withColumn(valueAlias, col(valueAlias).cast(D30))
+        PartitionedTable.commitPartitioned(spark, sinkRoot, full,
+          pcol, batchKey = s"$SyncKeyPrefix$cur")
+        Some(cur)
+      case Some(l) =>
+        val feed = ManifestTable.changes(spark, srcRoot, l, cur, keys)
+        val delta = deltaAgg(feed, groupCols, value, valueAlias)
+        // the touched-partition list is GROUP-grain (the state join is
+        // broadcastable by the same argument) — a driver list is the
+        // planning cost, not a data collect
+        val touchedRows = delta.select(col(pcol)).distinct().collect()
+        require(!touchedRows.exists(_.isNullAt(0)),
+          s"syncPartitioned: the delta carries a NULL $pcol group — " +
+            "null partition values are rejected by the partitioned " +
+            "store; use sync() with an unpartitioned sink instead")
+        val touched = touchedRows.map(_.get(0).toString).toSeq
+        val newSlice =
+          if (touched.isEmpty)
+            ManifestTable.read(spark, sinkRoot).get.filter(lit(false))
+          else applyDelta(
+            PartitionedTable.readPartitions(spark, sinkRoot, touched),
+            delta, groupCols, valueAlias)
+            .withColumn(valueAlias, col(valueAlias).cast(D30))
+        PartitionedTable.replacePartitionsBatch(spark, sinkRoot,
+          touched, newSlice, s"$SyncKeyPrefix$cur")
+        Some(cur)
+    }
+  }
+
   def sync(spark: org.apache.spark.sql.SparkSession, srcRoot: String,
       sinkRoot: String, keys: Seq[String], groupCols: Seq[String],
       value: Column, valueAlias: String): Option[Long] = {

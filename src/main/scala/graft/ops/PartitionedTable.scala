@@ -145,8 +145,8 @@ object PartitionedTable {
     * so both knobs survive the table's whole life. */
   def commitPartitioned(spark: SparkSession, root: String,
       df: DataFrame, pcol: String,
-      statsCols: Option[(String, String, Option[String])] = None)
-      : Long = {
+      statsCols: Option[(String, String, Option[String])] = None,
+      batchKey: String = ""): Long = {
     val next = ManifestTable.currentVersion(spark, root)
       .getOrElse(0L) + 1
     val full = Generated(spark, root, df, "commitPartitioned")
@@ -158,7 +158,7 @@ object PartitionedTable {
     statsCols.foreach { case (x, y, b) =>
       ZTable.establishStats(spark, root, dir, rows.map(_._1), x, y, b) }
     ManifestTable.writeOpMeta(spark, root, dir, "WRITE")
-    ManifestTable.writeMarker(spark, root, next, dataDir = dir)
+    ManifestTable.writeMarker(spark, root, next, batchKey, dir)
     ManifestTable.maybeAutoCompact(spark, root)
     next
   }
@@ -273,6 +273,52 @@ object PartitionedTable {
       carryAll = false)
   }
 
+  /** REPLACE the named partitions' content with `df`'s rows as ONE
+    * commit under an exactly-once BATCH KEY — the partition-scoped
+    * SINK primitive ([[graft.ops.ChangeFeed.syncPartitioned]]): a
+    * one-partition day's delta rewrites that partition's files while
+    * every other partition carries by path reference. Rules:
+    *   - `df` may carry rows only for `values` (partition-pure via
+    *     the same flatten; a stray value fails loudly, nothing
+    *     committed);
+    *   - a named value with no rows in `df` ends EMPTY (its old
+    *     files drop) — groups deleting to zero leave the table;
+    *   - a named value new to the table simply lands fresh (the
+    *     first delta of a new day);
+    *   - `values` may be empty (an empty net diff): all files carry,
+    *     only the watermark key advances.
+    * Returns the committed version, or None when `batchKey` was
+    * already applied (replay = no-op, the [[ManifestTable.mergeBatch]]
+    * exactly-once contract). */
+  def replacePartitionsBatch(spark: SparkSession, root: String,
+      values: Seq[String], df: DataFrame, batchKey: String)
+      : Option[Long] = {
+    require(batchKey.nonEmpty, "replacePartitionsBatch needs a key")
+    if (ManifestTable.appliedBatchKeys(spark, root).contains(batchKey))
+      return None
+    val (base, baseDir, pcol, baseRows) = resolve(spark, root)
+    val target = values.toSet
+    val untouched = baseRows.filterNot(r => target.contains(r._2))
+    val full = Generated(spark, root, df, "replacePartitionsBatch")
+    Checks.enforce(spark, root, full, "replacePartitionsBatch")
+    val next = base + 1
+    val dir = ManifestTable.newDataDirName(next)
+    val fresh =
+      if (full.isEmpty) {
+        fs(spark, root).mkdirs(
+          new org.apache.hadoop.fs.Path(s"$root/$dir"))
+        Nil
+      } else writeFlattened(spark, root, dir, full, pcol)
+    val stray = fresh.map(_._2).toSet -- target
+    require(stray.isEmpty,
+      s"replacePartitionsBatch of $root: the batch carries partition " +
+        s"values outside the named set: ${stray.mkString(",")}")
+    commitCarry(spark, root, dir, next, carried = untouched,
+      fresh = fresh, pcol = pcol, baseDir = baseDir, op = "WRITE",
+      carryAll = false, batchKey = batchKey)
+    Some(next)
+  }
+
   /** Pruned read of the CURRENT version: open ONLY the files of the
     * named partitions — one `_parts` metadata read plans it
     * (O(files), the manifest-planning grain). Returns a
@@ -322,7 +368,7 @@ object PartitionedTable {
   private def commitCarry(spark: SparkSession, root: String,
       dir: String, next: Long, carried: Seq[(String, String)],
       fresh: Seq[(String, String)], pcol: String, baseDir: String,
-      op: String, carryAll: Boolean): Long = {
+      op: String, carryAll: Boolean, batchKey: String = ""): Long = {
     require(carried.nonEmpty || fresh.nonEmpty,
       s"commit of $root would have NO data files and no partitions — " +
         "use a plain empty commit (ManifestTable.commit) instead")
@@ -349,7 +395,7 @@ object PartitionedTable {
     ZTable.extendStats(spark, root, baseDir, dir, fresh.map(_._1),
       carriedPaths = if (carryAll) None else Some(carried.map(_._1)))
     ManifestTable.writeOpMeta(spark, root, dir, op)
-    ManifestTable.writeMarker(spark, root, next, dataDir = dir)
+    ManifestTable.writeMarker(spark, root, next, batchKey, dir)
     ManifestTable.maybeAutoCompact(spark, root)
     next
   }

@@ -38,6 +38,12 @@ import graft.ops.{ManifestTable, ZTable}
   *   INSERT INTO graft.`/p` [(cols)] SELECT …|VALUES …
   *   CREATE TABLE graft.`/p` [PARTITIONED BY (col)] AS SELECT …
   *   GRAFT CATALOG SET BASE '<dir>' | REGISTER <name> AT '<dir>'
+  *                 | UNREGISTER <name>
+  *   GRAFT STREAM SYNC <src> TO <sink> KEYS (…) GROUP BY (…)
+  *                [PARTITIONED BY (col)]
+  *                VALUE <expr> AS <alias> CHECKPOINT '<dir>'
+  *                [TICK <n> MILLISECONDS]
+  *   GRAFT STREAM STOP '<id>'
   *   OPTIMIZE graft.`/p` [ZORDER BY (x, y[, tie])] [FILES n]
   *   OPTIMIZE graft.`/p` WHERE <pcol> = 'v' [OR …] | <pcol> IN (…)
   *                       ZORDER BY (x, y[, tie]) [FILES n]
@@ -112,9 +118,13 @@ object GraftSqlParser {
     * error. */
   def route(sqlText: String): Option[LogicalPlan] = {
     val text = stripComments(sqlText).trim.stripSuffix(";").trim
-    // GRAFT CATALOG statements carry no table ref — check first
+    // GRAFT CATALOG / GRAFT STREAM statements lead with our keyword —
+    // check first (anything misshapen after it fails loudly: it was
+    // unambiguously addressed at us)
     if (catalogRx.pattern.matcher(text).matches())
       return Some(parseCatalog(text))
+    if ("(?is)^GRAFT\\s+STREAM\\s".r.findPrefixMatchOf(text).isDefined)
+      return Some(parseStream(text))
     // cheap gate: a graft.`path` ref anywhere, or a catalog that
     // COULD resolve a bare name (opt-in) — otherwise not ours
     def headed(verb: String, mustExist: Boolean = true): Boolean =
@@ -125,7 +135,8 @@ object GraftSqlParser {
     else if (headed("UPDATE")) Some(parseUpdate(text))
     else if (headed("DELETE\\s+FROM")) Some(parseDelete(text))
     else if (headed("INSERT\\s+INTO")) Some(parseInsert(text))
-    else if (headed("CREATE\\s+TABLE", mustExist = false))
+    else if (headed("CREATE\\s+TABLE", mustExist = false) &&
+        createClaimable(text))
       Some(parseCreate(text))
     else if (headed("OPTIMIZE")) Some(parseOptimize(text))
     else if (headed("VACUUM")) Some(parseVacuum(text))
@@ -142,6 +153,23 @@ object GraftSqlParser {
   }
 
   private val refRx = "(?is)graft\\s*\\.\\s*`([^`]+)`".r
+
+  /** CREATE TABLE claim discipline: an explicit graft.`/p` ref is
+    * always ours (malformed → loud parse failure), but a bare dotted
+    * NAME — resolvable whenever GRAFT CATALOG SET BASE is active — is
+    * claimed only when the remainder actually has the
+    * `[PARTITIONED BY (col)] AS <query>` shape. A legitimate Spark
+    * statement like `CREATE TABLE db.t (id INT) USING parquet` falls
+    * through untouched instead of dying in [[parseCreate]]. */
+  private def createClaimable(text: String): Boolean = {
+    val m = "(?is)^CREATE\\s+TABLE\\s+".r.findPrefixMatchOf(text).get
+    val after = text.substring(m.end).trim
+    if (refRx.findPrefixMatchOf(after).isDefined) true
+    else resolveAnyRef(after, mustExist = false).exists { case (_, rest) =>
+      ("(?is)^(?:PARTITIONED\\s+BY\\s*\\(\\s*\\S+?\\s*\\)\\s+)?AS\\s")
+        .r.findPrefixMatchOf(rest).isDefined
+    }
+  }
 
   /** A dotted table NAME (≥ 2 parts — single-part names stay Spark's:
     * temp views must never be hijacked), resolvable via
@@ -415,17 +443,109 @@ object GraftSqlParser {
     * with GRAFT, so no delegation risk). */
   private val catalogRx =
     ("(?is)^GRAFT\\s+CATALOG\\s+(?:SET\\s+BASE\\s+'([^']+)'|" +
-      "REGISTER\\s+(\\S+)\\s+AT\\s+'([^']+)')\\s*$").r
+      "REGISTER\\s+(\\S+)\\s+AT\\s+'([^']+)'|" +
+      "UNREGISTER\\s+(\\S+))\\s*$").r
 
   private def parseCatalog(text: String): LogicalPlan = text match {
-    case catalogRx(base, name, root) =>
+    case catalogRx(base, name, root, dropName) =>
       GraftSqlCommand("GRAFT CATALOG", attrs("ok" -> BooleanType),
         _ => {
           if (base != null) GraftCatalog.setBase(base)
+          else if (dropName != null) GraftCatalog.unregister(dropName)
           else GraftCatalog.register(name, root)
           Seq(Row(true))
         })
     case other => fail(s"bad GRAFT CATALOG statement: ${other.take(60)}")
+  }
+
+  /** `GRAFT STREAM SYNC <src> TO <sink> KEYS (k[, …]) GROUP BY
+    * (g[, …]) VALUE <expr> AS <alias> CHECKPOINT '<dir>'
+    * [TICK <n> MILLISECONDS]` — the native change-feed consumer
+    * ([[graft.streaming.CdfStream.runSyncSink]], the q226 chained
+    * shape) as statement text: keeps `<sink>` equal to the source's
+    * grouped aggregate incrementally (exactly-once via the sink's own
+    * `cdfv-` batch keys), source offsets = committed versions.
+    * Returns the stream id; `GRAFT STREAM STOP '<id>'` stops it.
+    * Both refs take graft.`/path` or catalog names. The VALUE
+    * expression parses through Spark's own parser — route it through
+    * the DECIMAL channel (`CAST(v AS DECIMAL(18,6))`) for
+    * replay-exact sums, as the Scala callers do. */
+  private def parseStream(text: String): LogicalPlan = {
+    "(?is)^GRAFT\\s+STREAM\\s+STOP\\s+'([^']+)'\\s*$".r
+      .findFirstMatchIn(text).foreach { sm =>
+        val id = sm.group(1)
+        return GraftSqlCommand("GRAFT STREAM STOP",
+          attrs("ok" -> BooleanType), _ => {
+            graft.streaming.GraftStreams.stop(id)
+            Seq(Row(true))
+          })
+      }
+    val m = "(?is)^GRAFT\\s+STREAM\\s+SYNC\\s+".r
+      .findPrefixMatchOf(text).getOrElse(
+        fail(s"bad GRAFT STREAM statement (SYNC …|STOP '<id>'): " +
+          s"${text.take(60)}"))
+    val (srcRoot, r1) = resolveAnyRef(text.substring(m.end),
+      mustExist = true).getOrElse(
+      fail("GRAFT STREAM SYNC needs a committed source table"))
+    val toM = "(?is)^TO\\s+".r.findPrefixMatchOf(r1)
+      .getOrElse(fail("GRAFT STREAM SYNC needs TO <sink>"))
+    val (sinkRoot, r2) = resolveAnyRef(r1.substring(toM.end),
+      mustExist = false).getOrElse(
+      fail("GRAFT STREAM SYNC: unresolvable sink reference"))
+    def parenList(s: String, kw: String): (Seq[String], String) = {
+      val km = ("(?is)^" + kw + "\\s*\\(").r.findPrefixMatchOf(s)
+        .getOrElse(fail(s"GRAFT STREAM SYNC needs " +
+          s"${kw.replace("\\s+", " ")} (…)"))
+      val open = km.end - 1
+      val close = matchingParen(s, open)
+      (splitTop(s.substring(open + 1, close), ",").map(bareName),
+        s.substring(close + 1).trim)
+    }
+    val (keys, r3) = parenList(r2, "KEYS")
+    val (groups, r4) = parenList(r3, "GROUP\\s+BY")
+    // optional partition-scoped sink: each fold then replaces only
+    // the partitions its delta touched
+    val (pby, r4b) =
+      if ("(?is)^PARTITIONED\\s+BY\\s*\\(".r
+          .findPrefixMatchOf(r4).isDefined) {
+        val (ps, rest) = parenList(r4, "PARTITIONED\\s+BY")
+        if (ps.size != 1)
+          fail("GRAFT STREAM SYNC: PARTITIONED BY takes ONE column")
+        if (!groups.exists(_.equalsIgnoreCase(ps.head)))
+          fail(s"GRAFT STREAM SYNC: PARTITIONED BY ${ps.head} must " +
+            "be one of the GROUP BY columns")
+        (Some(ps.head), rest)
+      } else (None, r4)
+    val vm = "(?is)^VALUE\\s+".r.findPrefixMatchOf(r4b)
+      .getOrElse(fail("GRAFT STREAM SYNC needs VALUE <expr> AS <alias>"))
+    val r5 = r4b.substring(vm.end)
+    val iAs = topIndexOf(r5, "AS")
+    if (iAs < 0) fail("GRAFT STREAM SYNC: VALUE needs AS <alias>")
+    val valueText = r5.substring(0, iAs).trim
+    "(?is)^(\\w+)\\s+CHECKPOINT\\s+'([^']+)'\\s*(.*)$".r
+      .findFirstMatchIn(r5.substring(iAs + 2).trim) match {
+      case Some(am) =>
+        val (alias, ckpt, trail) =
+          (am.group(1), am.group(2), am.group(3).trim)
+        val tickMs = "(?is)^TICK\\s+(\\d+)\\s+MILLISECONDS$".r
+          .findFirstMatchIn(trail).map(_.group(1).toLong)
+        if (tickMs.isEmpty && trail.nonEmpty)
+          fail("GRAFT STREAM SYNC: unexpected trailing text: " +
+            trail.take(40))
+        GraftSqlCommand(s"GRAFT STREAM SYNC graft.`$srcRoot`",
+          attrs("query_id" -> StringType), session => {
+            val q = graft.streaming.CdfStream.runSyncSink(session,
+              srcRoot, sinkRoot, keys, groups,
+              org.apache.spark.sql.functions.expr(valueText), alias,
+              checkpoint = ckpt,
+              tick = org.apache.spark.sql.streaming.Trigger
+                .ProcessingTime(tickMs.getOrElse(1000L)),
+              partitionBy = pby)
+            Seq(Row(graft.streaming.GraftStreams.register(q)))
+          })
+      case None =>
+        fail("GRAFT STREAM SYNC needs AS <alias> CHECKPOINT '<dir>'")
+    }
   }
 
   /** `INSERT INTO <tbl> [(cols)] SELECT …|VALUES …` — O(batch)

@@ -35,12 +35,20 @@ object CdfStream {
 
   /** Start the native-source sync sink. `tick` bounds staleness (how
     * often the source probes for new versions), never correctness.
-    * Single writer per sink root, as [[ChangeFeed.sync]] documents. */
+    * Single writer per sink root, as [[ChangeFeed.sync]] documents.
+    * `partitionBy = Some(pcol)` (pcol ∈ groupCols) makes the sink a
+    * PARTITIONED aggregate: each fold replaces only the partitions
+    * the delta touched ([[ChangeFeed.syncPartitioned]]'s apply) —
+    * the daily-load batch rewrites one day's state files, the rest
+    * carry by reference. */
   def runSyncSink(spark: SparkSession, srcRoot: String, sinkRoot: String,
       keys: Seq[String], groupCols: Seq[String], value: Column,
       valueAlias: String, checkpoint: String,
-      tick: Trigger = Trigger.ProcessingTime("1 second"))
+      tick: Trigger = Trigger.ProcessingTime("1 second"),
+      partitionBy: Option[String] = None)
       : StreamingQuery = {
+    partitionBy.foreach(p => require(groupCols.contains(p),
+      s"partitionBy column $p must be one of the group columns"))
     // resume O(change) after checkpoint loss: the sink's committed
     // batch keys carry the watermark; the source diffs FROM it
     val reader0 = spark.readStream.format("graft-cdf")
@@ -54,7 +62,7 @@ object CdfStream {
       .trigger(tick)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyFeedBatch(batch, srcRoot, sinkRoot, keys, groupCols,
-          value, valueAlias)
+          value, valueAlias, partitionBy)
       }
       .start()
   }
@@ -63,7 +71,8 @@ object CdfStream {
     * kernel, factored out for direct spec coverage. */
   private[streaming] def applyFeedBatch(batch: DataFrame,
       srcRoot: String, sinkRoot: String, keys: Seq[String],
-      groupCols: Seq[String], value: Column, valueAlias: String): Unit = {
+      groupCols: Seq[String], value: Column, valueAlias: String,
+      partitionBy: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val head = batch
@@ -72,24 +81,58 @@ object CdfStream {
     val last = ChangeFeed.lastApplied(spark, sinkRoot)
     if (last.exists(_ >= endV)) return // replay: already committed
     val feed = batch.drop("_commit_from", "_commit_version")
-    if (fromV < 0L)
-      // initial snapshot batch: the full aggregate, committed under
-      // the source version it snapshots
-      ChangeFeed.commitState(
-        feed.groupBy(groupCols.map(col): _*)
-          .agg(count(lit(1)).as("n_rows"), sum(value).as(valueAlias)),
-        sinkRoot, valueAlias, endV)
-    else if (last.contains(fromV))
-      // contiguous net diff: fold it in
-      ChangeFeed.commitState(
-        ChangeFeed.applyDelta(ManifestTable.read(spark, sinkRoot).get,
-          ChangeFeed.deltaAgg(feed, groupCols, value, valueAlias),
-          groupCols, valueAlias),
-        sinkRoot, valueAlias, endV)
-    else
-      // watermark skew between Spark's offset log and the sink's own
-      // keys: re-derive the exact net diff from the store
-      ChangeFeed.sync(spark, srcRoot, sinkRoot, keys, groupCols,
-        value, valueAlias): Unit
+    partitionBy match {
+      case Some(pcol) =>
+        if (fromV < 0L)
+          // initial snapshot: the full aggregate lands PARTITIONED so
+          // every later fold can scope
+          graft.ops.PartitionedTable.commitPartitioned(spark, sinkRoot,
+            feed.groupBy(groupCols.map(col): _*)
+              .agg(count(lit(1)).as("n_rows"),
+                sum(value).as(valueAlias))
+              .withColumn(valueAlias,
+                col(valueAlias).cast("decimal(30,6)")),
+            pcol, batchKey = s"cdfv-$endV"): Unit
+        else if (last.contains(fromV)) {
+          // contiguous net diff: replace ONLY the touched partitions
+          val delta = ChangeFeed.deltaAgg(feed, groupCols, value,
+            valueAlias)
+          val touchedRows = delta.select(col(pcol)).distinct().collect()
+          require(!touchedRows.exists(_.isNullAt(0)),
+            s"partitioned sink: the delta carries a NULL $pcol group" +
+              " — null partition values are rejected by the store")
+          val touched = touchedRows.map(_.get(0).toString).toSeq
+          val slice = ChangeFeed.applyDelta(
+            graft.ops.PartitionedTable.readPartitions(spark, sinkRoot,
+              touched),
+            delta, groupCols, valueAlias)
+            .withColumn(valueAlias, col(valueAlias).cast("decimal(30,6)"))
+          graft.ops.PartitionedTable.replacePartitionsBatch(spark,
+            sinkRoot, touched, slice, s"cdfv-$endV"): Unit
+        } else
+          // watermark skew: re-derive from the store, scoped
+          ChangeFeed.syncPartitioned(spark, srcRoot, sinkRoot, keys,
+            groupCols, value, valueAlias, pcol): Unit
+      case None =>
+        if (fromV < 0L)
+          // initial snapshot batch: the full aggregate, committed under
+          // the source version it snapshots
+          ChangeFeed.commitState(
+            feed.groupBy(groupCols.map(col): _*)
+              .agg(count(lit(1)).as("n_rows"), sum(value).as(valueAlias)),
+            sinkRoot, valueAlias, endV)
+        else if (last.contains(fromV))
+          // contiguous net diff: fold it in
+          ChangeFeed.commitState(
+            ChangeFeed.applyDelta(ManifestTable.read(spark, sinkRoot).get,
+              ChangeFeed.deltaAgg(feed, groupCols, value, valueAlias),
+              groupCols, valueAlias),
+            sinkRoot, valueAlias, endV)
+        else
+          // watermark skew between Spark's offset log and the sink's own
+          // keys: re-derive the exact net diff from the store
+          ChangeFeed.sync(spark, srcRoot, sinkRoot, keys, groupCols,
+            value, valueAlias): Unit
+    }
   }
 }

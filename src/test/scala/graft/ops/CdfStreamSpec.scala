@@ -100,6 +100,54 @@ class CdfStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("SQL surface: GRAFT STREAM SYNC drives the chained consumer " +
+      "as statement text over a PARTITIONED source; STOP by id; a " +
+      "second STOP is loud") {
+    val base = tmp()
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    PartitionedTable.commitPartitioned(spark, src,
+      Seq((1L, "d1", 10.0), (2L, "d1", 20.0), (3L, "d2", 5.0))
+        .toDF("k", "day", "v"), "day")                          // v1
+    val id = spark.sql(
+      s"GRAFT STREAM SYNC graft.`$src` TO graft.`$sink` KEYS (k) " +
+        "GROUP BY (day) PARTITIONED BY (day) " +
+        "VALUE CAST(v AS DECIMAL(18,6)) AS sum_v " +
+        s"CHECKPOINT '$ckpt' TICK 50 MILLISECONDS")
+      .collect().head.getString(0)
+    def state() = ManifestTable.read(spark, sink).get
+      .select($"day", $"n_rows", $"sum_v".cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    def expect() = ManifestTable.read(spark, src).get
+      .groupBy($"day").agg(count(lit(1)).as("n"),
+        sum($"v".cast(D)).as("s"))
+      .select($"day", $"n", $"s".cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    def sinkParts() = PartitionedTable.parts(spark, sink,
+      ManifestTable.currentVersion(spark, sink).get)
+      .select($"path", $"value").as[(String, String)].collect().toSeq
+    try {
+      awaitApplied(sink, 1L)
+      assert(state() == expect())
+      // the sink bootstrapped PARTITIONED by day
+      val p1 = sinkParts()
+      assert(p1.map(_._2).toSet == Set("d1", "d2"))
+      // the live source takes a partitioned append + a MoR merge —
+      // neither touches d2, so d2's sink state files must carry by
+      // PATH REFERENCE through every fold
+      PartitionedTable.appendPartitioned(spark, src,
+        Seq((4L, "d3", 7.0)).toDF("k", "day", "v"))             // v2
+      ManifestTable.mergeDV(spark, src,
+        Seq((1L, "d1", 11.0)).toDF("k", "day", "v"), Seq("k")) // v3
+      awaitApplied(sink, 3L)
+      assert(state() == expect())
+      assert(sinkParts().filter(_._2 == "d2").toSet ==
+        p1.filter(_._2 == "d2").toSet,
+        "untouched partition must carry by path reference")
+    } finally spark.sql(s"GRAFT STREAM STOP '$id'")
+    // a second STOP of the same id is a loud error, not a silent no-op
+    intercept[Exception] { spark.sql(s"GRAFT STREAM STOP '$id'") }
+  }
+
   test("native graft-cdf source over a PARTITIONED root: the " +
       "partition column survives the net-diff schema through append " +
       "and MoR merge; per-partition state equals the recompute") {

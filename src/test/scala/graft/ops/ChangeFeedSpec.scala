@@ -103,6 +103,76 @@ class ChangeFeedSpec extends SparkSpec {
     assert(sinkNow() == expectAt(5L))
   }
 
+  test("syncPartitioned: a day's delta rewrites ONE sink partition's " +
+      "files (others carry by path reference, proof by file identity); " +
+      "an empty net diff advances the watermark with zero data bytes") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cdfpart_").toString
+    val (src, sink) = (s"$base/src", s"$base/sink")
+    ManifestTable.commit(Seq(
+      (1L, "d1", 10.0), (2L, "d1", 20.0), (3L, "d2", 5.0),
+      (4L, "d3", 8.0)).toDF("k", "day", "v"), src)            // src v1
+    def run() = ChangeFeed.syncPartitioned(spark, src, sink,
+      keys = Seq("k"), groupCols = Seq("day"),
+      value = $"v".cast(D), valueAlias = "sum_v", pcol = "day")
+    def sinkParts(v: Long) = PartitionedTable.parts(spark, sink, v)
+      .select($"path", $"value").as[(String, String)].collect().toSeq
+    def recompute() = ManifestTable.read(spark, src).get
+      .groupBy($"day").agg(count(lit(1)).as("n_rows"),
+        sum($"v".cast(D)).as("sum_v"))
+      .select($"day", $"n_rows", $"sum_v".cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    def state() = ManifestTable.read(spark, sink).get
+      .select($"day", $"n_rows", $"sum_v".cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    // bootstrap: the full aggregate lands PARTITIONED by day
+    assert(run().contains(1L))
+    assert(state() == recompute())
+    val p1 = sinkParts(1L)
+    assert(p1.map(_._2).toSet == Set("d1", "d2", "d3"))
+    // a MERGE touching ONLY d1 (reprice k=1, insert k=5)
+    ManifestTable.merge(spark, src, Seq(
+      (1L, "d1", 15.0), (5L, "d1", 2.0)).toDF("k", "day", "v"),
+      Seq("k"))                                               // src v2
+    assert(run().contains(2L))
+    assert(state() == recompute())
+    // FILE IDENTITY proof: d2/d3 state files carried VERBATIM (same
+    // paths as v1 — zero bytes rewritten); only d1's files are new
+    val p2 = sinkParts(2L)
+    val untouched = Set("d2", "d3")
+    assert(p2.filter(r => untouched(r._2)).toSet ==
+      p1.filter(r => untouched(r._2)).toSet,
+      "untouched partitions must carry by path reference")
+    assert(p2.filter(_._2 == "d1").toSet
+      .intersect(p1.filter(_._2 == "d1").toSet).isEmpty,
+      "the touched partition must be rewritten")
+    // replay is a no-op; already-caught-up returns None
+    assert(run().isEmpty)
+    // a NEW day's first delta lands fresh, existing days carry
+    ManifestTable.merge(spark, src,
+      Seq((6L, "d9", 4.0)).toDF("k", "day", "v"), Seq("k"))   // src v3
+    assert(run().contains(3L))
+    assert(state() == recompute())
+    val p3 = sinkParts(3L)
+    assert(p3.filter(r => r._2 != "d9").toSet ==
+      p2.toSet, "pre-existing partitions must all carry")
+    assert(p3.exists(_._2 == "d9"))
+    // an EMPTY net diff (dataChange-false z-order commit on the
+    // source): watermark advances, every sink file carries
+    ZTable.optimizeZOrder(spark, src, "k", "k", "k", nFiles = 2) // v4
+    assert(run().contains(4L))
+    assert(sinkParts(4L).toSet == p3.toSet,
+      "an empty diff must carry every file by reference")
+    assert(state() == recompute())
+    assert(ChangeFeed.lastApplied(spark, sink).contains(4L))
+    // a group deleting to ZERO leaves the sink: delete all of d2
+    ManifestTable.deleteWhere(spark, src, $"day" === "d2")     // src v5
+    assert(run().contains(5L))
+    assert(state() == recompute())
+    assert(!sinkParts(5L).exists(_._2 == "d2"),
+      "an emptied partition's files must drop")
+  }
+
   test("sync fails LOUDLY when the watermark version was vacuumed " +
       "(retention must exceed consumer lag — never silent corruption)") {
     val base = java.nio.file.Files.createTempDirectory("graft_syncv_")

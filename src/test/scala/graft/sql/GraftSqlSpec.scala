@@ -310,6 +310,105 @@ class GraftSqlSpec extends SparkSpec {
     assert(!e2.getMessage.contains("graft SQL"))
   }
 
+  test("INSERT INTO a PARTITIONED table coerces the batch to the " +
+      "target schema BY NAME before the partitioned append (no mixed " +
+      "parquet physical types across base and fragment files)") {
+    val root = freshRoot()
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (day) AS " +
+      "SELECT CAST(id AS BIGINT) AS k, CAST(id * 1.5 AS DOUBLE) AS v," +
+      " CAST(id % 2 AS STRING) AS day FROM range(10)")
+    // an int literal into the bigint column, a DECIMAL literal into
+    // the double column — narrower physical types that used to land
+    // verbatim in the fragment files and mis-decode on read
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (100, 30.5, '0')")
+    val after = ManifestTable.read(spark, root).get
+    assert(after.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(after.schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(after.count() == 11L)
+    assert(after.filter($"k" === 100L).select("v").as[Double]
+      .head() == 30.5)
+    // the coerced fragment still lands partition-pure with its
+    // `_parts` row
+    assert(graft.ops.PartitionedTable.readPartitions(spark, root,
+      Seq("0")).filter($"k" === 100L).count() == 1L)
+    // column-list reorder + coercion compose on the partitioned path
+    spark.sql(s"INSERT INTO graft.`$root` (day, v, k) " +
+      "VALUES ('1', 7.5, 101)")
+    assert(ManifestTable.read(spark, root).get.filter($"k" === 101L)
+      .select("v").as[Double].head() == 7.5)
+  }
+
+  test("CREATE TABLE claim discipline under SET BASE: only the " +
+      "[PARTITIONED BY] AS <query> shape is claimed for bare names; " +
+      "a plain Spark DDL CREATE delegates untouched") {
+    import graft.sql.GraftCatalog
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sqlct_").toString
+    GraftCatalog.setBase(base)
+    try {
+      // a legitimate Spark statement a graft catalog must not hijack
+      spark.sql("DROP TABLE IF EXISTS default.gs_plain_ct")
+      spark.sql(
+        "CREATE TABLE default.gs_plain_ct (id INT) USING parquet")
+      assert(spark.catalog.tableExists("default.gs_plain_ct"))
+      assert(ManifestTable.currentVersion(spark,
+        s"$base/default/gs_plain_ct").isEmpty)
+      spark.sql("DROP TABLE default.gs_plain_ct")
+      // while the CTAS shape IS still claimed for the same name style
+      spark.sql("CREATE TABLE demo2.ctas AS SELECT 1 AS x")
+      assert(ManifestTable.currentVersion(spark,
+        s"$base/demo2/ctas").contains(1L))
+    } finally GraftCatalog.clearBase()
+  }
+
+  test("catalog durability + conflict: registrations persist under " +
+      "the base across a JVM 'restart'; re-pointing a live name is " +
+      "refused until UNREGISTER") {
+    import graft.sql.GraftCatalog
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cat2_").toString
+    GraftCatalog.setBase(base)
+    try {
+      // pin a name to a root OUTSIDE its base-derived path
+      val pinned = java.nio.file.Files
+        .createTempDirectory("graft_cat2_pin_").toString + "/t"
+      spark.sql("GRAFT CATALOG UNREGISTER cat2.pinned")
+      spark.sql(s"GRAFT CATALOG REGISTER cat2.pinned AT '$pinned'")
+      // re-pointing to a different root: loud conflict, no overwrite
+      intercept[IllegalStateException] {
+        GraftCatalog.register("cat2.pinned", "/divergent/root")
+      }
+      assert(GraftCatalog.resolve("cat2.pinned").contains(pinned))
+      // same-root re-register stays a no-op
+      spark.sql(s"GRAFT CATALOG REGISTER cat2.pinned AT '$pinned'")
+      // a JVM restart: memory dropped → base fallback; re-setting the
+      // base loads the PERSISTED registration back
+      GraftCatalog.unloadForTest()
+      assert(GraftCatalog.resolve("cat2.pinned")
+        .contains(s"$base/cat2/pinned"))
+      GraftCatalog.setBase(base)
+      assert(GraftCatalog.resolve("cat2.pinned").contains(pinned))
+      // the conflict check sees the PERSISTED entry even with memory
+      // cold — divergence across restarts is loud too
+      GraftCatalog.unloadForTest()
+      intercept[IllegalStateException] {
+        GraftCatalog.register("cat2.pinned", "/divergent/root")
+      }
+      // UNREGISTER clears disk as well: after a restart the name is
+      // back to the base-derived mapping
+      spark.sql("GRAFT CATALOG UNREGISTER cat2.pinned")
+      GraftCatalog.unloadForTest()
+      GraftCatalog.setBase(base)
+      assert(GraftCatalog.resolve("cat2.pinned")
+        .contains(s"$base/cat2/pinned"))
+    } finally {
+      GraftCatalog.unregister("cat2.pinned")
+      GraftCatalog.clearBase()
+    }
+  }
+
   test("RESTORE TO TIMESTAMP AS OF parses a UTC literal") {
     val root = freshRoot()
     ManifestTable.commit(Seq((1L, 1L)).toDF("k", "n"), root)    // v1
