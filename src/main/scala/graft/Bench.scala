@@ -76,9 +76,36 @@ object Bench {
           .next().trim.split("\\s+")
         Some(cpu.drop(1).take(10).map(_.toLong).sum)
       } catch { case _: Throwable => None }
+    // NATIVE co-tenant accounting (round-14 lesson: the official
+    // artifact published 184.2 s / contended:false while 1-min load
+    // sat at 7.2 — a native process on THIS VM is invisible to the
+    // steal-only detector). Busy jiffies of the box (user+nice+system+
+    // irq+softirq — idle/iowait/steal excluded) minus THIS JVM's
+    // jiffies = cpu other processes burned; divided by wall it is the
+    // average number of co-tenant CPUs in use across the sweep.
+    def busyTicks(): Option[Long] =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+")
+        // fields: 1 user, 2 nice, 3 system, 6 irq, 7 softirq
+        Some(Seq(1, 2, 3, 6, 7).map(i => cpu(i).toLong).sum)
+      } catch { case _: Throwable => None }
+    def selfTicks(): Option[Long] =
+      try {
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/self/stat"))
+        // comm may contain spaces/parens — parse after the LAST ')':
+        // remaining fields start at overall field 3 (state), so utime
+        // (field 14) and stime (15) sit at offsets 11 and 12
+        val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+        Some(rest(11).toLong + rest(12).toLong)
+      } catch { case _: Throwable => None }
     val loadStart = loadAvg1m()
     val stealStart = stealTicks()
     val ticksStart = totalTicks()
+    val busyStart = busyTicks()
+    val selfStart = selfTicks()
+    val wallStart = System.nanoTime()
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -111,6 +138,10 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val degraded = scala.collection.mutable.ListBuffer.empty[String]
+    // queries whose iteration count was CUT by the deadline: their
+    // minima are 2-sample under distress — the ledger must say
+    // contended even when steal stayed low (round-14 hole (c))
+    val curtailed = scala.collection.mutable.ListBuffer.empty[String]
     // Heavy tail FIRST (while the box is coldest — the documented
     // host-contention waves build as the run ages and other tenants
     // wake): the five historically-expensive queries run before the
@@ -144,7 +175,9 @@ object Bench {
       // scans), partitioned MoR DML (4 commits), named SQL pipeline
       // (6 commits)
       "q243_sql_auto_prune", "q244_partitioned_mor_dml",
-      "q245_sql_named_pipeline", "q246_gold_datecut_pruned")
+      "q245_sql_named_pipeline", "q246_gold_datecut_pruned",
+      // round-15: runtime pruning proofs (1 commit + 6 SQL scans)
+      "q247_runtime_pruning")
     val rank = heavyFirst.zipWithIndex.toMap
     // per-query OUTPUT row counts (round-9 VERDICT ask #7): lets a
     // ledger reader separate output-bound growth (the q25/q206 effect
@@ -191,6 +224,7 @@ object Bench {
           if (elapsedSec <= deadlineSec) iters
           else {
             degraded += name
+            curtailed += name
             System.err.println(
               s"[bench] deadline (${deadlineSec}s) passed: $name runs " +
                 "2 iters")
@@ -301,6 +335,14 @@ object Bench {
     // absolute excess (largest total-moving inflation first) so a
     // deadline cut still spends the budget where it matters; the cap
     // is a runaway bound, not the working limit.
+    // The repair pass carries its OWN post-deadline budget: round 14's
+    // distressed sweep blew the 900 s deadline in the main loop, and
+    // the old `elapsedSec < deadlineSec` guard then zeroed the repair
+    // exactly when it was needed most — ten inflated minima published
+    // unrepaired. A bounded extra window (default 150 s) caps the
+    // damage while letting a late contention wave still be repaired.
+    val remeasureDeadline = deadlineSec +
+      sys.env.getOrElse("SPARK_GRAFT_REMEASURE_BUDGET", "150").toDouble
     def remeasurePass(): Unit = {
       val contended = samples.keysIterator.flatMap { name =>
         for {
@@ -313,7 +355,7 @@ object Bench {
         val hb = histBest(name)
         val fn = SparkEntry.queries(name)
         var extra = 0
-        while (extra < iters && elapsedSec < deadlineSec &&
+        while (extra < iters && elapsedSec < remeasureDeadline &&
             minOf(samples(name))
               .exists(_ > math.max(hb * 1.5, hb + 0.3))) {
           samples(name) += timeIter(name, fn)
@@ -343,14 +385,23 @@ object Bench {
     def backOffUntilQuiet(label: String): Unit = {
       var tries = 0
       var quiet = false
-      while (!quiet && tries < 3 && elapsedSec < deadlineSec) {
+      while (!quiet && tries < 3 && elapsedSec < remeasureDeadline) {
         tries += 1
         val w0 = stealTicks()
+        val b0 = busyTicks()
+        val s0 = selfTicks()
         Thread.sleep(15000) // idle probe: our own threads are parked
         val w = stealSince(w0).getOrElse(0.0)
-        quiet = w < 0.5 // <0.5 steal-seconds over 15 s ≈ quiet host
+        // native co-tenant cpus during the probe (our threads parked,
+        // so busy-minus-self IS the co-tenant): the round-14 wave was
+        // native and a steal-only probe would have called it quiet
+        val other = (for {
+          a <- b0; b <- busyTicks(); c <- s0; d <- selfTicks()
+        } yield ((b - a) - (d - c)) / 100.0 / 15.0).getOrElse(0.0)
+        quiet = w < 0.5 && other < 1.0
         System.err.println(f"[bench] $label back-off probe $tries: " +
-          f"steal ${w}%.2fs/15s → ${if (quiet) "quiet" else "contended"}")
+          f"steal ${w}%.2fs/15s, other ${other}%.2f cpus → " +
+          s"${if (quiet) "quiet" else "contended"}")
       }
     }
     if (stealSince(stealStart).exists(_ > stealBar))
@@ -360,7 +411,7 @@ object Bench {
     val passSteal = stealSince(passStart).getOrElse(0.0)
     // a pass that itself ran dirty re-recorded contended minima: one
     // quiet retry (the deadline guard inside the pass bounds the cost)
-    if (passSteal > 1.0 && elapsedSec < deadlineSec) {
+    if (passSteal > 1.0 && elapsedSec < remeasureDeadline) {
       System.err.println(f"[bench] remeasure pass picked up " +
         f"${passSteal}%.1fs steal — backing off and re-running once")
       backOffUntilQuiet("post-remeasure")
@@ -437,13 +488,26 @@ object Bench {
     val stealDiscountedJson =
       stealDiscounted.map(_.toString).getOrElse("null")
     // In-band contention stamp + clean-ledger pointer (round-13
-    // VERDICT ask #5's second half): when the sweep's total steal
-    // exceeds the clean bar, the artifact SAYS SO and names the best
-    // same-sf committed ledger that ran clean — the grader and the
-    // driver pick the right artifact mechanically instead of
-    // rediscovering the same-day clean sweep by hand.
+    // VERDICT ask #5's second half, widened in round 15): the round-14
+    // artifact published 184.2 s as `contended: false` because steal
+    // was the ONLY trigger. Four signals now, ANY of which stamps the
+    // headline contended: hypervisor steal over the bar; NATIVE
+    // co-tenant cpu over the load bar (the hole round 14 fell through);
+    // any deadline-curtailed 2-iter minimum; total > 1.15× the best
+    // same-suite clean ledger. The artifact also names the best
+    // same-sf committed ledger that ran clean, so the grader and the
+    // driver pick the right artifact mechanically.
     val sweepSteal = stealSince(stealStart)
-    val isContended = sweepSteal.exists(_ > stealBar)
+    val sweepWallSec = (System.nanoTime() - wallStart) / 1e9
+    val otherLoad: Option[Double] = for {
+      b0 <- busyStart; b1 <- busyTicks()
+      s0 <- selfStart; s1 <- selfTicks()
+      if sweepWallSec > 0
+    } yield math.max(0.0,
+      math.round(((b1 - b0) - (s1 - s0)) / 100.0 / sweepWallSec * 100)
+        / 100.0)
+    val loadBar =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_BAR", "2.0").toDouble
     val cleanLedger: Option[(String, Double)] = {
       val dir = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench_history"))
@@ -477,12 +541,29 @@ object Bench {
     }
     val cleanLedgerJson = cleanLedger.map { case (f, t) =>
       s"""{"file":"bench_history/$f","total":$t}""" }.getOrElse("null")
+    val contendedReasons: Seq[String] = Seq(
+      sweepSteal.filter(_ > stealBar).map(s =>
+        f"steal ${s}%.1fs > ${stealBar}%.0fs"),
+      otherLoad.filter(_ > loadBar).map(l =>
+        f"other_load ${l}%.2f cpus > ${loadBar}%.1f"),
+      Option(curtailed.toList).filter(_.nonEmpty).map(c =>
+        s"deadline curtailed ${c.size} queries"),
+      cleanLedger.filter { case (_, best) => total > best * 1.15 }
+        .map { case (f, best) =>
+          f"total ${total}%.1fs > 1.15x clean best ${best}%.1fs ($f)" }
+    ).flatten
+    val isContended = contendedReasons.nonEmpty
+    val otherLoadJson = otherLoad.map(_.toString).getOrElse("null")
+    val reasonsJson = contendedReasons
+      .map(r => "\"" + r + "\"").mkString("[", ",", "]")
     val head =
       s""""metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
         s""""steal_discounted_total":$stealDiscountedJson,""" +
         s""""total_floor":${math.round(totalFloor * 1000) / 1000.0},""" +
         s""""n_floor_substituted":${floorSubstituted.size},""" +
         s""""contended":$isContended,""" +
+        s""""contended_reasons":$reasonsJson,""" +
+        s""""other_load":$otherLoadJson,""" +
         s""""clean_ledger":$cleanLedgerJson"""
     def names(l: Seq[String]): String = l.map(n => s"\"$n\"").mkString(",")
     // FULL name lists (failed / degraded / remeasured) go in the
@@ -519,6 +600,7 @@ object Bench {
       s"\"$k\":${ts.flatten.size}"
     }.mkString("{", ",", "}")
     val line = s"""{$head,"failed":[${names(failed)}],""" +
+      s""""curtailed":[${names(curtailed.toList)}],""" +
       s""""degraded":[${names(degradedL)}],""" +
       s""""floor_substituted":[${names(floorSubstituted.toList)}],""" +
       s""""n_iters":$nIters,""" +
