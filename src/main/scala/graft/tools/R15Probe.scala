@@ -77,7 +77,9 @@ object R15Probe {
     time("bloom_in40_count")(bIn.count())
 
     // ---- (b) runtime watermark subquery ----
-    Seq("1995-09").toDF("wm").createOrReplaceTempView("r15_wm")
+    // testdata orders span 1995-01..2001-08 — a late watermark makes
+    // the incremental cut selective (the daily-load shape)
+    Seq("2001-03").toDF("wm").createOrReplaceTempView("r15_wm")
     val wm = time("watermark_subquery_cut")(
       sql("o_month > (SELECT max(wm) FROM r15_wm)"))
     println(s"PROBE   watermark files              " +
