@@ -211,42 +211,96 @@ class GraftPruneScans(spark: SparkSession) extends Rule[LogicalPlan]
     None
   }
 
+  /** The dim side's DISTINCT join-key values (null-free, as Scala
+    * values), or None when the eval failed or exceeded `cap`. */
+  private def dppKeys(dimSide: LogicalPlan, dimKey: AttributeReference,
+      cap: Int): Option[Seq[Any]] = scala.util.Try {
+    val distinct = Aggregate(Seq(dimKey), Seq(dimKey),
+      Project(Seq(dimKey), dimSide))
+    val rows = spark.sessionState
+      .executePlan(Limit(Literal(cap + 1), distinct))
+      .executedPlan.executeTake(cap + 1)
+    if (rows.length > cap) None
+    else Some(rows.iterator.filterNot(_.isNullAt(0))
+      .map(r => CatalystTypeConverters.convertToScala(
+        r.get(0, dimKey.dataType), dimKey.dataType)).toSeq)
+  }.toOption.flatten
+
+  /** File-grain runtime semi-join pushdown against ALL THREE frames:
+    * an equi-key on the partition column intersects `_parts`; on the
+    * Bloom column, the key set probes the registers (files admitting
+    * NO key drop); on a stats dim, files whose [min,max] contains no
+    * key's long form drop (sound for any cast-to-long type: a row
+    * equal to k has trunc(row) = trunc(k) inside the file's bounds).
+    * Multiple matching keys compose — each excludes independently. */
   private def dppAttempt(j: Join, lr: LogicalRelation,
       dimSide: LogicalPlan): Option[LogicalRelation] =
     graftScanOf(lr).flatMap { case (hfs, root, dir) =>
       val m = GraftPruning.meta(spark, root, dir)
-      val pcol = m.pcol.getOrElse(return None)
       val sameName = spark.sessionState.analyzer.resolver
       val factOut = lr.outputSet
       val dimOut = dimSide.outputSet
-      // the equi-pair on the STRING partition column (string both
-      // sides: equality then needs no cast, and the dim values render
-      // as the committed `_parts` strings verbatim)
-      val dimKey = splitConjunctivePredicates(j.condition.get)
-        .collectFirst {
-          case EqualTo(a: AttributeReference, b: AttributeReference)
-            if factOut.contains(a) && dimOut.contains(b) &&
-              sameName(a.name, pcol) && a.dataType == StringType &&
-              b.dataType == StringType => b
-          case EqualTo(b: AttributeReference, a: AttributeReference)
-            if factOut.contains(a) && dimOut.contains(b) &&
-              sameName(a.name, pcol) && a.dataType == StringType &&
-              b.dataType == StringType => b
-        }.getOrElse(return None)
+      // classify each equi-pair by the frame column the fact side hits
+      sealed trait Kind
+      case object PartK extends Kind
+      case object BloomK extends Kind
+      case class DimK(x: Boolean) extends Kind
+      def kindOf(a: AttributeReference): Option[Kind] =
+        if (m.pcol.exists(sameName(_, a.name)) &&
+            a.dataType == StringType) Some(PartK)
+        else if (m.bloomCol.exists(sameName(_, a.name))) Some(BloomK)
+        else if (m.xCol.exists(sameName(_, a.name))) Some(DimK(true))
+        else if (m.yCol.exists(sameName(_, a.name))) Some(DimK(false))
+        else None
+      val pairs = splitConjunctivePredicates(j.condition.get).flatMap {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+          if factOut.contains(a) && dimOut.contains(b) &&
+            a.dataType == b.dataType =>
+          kindOf(a).map(k => (k, b))
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+          if factOut.contains(a) && dimOut.contains(b) &&
+            a.dataType == b.dataType =>
+          kindOf(a).map(k => (k, b))
+        case _ => None
+      }
+      if (pairs.isEmpty) return None
       val thr = conf.autoBroadcastJoinThreshold
       val maxBytes = if (thr > 0) thr else 32L * 1024 * 1024
       if (dimSide.stats.sizeInBytes > BigInt(maxBytes)) return None
-      val keys = scala.util.Try {
-        val distinct = Aggregate(Seq(dimKey), Seq(dimKey),
-          Project(Seq(dimKey), dimSide))
-        spark.sessionState
-          .executePlan(Limit(Literal(dppMaxKeys + 1), distinct))
-          .executedPlan.executeTake(dppMaxKeys + 1)
-      }.toOption.getOrElse(return None)
-      if (keys.length > dppMaxKeys) return None
-      val wanted = keys.iterator.filterNot(_.isNullAt(0))
-        .map(_.get(0, StringType).toString).toSet
-      val excluded = partExcluded(m, wanted)
+      var excluded = Set.empty[String]
+      pairs.foreach { case (kind, dimKey) =>
+        val cap = kind match {
+          case BloomK => 64 // one register pass per probe set
+          case _ => dppMaxKeys
+        }
+        dppKeys(dimSide, dimKey, cap).foreach { keys =>
+          kind match {
+            case PartK =>
+              excluded ++= partExcluded(m,
+                keys.map(String.valueOf).toSet)
+            case BloomK if keys.nonEmpty =>
+              val cands = GraftPruning.bloomCandidatesIn(spark, root,
+                dir, keys)
+              excluded ++= m.ranges.keySet.filterNot(cands.contains)
+            case BloomK => // empty dim: inner join yields nothing,
+              // but DROPPING all files is a plan rewrite the empty
+              // relation handles anyway — keep conservative
+            case DimK(x) =>
+              val longs = keys.map(v =>
+                asLong(Literal.create(v, dimKey.dataType)))
+              if (longs.nonEmpty && longs.forall(_.isDefined)) {
+                val ls = longs.flatten
+                excluded ++= m.ranges.collect { case (k, r) =>
+                  val (mn, mx) = if (x) (r.minX, r.maxX)
+                    else (r.minY, r.maxY)
+                  val miss = mn.isDefined && mx.isDefined &&
+                    ls.forall(l => l < mn.get || l > mx.get)
+                  if (miss) Some(k) else None
+                }.flatten.toSet
+              }
+          }
+        }
+      }
       if (excluded.isEmpty) None
       else {
         val files = hfs.location.inputFiles.toIndexedSeq

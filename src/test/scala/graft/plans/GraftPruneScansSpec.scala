@@ -261,6 +261,21 @@ class GraftPruneScansSpec extends SparkSpec {
       "(SELECT * FROM gps_dim WHERE keep) d ON f.day = d.d)")
     assert(scannedFiles(lo) == total)
     assert(lo.as[Long].head() == 400L)
+    // (4) equi-join on the BLOOM column: the dim's keys probe the
+    // committed registers in one pass; files admitting none drop
+    Seq(("123", 1), ("250", 2)).toDF("ks2", "w")
+      .createOrReplaceTempView("gps_dimb")
+    val bj = spark.sql("SELECT count(*) AS n FROM " +
+      s"graft_table('$root') f JOIN gps_dimb d ON f.ks = d.ks2")
+    assert(scannedFiles(bj) < total)
+    assert(bj.as[Long].head() == 2L)
+    // (5) equi-join on the x DIM: files whose committed [min,max]
+    // contains NO dim key drop (exact-typed long containment)
+    Seq(50L, 350L).toDF("kk").createOrReplaceTempView("gps_dimx")
+    val xj = spark.sql("SELECT count(*) AS n FROM " +
+      s"graft_table('$root') f JOIN gps_dimx d ON f.k = d.kk")
+    assert(scannedFiles(xj) < total)
+    assert(xj.as[Long].head() == 2L)
   }
 
   test("soundness gates: a STRING dim gets no range verdict (stats " +
