@@ -17,7 +17,10 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // schema from a driver-side footer read, session-memoized — the
+    // testdata files are immutable and every query pays one inference
+    // JOB per Tables() call otherwise ([[graft.ops.MetaIO]])
+    val df = graft.ops.MetaIO.readParquet(spark, s"$dir/$name.parquet")
     if (name != "events") df
     else df.schema("ts").dataType match {
       // Legacy testdata stored events.ts as parquet TIMESTAMP(NANOS),

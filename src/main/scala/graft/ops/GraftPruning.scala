@@ -151,7 +151,7 @@ private[graft] object GraftPruning {
     val (pcol, partValue) =
       if (!exists("_parts")) (None, Map.empty[String, String])
       else {
-        val rows = spark.read.parquet(s"$root/$dir/_parts").collect()
+        val rows = MetaIO.readParquet(spark, s"$root/$dir/_parts").collect()
         if (rows.isEmpty) (None, Map.empty[String, String])
         else (Some(rows.head.getString(rows.head.fieldIndex("pcol"))),
           rows.map(r => ManifestTable.fileKeyOf(
@@ -162,7 +162,7 @@ private[graft] object GraftPruning {
       if (!exists("_stats"))
         (None, None, Map.empty[String, Range], None)
       else {
-        val rows = spark.read.parquet(s"$root/$dir/_stats").collect()
+        val rows = MetaIO.readParquet(spark, s"$root/$dir/_stats").collect()
         if (rows.isEmpty) (None, None, Map.empty[String, Range], None)
         else {
           val h = rows.head

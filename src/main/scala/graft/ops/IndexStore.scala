@@ -71,8 +71,8 @@ object IndexStore {
       : IvfPqIndex = {
     val dir = ManifestTable.versionDataDir(spark, root, v)
     IvfPqIndex(
-      spark.read.parquet(s"$root/$dir/coarse"),
-      spark.read.parquet(s"$root/$dir/cents"),
-      spark.read.parquet(s"$root/$dir/codes"))
+      MetaIO.readParquet(spark, s"$root/$dir/coarse"),
+      MetaIO.readParquet(spark, s"$root/$dir/cents"),
+      MetaIO.readParquet(spark, s"$root/$dir/codes"))
   }
 }

@@ -489,7 +489,7 @@ object ManifestTable {
       dir: String): Option[DataFrame] = {
     val p = new Path(new Path(root, dir), "_dv")
     if (fsOf(spark, root).exists(p))
-      Some(spark.read.parquet(p.toString))
+      Some(MetaIO.readParquet(spark, p.toString))
     else None
   }
 
@@ -688,9 +688,14 @@ object ManifestTable {
     * never tears a mixed read. */
   private[ops] def readRefsRaw(spark: SparkSession, root: String,
       dir: String, refs: Seq[String]): DataFrame = {
-    val rd = schemaOf(spark, root, dir)
-      .fold(spark.read)(s => spark.read.schema(s))
-    rd.parquet(refs.map(r => resolveRef(root, r)): _*)
+    val paths = refs.map(r => resolveRef(root, r))
+    schemaOf(spark, root, dir) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      // no pinned schema → the ref set shares one physical schema by
+      // protocol; resolve it from the first footer on the driver
+      // instead of paying a one-task inference job ([[MetaIO]])
+      case None => MetaIO.readParquet(spark, paths)
+    }
   }
 
   /** Anti-join `raw` (a file-source read) against a deletion vector:
@@ -733,7 +738,7 @@ object ManifestTable {
         readRefsRaw(spark, root, dir, rels)
       case None =>
         GraftPruning.register(spark, Seq(s"$root/$dir"), root, dir)
-        spark.read.parquet(s"$root/$dir")
+        MetaIO.readParquet(spark, s"$root/$dir")
     }
     val live = dvOf(spark, root, dir).fold(raw)(applyDv(raw, _))
     // column mapping LAST: logical names are the only thing any
@@ -874,7 +879,7 @@ object ManifestTable {
     finally out.close()
     // every base file carried → the vector rides verbatim
     dvOf(spark, root, baseDir).foreach(dv =>
-      dv.repartition(1).write.parquet(s"$root/$dir/_dv"))
+      dv.coalesce(1).write.parquet(s"$root/$dir/_dv"))
     // base PHYSICAL schema (footer-only read) — needed only when a
     // pending ADD COLUMN is being backed and `_schema` must pin the
     // mixed file set
@@ -1632,16 +1637,15 @@ object ManifestTable {
     fs.mkdirs(new Path(root, dir))
     // the vector is file-metadata-shaped in the common case; a single
     // file keeps the reader's join build side one footer away
-    newDv.repartition(1).write.parquet(s"$root/$dir/_dv")
+    newDv.coalesce(1).write.parquet(s"$root/$dir/_dv")
     // _parts rides too: a DV delete changes no file set, so the
     // partition metadata stays exact (the appending MoR DML paths
     // keep it alive as well — their fragments land partition-pure
     // through the flatten and extend the frame; see [[updateWhereDV]])
     Seq("_stats", "_bloom", "_parts").foreach { frame =>
       val src = new Path(s"$root/$baseDir/$frame")
-      if (fs.exists(src))
-        spark.read.parquet(src.toString).repartition(1)
-          .write.parquet(s"$root/$dir/$frame")
+      if (fs.exists(src)) // verbatim carry: file-grain driver copy
+        ZTable.copyFrame(fs, src.toString, s"$root/$dir/$frame")
     }
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write(refs.mkString("\n").getBytes("UTF-8"))
@@ -1773,7 +1777,7 @@ object ManifestTable {
       .select(col("__path").as("path"), col("__ri").as("row_index"))
     val newDv = prior.fold(fresh)(p =>
       p.select(col("path"), col("row_index")).unionByName(fresh))
-    newDv.repartition(1).write.parquet(s"$root/$dir/_dv")
+    newDv.coalesce(1).write.parquet(s"$root/$dir/_dv")
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -1981,7 +1985,7 @@ object ManifestTable {
     }
     val newDv = prior.fold(positions)(p =>
       p.select(col("path"), col("row_index")).unionByName(positions))
-    newDv.repartition(1).write.parquet(s"$root/$dir/_dv")
+    newDv.coalesce(1).write.parquet(s"$root/$dir/_dv")
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -2198,7 +2202,9 @@ object ManifestTable {
           .map(n => s"$dir/$n")
       }
       require(refs.nonEmpty, s"current version of $root has no data")
-      spark.read.parquet(resolveRef(root, refs.head)).schema
+      // driver-side footer read — no inference job for a schema probe
+      MetaIO.schemaOf(spark, new Path(resolveRef(root, refs.head)))
+        .getOrElse(spark.read.parquet(resolveRef(root, refs.head)).schema)
         .map(f => f.name -> f.name)
     }
   }
@@ -2226,9 +2232,8 @@ object ManifestTable {
     // DROP — their dim names are physical and a consumer resolving
     // them through the new logical schema would prune wrongly
     val dvSrc = new Path(s"$root/$baseDir/_dv")
-    if (fs.exists(dvSrc))
-      spark.read.parquet(dvSrc.toString).repartition(1)
-        .write.parquet(s"$root/$dir/_dv")
+    if (fs.exists(dvSrc)) // verbatim carry: file-grain driver copy
+      ZTable.copyFrame(fs, dvSrc.toString, s"$root/$dir/_dv")
     writeColmap(spark, root, dir, cm)
     // physical files unchanged: the pinned read schema (if any)
     // stays valid across a metadata-only mapping commit
@@ -2341,9 +2346,8 @@ object ManifestTable {
     // deletions (file keys are dir/file, valid across the carry)
     Seq("_stats", "_bloom", "_dv").foreach { frame =>
       val src = new Path(s"$root/$srcDir/$frame")
-      if (fs.exists(src)) // tiny file-metadata frames: re-write whole
-        spark.read.parquet(src.toString).repartition(1)
-          .write.parquet(s"$root/$dir/$frame")
+      if (fs.exists(src)) // verbatim carry: file-grain driver copy
+        ZTable.copyFrame(fs, src.toString, s"$root/$dir/$frame")
     }
     // the restored version's logical schema rides with its mapping
     // (and its pinned physical read schema, when mixed-backed)
@@ -2405,20 +2409,20 @@ object ManifestTable {
         // tiny file-metadata frames; `path` entries become absolute so
         // the clone's planner resolves them without knowing the source
         import org.apache.spark.sql.functions.{col, concat, lit, when}
-        spark.read.parquet(src.toString)
+        MetaIO.readParquet(spark, src.toString)
           .withColumn("path",
             when(col("path").startsWith("/") ||
                  col("path").contains("://"), col("path"))
               .otherwise(concat(lit(s"$sourceRoot/"), col("path"))))
-          .repartition(1).write.parquet(s"$cloneRoot/$dir/$frame")
+          .coalesce(1).write.parquet(s"$cloneRoot/$dir/$frame")
       }
     }
     // the deletion vector rides VERBATIM: its `path` column is the
     // dir/file key, which an absolute external ref still ends in
     val dvSrc = new Path(s"$sourceRoot/$srcDir/_dv")
-    if (srcFs.exists(dvSrc))
-      spark.read.parquet(dvSrc.toString).repartition(1)
-        .write.parquet(s"$cloneRoot/$dir/_dv")
+    if (srcFs.exists(dvSrc)) // verbatim carry: file-grain driver copy
+      ZTable.copyFrame(srcFs, dvSrc.toString, s"$cloneRoot/$dir/_dv",
+        fDst = fs)
     // the clone inherits the source's logical schema mapping (and
     // its pinned physical read schema, when mixed-backed)
     colmapOf(spark, sourceRoot, srcDir).foreach(cmS =>
@@ -2662,7 +2666,7 @@ object ManifestTable {
       val surviving = v.join(
         smallKeys.toDF("path"), Seq("path"), "left_anti")
       if (surviving.limit(1).count() > 0)
-        surviving.repartition(1).write.parquet(s"$root/$dir/_dv")
+        surviving.coalesce(1).write.parquet(s"$root/$dir/_dv")
     }
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((large ++ appended).mkString("\n").getBytes("UTF-8"))

@@ -101,7 +101,7 @@ object PartitionedTable {
       dir: String, rows: Seq[(String, String)], pcol: String): Unit = {
     import spark.implicits._
     rows.toDF("path", "value").withColumn("pcol", lit(pcol))
-      .repartition(1).write.parquet(s"$root/$dir/_parts")
+      .coalesce(1).write.parquet(s"$root/$dir/_parts")
   }
 
   /** The partition metadata of a version DIR, if it carries any:
@@ -113,7 +113,7 @@ object PartitionedTable {
     val p = new org.apache.hadoop.fs.Path(s"$root/$dir/_parts")
     if (!fs(spark, root).exists(p)) None
     else {
-      val rows = spark.read.parquet(p.toString).collect()
+      val rows = MetaIO.readParquet(spark, p.toString).collect()
       if (rows.isEmpty) None
       else Some((rows.head.getString(rows.head.fieldIndex("pcol")),
         rows.toSeq.map(r => (r.getString(r.fieldIndex("path")),
@@ -129,7 +129,7 @@ object PartitionedTable {
     require(fs(spark, root).exists(p),
       s"version $v of $root carries no partition metadata — commit " +
         "through PartitionedTable.commitPartitioned first")
-    spark.read.parquet(p.toString)
+    MetaIO.readParquet(spark, p.toString)
   }
 
   /** Commit `df` as the next version, partitioned by `pcol` — one
@@ -252,8 +252,8 @@ object PartitionedTable {
       s"no partition of $root matches ${values.mkString(",")}")
     val next = base + 1
     val dir = ManifestTable.newDataDirName(next)
-    val touchedRaw = spark.read.parquet(
-      touched.map(r => ManifestTable.resolveRef(root, r._1)): _*)
+    val touchedRaw = MetaIO.readParquet(spark,
+      touched.map(r => ManifestTable.resolveRef(root, r._1)))
     // the base version's DELETION VECTOR applies to the touched read
     // (reading the raw paths would RESURRECT rows a prior DV delete
     // removed); the rewrite MATERIALIZES those deletions for the
@@ -331,8 +331,8 @@ object PartitionedTable {
     if (paths.isEmpty)
       ManifestTable.read(spark, root).get.filter(lit(false))
     else {
-      val raw = spark.read.parquet(
-        paths.map(p => ManifestTable.resolveRef(root, p)): _*)
+      val raw = MetaIO.readParquet(spark,
+        paths.map(p => ManifestTable.resolveRef(root, p)))
       // a merge-on-read DELETE's vector applies to the pruned read
       // too (reading raw paths would resurrect deleted rows)
       ManifestTable.dvOf(spark, root, dir)
@@ -387,7 +387,7 @@ object PartitionedTable {
       val kept = dv.join(
         broadcast(keys.toDF("path")), Seq("path"), "left_semi")
       if (!kept.isEmpty)
-        kept.repartition(1).write.parquet(s"$root/$dir/_dv")
+        kept.coalesce(1).write.parquet(s"$root/$dir/_dv")
     }
     // committed skipping stats survive partitioned DML (no-op when
     // the base never committed stats): carried files keep their

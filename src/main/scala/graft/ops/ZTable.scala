@@ -112,7 +112,7 @@ object ZTable {
   private def mByPath(spark: SparkSession, root: String, dir: String,
       bl: DataFrame): DataFrame = geomOf(spark, root, dir) match {
     case Some(bpk) =>
-      spark.read.parquet(s"$root/$dir/_stats")
+      MetaIO.readParquet(spark, s"$root/$dir/_stats")
         .select(col("path"),
           greatest(lit(M), col("n_rows") * bpk).as("m"))
     case None =>
@@ -134,7 +134,7 @@ object ZTable {
     * probe as ONE metadata pass instead of one join per key. */
   private[ops] def bloomProbePathsAny(spark: SparkSession, root: String,
       dir: String, keys: Column): Seq[String] = {
-    val bl = spark.read.parquet(s"$root/$dir/_bloom")
+    val bl = MetaIO.readParquet(spark, s"$root/$dir/_bloom")
     val keyRows = spark.range(1).select(explode(keys).as("key"))
     val probes = Seq(501, 502).map(seed =>
       keyRows.select(col("key"), lit(seed).as("j"),
@@ -315,7 +315,7 @@ object ZTable {
       val kept = v.join(broadcast(keys.toDF("path")),
         Seq("path"), "left_semi")
       if (!kept.isEmpty)
-        kept.repartition(1).write.parquet(s"$root/$dir/_dv")
+        kept.coalesce(1).write.parquet(s"$root/$dir/_dv")
     }
     // stats: extend when the base has them; otherwise ESTABLISH for
     // the whole version (partial coverage would be unsound)
@@ -341,7 +341,7 @@ object ZTable {
     require(fs(spark, root).exists(p),
       s"version $v of $root has no committed skipping stats — run " +
         "optimizeZOrder first")
-    spark.read.parquet(p.toString)
+    MetaIO.readParquet(spark, p.toString)
   }
 
   /** Committed per-file Bloom registers of version `v` (rows of
@@ -350,7 +350,8 @@ object ZTable {
       : Option[DataFrame] = {
     val dir = ManifestTable.versionDataDir(spark, root, v)
     val p = new org.apache.hadoop.fs.Path(s"$root/$dir/_bloom")
-    if (fs(spark, root).exists(p)) Some(spark.read.parquet(p.toString))
+    if (fs(spark, root).exists(p))
+      Some(MetaIO.readParquet(spark, p.toString))
     else None
   }
 
@@ -378,8 +379,8 @@ object ZTable {
       if (keep.isEmpty)
         ManifestTable.readVersion(spark, root, v).filter(lit(false))
       else {
-        val raw = spark.read.parquet(
-          keep.map(p => ManifestTable.resolveRef(root, p)): _*)
+        val raw = MetaIO.readParquet(spark,
+          keep.map(p => ManifestTable.resolveRef(root, p)))
         // a merge-on-read version's deletions apply to the pruned
         // read too (stats keep pre-delete bounds — still a sound
         // SUPERSET, deletion only shrinks file content)
@@ -474,8 +475,8 @@ object ZTable {
     val touchedPaths = touched.map(r => s(r, "path")).toIndexedSeq
     val baseDir = ManifestTable.versionDataDir(spark, root, base)
     val dv = ManifestTable.dvOf(spark, root, baseDir)
-    val touchedRaw = spark.read.parquet(
-      touchedPaths.map(p => ManifestTable.resolveRef(root, p)): _*)
+    val touchedRaw = MetaIO.readParquet(spark,
+      touchedPaths.map(p => ManifestTable.resolveRef(root, p)))
     // a merge-on-read version's deletions MATERIALIZE for the files
     // this rewrite touches (they are being rewritten anyway) and are
     // CARRIED for the untouched rest
@@ -502,7 +503,7 @@ object ZTable {
       val carried = d.filter(col("path")
         .isin(untouchedKeys.toSeq: _*))
       if (!carried.isEmpty)
-        carried.repartition(1).write.parquet(s"$root/$dir/_dv")
+        carried.coalesce(1).write.parquet(s"$root/$dir/_dv")
     }
     val manifest = (untouchedPaths ++ newPaths).mkString("\n")
     val f = fs(spark, root)
@@ -554,7 +555,7 @@ object ZTable {
     val f = fs(spark, root)
     val stPath = new org.apache.hadoop.fs.Path(s"$root/$baseDir/_stats")
     if (!f.exists(stPath)) return false
-    val stDf0 = spark.read.parquet(stPath.toString)
+    val stDf0 = MetaIO.readParquet(spark, stPath.toString)
     val head = stDf0.limit(1).collect().headOption.getOrElse(return false)
     def s(c: String) = head.getString(head.fieldIndex(c))
     val xCol = s("x_col")
@@ -590,14 +591,14 @@ object ZTable {
         val carriedStats = stDf0.join(broadcast(ps.toDF("path")),
           Seq("path"), "left_semi")
         val carriedBloom =
-          if (hasBloom) Some(spark.read.parquet(bloomPath.toString)
+          if (hasBloom) Some(MetaIO.readParquet(spark, bloomPath.toString)
             .join(broadcast(ps.toDF("path")), Seq("path"), "left_semi"))
           else None
         if (appendedPaths.isEmpty) {
-          carriedStats.repartition(1)
+          carriedStats.coalesce(1)
             .write.parquet(s"$root/$newDir/_stats")
           carriedBloom.foreach { cb =>
-            cb.repartition(1).write.parquet(s"$root/$newDir/_bloom")
+            cb.coalesce(1).write.parquet(s"$root/$newDir/_bloom")
             geomOf(spark, root, baseDir).foreach(bpk =>
               writeGeom(f, root, newDir, bpk))
           }
@@ -609,16 +610,22 @@ object ZTable {
     true
   }
 
-  /** File-grain copy of a tiny metadata frame dir (stats/Bloom) —
-    * driver IO, no Spark job. */
-  private def copyFrame(f: org.apache.hadoop.fs.FileSystem,
-      src: String, dst: String): Unit = {
+  /** File-grain copy of a tiny metadata frame dir (stats/Bloom/DV/
+    * parts) — driver IO, no Spark job. Shared with the verbatim-carry
+    * commit paths in [[ManifestTable]] (a Spark read+repartition+write
+    * of a 1-file frame costs ~3 jobs; this is milliseconds of driver
+    * IO with identical bytes-level content). Two-filesystem form for
+    * cross-root clones. */
+  private[ops] def copyFrame(f: org.apache.hadoop.fs.FileSystem,
+      src: String, dst: String,
+      fDst: org.apache.hadoop.fs.FileSystem = null): Unit = {
+    val fd = if (fDst == null) f else fDst
     val s = new org.apache.hadoop.fs.Path(src)
     val d = new org.apache.hadoop.fs.Path(dst)
-    f.mkdirs(d)
+    fd.mkdirs(d)
     f.listStatus(s).filter(st => !st.getPath.getName.startsWith("."))
       .foreach(st => org.apache.hadoop.fs.FileUtil.copy(f, st.getPath,
-        f, new org.apache.hadoop.fs.Path(d, st.getPath.getName),
+        fd, new org.apache.hadoop.fs.Path(d, st.getPath.getName),
         false, f.getConf))
   }
 
@@ -644,7 +651,7 @@ object ZTable {
       carriedBloom: Option[DataFrame], append: Boolean = false,
       bloomBpk: Option[Long] = Some(bloomBitsPerKey)): Unit = {
     val mode = if (append) "append" else "errorifexists"
-    val df = spark.read.parquet(paths.map(p => s"$root/$p"): _*)
+    val df = MetaIO.readParquet(spark, paths.map(p => s"$root/$p"))
     val withPath = df.withColumn("__path",
       substring_index(input_file_name(), "/", -2))
     val fresh0 = withPath.groupBy(col("__path").as("path"))
@@ -657,6 +664,14 @@ object ZTable {
       .withColumn("y_col", lit(yCol))
       .withColumn("bloom_col",
         bloomCol.map(lit(_)).getOrElse(lit(null).cast("string")))
+    // ONE action materializes the per-file rows to the driver
+    // (O(files) — the planning grain). The previous shape collected
+    // only the KEY SET, then re-ran the same aggregation inside the
+    // frame write, then re-read the written frame for the Bloom
+    // sizes: three scans of the appended bytes plus a read-back
+    // where one scan carries everything (guide §1.2 — don't compute
+    // things twice).
+    val freshRows = fresh0.collect().toSeq
     // EMPTY files yield no read-back group — synthesize their rows
     // (0 rows, NULL bounds) so stats(v) covers EXACTLY the version's
     // file list at all times: a listed file with no stats row would
@@ -665,38 +680,37 @@ object ZTable {
     // from empty shuffle partitions in a small post-image write or an
     // over-provisioned repartitionByRange.) O(files) driver set-diff
     // — the planning grain.
-    val freshKeys = fresh0.select("path").collect()
-      .map(_.getString(0)).toSet
+    val freshKeys = freshRows.map(_.getString(0)).toSet
     val missing = paths.map(p =>
       p.split('/').takeRight(2).mkString("/"))
       .filterNot(freshKeys.contains)
-    val fresh =
-      if (missing.isEmpty) fresh0
-      else fresh0.unionByName(spark.createDataFrame(
-        java.util.Arrays.asList(missing.map(p =>
-          org.apache.spark.sql.Row(p, 0L, null, null, null, null,
-            xCol, yCol, bloomCol.orNull)): _*), fresh0.schema))
+    val allLocal = freshRows ++ missing.map(p =>
+      org.apache.spark.sql.Row(p, 0L, null, null, null, null,
+        xCol, yCol, bloomCol.orNull))
+    val fresh = spark.createDataFrame(
+      java.util.Arrays.asList(allLocal: _*), fresh0.schema)
     val allStats = carriedStats.fold(fresh)(_ unionByName fresh)
-    allStats.repartition(1).write.mode(mode)
+    allStats.coalesce(1).write.mode(mode)
       .parquet(s"$root/$dir/_stats")
     bloomCol.foreach { bc =>
       // q221's register shape at committed grain: (path, word, bits)
       // rows built by ONE bit_or agg; 32-bit blocks keep the shifted
       // bit far from the sign bit. Register size per file: scaled
-      // frames (`bloomBpk` Some) use m = max(8192, bpk·n_rows) off the
-      // JUST-WRITTEN `_stats` rows (a tiny metadata read — never a
-      // second data scan), so registers grow with the file instead of
-      // saturating; legacy frames stay at the fixed M. The per-path m
-      // MUST match what [[bloomProbePaths]] derives at read time —
-      // both sides compute it from the same committed n_rows.
-      val pathKeys = paths.map(_.split('/').takeRight(2).mkString("/"))
-      val mExpr = bloomBpk match {
-        case Some(bpk) => greatest(lit(M), col("n_rows") * bpk)
-        case None => lit(M)
+      // frames (`bloomBpk` Some) use m = max(8192, bpk·n_rows) off
+      // the SAME collected rows the `_stats` frame was written from
+      // (no read-back — byte-identical inputs), so registers grow
+      // with the file instead of saturating; legacy frames stay at
+      // the fixed M. The per-path m MUST match what
+      // [[bloomProbePaths]] derives at read time — both sides compute
+      // it from the same committed n_rows.
+      val mOf: Long => Long = bloomBpk match {
+        case Some(bpk) => n => math.max(M, n * bpk)
+        case None => _ => M
       }
-      val sizes = spark.read.parquet(s"$root/$dir/_stats")
-        .where(col("path").isin(pathKeys: _*))
-        .select(col("path"), mExpr.as("m"))
+      import spark.implicits._
+      val sizes = allLocal
+        .map(r => (r.getString(0), mOf(r.getLong(1))))
+        .toDF("path", "m")
       val words = Seq(501, 502).map(seed =>
         withPath.select(col("__path").as("path"),
           graft.functions.TextFunctions.hash60(col(bc), seed)
@@ -710,7 +724,7 @@ object ZTable {
       val freshBloom = words.groupBy(col("path"), col("word"))
         .agg(expr("bit_or(bit)").as("bits"))
       val allBloom = carriedBloom.fold(freshBloom)(_ unionByName freshBloom)
-      allBloom.repartition(1).write.mode(mode)
+      allBloom.coalesce(1).write.mode(mode)
         .parquet(s"$root/$dir/_bloom")
       bloomBpk.foreach(bpk => writeGeom(fs(spark, root), root, dir, bpk))
     }
@@ -743,8 +757,8 @@ object ZTable {
     val cands = bloomCandidateFiles(spark, root, key)
     if (cands.isEmpty)
       return ManifestTable.readVersion(spark, root, v).filter(lit(false))
-    val raw = spark.read.parquet(
-      cands.map(p => ManifestTable.resolveRef(root, p)): _*)
+    val raw = MetaIO.readParquet(spark,
+      cands.map(p => ManifestTable.resolveRef(root, p)))
     ManifestTable.dvOf(spark, root,
       ManifestTable.versionDataDir(spark, root, v))
       .fold(raw)(ManifestTable.applyDv(raw, _))
