@@ -111,6 +111,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local FS without the per-file chmod fork (no native hadoop
+      // lib on the driver box; see [[graft.ops.FastLocalFileSystem]])
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.ops.FastLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
     // q241/q243/q245 drive table-format DML through spark.sql text;
     // the parser/TVF/optimizer injection only applies at session

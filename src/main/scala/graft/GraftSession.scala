@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // local FS without the per-file chmod fork (see
+      // [[graft.ops.FastLocalFileSystem]]); non-local stores unaffected
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.ops.FastLocalFileSystem].getName)
       // backward compat: lets a TIMESTAMP(NANOS) events file (older
       // driver testdata) read as raw INT64; Tables rewrites it to
       // micros only when the resolved type is LongType

@@ -21,6 +21,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.ops.FastLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
       // SQL-text surface (q241 drives DML through spark.sql strings):
       // parser injection only applies at session construction

@@ -95,4 +95,143 @@ object MetaIO {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
+
+  /** Per-file (n_rows, min, max of two int-typed columns) straight
+    * from the parquet FOOTER — the stats a data read-back would
+    * compute, without the read-back job. Returns None (caller falls
+    * back to the Spark scan) unless BOTH columns are top-level
+    * INT32/INT64 primitives with plain signed-integer (or absent)
+    * logical annotations in EVERY file — the only shapes where
+    * `min(cast(col as long))` over rows provably equals the footer
+    * min: the cast is a widening identity, and parquet int statistics
+    * are exact (unlike binary stats, which may be truncated). A chunk
+    * missing statistics bails the whole resolution — sound fallback,
+    * never a guess. Footer row counts are exact for every type.
+    *
+    * Element order: (fileKey, n_rows, min_a, max_a, min_b, max_b)
+    * with fileKey = the last two path segments (the engine's file
+    * key), nulls when a column is all-null in the file. */
+  def footerIntStats(spark: SparkSession, absPaths: Seq[String],
+      colA: String, colB: String)
+      : Option[Seq[(String, Long, Any, Any, Any, Any)]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val conf = spark.sparkContext.hadoopConfiguration
+    def intOk(t: org.apache.parquet.schema.Type): Boolean =
+      t.isPrimitive && {
+        val p = t.asPrimitiveType()
+        (p.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
+          p.getPrimitiveTypeName == PrimitiveTypeName.INT64) &&
+        (p.getLogicalTypeAnnotation == null ||
+          (p.getLogicalTypeAnnotation match {
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+              i.isSigned
+            case _ => false
+          }))
+      }
+    val out = absPaths.map { ap =>
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, new Path(ap),
+        org.apache.parquet.format.converter.ParquetMetadataConverter
+          .NO_FILTER)
+      val schema = footer.getFileMetaData.getSchema
+      def fieldOk(c: String) =
+        schema.containsField(c) &&
+          intOk(schema.getType(schema.getFieldIndex(c)))
+      if (!fieldOk(colA) || !fieldOk(colB)) return None
+      import scala.jdk.CollectionConverters._
+      val blocks = footer.getBlocks.asScala
+      val nRows = blocks.map(_.getRowCount).sum
+      // inner None = stats missing/unusable for this column → the
+      // whole resolution bails to the Spark scan (sound fallback)
+      def minMax(c: String): Option[(Any, Any)] = {
+        var mn: Option[Long] = None
+        var mx: Option[Long] = None
+        val it = blocks.iterator
+        while (it.hasNext) {
+          val b = it.next()
+          val ccOpt = b.getColumns.asScala.find(
+            _.getPath.toDotString == c)
+          if (ccOpt.isEmpty) return None
+          val cc = ccOpt.get
+          val st = cc.getStatistics
+          if (st == null || !st.isNumNullsSet ||
+              (st.getNumNulls < cc.getValueCount && !st.hasNonNullValue))
+            return None
+          if (st.hasNonNullValue) {
+            val lo = st.genericGetMin match {
+              case i: java.lang.Integer => i.longValue
+              case l: java.lang.Long => l.longValue
+              case _ => return None
+            }
+            val hi = st.genericGetMax match {
+              case i: java.lang.Integer => i.longValue
+              case l: java.lang.Long => l.longValue
+              case _ => return None
+            }
+            mn = Some(mn.fold(lo)(math.min(_, lo)))
+            mx = Some(mx.fold(hi)(math.max(_, hi)))
+          }
+        }
+        Some((mn.orNull, mx.orNull))
+      }
+      val a = minMax(colA).getOrElse(return None)
+      val b = minMax(colB).getOrElse(return None)
+      val key = ap.split('/').takeRight(2).mkString("/")
+      (key, nRows, a._1, a._2, b._1, b._2)
+    }
+    Some(out)
+  }
+
+  /** First row of a tiny metadata parquet dir, read on the DRIVER
+    * (parquet-mr example reader — no Spark job): (column name →
+    * value) for string/long primitives, absent fields null. Memoized
+    * per (session, dir) — committed frame dirs are immutable. Used
+    * for the `_stats` frame HEAD (x_col/y_col/bloom_col), which every
+    * [[ZTable.extendStats]] call on a MoR DML commit needs. */
+  private val headMemo = new graft.SessionMemo[Option[Map[String, Any]]]()
+  def frameHead(spark: SparkSession, dir: String)
+      : Option[Map[String, Any]] =
+    headMemo.getOrElseUpdate(spark, dir, {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val d = new Path(dir)
+      val fs = d.getFileSystem(conf)
+      val file = fs.listStatus(d).iterator
+        .map(_.getPath)
+        .filter(p => { val n = p.getName
+          !n.startsWith("_") && !n.startsWith(".") })
+        .toSeq.sortBy(_.getName).headOption
+      file.flatMap { f =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            f)
+          .withConf(conf).build()
+        try {
+          Option(reader.read()).map { g =>
+            val gt = g.getType
+            (0 until gt.getFieldCount).map { i =>
+              val ft = gt.getType(i)
+              val name = ft.getName
+              val v: Any =
+                if (g.getFieldRepetitionCount(i) == 0) null
+                else if (!ft.isPrimitive) null
+                else ft.asPrimitiveType().getPrimitiveTypeName match {
+                  case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.BINARY => g.getString(i, 0)
+                  case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT64 => g.getLong(i, 0)
+                  case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT32 => g.getInteger(i, 0)
+                  case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.BOOLEAN => g.getBoolean(i, 0)
+                  case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.DOUBLE => g.getDouble(i, 0)
+                  case _ => null
+                }
+              name -> v
+            }.toMap
+          }
+        } finally reader.close()
+      }
+    })
 }

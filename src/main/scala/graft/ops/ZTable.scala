@@ -555,13 +555,14 @@ object ZTable {
     val f = fs(spark, root)
     val stPath = new org.apache.hadoop.fs.Path(s"$root/$baseDir/_stats")
     if (!f.exists(stPath)) return false
-    val stDf0 = MetaIO.readParquet(spark, stPath.toString)
-    val head = stDf0.limit(1).collect().headOption.getOrElse(return false)
-    def s(c: String) = head.getString(head.fieldIndex(c))
+    // frame HEAD (x_col/y_col/bloom_col) from a driver-side parquet
+    // read, memoized per immutable dir — no Spark job per DML commit
+    val head = MetaIO.frameHead(spark, stPath.toString)
+      .getOrElse(return false)
+    def s(c: String) = head(c).asInstanceOf[String]
     val xCol = s("x_col")
     val yCol = s("y_col")
-    val bloomCol = Option(head.get(head.fieldIndex("bloom_col")))
-      .map(_.toString)
+    val bloomCol = Option(head("bloom_col")).map(_.toString)
     val bloomPath = new org.apache.hadoop.fs.Path(s"$root/$baseDir/_bloom")
     val hasBloom = f.exists(bloomPath)
     carriedPaths match {
@@ -588,7 +589,8 @@ object ZTable {
         // filtered carry (binPack/reorg drop rewritten files' rows):
         // the join path — still O(files) metadata
         import spark.implicits._
-        val carriedStats = stDf0.join(broadcast(ps.toDF("path")),
+        val carriedStats = MetaIO.readParquet(spark, stPath.toString)
+          .join(broadcast(ps.toDF("path")),
           Seq("path"), "left_semi")
         val carriedBloom =
           if (hasBloom) Some(MetaIO.readParquet(spark, bloomPath.toString)
@@ -622,11 +624,33 @@ object ZTable {
     val fd = if (fDst == null) f else fDst
     val s = new org.apache.hadoop.fs.Path(src)
     val d = new org.apache.hadoop.fs.Path(dst)
-    fd.mkdirs(d)
-    f.listStatus(s).filter(st => !st.getPath.getName.startsWith("."))
-      .foreach(st => org.apache.hadoop.fs.FileUtil.copy(f, st.getPath,
-        fd, new org.apache.hadoop.fs.Path(d, st.getPath.getName),
-        false, f.getConf))
+    def isLocal(p: String) =
+      !p.contains("://") || p.startsWith("file:")
+    if (isLocal(src) && isLocal(dst)) {
+      // pure-nio byte copy, .crc sidecars included VERBATIM (bytes
+      // identical → checksums stay valid): the Hadoop FileUtil route
+      // re-created every file through ChecksumFileSystem.create,
+      // paying a chmod (a process FORK without the native lib) and a
+      // checksum recompute per file
+      def local(p: String) =
+        new java.io.File(if (p.startsWith("file:"))
+          new java.net.URI(p).getPath else p)
+      val sd = local(src)
+      val dd = local(dst)
+      java.nio.file.Files.createDirectories(dd.toPath)
+      Option(sd.listFiles()).getOrElse(Array.empty).foreach { sf =>
+        if (sf.isFile)
+          java.nio.file.Files.copy(sf.toPath,
+            new java.io.File(dd, sf.getName).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } else {
+      fd.mkdirs(d)
+      f.listStatus(s).filter(st => !st.getPath.getName.startsWith("."))
+        .foreach(st => org.apache.hadoop.fs.FileUtil.copy(f, st.getPath,
+          fd, new org.apache.hadoop.fs.Path(d, st.getPath.getName),
+          false, f.getConf))
+    }
   }
 
   /** The data files of a freshly-written dir, as root-relative paths
@@ -664,14 +688,25 @@ object ZTable {
       .withColumn("y_col", lit(yCol))
       .withColumn("bloom_col",
         bloomCol.map(lit(_)).getOrElse(lit(null).cast("string")))
-    // ONE action materializes the per-file rows to the driver
-    // (O(files) — the planning grain). The previous shape collected
-    // only the KEY SET, then re-ran the same aggregation inside the
-    // frame write, then re-read the written frame for the Bloom
-    // sizes: three scans of the appended bytes plus a read-back
-    // where one scan carries everything (guide §1.2 — don't compute
-    // things twice).
-    val freshRows = fresh0.collect().toSeq
+    // Per-file rows from the parquet FOOTERS when both dims are
+    // plain int physical types (exact by construction — int column
+    // statistics are never truncated, row counts always exact): zero
+    // Spark jobs for the stats themselves. Any other shape falls back
+    // to ONE action materializing the read-back aggregation to the
+    // driver (O(files) — the planning grain). The pre-round-15 shape
+    // collected only the KEY SET, then re-ran the same aggregation
+    // inside the frame write, then re-read the written frame for the
+    // Bloom sizes: three scans of the appended bytes plus a
+    // read-back where one footer pass (or one scan) carries
+    // everything (guide §1.2 — don't compute things twice).
+    val freshRows: Seq[org.apache.spark.sql.Row] =
+      MetaIO.footerIntStats(spark, paths.map(p => s"$root/$p"),
+          xCol, yCol) match {
+        case Some(rows) => rows.map { case (k, n, mnx, mxx, mny, mxy) =>
+          org.apache.spark.sql.Row(k, n, mnx, mxx, mny, mxy,
+            xCol, yCol, bloomCol.orNull) }
+        case None => fresh0.collect().toSeq
+      }
     // EMPTY files yield no read-back group — synthesize their rows
     // (0 rows, NULL bounds) so stats(v) covers EXACTLY the version's
     // file list at all times: a listed file with no stats row would

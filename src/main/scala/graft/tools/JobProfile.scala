@@ -17,6 +17,8 @@ object JobProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.ops.FastLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.expressions.GraftExtensions)
       .getOrCreate()

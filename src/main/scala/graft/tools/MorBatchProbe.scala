@@ -17,6 +17,8 @@ object MorBatchProbe {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.ops.FastLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.ops.ManifestTable

@@ -12,6 +12,8 @@ object Probe {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.ops.FastLocalFileSystem].getName)
       // q241 drives table-format DML through spark.sql text
       .withExtensions(new graft.expressions.GraftExtensions)
     // extra confs for A/B plan experiments, e.g.

@@ -13,6 +13,8 @@ object ReadPhaseProbe {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.ops.FastLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.ops.ManifestTable
