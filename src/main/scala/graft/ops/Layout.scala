@@ -141,6 +141,6 @@ object Layout {
     * files total. */
   def skipScan(spark: org.apache.spark.sql.SparkSession, path: String,
       fileIds: Seq[Long]): DataFrame =
-    spark.read.parquet(path)
+    MetaIO.readParquet(spark, path)
       .filter(col("file_id").isin(fileIds: _*))
 }

@@ -45,14 +45,20 @@ object MetaIO {
     converter.convert(footer.getFileMetaData.getSchema)
   }
 
-  /** First data file of `dir` (non-underscore, non-dot), if any. */
+  /** First data FILE of `dir` (non-underscore, non-dot), if any.
+    * Returns None when the dir contains non-hidden SUBDIRECTORIES — a
+    * hive-partitioned layout, where an explicit footer schema would
+    * silently DROP the discovered partition columns; those reads must
+    * stay on the inferring path. */
   private def firstDataFile(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path): Option[Path] =
-    fs.listStatus(dir).iterator
-      .map(_.getPath)
-      .filter(p => { val n = p.getName
+      dir: Path): Option[Path] = {
+    val visible = fs.listStatus(dir)
+      .filter(st => { val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".") })
+    if (visible.exists(_.isDirectory)) None
+    else visible.iterator.map(_.getPath)
       .toSeq.sortBy(_.getName).headOption
+  }
 
   /** Session-memoized schema of the parquet tree at `path` (a version
     * data dir, a metadata frame dir like `_dv`/`_stats`/`_bloom`, or

@@ -101,7 +101,7 @@ object Partitioned {
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    MetaIO.readParquet(spark, path)
 
   /** Number of files the plan ACTUALLY scanned after partition pruning
     * (from the scan node's numFiles metric; `df.inputFiles` reports

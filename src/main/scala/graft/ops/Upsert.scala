@@ -316,6 +316,6 @@ object Upsert {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverAtomic(fs, dst, new org.apache.hadoop.fs.Path(path + "__old"))
-    if (fs.exists(dst)) Some(spark.read.parquet(path)) else None
+    if (fs.exists(dst)) Some(MetaIO.readParquet(spark, path)) else None
   }
 }

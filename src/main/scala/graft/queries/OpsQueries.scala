@@ -789,7 +789,7 @@ object OpsQueries extends QueryPack {
       // by actually reading ONLY the candidate files
       val probeKey = target.agg(min($"o_orderkey")).head().getLong(0)
       val cand = ZTable.bloomCandidateFiles(s, root, lit(probeKey))
-      val found = s.read.parquet(cand.map(p => s"$root/$p"): _*)
+      val found = graft.ops.MetaIO.readParquet(s, cand.map(p => s"$root/$p"))
         .filter($"o_orderkey" === probeKey).count()
       scan.agg(count(lit(1)).as("n_rows"),
           sum($"o_totalprice".cast("decimal(18,6)"))
@@ -2369,8 +2369,8 @@ object OpsQueries extends QueryPack {
       val frags = p4.filterNot(r => v1Paths.contains(r._1))
       val fragPure = frags.nonEmpty && frags.groupBy(_._2).forall {
         case (month, rows) =>
-          s.read.parquet(rows.map(r =>
-              s"$root/${r._1}"): _*)
+          graft.ops.MetaIO.readParquet(s, rows.map(r =>
+              s"$root/${r._1}"))
             .filter($"o_month" =!= month).count() == 0L
       }
       ManifestTable.read(s, root).get

@@ -57,7 +57,7 @@ object ModelRegistry {
     def exists(name: String): Boolean = recoveredExists(name)
     def read(name: String): DataFrame = {
       recoveredExists(name)
-      spark.read.parquet(path(name))
+      graft.ops.MetaIO.readParquet(spark, path(name))
     }
     def overwrite(name: String, df: DataFrame): Unit =
       Upsert.overwriteAtomic(df, path(name))

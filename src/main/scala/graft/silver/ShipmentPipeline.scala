@@ -76,6 +76,6 @@ object ShipmentPipeline {
     val merged = Upsert.upsert(target, deduped,
       keys = Seq("order_id", "carrier_id", "seller_id"))
     Upsert.overwriteAtomic(merged, targetPath)
-    spark.read.parquet(targetPath)
+    graft.ops.MetaIO.readParquet(spark, targetPath)
   }
 }

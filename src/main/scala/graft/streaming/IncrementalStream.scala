@@ -86,7 +86,7 @@ object IncrementalStream {
               deduped, targetPath, Seq(partitionCol))
           } else {
             // partition-pruned slice of the target: only touched dates
-            val slice = spark.read.parquet(targetPath)
+            val slice = graft.ops.MetaIO.readParquet(spark, targetPath)
               .filter(col(partitionCol).isin(touched: _*))
             val merged = Upsert.upsert(slice, deduped, keys)
             // materialize the slice off-table first, then promote by
