@@ -2665,8 +2665,12 @@ object ManifestTable {
       import spark.implicits._
       val surviving = v.join(
         smallKeys.toDF("path"), Seq("path"), "left_anti")
-      if (surviving.limit(1).count() > 0)
-        surviving.coalesce(1).write.parquet(s"$root/$dir/_dv")
+      // ONE pass: write, then drop the frame if no row survived (the
+      // old limit(1)-probe ran the same anti-join twice). Row count
+      // from the written footers — driver-side, exact, no job.
+      surviving.coalesce(1).write.parquet(s"$root/$dir/_dv")
+      if (MetaIO.footerRowCount(spark, s"$root/$dir/_dv") == 0L)
+        fs.delete(new Path(new Path(root, dir), "_dv"), true)
     }
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((large ++ appended).mkString("\n").getBytes("UTF-8"))

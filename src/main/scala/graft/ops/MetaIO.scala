@@ -189,6 +189,24 @@ object MetaIO {
     Some(out)
   }
 
+  /** Total row count of the parquet files under `dir` (non-recursive),
+    * from footers on the driver — exact for every type, no job. */
+  def footerRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    import scala.jdk.CollectionConverters._
+    fs.listStatus(d).iterator
+      .filter(st => st.isFile && { val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") })
+      .map { st =>
+        org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, st.getPath,
+          org.apache.parquet.format.converter.ParquetMetadataConverter
+            .NO_FILTER).getBlocks.asScala.map(_.getRowCount).sum
+      }.sum
+  }
+
   /** First row of a tiny metadata parquet dir, read on the DRIVER
     * (parquet-mr example reader — no Spark job): (column name →
     * value) for string/long primitives, absent fields null. Memoized

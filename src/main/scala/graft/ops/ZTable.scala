@@ -190,9 +190,38 @@ object ZTable {
     // when one dim's constant high bits starve the other's. The
     // curve sees [0, 2^bits) per dim; the committed STATS keep raw
     // values, so pruning and DML scoping are exact regardless.
-    val b = df.agg(min(col(xCol).cast("long")),
-      max(col(xCol).cast("long")), min(col(yCol).cast("long")),
-      max(col(yCol).cast("long"))).head()
+    // Bounds from the FOOTERS when that is provably bit-identical to
+    // the aggregation: both dims plain ints (exact stats) AND no
+    // deletion vector (footer bounds are pre-delete). The z-values,
+    // layout and committed stats come out byte-identical — this only
+    // removes the bounds job, never changes the curve. Any other
+    // shape keeps the read-back aggregation.
+    val baseDir = ManifestTable.versionDataDir(spark, root, base)
+    val footerB: Option[(Any, Any, Any, Any)] =
+      if (ManifestTable.dvOf(spark, root, baseDir).nonEmpty ||
+          ManifestTable.colmapOf(spark, root, baseDir).nonEmpty) None
+      else {
+        val refs = ManifestTable.versionFileRefs(spark, root, base)
+          .getOrElse(dataPaths(spark, root, baseDir))
+        MetaIO.footerIntStats(spark,
+            refs.map(r => ManifestTable.resolveRef(root, r)),
+            xCol, yCol)
+          .map { rows =>
+            def comb(sel: ((String, Long, Any, Any, Any, Any)) => Any,
+                f: (Long, Long) => Long): Any = {
+              val vs = rows.map(sel).collect { case l: java.lang.Long => l.longValue }
+              if (vs.isEmpty) null else vs.reduce(f)
+            }
+            (comb(_._3, math.min), comb(_._4, math.max),
+              comb(_._5, math.min), comb(_._6, math.max))
+          }
+      }
+    val b: org.apache.spark.sql.Row = footerB match {
+      case Some((a1, a2, a3, a4)) => org.apache.spark.sql.Row(a1, a2, a3, a4)
+      case None => df.agg(min(col(xCol).cast("long")),
+        max(col(xCol).cast("long")), min(col(yCol).cast("long")),
+        max(col(yCol).cast("long"))).head()
+    }
     val top = (1L << bits) - 1
     def scaled(c: org.apache.spark.sql.Column, loI: Int, hiI: Int) =
       if (b.isNullAt(loI) || b.getLong(hiI) <= b.getLong(loI)) lit(0L)
