@@ -148,36 +148,36 @@ private[graft] object GraftPruning {
     // one O(files) driver collect per frame — the manifest-planning
     // grain, cached for the version's lifetime (committed dirs are
     // immutable once their marker lands)
+    // driver-side parquet-mr reads ([[MetaIO.frameRows]]) — planning
+    // must not launch Spark jobs for O(files) metadata frames
     val (pcol, partValue) =
       if (!exists("_parts")) (None, Map.empty[String, String])
       else {
-        val rows = MetaIO.readParquet(spark, s"$root/$dir/_parts").collect()
+        val rows = MetaIO.frameRows(spark, s"$root/$dir/_parts")
         if (rows.isEmpty) (None, Map.empty[String, String])
-        else (Some(rows.head.getString(rows.head.fieldIndex("pcol"))),
+        else (Some(rows.head("pcol").asInstanceOf[String]),
           rows.map(r => ManifestTable.fileKeyOf(
-              r.getString(r.fieldIndex("path"))) ->
-            r.getString(r.fieldIndex("value"))).toMap)
+              r("path").asInstanceOf[String]) ->
+            r("value").asInstanceOf[String]).toMap)
       }
     val (xCol, yCol, ranges, bloomCol) =
       if (!exists("_stats"))
         (None, None, Map.empty[String, Range], None)
       else {
-        val rows = MetaIO.readParquet(spark, s"$root/$dir/_stats").collect()
+        val rows = MetaIO.frameRows(spark, s"$root/$dir/_stats")
         if (rows.isEmpty) (None, None, Map.empty[String, Range], None)
         else {
           val h = rows.head
-          def optLong(r: org.apache.spark.sql.Row, c: String) = {
-            val i = r.fieldIndex(c)
-            if (r.isNullAt(i)) None else Some(r.getLong(i))
-          }
+          def optLong(r: Map[String, Any], c: String) =
+            Option(r(c)).map(_.asInstanceOf[Long])
           val rs = rows.map(r => ManifestTable.fileKeyOf(
-              r.getString(r.fieldIndex("path"))) ->
+              r("path").asInstanceOf[String]) ->
             Range(optLong(r, "min_x"), optLong(r, "max_x"),
               optLong(r, "min_y"), optLong(r, "max_y"))).toMap
-          val bc = Option(h.get(h.fieldIndex("bloom_col")))
+          val bc = Option(h("bloom_col"))
             .map(_.toString).filter(_ => exists("_bloom"))
-          (Some(h.getString(h.fieldIndex("x_col"))),
-            Some(h.getString(h.fieldIndex("y_col"))), rs, bc)
+          (Some(h("x_col").asInstanceOf[String]),
+            Some(h("y_col").asInstanceOf[String]), rs, bc)
         }
       }
     Meta(pcol, partValue, xCol, yCol, ranges, bloomCol)

@@ -216,46 +216,66 @@ object MetaIO {
   private val headMemo = new graft.SessionMemo[Option[Map[String, Any]]]()
   def frameHead(spark: SparkSession, dir: String)
       : Option[Map[String, Any]] =
-    headMemo.getOrElseUpdate(spark, dir, {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val d = new Path(dir)
-      val fs = d.getFileSystem(conf)
-      val file = fs.listStatus(d).iterator
-        .map(_.getPath)
-        .filter(p => { val n = p.getName
+    headMemo.getOrElseUpdate(spark, dir,
+      frameRows(spark, dir, limit = 1).headOption)
+
+  private def groupToMap(
+      g: org.apache.parquet.example.data.Group): Map[String, Any] = {
+    val gt = g.getType
+    (0 until gt.getFieldCount).map { i =>
+      val ft = gt.getType(i)
+      val name = ft.getName
+      val v: Any =
+        if (g.getFieldRepetitionCount(i) == 0) null
+        else if (!ft.isPrimitive) null
+        else ft.asPrimitiveType().getPrimitiveTypeName match {
+          case org.apache.parquet.schema.PrimitiveType
+            .PrimitiveTypeName.BINARY => g.getString(i, 0)
+          case org.apache.parquet.schema.PrimitiveType
+            .PrimitiveTypeName.INT64 => g.getLong(i, 0)
+          case org.apache.parquet.schema.PrimitiveType
+            .PrimitiveTypeName.INT32 => g.getInteger(i, 0)
+          case org.apache.parquet.schema.PrimitiveType
+            .PrimitiveTypeName.BOOLEAN => g.getBoolean(i, 0)
+          case org.apache.parquet.schema.PrimitiveType
+            .PrimitiveTypeName.DOUBLE => g.getDouble(i, 0)
+          case _ => null
+        }
+      name -> v
+    }.toMap
+  }
+
+  /** ALL rows of a tiny metadata parquet dir, read on the DRIVER
+    * (parquet-mr example reader — no Spark job): one (column name →
+    * value) map per row, string/long/int/bool/double primitives,
+    * null-safe. For O(files) planning frames (`_stats`, `_parts`) —
+    * NEVER for data. NOT memoized (callers cache at their own grain);
+    * `limit` bounds the read for head probes. */
+  def frameRows(spark: SparkSession, dir: String,
+      limit: Long = Long.MaxValue): Seq[Map[String, Any]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val files =
+      try fs.listStatus(d).iterator
+        .filter(st => st.isFile && { val n = st.getPath.getName
           !n.startsWith("_") && !n.startsWith(".") })
-        .toSeq.sortBy(_.getName).headOption
-      file.flatMap { f =>
-        val reader = org.apache.parquet.hadoop.ParquetReader
-          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-            f)
-          .withConf(conf).build()
-        try {
-          Option(reader.read()).map { g =>
-            val gt = g.getType
-            (0 until gt.getFieldCount).map { i =>
-              val ft = gt.getType(i)
-              val name = ft.getName
-              val v: Any =
-                if (g.getFieldRepetitionCount(i) == 0) null
-                else if (!ft.isPrimitive) null
-                else ft.asPrimitiveType().getPrimitiveTypeName match {
-                  case org.apache.parquet.schema.PrimitiveType
-                    .PrimitiveTypeName.BINARY => g.getString(i, 0)
-                  case org.apache.parquet.schema.PrimitiveType
-                    .PrimitiveTypeName.INT64 => g.getLong(i, 0)
-                  case org.apache.parquet.schema.PrimitiveType
-                    .PrimitiveTypeName.INT32 => g.getInteger(i, 0)
-                  case org.apache.parquet.schema.PrimitiveType
-                    .PrimitiveTypeName.BOOLEAN => g.getBoolean(i, 0)
-                  case org.apache.parquet.schema.PrimitiveType
-                    .PrimitiveTypeName.DOUBLE => g.getDouble(i, 0)
-                  case _ => null
-                }
-              name -> v
-            }.toMap
-          }
-        } finally reader.close()
-      }
-    })
+        .map(_.getPath).toSeq.sortBy(_.getName)
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Map[String, Any]]
+    files.iterator.takeWhile(_ => out.size < limit).foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          f)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null && out.size < limit) {
+          out += groupToMap(g)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.toSeq
+  }
 }

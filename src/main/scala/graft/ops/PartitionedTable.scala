@@ -113,11 +113,13 @@ object PartitionedTable {
     val p = new org.apache.hadoop.fs.Path(s"$root/$dir/_parts")
     if (!fs(spark, root).exists(p)) None
     else {
-      val rows = MetaIO.readParquet(spark, p.toString).collect()
+      // driver-side parquet-mr read — no Spark job for the O(files)
+      // partition frame every partitioned DML commit consults
+      val rows = MetaIO.frameRows(spark, p.toString)
       if (rows.isEmpty) None
-      else Some((rows.head.getString(rows.head.fieldIndex("pcol")),
-        rows.toSeq.map(r => (r.getString(r.fieldIndex("path")),
-          r.getString(r.fieldIndex("value"))))))
+      else Some((rows.head("pcol").asInstanceOf[String],
+        rows.map(r => (r("path").asInstanceOf[String],
+          r("value").asInstanceOf[String]))))
     }
   }
 
