@@ -106,16 +106,22 @@ object Bench {
     val busyStart = busyTicks()
     val selfStart = selfTicks()
     val wallStart = System.nanoTime()
-    val builder = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // local FS without the per-file chmod fork (no native hadoop
-      // lib on the driver box; see [[graft.ops.FastLocalFileSystem]])
-      .config("spark.hadoop.fs.file.impl",
-        classOf[graft.ops.FastLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
+    // local FS without the per-file chmod fork (no native hadoop lib
+    // on the driver box; see [[graft.ops.FastLocalFileSystem]]).
+    // SPARK_GRAFT_STOCK_LOCALFS=1 keeps the stock Hadoop local FS —
+    // the steal-matched A/B knob for attributing session-global drift
+    // to the fs.file.impl wiring (round-15 VERDICT "What's wrong" #1
+    // bisect protocol); subset-mode instrument, same as NO_EXT.
+    val builder =
+      if (sys.env.contains("SPARK_GRAFT_STOCK_LOCALFS")) builder0
+      else builder0.config("spark.hadoop.fs.file.impl",
+        classOf[graft.ops.FastLocalFileSystem].getName)
     // q241/q243/q245 drive table-format DML through spark.sql text;
     // the parser/TVF/optimizer injection only applies at session
     // construction. SPARK_GRAFT_NO_EXT=1 skips it — the steal-matched

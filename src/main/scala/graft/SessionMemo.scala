@@ -62,6 +62,16 @@ final class SessionMemo[V] {
     // different keys never wait on each other.
     inner.computeIfAbsent(key, _ => new SessionMemo.Cell[V]).get(compute)
   }
+
+  /** Peek: the memoized value if one was already computed for this
+    * (live session, key) — never computes. Lets a caller memoize
+    * CONDITIONALLY (e.g. cache only positive results). May briefly
+    * block on the cell monitor while another thread's compute for the
+    * same key is in flight. */
+  def get(s: SparkSession, key: String): Option[V] = {
+    val inner = memos.synchronized(Option(memos.get(s)))
+    inner.flatMap(m => Option(m.get(key))).flatMap(_.peek)
+  }
 }
 
 object SessionMemo {
@@ -83,6 +93,9 @@ object SessionMemo {
   final class Cell[V] {
     private var value: Option[V] = None
     private var owner: Thread = null
+    /** Non-blocking read of a completed value (None while empty or
+      * mid-compute). Best-effort by design — used for peeks only. */
+    def peek: Option[V] = this.synchronized(value)
     def get(compute: => V): V = this.synchronized {
       value match {
         case Some(v) => v

@@ -24,7 +24,16 @@ import org.apache.hadoop.fs.permission.FsPermission
   * syscall mechanism changes. */
 class NioRawLocalFileSystem
     extends org.apache.hadoop.fs.RawLocalFileSystem {
-  override def setPermission(p: Path, permission: FsPermission): Unit =
+  override def setPermission(p: Path, permission: FsPermission): Unit = {
+    // setuid/setgid/sticky bits are NOT expressible through
+    // PosixFilePermission — masking them off would silently change the
+    // mode (ADVICE r15: the documented fallback never triggered
+    // because plain POSIX chmod does not throw). Route them to the
+    // stock forking path up front, exactly as the contract promises.
+    if ((permission.toShort & ~0x1ff) != 0) {
+      super.setPermission(p, permission)
+      return
+    }
     try {
       import java.nio.file.attribute.PosixFilePermission._
       val perms = java.util.EnumSet
@@ -43,12 +52,13 @@ class NioRawLocalFileSystem
         pathToFile(p).toPath, perms)
       ()
     } catch {
-      // sticky/setuid bits, non-POSIX filesystems, races: the stock
-      // (forking) path is the behaviour-exact fallback
+      // non-POSIX filesystems, races: the stock (forking) path is the
+      // behaviour-exact fallback
       case _: UnsupportedOperationException |
            _: java.io.IOException =>
         super.setPermission(p, permission)
     }
+  }
 }
 
 class FastLocalFileSystem

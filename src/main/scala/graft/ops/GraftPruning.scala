@@ -168,8 +168,14 @@ private[graft] object GraftPruning {
         if (rows.isEmpty) (None, None, Map.empty[String, Range], None)
         else {
           val h = rows.head
+          // tolerant of int-width drift in frame files and of a
+          // missing key (ADVICE r15): r.get + Number match instead of
+          // apply + Long cast — an INT32-written bound still reads,
+          // and absence reads as unknown (never pruned on)
           def optLong(r: Map[String, Any], c: String) =
-            Option(r(c)).map(_.asInstanceOf[Long])
+            r.get(c).flatMap(Option(_)).collect {
+              case n: java.lang.Number => n.longValue
+            }
           val rs = rows.map(r => ManifestTable.fileKeyOf(
               r("path").asInstanceOf[String]) ->
             Range(optLong(r, "min_x"), optLong(r, "max_x"),

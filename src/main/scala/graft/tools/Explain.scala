@@ -13,6 +13,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl",
         classOf[graft.ops.FastLocalFileSystem].getName)
+      // the SQL-text queries (graft_table TVF, table-format DML) need
+      // the session extensions, same as Bench/Verify
+      .withExtensions(new graft.expressions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
