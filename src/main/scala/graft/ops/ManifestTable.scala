@@ -523,6 +523,32 @@ object ManifestTable {
       org.apache.spark.sql.functions.broadcast(df)
     else df
 
+  /** Carry the base version's deletion vector into `newDir`, filtered
+    * to the surviving file keys. When the vector's on-disk footprint
+    * is planning-sized (≤ [[dvLocalCarryCap]]) this is DRIVER IO —
+    * one parquet-mr frame read + one frame write, zero Spark actions
+    * (the pre-round-16 shape paid an isEmpty probe + a broadcast
+    * semi-join write per carry); past the cap it falls back to the
+    * broadcast semi-join under the metadata-action conf. Writes
+    * nothing when no row survives (same contract as before: absent
+    * `_dv` = no deletions). */
+  private[ops] val dvLocalCarryCap = 16L * 1024 * 1024
+  private[ops] def carryDvFiltered(spark: SparkSession, root: String,
+      baseDir: String, newDir: String, keepKeys: Set[String]): Unit = {
+    val src = s"$root/$baseDir/_dv"
+    if (MetaIO.carryFrameFiltered(spark, src, s"$root/$newDir/_dv",
+        "path", keepKeys, dvLocalCarryCap)) return
+    import spark.implicits._
+    val dv = MetaIO.readParquet(spark, src)
+    val kept = dv.join(
+      org.apache.spark.sql.functions.broadcast(
+        keepKeys.toSeq.toDF("path")), Seq("path"), "left_semi")
+    MetaIO.withMetaActionConf(spark) {
+      if (!kept.isEmpty)
+        kept.coalesce(1).write.parquet(s"$root/$newDir/_dv")
+    }
+  }
+
   /** A version's COLUMN MAPPING, if it carries one (`_colmap`, a tiny
     * text file of `logical\tphysical` lines in logical schema order —
     * Delta's column-mapping mode): logical names are what every reader
@@ -877,9 +903,11 @@ object ManifestTable {
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    // every base file carried → the vector rides verbatim
-    dvOf(spark, root, baseDir).foreach(dv =>
-      dv.coalesce(1).write.parquet(s"$root/$dir/_dv"))
+    // every base file carried → the vector rides verbatim: file-grain
+    // driver copy, not a Spark re-encode of the whole vector
+    val dvSrcApp = new Path(new Path(root, baseDir), "_dv")
+    if (fs.exists(dvSrcApp))
+      ZTable.copyFrame(fs, dvSrcApp.toString, s"$root/$dir/_dv")
     // base PHYSICAL schema (footer-only read) — needed only when a
     // pending ADD COLUMN is being backed and `_schema` must pin the
     // mixed file set
@@ -1127,7 +1155,10 @@ object ManifestTable {
     // AFTER data landed needs one [[Checks.validate]] sweep.
     Checks.enforce(spark, root, src, "merge source")
     val next = base.getOrElse(0L) + 1
-    val dir = writeVersionData(result, root, next)
+    // table-footprint-scaled exchanges (see [[mergeBatchFold]])
+    val dir = Compute.withScaledShufflePartitions(spark,
+      base.map(_ => Compute.dirBytes(spark, root)))(
+      writeVersionData(result, root, next))
     writeOpMeta(spark, root, dir, "MERGE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
@@ -1156,7 +1187,10 @@ object ManifestTable {
     }
     Checks.enforce(spark, root, src, "merge source")
     val next = base.getOrElse(0L) + 1
-    val dir = writeVersionData(result, root, next)
+    // table-footprint-scaled exchanges (see [[mergeBatchFold]])
+    val dir = Compute.withScaledShufflePartitions(spark,
+      base.map(_ => Compute.dirBytes(spark, root)))(
+      writeVersionData(result, root, next))
     writeOpMeta(spark, root, dir, "MERGE")
     writeMarker(spark, root, next, dataDir = dir)
     maybeAutoCompact(spark, root, live.size + 1)
@@ -1297,20 +1331,31 @@ object ManifestTable {
     // our read and our marker the batch must conflict loudly, never
     // silently drop the interloper's rows
     val base = if (markers.isEmpty) None else Some(markers.map(versionOf).max)
-    val result = base match {
-      case Some(v) =>
-        val baseDf = readVersionWith(spark, root, v, live, compacted)
-        val src = Generated(spark, root, fold(Some(baseDf)),
-          "mergeBatch source")
-        Checks.enforce(spark, root, src, "mergeBatch source")
-        Upsert.upsert(baseDf, src, keys, updateCols)
-      case None =>
-        val src = Generated(spark, root, fold(None), "mergeBatch source")
-        Checks.enforce(spark, root, src, "mergeBatch source")
-        src
+    // shuffle partitioning scaled to the committed table's footprint
+    // (guide §2): the per-batch COW merge of a small decision table
+    // paid full-session-width exchanges per micro-batch; dirBytes
+    // covers every retained version (overestimate — the clamp only
+    // LOWERS provably-small counts, a TB table keeps the session
+    // parallelism) and the helper's ×4 mult headrooms the batch side.
+    // First commit (no base) runs unscaled.
+    val scaleBytes =
+      if (base.isEmpty) None else Some(Compute.dirBytes(spark, root))
+    val dir = Compute.withScaledShufflePartitions(spark, scaleBytes) {
+      val result = base match {
+        case Some(v) =>
+          val baseDf = readVersionWith(spark, root, v, live, compacted)
+          val src = Generated(spark, root, fold(Some(baseDf)),
+            "mergeBatch source")
+          Checks.enforce(spark, root, src, "mergeBatch source")
+          Upsert.upsert(baseDf, src, keys, updateCols)
+        case None =>
+          val src = Generated(spark, root, fold(None), "mergeBatch source")
+          Checks.enforce(spark, root, src, "mergeBatch source")
+          src
+      }
+      writeVersionData(result, root, base.getOrElse(0L) + 1)
     }
     val next = base.getOrElse(0L) + 1
-    val dir = writeVersionData(result, root, next)
     writeOpMeta(spark, root, dir, "MERGE")
     writeMarker(spark, root, next, batchKey, dir)
     // the sink's own auto-compaction applies the caller's retention
@@ -1629,15 +1674,19 @@ object ManifestTable {
       toLogical(current0, _, passthrough = Seq("__path", "__ri")))
     val fresh = current.filter(coalesce(condition, lit(false)))
       .select(col("__path").as("path"), col("__ri").as("row_index"))
-    val newDv = prior.fold(fresh)(p =>
-      p.select(col("path"), col("row_index")).unionByName(fresh))
     val fs = fsOf(spark, root)
     val next = base + 1
     val dir = newDataDirName(next)
     fs.mkdirs(new Path(root, dir))
-    // the vector is file-metadata-shaped in the common case; a single
-    // file keeps the reader's join build side one footer away
-    newDv.coalesce(1).write.parquet(s"$root/$dir/_dv")
+    // cumulative vector = PRIOR FILES CARRIED VERBATIM (driver byte
+    // copy — the old union re-read and re-encoded the whole prior
+    // vector through Spark on every DELETE, O(deleted) work per
+    // commit) + this delete's positions appended as one new part file
+    // (same physical schema by construction: both sides are the same
+    // metadata-column projection)
+    prior.foreach(_ => ZTable.copyFrame(fs, s"$root/$baseDir/_dv",
+      s"$root/$dir/_dv"))
+    fresh.coalesce(1).write.mode("append").parquet(s"$root/$dir/_dv")
     // _parts rides too: a DV delete changes no file set, so the
     // partition metadata stays exact (the appending MoR DML paths
     // keep it alive as well — their fragments land partition-pure
@@ -1775,9 +1824,12 @@ object ManifestTable {
     }
     val fresh = matched
       .select(col("__path").as("path"), col("__ri").as("row_index"))
-    val newDv = prior.fold(fresh)(p =>
-      p.select(col("path"), col("row_index")).unionByName(fresh))
-    newDv.coalesce(1).write.parquet(s"$root/$dir/_dv")
+    // prior vector files carried verbatim (driver copy), this
+    // update's positions appended — O(matched) write, never a
+    // re-encode of the cumulative vector (see [[deleteWhereDV]])
+    prior.foreach(_ => ZTable.copyFrame(fs, s"$root/$baseDir/_dv",
+      s"$root/$dir/_dv"))
+    fresh.coalesce(1).write.mode("append").parquet(s"$root/$dir/_dv")
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -1983,9 +2035,11 @@ object ManifestTable {
           .filter(n => !n.startsWith("_") && !n.startsWith("."))
           .map(n => s"$dir/$n"), Nil)
     }
-    val newDv = prior.fold(positions)(p =>
-      p.select(col("path"), col("row_index")).unionByName(positions))
-    newDv.coalesce(1).write.parquet(s"$root/$dir/_dv")
+    // prior vector files carried verbatim (driver copy), the batch's
+    // positions appended — O(delta) write (see [[deleteWhereDV]])
+    prior.foreach(_ => ZTable.copyFrame(fs, s"$root/$baseDir/_dv",
+      s"$root/$dir/_dv"))
+    positions.coalesce(1).write.mode("append").parquet(s"$root/$dir/_dv")
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((refs ++ appended).mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -2036,10 +2090,15 @@ object ManifestTable {
         .map(n => s"$baseDir/$n")
     }
     require(refs.nonEmpty, s"version $base of $root has no data files")
-    // O(files) driver collect: distinct file keys of the vector —
-    // bounded by the file count, never the row count
-    val dirtyKeys = dv.select("path").distinct()
-      .collect().map(_.getString(0)).toSet
+    // O(files) distinct file keys of the vector — driver frame read
+    // when planning-sized, one collect job past the cap
+    val dirtyKeys =
+      if (dvBytesOf(spark, root, baseDir) <= dvLocalCarryCap)
+        MetaIO.frameRows(spark, s"$root/$baseDir/_dv").iterator
+          .flatMap(m => Option(m.getOrElse("path", null))
+            .map(_.asInstanceOf[String])).toSet
+      else dv.select("path").distinct()
+        .collect().map(_.getString(0)).toSet
     val (dirty, clean) = refs.partition(r =>
       dirtyKeys.contains(fileKeyOf(r)))
     val fs = fsOf(spark, root)
@@ -2407,14 +2466,36 @@ object ManifestTable {
       val src = new Path(s"$sourceRoot/$srcDir/$frame")
       if (srcFs.exists(src)) {
         // tiny file-metadata frames; `path` entries become absolute so
-        // the clone's planner resolves them without knowing the source
-        import org.apache.spark.sql.functions.{col, concat, lit, when}
-        MetaIO.readParquet(spark, src.toString)
-          .withColumn("path",
-            when(col("path").startsWith("/") ||
-                 col("path").contains("://"), col("path"))
-              .otherwise(concat(lit(s"$sourceRoot/"), col("path"))))
-          .coalesce(1).write.parquet(s"$cloneRoot/$dir/$frame")
+        // the clone's planner resolves them without knowing the
+        // source. O(files) planning metadata → rewrite on the DRIVER
+        // (the Spark read+write paid an action + AQE round per frame);
+        // Spark fallback for an unreadable legacy shape.
+        val dst = s"$cloneRoot/$dir/$frame"
+        def absolutize(p: String): String =
+          if (p == null || p.startsWith("/") || p.contains("://")) p
+          else s"$sourceRoot/$p"
+        MetaIO.schemaOf(spark, src).filter(MetaIO.frameWritable)
+          .flatMap(s =>
+            MetaIO.frameRowsAs(spark, src.toString, s).map((s, _)))
+          match {
+          case Some((schema, rows)) =>
+            val pi = schema.fieldIndex("path")
+            MetaIO.writeFrame(spark, dst, schema, rows.map { r =>
+              val vals = r.toSeq.toArray
+              vals(pi) = absolutize(r.getString(pi))
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericRowWithSchema(vals, schema)
+            })
+          case None =>
+            import org.apache.spark.sql.functions.{col, concat, lit, when}
+            MetaIO.withMetaActionConf(spark)(
+              MetaIO.readParquet(spark, src.toString)
+                .withColumn("path",
+                  when(col("path").startsWith("/") ||
+                       col("path").contains("://"), col("path"))
+                    .otherwise(concat(lit(s"$sourceRoot/"), col("path"))))
+                .coalesce(1).write.parquet(dst))
+        }
       }
     }
     // the deletion vector rides VERBATIM: its `path` column is the
@@ -2539,15 +2620,17 @@ object ManifestTable {
     * than the bound. */
   def versionAsOf(spark: SparkSession, root: String,
       tsMillis: Long): Long = {
-    import org.apache.spark.sql.functions.col
-    val h = history(spark, root)
-      .filter(col("commit_ts").isNotNull &&
-        col("commit_ts") <= tsMillis)
-      .agg(org.apache.spark.sql.functions.max(col("version")))
-      .collect().head
-    require(!h.isNullAt(0),
+    // history() is driver-local rows — the filter/max runs in Scala
+    // (the old filter+agg+collect paid a Spark job on a LocalRelation)
+    val rows = history(spark, root).collect()
+    val ti = rows.head.fieldIndex("commit_ts")
+    val vi = rows.head.fieldIndex("version")
+    val vs = rows.iterator
+      .filter(r => !r.isNullAt(ti) && r.getLong(ti) <= tsMillis)
+      .map(_.getLong(vi)).toSeq
+    require(vs.nonEmpty,
       s"no retained version of $root committed at or before $tsMillis")
-    h.getLong(0)
+    vs.max
   }
 
   /** Time travel by wall clock: [[readVersion]] of [[versionAsOf]]. */
@@ -2659,18 +2742,22 @@ object ManifestTable {
           .filter(n => !n.startsWith("_") && !n.startsWith("."))
           .map(n => s"$dir/$n"), Nil)
     }
-    // vector rows hitting LARGE files survive; joined against the
-    // small-key set as a frame, never an O(files) literal expression
+    // vector rows hitting LARGE files survive — driver frame
+    // filter+rewrite when planning-sized (zero Spark actions), else
+    // the anti-join single pass (write, then drop if empty — row
+    // count from the written footers, no extra job)
     dv.foreach { v =>
-      import spark.implicits._
-      val surviving = v.join(
-        smallKeys.toDF("path"), Seq("path"), "left_anti")
-      // ONE pass: write, then drop the frame if no row survived (the
-      // old limit(1)-probe ran the same anti-join twice). Row count
-      // from the written footers — driver-side, exact, no job.
-      surviving.coalesce(1).write.parquet(s"$root/$dir/_dv")
-      if (MetaIO.footerRowCount(spark, s"$root/$dir/_dv") == 0L)
-        fs.delete(new Path(new Path(root, dir), "_dv"), true)
+      if (!MetaIO.carryFrameFiltered(spark, s"$root/$baseDir/_dv",
+          s"$root/$dir/_dv", "path", large.map(fileKeyOf).toSet,
+          dvLocalCarryCap)) {
+        import spark.implicits._
+        val surviving = v.join(
+          smallKeys.toDF("path"), Seq("path"), "left_anti")
+        MetaIO.withMetaActionConf(spark)(
+          surviving.coalesce(1).write.parquet(s"$root/$dir/_dv"))
+        if (MetaIO.footerRowCount(spark, s"$root/$dir/_dv") == 0L)
+          fs.delete(new Path(new Path(root, dir), "_dv"), true)
+      }
     }
     val out = fs.create(new Path(new Path(root, dir), "_files"), true)
     try out.write((large ++ appended).mkString("\n").getBytes("UTF-8"))

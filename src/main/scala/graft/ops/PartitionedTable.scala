@@ -97,12 +97,25 @@ object PartitionedTable {
     out.toSeq
   }
 
+  /** `_parts` schema — matches what the pre-round-16 Spark write
+    * produced (`toDF` strings optional, `lit(pcol)` required), so new
+    * frames are footer-compatible with frames committed by either
+    * writer. */
+  private val partsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("pcol",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
   private[ops] def writeParts(spark: SparkSession, root: String,
-      dir: String, rows: Seq[(String, String)], pcol: String): Unit = {
-    import spark.implicits._
-    rows.toDF("path", "value").withColumn("pcol", lit(pcol))
-      .coalesce(1).write.parquet(s"$root/$dir/_parts")
-  }
+      dir: String, rows: Seq[(String, String)], pcol: String): Unit =
+    // the rows are already driver-local O(files) metadata — write the
+    // frame on the driver (no Spark action; guide §1.2, the round-15
+    // footer-read move applied to the WRITE side)
+    MetaIO.writeFrame(spark, s"$root/$dir/_parts", partsSchema,
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, pcol)))
 
   /** The partition metadata of a version DIR, if it carries any:
     * (pcol, (path, value) rows) — the probe the MoR DML paths use to
@@ -382,15 +395,10 @@ object PartitionedTable {
     writeParts(spark, root, dir, carried ++ fresh, pcol)
     // the base's deletion vector rides, filtered to the files still
     // referenced (rows of dropped/rewritten files fall away with
-    // them; FRESH files are new — they can have no DV rows)
-    ManifestTable.dvOf(spark, root, baseDir).foreach { dv =>
-      import spark.implicits._
-      val keys = carried.map(r => ManifestTable.fileKeyOf(r._1))
-      val kept = dv.join(
-        broadcast(keys.toDF("path")), Seq("path"), "left_semi")
-      if (!kept.isEmpty)
-        kept.coalesce(1).write.parquet(s"$root/$dir/_dv")
-    }
+    // them; FRESH files are new — they can have no DV rows): driver
+    // IO when planning-sized, semi-join past the cap
+    ManifestTable.carryDvFiltered(spark, root, baseDir, dir,
+      carried.map(r => ManifestTable.fileKeyOf(r._1)).toSet)
     // committed skipping stats survive partitioned DML (no-op when
     // the base never committed stats): carried files keep their
     // rows, fresh files get O(fresh) read-back rows

@@ -131,8 +131,95 @@ object ZTable {
 
   /** Multi-key form: the paths whose registers admit ANY of the keys
     * in `keys` (an array column of same-typed literals) — the IN-list
-    * probe as ONE metadata pass instead of one join per key. */
+    * probe as ONE metadata pass instead of one join per key.
+    *
+    * Driver fast path (round-15 VERDICT ask #6): when the committed
+    * register frame is planning-sized (on-disk bytes ≤
+    * `spark.graft.bloom.localProbeMaxBytes`, default 4 MiB) and every
+    * key is a string/integer literal, the probe runs ENTIRELY on the
+    * driver — one parquet-mr frame read + the same two-seed
+    * md5-prefix check ([[graft.expressions.Md5Prefix60.hash60]], the
+    * identical hash the registers were built with) — zero Spark jobs
+    * where the join probe paid a collect + two broadcast builds. Past
+    * the cap, or for exotic key types, the distributed register join
+    * runs unchanged (the 100 TB path: O(files × words) rows, never
+    * data). Both paths compute the same superset by construction. */
   private[ops] def bloomProbePathsAny(spark: SparkSession, root: String,
+      dir: String, keys: Column): Seq[String] =
+    localBloomProbe(spark, root, dir, keys).getOrElse(
+      joinBloomProbe(spark, root, dir, keys))
+
+  private def localBloomProbe(spark: SparkSession, root: String,
+      dir: String, keys: Column): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    import org.apache.spark.sql.types._
+    // literal keys only, rendered exactly as concat_ws's cast-to-string
+    val lits: Seq[String] =
+      org.apache.spark.sql.graft.Bridge.expression(keys) match {
+        case CreateArray(children, _)
+            if children.forall(_.isInstanceOf[Literal]) =>
+          children.map(_.asInstanceOf[Literal]).map { l =>
+            (l.value, l.dataType) match {
+              case (v, StringType) if v != null => v.toString
+              case (v, LongType | IntegerType | ShortType | ByteType)
+                  if v != null => v.toString
+              case _ => return None
+            }
+          }
+        case _ => return None
+      }
+    val f = fs(spark, root)
+    val bp = new org.apache.hadoop.fs.Path(s"$root/$dir/_bloom")
+    if (!f.exists(bp)) return None
+    val cap = spark.conf.get("spark.graft.bloom.localProbeMaxBytes",
+      (4L * 1024 * 1024).toString).toLong
+    if (f.listStatus(bp).filter(_.isFile).map(_.getLen).sum > cap)
+      return None
+    val rows = MetaIO.frameRows(spark, bp.toString)
+    if (rows.isEmpty) return Some(Seq.empty)
+    // (path, word) → OR of register words; row order is the committed
+    // frame order, so the result order is deterministic
+    val bits = new java.util.HashMap[(String, Long), java.lang.Long]()
+    val paths = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { m =>
+      (m.get("path"), m.get("word"), m.get("bits")) match {
+        case (Some(p: String), Some(w: java.lang.Number),
+            Some(b: java.lang.Number)) =>
+          paths += p
+          val k = (p, w.longValue)
+          bits.put(k, bits.getOrDefault(k, 0L) | b.longValue)
+        case _ => return None // unexpected shape: sound fallback
+      }
+    }
+    // per-path register size, same derivation as [[mByPath]]
+    val mByP: Map[String, Long] = geomOf(spark, root, dir) match {
+      case Some(bpk) =>
+        val st = MetaIO.frameRows(spark, s"$root/$dir/_stats")
+        val mm = st.map { r =>
+          (r.get("path"), r.get("n_rows")) match {
+            case (Some(p: String), Some(n: java.lang.Number)) =>
+              p -> math.max(M, n.longValue * bpk)
+            case _ => return None
+          }
+        }.toMap
+        if (!paths.forall(mm.contains)) return None
+        mm
+      case None => paths.iterator.map(_ -> M).toMap
+    }
+    Some(paths.iterator.filter { p =>
+      val m = mByP(p)
+      lits.exists(ks => Seq(501, 502).forall { seed =>
+        val h = graft.expressions.Md5Prefix60.hash60(
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(s"$seed|$ks")) % m
+        val word = h >> 5
+        val bit = 1L << (h & 31).toInt
+        (bits.getOrDefault((p, word), 0L) & bit) != 0L
+      })
+    }.toSeq)
+  }
+
+  private def joinBloomProbe(spark: SparkSession, root: String,
       dir: String, keys: Column): Seq[String] = {
     val bl = MetaIO.readParquet(spark, s"$root/$dir/_bloom")
     val keyRows = spark.range(1).select(explode(keys).as("key"))
@@ -338,14 +425,9 @@ object ZTable {
       untouched ++ fresh, pcol)
     // vector rows of untouched files survive; the touched files'
     // slice materialized in the rewrite
-    dv.foreach { v =>
-      import spark.implicits._
-      val keys = untouchedPaths.map(ManifestTable.fileKeyOf)
-      val kept = v.join(broadcast(keys.toDF("path")),
-        Seq("path"), "left_semi")
-      if (!kept.isEmpty)
-        kept.coalesce(1).write.parquet(s"$root/$dir/_dv")
-    }
+    if (dv.nonEmpty)
+      ManifestTable.carryDvFiltered(spark, root, baseDir, dir,
+        untouchedPaths.map(ManifestTable.fileKeyOf).toSet)
     // stats: extend when the base has them; otherwise ESTABLISH for
     // the whole version (partial coverage would be unsound)
     val extended = extendStats(spark, root, baseDir, dir,
@@ -395,15 +477,24 @@ object ZTable {
       : DataFrame = {
     val v = ManifestTable.currentVersion(spark, root)
       .getOrElse(sys.error(s"no committed version at $root"))
-    val rows = stats(spark, root, v)
-      .select(col("path"), col("min_x"), col("max_x"), col("x_col"))
-      .collect() // O(files) metadata, never O(rows)
+    // O(files) planning metadata, read on the DRIVER via parquet-mr
+    // (the collect() paid a Spark job per pruned scan plan)
+    val sDir = ManifestTable.versionDataDir(spark, root, v)
+    val sP = new org.apache.hadoop.fs.Path(s"$root/$sDir/_stats")
+    require(fs(spark, root).exists(sP),
+      s"version $v of $root has no committed skipping stats — run " +
+        "optimizeZOrder first")
+    val rows = MetaIO.frameRows(spark, sP.toString)
     require(rows.nonEmpty, s"empty stats at $root v$v")
-    val xCol = rows.head.getString(3)
+    val xCol = rows.head("x_col").asInstanceOf[String]
+    def bound(m: Map[String, Any], c: String): Option[Long] =
+      m.get(c).flatMap(Option(_)).collect {
+        case n: java.lang.Number => n.longValue }
     // NULL bounds (an all-null-x file) = unknown range: never skipped
-    val keep = rows.filter(r => r.isNullAt(1) || r.isNullAt(2) ||
-        !(r.getLong(2) < lo || r.getLong(1) > hi))
-      .map(_.getString(0)).toIndexedSeq
+    val keep = rows.filter { m =>
+      val mn = bound(m, "min_x"); val mx = bound(m, "max_x")
+      mn.isEmpty || mx.isEmpty || !(mx.get < lo || mn.get > hi)
+    }.map(_("path").asInstanceOf[String]).toIndexedSeq
     val pruned =
       if (keep.isEmpty)
         ManifestTable.readVersion(spark, root, v).filter(lit(false))
@@ -479,8 +570,19 @@ object ZTable {
       transform: (DataFrame, String) => DataFrame): Long = {
     val base = ManifestTable.currentVersion(spark, root)
       .getOrElse(sys.error(s"no committed version at $root"))
-    val stDf = stats(spark, root, base)
-    val st = stDf.collect()
+    // O(files) planning metadata read on the DRIVER (no Spark job) —
+    // the round-15 frameRows move applied to the scoped-DML planner
+    val stBaseDir = ManifestTable.versionDataDir(spark, root, base)
+    val stFrame = s"$root/$stBaseDir/_stats"
+    require(fs(spark, root).exists(
+      new org.apache.hadoop.fs.Path(stFrame)),
+      s"version $base of $root has no committed skipping stats — run " +
+        "optimizeZOrder first")
+    val stSchema = MetaIO.schemaOf(spark,
+      new org.apache.hadoop.fs.Path(stFrame)).getOrElse(
+      sys.error(s"empty stats frame at $root v$base"))
+    val st = MetaIO.frameRowsAs(spark, stFrame, stSchema)
+      .getOrElse(stats(spark, root, base).collect().toSeq).toArray
     require(st.nonEmpty, s"empty stats at $root v$base")
     def s(r: org.apache.spark.sql.Row, c: String) =
       r.getString(r.fieldIndex(c))
@@ -519,21 +621,14 @@ object ZTable {
     // into the NEW dir, so stats(v) never chases old dirs. Built from
     // the rows ALREADY collected above (O(files) driver memory) — no
     // second read of the stats parquet per DML
-    val carriedStats = spark.createDataFrame(
-      java.util.Arrays.asList(untouched: _*), stDf.schema)
     val carriedBloom = bloom(spark, root, base)
       .map(_.filter(col("path").isin(untouchedPaths: _*)))
     writeStats(spark, root, dir, newPaths, xCol, yCol, bloomCol,
-      Some(carriedStats), carriedBloom,
+      Some((stSchema, untouched.toSeq)), carriedBloom,
       bloomBpk = geomOf(spark, root, baseDir))
-    dv.foreach { d =>
-      val untouchedKeys = untouchedPaths
-        .map(ManifestTable.fileKeyOf).toSet
-      val carried = d.filter(col("path")
-        .isin(untouchedKeys.toSeq: _*))
-      if (!carried.isEmpty)
-        carried.coalesce(1).write.parquet(s"$root/$dir/_dv")
-    }
+    if (dv.nonEmpty)
+      ManifestTable.carryDvFiltered(spark, root, baseDir, dir,
+        untouchedPaths.map(ManifestTable.fileKeyOf).toSet)
     val manifest = (untouchedPaths ++ newPaths).mkString("\n")
     val f = fs(spark, root)
     val mp = new org.apache.hadoop.fs.Path(s"$root/$dir/_files")
@@ -616,27 +711,54 @@ object ZTable {
             bloomBpk = geomOf(spark, root, baseDir))
       case Some(ps) =>
         // filtered carry (binPack/reorg drop rewritten files' rows):
-        // the join path — still O(files) metadata
+        // `_stats` is O(files) planning metadata — read, filter and
+        // merge it on the DRIVER (the Spark semi-join + write cost a
+        // broadcast job + an action per commit); the Spark collect
+        // stays as the fallback for an unreadable legacy shape
         import spark.implicits._
-        val carriedStats = MetaIO.readParquet(spark, stPath.toString)
-          .join(broadcast(ps.toDF("path")),
-          Seq("path"), "left_semi")
-        val carriedBloom =
-          if (hasBloom) Some(MetaIO.readParquet(spark, bloomPath.toString)
-            .join(broadcast(ps.toDF("path")), Seq("path"), "left_semi"))
-          else None
+        val keep = ps.toSet
+        val (cSchema, cRows) = MetaIO.schemaOf(spark, stPath)
+          .filter(MetaIO.frameWritable)
+          .flatMap(s =>
+            MetaIO.frameRowsAs(spark, stPath.toString, s).map((s, _)))
+          match {
+          case Some((s, rows)) =>
+            val pi = s.fieldIndex("path")
+            (s, rows.filter(r =>
+              !r.isNullAt(pi) && keep.contains(r.getString(pi))))
+          case None =>
+            val df = MetaIO.readParquet(spark, stPath.toString)
+              .join(broadcast(ps.toDF("path")), Seq("path"), "left_semi")
+            (df.schema, MetaIO.withMetaActionConf(spark)(
+              df.collect().toSeq))
+        }
         if (appendedPaths.isEmpty) {
-          carriedStats.coalesce(1)
-            .write.parquet(s"$root/$newDir/_stats")
-          carriedBloom.foreach { cb =>
-            cb.coalesce(1).write.parquet(s"$root/$newDir/_bloom")
+          MetaIO.writeFrame(spark, s"$root/$newDir/_stats",
+            cSchema, cRows)
+          if (hasBloom) {
+            // bloom registers are O(files × words) — driver carry
+            // under the same cap as DV frames, semi-join past it
+            if (!MetaIO.carryFrameFiltered(spark, bloomPath.toString,
+                s"$root/$newDir/_bloom", "path", keep,
+                ManifestTable.dvLocalCarryCap, writeEmpty = true))
+              MetaIO.withMetaActionConf(spark)(
+                MetaIO.readParquet(spark, bloomPath.toString)
+                  .join(broadcast(ps.toDF("path")), Seq("path"),
+                    "left_semi")
+                  .coalesce(1).write.parquet(s"$root/$newDir/_bloom"))
             geomOf(spark, root, baseDir).foreach(bpk =>
               writeGeom(f, root, newDir, bpk))
           }
-        } else
+        } else {
+          val carriedBloom =
+            if (hasBloom) Some(MetaIO.readParquet(spark,
+                bloomPath.toString)
+              .join(broadcast(ps.toDF("path")), Seq("path"), "left_semi"))
+            else None
           writeStats(spark, root, newDir, appendedPaths, xCol, yCol,
-            bloomCol, Some(carriedStats), carriedBloom,
+            bloomCol, Some((cSchema, cRows)), carriedBloom,
             bloomBpk = geomOf(spark, root, baseDir))
+        }
     }
     true
   }
@@ -653,9 +775,14 @@ object ZTable {
     val fd = if (fDst == null) f else fDst
     val s = new org.apache.hadoop.fs.Path(src)
     val d = new org.apache.hadoop.fs.Path(dst)
-    def isLocal(p: String) =
-      !p.contains("://") || p.startsWith("file:")
-    if (isLocal(src) && isLocal(dst)) {
+    // locality from the FileSystem INSTANCES, not string sniffing
+    // (ADVICE r15: a scheme-less path resolves against fs.defaultFS —
+    // on a non-local defaultFS the nio branch would read the wrong
+    // store and silently write an empty frame)
+    def isLocal(fsys: org.apache.hadoop.fs.FileSystem) =
+      fsys.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        fsys.getScheme == "file"
+    if (isLocal(f) && isLocal(fd)) {
       // pure-nio byte copy, .crc sidecars included VERBATIM (bytes
       // identical → checksums stay valid): the Hadoop FileUtil route
       // re-created every file through ChecksumFileSystem.create,
@@ -666,8 +793,14 @@ object ZTable {
           new java.net.URI(p).getPath else p)
       val sd = local(src)
       val dd = local(dst)
+      val srcFiles = Option(sd.listFiles()).getOrElse(Array.empty)
+      // the caller asserts the source frame exists — an empty listing
+      // here means a resolution bug; fail loudly instead of silently
+      // committing an empty frame
+      require(srcFiles.nonEmpty,
+        s"copyFrame: source frame dir $src lists no files")
       java.nio.file.Files.createDirectories(dd.toPath)
-      Option(sd.listFiles()).getOrElse(Array.empty).foreach { sf =>
+      srcFiles.foreach { sf =>
         if (sf.isFile)
           java.nio.file.Files.copy(sf.toPath,
             new java.io.File(dd, sf.getName).toPath,
@@ -700,7 +833,9 @@ object ZTable {
     * disagree with the files. */
   private def writeStats(spark: SparkSession, root: String, dir: String,
       paths: Seq[String], xCol: String, yCol: String,
-      bloomCol: Option[String], carriedStats: Option[DataFrame],
+      bloomCol: Option[String],
+      carriedStats: Option[(org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row])],
       carriedBloom: Option[DataFrame], append: Boolean = false,
       bloomBpk: Option[Long] = Some(bloomBitsPerKey)): Unit = {
     val mode = if (append) "append" else "errorifexists"
@@ -734,7 +869,12 @@ object ZTable {
         case Some(rows) => rows.map { case (k, n, mnx, mxx, mny, mxy) =>
           org.apache.spark.sql.Row(k, n, mnx, mxx, mny, mxy,
             xCol, yCol, bloomCol.orNull) }
-        case None => fresh0.collect().toSeq
+        // fallback aggregation (non-int dims): the exchange carries
+        // O(files) rows after map-side partial agg — metadata-action
+        // conf (AQE off, 1 reduce partition) collapses the AQE stage
+        // choreography into one job at any scale
+        case None => MetaIO.withMetaActionConf(spark)(
+          fresh0.collect().toSeq)
       }
     // EMPTY files yield no read-back group — synthesize their rows
     // (0 rows, NULL bounds) so stats(v) covers EXACTLY the version's
@@ -751,11 +891,27 @@ object ZTable {
     val allLocal = freshRows ++ missing.map(p =>
       org.apache.spark.sql.Row(p, 0L, null, null, null, null,
         xCol, yCol, bloomCol.orNull))
-    val fresh = spark.createDataFrame(
-      java.util.Arrays.asList(allLocal: _*), fresh0.schema)
-    val allStats = carriedStats.fold(fresh)(_ unionByName fresh)
-    allStats.coalesce(1).write.mode(mode)
-      .parquet(s"$root/$dir/_stats")
+    // EVERY `_stats` write is now a DRIVER write: the fresh rows are
+    // already local (footer stats or one collected agg) and carried
+    // rows arrive local from the caller (collected stats frame /
+    // driver frame read) — the union and the one-file write need no
+    // Spark action at all. The merged schema replicates unionByName:
+    // carried column order, per-column nullability OR, fresh rows
+    // re-ordered by name; a name mismatch throws exactly like
+    // unionByName would.
+    val (outSchema, outRows) = carriedStats match {
+      case None => (fresh0.schema, allLocal)
+      case Some((cs, crows)) =>
+        val idx = cs.fieldNames.map(fresh0.schema.fieldIndex)
+        val merged = org.apache.spark.sql.types.StructType(
+          cs.fields.map { f =>
+            f.copy(nullable =
+              f.nullable || fresh0.schema(f.name).nullable) })
+        (merged, crows ++ allLocal.map(r =>
+          org.apache.spark.sql.Row(idx.map(r.get).toIndexedSeq: _*)))
+    }
+    MetaIO.writeFrame(spark, s"$root/$dir/_stats", outSchema, outRows,
+      append = append)
     bloomCol.foreach { bc =>
       // q221's register shape at committed grain: (path, word, bits)
       // rows built by ONE bit_or agg; 32-bit blocks keep the shifted
@@ -772,15 +928,25 @@ object ZTable {
         case None => _ => M
       }
       import spark.implicits._
-      val sizes = allLocal
+      val sizePairs = allLocal
         .map(r => (r.getString(0), mOf(r.getLong(1))))
-        .toDF("path", "m")
-      val words = Seq(501, 502).map(seed =>
+      // per-path register size as a LITERAL MAP when the commit's file
+      // list is planning-sized (it always is for MoR fragments) — the
+      // broadcast join cost a dedicated broadcast-build job per
+      // commit; element_at over a map literal is pure codegen. The
+      // broadcast path stays for a huge establish (plan-bloat guard).
+      val mCol: DataFrame => DataFrame =
+        if (sizePairs.sizeIs <= 1024) { w =>
+          w.withColumn("m", element_at(
+            typedLit(sizePairs.toMap), col("path")))
+        } else { w =>
+          w.join(broadcast(sizePairs.toDF("path", "m")), Seq("path"))
+        }
+      val words = mCol(Seq(501, 502).map(seed =>
         withPath.select(col("__path").as("path"),
           graft.functions.TextFunctions.hash60(col(bc), seed)
             .as("h0")))
-        .reduce(_ unionByName _)
-        .join(broadcast(sizes), Seq("path"))
+        .reduce(_ unionByName _))
         .select(col("path"), (col("h0") % col("m")).as("h"))
         .select(col("path"), shiftright(col("h"), 5).as("word"),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(h & 31 AS INT))")
@@ -788,8 +954,13 @@ object ZTable {
       val freshBloom = words.groupBy(col("path"), col("word"))
         .agg(expr("bit_or(bit)").as("bits"))
       val allBloom = carriedBloom.fold(freshBloom)(_ unionByName freshBloom)
-      allBloom.coalesce(1).write.mode(mode)
-        .parquet(s"$root/$dir/_bloom")
+      // register build: the exchange carries O(files × register words)
+      // rows after map-side partial agg — metadata-action conf (AQE
+      // off, 1 reduce partition) turns the 3-job AQE choreography into
+      // ONE job; the data-sized map side keeps its input parallelism
+      MetaIO.withMetaActionConf(spark)(
+        allBloom.coalesce(1).write.mode(mode)
+          .parquet(s"$root/$dir/_bloom"))
       bloomBpk.foreach(bpk => writeGeom(fs(spark, root), root, dir, bpk))
     }
   }
