@@ -775,6 +775,38 @@ object ManifestTable {
 
   /** Time travel: read a specific committed version. Fails loudly if
     * the version was never committed OR its data was vacuumed. */
+  /** EXACT row count of version `v` at metadata cost: parquet footer
+    * row counts of the version's files (footer counts are exact for
+    * every type) minus its deletion-vector positions (each `_dv` row
+    * hides exactly one live row by construction — positions are
+    * unique, spec-pinned). This is what a table format's
+    * `numRecords` column is; it replaces a 2-stage Spark count job
+    * per version probe with O(files) driver footer reads. Equals
+    * `readVersion(v).count()` bit-for-bit (spec-pinned incl. the
+    * MoR case). */
+  def countVersion(spark: SparkSession, root: String, v: Long): Long = {
+    val dir = versionDataDir(spark, root, v)
+    val refs = fileList(spark, root, dir).getOrElse {
+      fsOf(spark, root).listStatus(new Path(root, dir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"$dir/$n")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = refs.map { r =>
+      val p = new Path(resolveRef(root, r))
+      import scala.jdk.CollectionConverters._
+      org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, p,
+        org.apache.parquet.format.converter.ParquetMetadataConverter
+          .NO_FILTER).getBlocks.asScala.map(_.getRowCount).sum
+    }.sum
+    val dvP = new Path(new Path(root, dir), "_dv")
+    val deleted = if (fsOf(spark, root).exists(dvP))
+      MetaIO.footerRowCount(spark, dvP.toString) else 0L
+    rows - deleted
+  }
+
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
     readDataDir(spark, root, versionDataDir(spark, root, v))
 
@@ -1275,7 +1307,12 @@ object ManifestTable {
       (if (markers.isEmpty) 0L else markers.map(versionOf).max) + 1
     val full = Generated(spark, root, df, "commitBatch")
     Checks.enforce(spark, root, full, "commitBatch")
-    val dir = writeVersionData(full, root, next)
+    // table-footprint-scaled exchanges (see [[mergeBatchFold]]) — the
+    // CDF sync consumers commit group-grain state through here
+    val dir = Compute.withScaledShufflePartitions(spark,
+      if (markers.isEmpty) None
+      else Some(Compute.dirBytes(spark, root)))(
+      writeVersionData(full, root, next))
     writeOpMeta(spark, root, dir, "WRITE")
     writeMarker(spark, root, next, batchKey, dir)
     maybeAutoCompact(spark, root, live.size + 1)

@@ -1178,7 +1178,10 @@ object OpsQueries extends QueryPack {
           (v, r.getString(r.fieldIndex("operation")),
             r.getString(r.fieldIndex("batch_key")),
             r.getBoolean(r.fieldIndex("is_filelist")),
-            ManifestTable.readVersion(s, root, v).count())
+            // exact metadata count (== readVersion(v).count(),
+            // spec-pinned) — a 2-job Spark count per version probe
+            // was the query's dominant cost
+            ManifestTable.countVersion(s, root, v))
         }
       s.createDataFrame(rows)
         .toDF("version", "operation", "batch_key", "is_filelist",

@@ -70,6 +70,25 @@ class MetaActionSpec extends SparkSpec {
     assert(spark.conf.get(key).toInt == sess)
   }
 
+  test("countVersion == readVersion.count() across COW commits, MoR " +
+      "deletes/updates and file-list carries") {
+    val root = freshDir() + "/t"
+    ManifestTable.commit(
+      spark.range(0, 1000).select($"id".as("k"), ($"id" % 7).as("g")),
+      root)
+    ManifestTable.deleteWhereDV(spark, root, $"g" === 3)        // v2 MoR
+    ManifestTable.updateWhereDV(spark, root, $"g" === 2,
+      Map("g" -> lit(99L)))                                     // v3 MoR
+    ManifestTable.append(spark, root,
+      spark.range(5000, 5050).select($"id".as("k"),
+        lit(1L).as("g")))                                       // v4 carry
+    (1L to 4L).foreach { v =>
+      assert(ManifestTable.countVersion(spark, root, v) ==
+        ManifestTable.readVersion(spark, root, v).count(),
+        s"countVersion diverged at v$v")
+    }
+  }
+
   test("withMetaActionConf flips AQE off + 1 shuffle partition for " +
       "the action only, restoring both") {
     val key = "spark.sql.shuffle.partitions"
