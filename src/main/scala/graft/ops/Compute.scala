@@ -86,6 +86,52 @@ object Compute {
     }
   }
 
+  /** Materialized byte size of a `localCheckpoint()`ed frame — read
+    * from the block manager's storage info for the checkpoint RDD
+    * (the blocks exist by definition). None when the plan isn't a
+    * checkpoint or the info isn't available. */
+  def checkpointBytes(df: org.apache.spark.sql.DataFrame): Option[Long] =
+    try {
+      df.queryExecution.optimizedPlan match {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          df.sparkSession.sparkContext.getRDDStorageInfo
+            .find(_.id == r.rdd.id)
+            .map(i => i.memSize + i.diskSize)
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+
+  /** Right-size an O(delta) append derived from a checkpointed frame
+    * (guide §6 — sensible output file sizing): a MoR post-image
+    * inherits the SCAN's partitioning, so a 200-row update landed as
+    * 10 near-empty fragment files, each taxing every later scan,
+    * stats row and footer read. Coalesce (no shuffle — partitions
+    * merge map-side) to ceil(materialized checkpoint bytes /
+    * advisory partition size): a small delta folds to one file, a
+    * TB-scale delta keeps ~advisory-sized output at full parallelism.
+    * In-memory rows overestimate parquet bytes, so the file count
+    * errs high (never a giant single file). Unknown size = unchanged
+    * behaviour. */
+  def coalesceToDeltaSize(out: org.apache.spark.sql.DataFrame,
+      ckpt: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    checkpointBytes(ckpt) match {
+      case Some(b) =>
+        val adv = out.sparkSession.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf
+            .ADVISORY_PARTITION_SIZE_IN_BYTES)
+        if (adv <= 0) out
+        else {
+          // NOTE: never probe out.rdd.getNumPartitions here — .rdd on
+          // an AQE plan materializes its query stages (an extra
+          // execution per commit, measured). coalesce(n) with n ≥ the
+          // actual partition count is already a no-op.
+          val n = math.max(1L, (b + adv - 1) / adv).toInt
+          out.coalesce(n)
+        }
+      case None => out
+    }
+
   /** Lexicographic string compare by Unicode CODE POINT — identical to
     * UTF-8 binary order, which is what Spark's `min`/`orderBy` and the
     * DuckDB oracle use. Java's natural `String` ordering compares

@@ -1851,8 +1851,12 @@ object ManifestTable {
       case None =>
         // appended files must share the carried files' PHYSICAL
         // schema; a freshly-backed column's physical name is its
-        // logical name
-        cmBacked.fold(postImage)(toPhysical(postImage, _))
+        // logical name. Right-sized output (guide §6): the post-image
+        // inherits the SCAN's partitioning — coalesce to the delta's
+        // real (checkpoint-measured) size so a small update lands one
+        // fragment file, not one per scan split
+        Compute.coalesceToDeltaSize(
+            cmBacked.fold(postImage)(toPhysical(postImage, _)), matched)
           .write.parquet(s"$root/$dir") // the appended post-images
         (fs.listStatus(new Path(root, dir)).toSeq
           .map(_.getPath.getName)
@@ -2064,8 +2068,11 @@ object ManifestTable {
       case None =>
         // appended files must share the carried files' PHYSICAL
         // schema; a freshly-backed column's physical name is its
-        // logical name
-        cmBacked.fold(postImage)(toPhysical(postImage, _))
+        // logical name. Right-sized output: see [[updateWhereDV]] —
+        // the delta's measured size, not the scan's split count,
+        // decides the fragment file count
+        Compute.coalesceToDeltaSize(
+            cmBacked.fold(postImage)(toPhysical(postImage, _)), matched)
           .write.parquet(s"$root/$dir")
         (fs.listStatus(new Path(root, dir)).toSeq
           .map(_.getPath.getName)
