@@ -839,6 +839,14 @@ object ZTable {
       carriedBloom: Option[DataFrame], append: Boolean = false,
       bloomBpk: Option[Long] = Some(bloomBitsPerKey)): Unit = {
     val mode = if (append) "append" else "errorifexists"
+    // working set of this stats/register pass = the appended bytes —
+    // sizes the metadata-action reduce width (1 task for a fragment
+    // commit, full width for a 100× establish)
+    val appendedBytes: Option[Long] = try {
+      val f0 = fs(spark, root)
+      Some(paths.map(p => f0.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/$p")).getLen).sum)
+    } catch { case _: Throwable => None }
     val df = MetaIO.readParquet(spark, paths.map(p => s"$root/$p"))
     val withPath = df.withColumn("__path",
       substring_index(input_file_name(), "/", -2))
@@ -871,9 +879,9 @@ object ZTable {
             xCol, yCol, bloomCol.orNull) }
         // fallback aggregation (non-int dims): the exchange carries
         // O(files) rows after map-side partial agg — metadata-action
-        // conf (AQE off, 1 reduce partition) collapses the AQE stage
-        // choreography into one job at any scale
-        case None => MetaIO.withMetaActionConf(spark)(
+        // conf (AQE off, working-set-sized reduce) collapses the AQE
+        // stage choreography into one job at any scale
+        case None => MetaIO.withMetaActionConf(spark, appendedBytes)(
           fresh0.collect().toSeq)
       }
     // EMPTY files yield no read-back group — synthesize their rows
@@ -931,12 +939,15 @@ object ZTable {
       val sizePairs = allLocal
         .map(r => (r.getString(0), mOf(r.getLong(1))))
       // per-path register size as a LITERAL MAP when the commit's file
-      // list is planning-sized (it always is for MoR fragments) — the
-      // broadcast join cost a dedicated broadcast-build job per
-      // commit; element_at over a map literal is pure codegen. The
-      // broadcast path stays for a huge establish (plan-bloat guard).
+      // list is SMALL (every MoR fragment commit) — the broadcast join
+      // cost a dedicated broadcast-build job per commit; element_at
+      // over a map literal is pure codegen. Threshold is LOW on
+      // purpose: element_at on an ArrayBasedMapData literal is a
+      // LINEAR scan per row (a 640-entry map over a 100× establish's
+      // 33M rows cost seconds — measured), so wide establishes keep
+      // the O(1)-per-row broadcast hash join.
       val mCol: DataFrame => DataFrame =
-        if (sizePairs.sizeIs <= 1024) { w =>
+        if (sizePairs.sizeIs <= 64) { w =>
           w.withColumn("m", element_at(
             typedLit(sizePairs.toMap), col("path")))
         } else { w =>
@@ -956,9 +967,10 @@ object ZTable {
       val allBloom = carriedBloom.fold(freshBloom)(_ unionByName freshBloom)
       // register build: the exchange carries O(files × register words)
       // rows after map-side partial agg — metadata-action conf (AQE
-      // off, 1 reduce partition) turns the 3-job AQE choreography into
-      // ONE job; the data-sized map side keeps its input parallelism
-      MetaIO.withMetaActionConf(spark)(
+      // off, working-set-sized reduce) turns the 3-job AQE
+      // choreography into ONE job; the data-sized map side keeps its
+      // input parallelism and a 100× establish keeps its reduce width
+      MetaIO.withMetaActionConf(spark, appendedBytes)(
         allBloom.coalesce(1).write.mode(mode)
           .parquet(s"$root/$dir/_bloom"))
       bloomBpk.foreach(bpk => writeGeom(fs(spark, root), root, dir, bpk))
